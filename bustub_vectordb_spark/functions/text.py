@@ -1,0 +1,152 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All hot-path expressions are native Catalyst (regexp/length/split/xxhash64 —
+JVM codegen, no Python). Each operator has a *dual implementation*: a Spark
+``Column`` builder and an ANSI-SQL string builder (DuckDB dialect) computing
+the identical formula, so the driver's oracle comparison is exact by
+construction. The SQL builders are the single source of truth for the
+formulas — keep both sides in sync.
+
+Operators:
+  token_count        whitespace tokenization count
+  quality_score      length / punctuation / stopword / uppercase heuristics
+  langid             stopword-profile scoring over {en,de,fr,es} + argmax
+  fingerprint        document fingerprint = md5 of whitespace-normalized text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword profiles for the langid heuristic. Word-boundary regexes behave
+# identically in Java regex (Spark) and RE2 (DuckDB) for these literals.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "que", "y", "es", "un", "en"],
+}
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+# --------------------------------------------------------------------------
+# token count
+def token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def token_count_sql(col: str = "text") -> str:
+    return f"len(regexp_split_to_array(trim({col}), '\\s+'))"
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+def quality_exprs(text: Column | str) -> dict[str, Column]:
+    """Component expressions for document quality scoring.
+
+    n_chars, n_tokens, punct_ratio (punctuation chars / chars),
+    stopword_ratio (English stopword tokens / tokens),
+    mean_token_len.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    sw_pattern = r"\b(" + "|".join(LANG_PROFILES["en"]) + r")\b"
+    stop_hits = F.size(F.regexp_extract_all(F.lower(c), F.lit(sw_pattern), F.lit(1)))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "punct_ratio": F.round(punct / F.nullif(n_chars, F.lit(0)), 6),
+        "stopword_ratio": F.round(stop_hits / F.nullif(n_tokens, F.lit(0)), 6),
+        "mean_token_len": F.round(
+            (F.length(F.regexp_replace(c, r"\s+", ""))) / F.nullif(n_tokens, F.lit(0)), 6
+        ),
+    }
+
+
+def quality_sql(col: str = "text") -> dict[str, str]:
+    sw_pattern = r"\b(" + "|".join(LANG_PROFILES["en"]) + r")\b"
+    n_tokens = token_count_sql(col)
+    return {
+        "n_chars": f"length({col})::BIGINT",
+        "n_tokens": f"({n_tokens})::BIGINT",
+        "punct_ratio": (
+            f"round((length({col}) - length(regexp_replace({col}, '{PUNCT_CLASS}', '', 'g')))"
+            f" / nullif(length({col}), 0), 6)"
+        ),
+        "stopword_ratio": (
+            f"round(len(regexp_extract_all(lower({col}), '{sw_pattern}', 1))"
+            f" / nullif({n_tokens}, 0), 6)"
+        ),
+        "mean_token_len": (
+            f"round(length(regexp_replace({col}, '\\s+', '', 'g'))"
+            f" / nullif({n_tokens}, 0), 6)"
+        ),
+    }
+
+
+# --------------------------------------------------------------------------
+# language identification (stopword-profile scoring)
+def langid_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit ratio (hits / tokens)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    n_tokens = token_count(c)
+    out = {}
+    for lang, words in LANG_PROFILES.items():
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        hits = F.size(F.regexp_extract_all(lowered, F.lit(pattern), F.lit(1)))
+        out[lang] = F.round(hits / F.nullif(n_tokens, F.lit(0)), 6)
+    return out
+
+
+def langid(text: Column | str) -> Column:
+    """argmax language; deterministic tie-break = profile order en,de,fr,es.
+
+    Implemented as a greatest()+CASE chain — pure codegen, no UDF.
+    """
+    scores = langid_scores(text)
+    langs = list(scores)
+    best = F.greatest(*[scores[lg] for lg in langs])
+    expr = F.lit("und")
+    # reverse so earlier profile wins ties after the fold
+    for lg in reversed(langs):
+        expr = F.when(scores[lg] == best, F.lit(lg)).otherwise(expr)
+    # no tokens → undetermined
+    return F.when(best.isNull() | (best == 0), F.lit("und")).otherwise(expr)
+
+
+def langid_sql(col: str = "text") -> str:
+    n_tokens = token_count_sql(col)
+    score = {}
+    for lang, words in LANG_PROFILES.items():
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        score[lang] = (
+            f"round(len(regexp_extract_all(lower({col}), '{pattern}', 1))"
+            f" / nullif({n_tokens}, 0), 6)"
+        )
+    langs = list(score)
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    case = "'und'"
+    for lg in reversed(langs):
+        case = f"CASE WHEN {score[lg]} = {best} THEN '{lg}' ELSE {case} END"
+    return f"CASE WHEN {best} IS NULL OR {best} = 0 THEN 'und' ELSE {case} END"
+
+
+# --------------------------------------------------------------------------
+# document fingerprint
+def fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 over lowercased, whitespace-collapsed text.
+
+    Identical formula on both engines; used as the exact-dedup key.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def fingerprint_sql(col: str = "text") -> str:
+    return f"md5(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'))"

@@ -1,0 +1,70 @@
+"""Vector expression semantics vs hand-computed values and the reference's
+ComputeDistance (src/include/execution/expressions/vector_expression.h:19-63)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bustub_vectordb_spark.functions import (
+    cosine_similarity,
+    inner_product,
+    l2_dist,
+    l2_norm,
+    vec_lit,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 1.0, 1.0]),
+        (2, [2.0, 1.0, 1.0]),
+        (3, [-1.0, 2.0, 0.5]),
+    ]
+    return spark.createDataFrame(rows, "id int, v array<double>")
+
+
+def test_l2_dist(vecs):
+    got = {
+        r["id"]: r["d"]
+        for r in vecs.select("id", l2_dist("v", [1.0, 1.0, 1.0]).alias("d")).collect()
+    }
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == pytest.approx(1.0)
+    assert got[3] == pytest.approx(math.sqrt(4 + 1 + 0.25))
+
+
+def test_inner_product(vecs):
+    got = {
+        r["id"]: r["d"]
+        for r in vecs.select(
+            "id", inner_product("v", [1.0, 2.0, 3.0]).alias("d")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(6.0)
+    assert got[2] == pytest.approx(7.0)
+    assert got[3] == pytest.approx(-1 + 4 + 1.5)
+
+
+def test_cosine_similarity(vecs):
+    got = vecs.filter("id = 1").select(
+        cosine_similarity("v", [2.0, 2.0, 2.0]).alias("d")
+    ).collect()[0]["d"]
+    assert got == pytest.approx(1.0)
+
+
+def test_float32_inputs_promoted(spark):
+    df = spark.createDataFrame([([1.5, 2.5],)], "v array<float>")
+    got = df.select(l2_norm("v").alias("n")).collect()[0]["n"]
+    assert got == pytest.approx(math.sqrt(1.5**2 + 2.5**2))
+
+
+def test_vec_lit_is_double(spark):
+    df = spark.range(1).select(vec_lit([1, 2]).alias("v"))
+    assert df.schema["v"].dataType.simpleString() == "array<double>"
+
+
+def test_no_python_udf_in_plan(vecs):
+    plan = vecs.select(l2_dist("v", [0.0, 0.0, 0.0])). _jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
