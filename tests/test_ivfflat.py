@@ -1,0 +1,88 @@
+"""IVFFlat build/probe semantics (ref: src/storage/index/ivfflat_index.cpp,
+test/sql/vector.04-ivfflat.slt)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bustub_vectordb_spark.index import IVFFlatIndex, VectorIndexRegistry, plan_knn
+from bustub_vectordb_spark.similarity.brute import knn
+
+QUERY = [0.1 * ((i % 7) - 3) for i in range(64)]
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ivf(emb):
+    return IVFFlatIndex.build(
+        emb, "embedding", lists=8, probe_lists=2, max_iter=5, init_order="vec_id"
+    )
+
+
+def test_exact_when_probing_all_buckets(emb, ivf):
+    exact = [r["vec_id"] for r in knn(emb, "embedding", QUERY, 10).collect()]
+    probed = [
+        r["vec_id"] for r in ivf.probe(QUERY, 10, probe_lists=8).collect()
+    ]
+    assert probed == exact
+
+
+def test_partial_probe_recall(emb, ivf):
+    exact = {r["vec_id"] for r in knn(emb, "embedding", QUERY, 10).collect()}
+    got = {r["vec_id"] for r in ivf.probe(QUERY, 10, probe_lists=4).collect()}
+    # half the buckets → decent recall on random data; exact threshold is
+    # data-dependent, the reference asserts only `statement ok` here
+    assert len(got & exact) / 10 >= 0.5
+    assert len(got) == 10
+
+
+def test_bucket_count_and_assignment_total(emb, ivf):
+    n = emb.count()
+    assert ivf.assignments.count() == n
+    buckets = ivf.assignments.select("__bucket").distinct().count()
+    assert 1 <= buckets <= 8
+
+
+def test_insert_after_build(emb, ivf, spark):
+    # ref vector.04-ivfflat.slt:19-25 — insert appends to nearest bucket,
+    # centroids frozen; new exact-duplicate vector must be found at top-1
+    target = emb.limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [(99999, list(target["embedding"]), 0)], "vec_id long, embedding array<double>, label int"
+    )
+    ivf2 = ivf.insert(new)
+    hits = ivf2.probe(list(target["embedding"]), 2, probe_lists=8).collect()
+    ids = {r["vec_id"] for r in hits}
+    assert 99999 in ids and target["vec_id"] in ids
+    # original index untouched (immutable)
+    assert ivf.assignments.count() + 1 == ivf2.assignments.count()
+
+
+def test_index_selection_rule(emb, ivf):
+    reg = VectorIndexRegistry()
+    reg.create("emb_ivf", "embeddings", "embedding", "ivfflat", ivf)
+
+    p = plan_knn(reg, "embeddings", emb, "embedding", QUERY, 5)
+    assert p.strategy == "vector_index_scan(ivfflat)"
+    assert p.df.count() == 5
+
+    p_none = plan_knn(reg, "embeddings", emb, "embedding", QUERY, 5, method="none")
+    assert p_none.strategy == "seq_scan"
+
+    p_hnsw = plan_knn(reg, "embeddings", emb, "embedding", QUERY, 5, method="hnsw")
+    assert p_hnsw.strategy == "seq_scan"  # no hnsw index registered → fallback
+
+    p_unindexed = plan_knn(reg, "documents", emb, "embedding", QUERY, 5)
+    assert p_unindexed.strategy == "seq_scan"
+
+
+def test_save_load_roundtrip(emb, ivf, spark, tmp_path):
+    path = str(tmp_path / "ivf")
+    ivf.save(path)
+    loaded = IVFFlatIndex.load(spark, path, "embedding", probe_lists=8)
+    probed = [r["vec_id"] for r in loaded.probe(QUERY, 10, probe_lists=8).collect()]
+    exact = [r["vec_id"] for r in knn(emb, "embedding", QUERY, 10).collect()]
+    assert probed == exact
