@@ -1,0 +1,160 @@
+"""Benchmark harness — one JSON line for the driver's BENCH_r{N}.json.
+
+Reproduces the reference's four leaderboard query shapes (BASELINE.md) over
+the driver testdata, plus the vector workloads (exact KNN, IVFFlat build and
+probe) that define this engine's core capability:
+
+  q1_filter_scan    range+point filter (leaderboard-q1 shape) — pushdown test
+  q2_join_agg       3-way equi-join + global agg (leaderboard-q2 shape)
+  q3_wide_agg       wide aggregation (42 agg exprs) + LEFT JOIN against an
+                    empty-filtered side, grouped (leaderboard-q3 shape)
+  q4_window_topn    rank-per-partition top-3 then global top-10
+                    (leaderboard-q1-window shape)
+  knn_exact         brute-force top-10 over embeddings
+  ivfflat_build     full index build (Lloyd's loop)
+  ivfflat_probe     ANN probe over 1/4 of buckets
+  minhash_dedup     MinHash-LSH near-dup candidate pairs over documents
+
+Each query is forced with a noop write (no driver-side collect of big
+results). Prints exactly one JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bustub_vectordb_spark.catalog import read_table
+from bustub_vectordb_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = {}
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    orders = read_table(spark, SF_DIR, "orders")
+    customer = read_table(spark, SF_DIR, "customer")
+    emb = read_table(spark, SF_DIR, "embeddings")
+    docs = read_table(spark, SF_DIR, "documents")
+
+    # warm-up: JVM + parquet footers
+    li.limit(1).count()
+
+    # q1: range + point filter (leaderboard-q1: WHERE x >= 90 AND y = 10)
+    t0 = time.time()
+    force(li.filter((F.col("l_quantity") >= 45) & (F.col("l_linenumber") == 3)))
+    t["q1_filter_scan"] = time.time() - t0
+
+    # q2: 3-way equi-join + count/max aggregates (leaderboard-q2)
+    t0 = time.time()
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .filter((F.col("l_quantity") < 49) & (F.col("o_totalprice") > 1000.0))
+    )
+    force(
+        j.agg(
+            F.count("*").alias("cnt"),
+            F.max("l_extendedprice").alias("m1"),
+            F.max("o_totalprice").alias("m2"),
+            F.max("c_acctbal").alias("m3"),
+            F.max("l_quantity").alias("m4"),
+            F.max("l_discount").alias("m5"),
+            F.max("l_tax").alias("m6"),
+        )
+    )
+    t["q2_join_agg"] = time.time() - t0
+
+    # q3: wide agg (42 agg exprs) + LEFT JOIN against empty-filtered side
+    t0 = time.time()
+    empty_side = orders.filter(F.col("o_totalprice") < 0).select(
+        F.col("o_orderkey").alias("e_key"), F.col("o_totalprice").alias("e_val")
+    )
+    base = li.join(empty_side, li.l_orderkey == empty_side.e_key, "left")
+    aggs = []
+    for i, c in enumerate(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey", "l_suppkey"]
+    ):
+        aggs += [
+            F.sum(c).alias(f"s{i}"),
+            F.min(c).alias(f"mn{i}"),
+            F.max(c).alias(f"mx{i}"),
+            F.count(c).alias(f"c{i}"),
+            F.avg(c).alias(f"a{i}"),
+            F.sum(F.col(c) + F.lit(i)).alias(f"sp{i}"),
+            F.max(F.col(c) - F.lit(i)).alias(f"mp{i}"),
+        ]
+    force(base.groupBy("l_returnflag").agg(*aggs))
+    t["q3_wide_agg"] = time.time() - t0
+
+    # q4: rank per partition <= 3, then global ORDER BY LIMIT 10
+    t0 = time.time()
+    w = Window.partitionBy("l_partkey").orderBy(F.col("l_extendedprice").desc())
+    top3 = li.withColumn("rk", F.rank().over(w)).filter(F.col("rk") <= 3)
+    force(top3.orderBy(F.col("l_extendedprice").desc()).limit(10))
+    t["q4_window_topn"] = time.time() - t0
+
+    # knn: exact top-10 (TakeOrderedAndProject over distance expr)
+    from bustub_vectordb_spark.queries import QUERY_VEC
+    from bustub_vectordb_spark.similarity.brute import knn
+
+    t0 = time.time()
+    knn(emb, "embedding", QUERY_VEC, 10).collect()
+    t["knn_exact"] = time.time() - t0
+
+    # ivfflat build + probe
+    from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+
+    t0 = time.time()
+    lists = 16
+    idx = IVFFlatIndex.build(
+        emb, "embedding", lists=lists, probe_lists=4, max_iter=5, init_order="vec_id"
+    )
+    idx.assignments.count()  # materialize the cache
+    t["ivfflat_build"] = time.time() - t0
+
+    t0 = time.time()
+    idx.probe(QUERY_VEC, 10).collect()
+    t["ivfflat_probe"] = time.time() - t0
+
+    # minhash near-dup candidates over documents
+    try:
+        from bustub_vectordb_spark.dedup.minhash import minhash_lsh_candidates
+
+        t0 = time.time()
+        force(minhash_lsh_candidates(docs, "text", id_col="doc_id"))
+        t["minhash_dedup"] = time.time() - t0
+    except ImportError:
+        pass
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(t.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in t.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

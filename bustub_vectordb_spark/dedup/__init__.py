@@ -1,0 +1,14 @@
+from .exact import exact_dedup, exact_dup_groups
+from .minhash import minhash_lsh_candidates, minhash_signature, near_dup_pairs, shingles
+from .simhash import simhash, simhash_near_dup_pairs
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "minhash_lsh_candidates",
+    "minhash_signature",
+    "near_dup_pairs",
+    "shingles",
+    "simhash",
+    "simhash_near_dup_pairs",
+]

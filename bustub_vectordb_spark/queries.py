@@ -856,6 +856,154 @@ def q_dedup_exact(spark, sf_dir):
 
 
 # =========================================================================
+# Near-duplicate detection (LLM-pipeline dedup suite)
+# =========================================================================
+
+_TRIGRAM_SQL = (
+    "list_distinct(list_transform(generate_series(1, len(__ts)-2), "
+    "i -> __ts[i] || ' ' || __ts[i+1] || ' ' || __ts[i+2]))"
+)
+
+
+@_register(
+    "dedup_minhash_neardup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS __ts
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(__ts) >= 3 THEN {_TRIGRAM_SQL}
+                  ELSE [] END AS sg
+      FROM toks
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           round(len(list_intersect(a.sg, b.sg))::DOUBLE
+                 / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sg, b.sg))::DOUBLE
+                / len(list_distinct(list_concat(a.sg, b.sg))), 6) >= 0.5
+    """,
+)
+def q_dedup_minhash_neardup(spark, sf_dir):
+    # MinHash-LSH candidates + exact-Jaccard verification. The oracle is the
+    # full O(n²) pairwise join — the engine's LSH must find the same pairs
+    # while only materializing band collisions. (Planted dups have
+    # jaccard ≥ 0.8 → detection probability 1-(1-s²)^16 ≈ 1.)
+    from .dedup.minhash import near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+@_register(
+    "dedup_exact_keep",
+    f"""
+    SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY {X.fingerprint_sql('text')}
+    """,
+)
+def q_dedup_exact_keep(spark, sf_dir):
+    from .functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(fingerprint("text").alias("__fp")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    ).drop("__fp")
+
+
+@_register("dedup_simhash_pairs")  # xxhash64-based → engine-specific, rows-only;
+def q_dedup_simhash_pairs(spark, sf_dir):  # recall vs truth in tests/test_dedup.py
+    from .dedup.simhash import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=7, chunks=8)
+
+
+@_register(
+    "embedding_neardup_exact",
+    f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+    """,
+)
+def q_embedding_neardup_exact(spark, sf_dir):
+    from .similarity.neardup import cosine_similarity_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_similarity_join(emb, "embedding", "vec_id", 0.45)
+
+
+@_register("embedding_neardup_lsh")  # LSH recall < 1 by design → rows-only
+def q_embedding_neardup_lsh(spark, sf_dir):
+    from .similarity.neardup import random_hyperplane_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_hyperplane_pairs(emb, "embedding", "vec_id", 0.45, n_planes=16, bands=8)
+
+
+# =========================================================================
+# Multimodal columns (binary media + typed metadata; decode is a documented
+# stub — plumbing is real)
+# =========================================================================
+
+
+@_register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           octet_length(from_hex(sha256('video' || doc_id::VARCHAR)))::BIGINT AS media_bytes,
+           sha256(sha256('video' || doc_id::VARCHAR)) AS media_sha
+    FROM documents
+    """,
+)
+def q_multimodal_metadata(spark, sf_dir):
+    # metadata pass over binary media — pure JVM (length/sha2), no decode.
+    # (media_sha is recomputed over the hex form because DuckDB's sha256
+    # can't hash BLOBs — same content, engine-comparable encoding.)
+    from .multimodal import attach_fake_media, media_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", kind="video")
+    return media_metadata(media).select(
+        "doc_id",
+        "media_bytes",
+        F.sha2(F.lower(F.hex(F.col("media"))), 256).alias("media_sha"),
+    )
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, unnest(range(0, (doc_id % 30) + 1, 10))::INT AS frame_idx
+    FROM documents
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    from .multimodal import attach_fake_media, frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", kind="video")
+    return frame_sample(media, every_n=10).select(
+        "doc_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+@_register("multimodal_decode_features")  # stubbed decode kernel → rows-only
+def q_multimodal_decode_features(spark, sf_dir):
+    from .multimodal import attach_fake_media, decode_and_featurize
+    from .shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", kind="image")
+    out = decode_and_featurize(media)
+    return out.select("doc_id", F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
+# =========================================================================
 # Event-time windowed aggregation (batch form; streaming variant in
 # bustub_vectordb_spark.streaming)
 # =========================================================================

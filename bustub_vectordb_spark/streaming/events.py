@@ -1,0 +1,98 @@
+"""Event-stream processing — Structured Streaming over the events table.
+
+The reference has no streaming surface (SURVEY.md §2.5); this module is part
+of the engine's LLM-pipeline extension set. The same windowed aggregation is
+exposed twice:
+
+  tumbling_counts         batch DataFrame (used by the oracle-checked query)
+  stream_tumbling_counts  readStream → event-time watermark → window →
+                          writeStream; identical results when drained with
+                          trigger(availableNow=True) over the same files —
+                          asserted in tests/test_streaming.py.
+
+The watermark (2 h) bounds state for continuous ingest: open windows older
+than max(event_time) - 2h can be finalized and dropped. The parity test runs
+in 'complete' output mode so end-of-file windows are emitted too; a
+production append-mode sink would emit each window once its watermark
+passes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns (TIMESTAMP(NANOS) parquet)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    # ns → timestamp (micros precision is plenty for hourly windows)
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def _window_agg(e: DataFrame) -> DataFrame:
+    return (
+        e.groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Batch form: 1-hour tumbling window counts/sums per event type."""
+    return _window_agg(_with_event_time(events))
+
+
+def events_stream(spark: SparkSession, sf_dir: str, stage_dir: str) -> DataFrame:
+    """Streaming read of events.parquet via a staging dir (the file source
+    streams a directory; testdata dirs mix tables, so we stage a symlink)."""
+    os.makedirs(stage_dir, exist_ok=True)
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(stage_dir)
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    out_table: str = "stream_counts",
+) -> None:
+    """Streaming form with a 2 h event-time watermark; availableNow trigger
+    drains the staged files and stops."""
+    src = events_stream(spark, sf_dir, os.path.join(work_dir, "stage"))
+    e = _with_event_time(src).withWatermark("event_time", "2 hours")
+    agg = _window_agg(e)
+    (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,93 @@
+"""Dedup operator correctness: MinHash-LSH recall vs exact pairwise truth,
+SimHash pigeonhole recall, exact dedup determinism, embedding near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bustub_vectordb_spark.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from bustub_vectordb_spark.dedup.minhash import shingles
+from bustub_vectordb_spark.similarity.neardup import (
+    cosine_similarity_join,
+    random_hyperplane_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(tables):
+    return tables["documents"]
+
+
+def _true_pairs(docs, threshold):
+    """Exact O(n²) trigram-shingle Jaccard ≥ threshold (ground truth)."""
+    sh = docs.select(F.col("doc_id"), shingles("text").alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("s1"))
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("s2"))
+    j = a.join(b, F.col("id1") < F.col("id2")).withColumn(
+        "j",
+        F.size(F.array_intersect("s1", "s2")) / F.size(F.array_union("s1", "s2")),
+    )
+    return {(r["id1"], r["id2"]) for r in j.filter(F.col("j") >= threshold).collect()}
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    truth = _true_pairs(docs, 0.5)
+    assert truth, "testdata should contain planted near-duplicates"
+    found = {
+        (r["id1"], r["id2"])
+        for r in near_dup_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    # jaccard>=0.8 planted dups ⇒ LSH recall ~1 at b=16,r=2
+    assert truth == found
+
+
+def test_lsh_candidate_set_is_small(docs):
+    n = docs.count()
+    cands = minhash_lsh_candidates(docs, "text", "doc_id").count()
+    assert cands < n * n / 20, "LSH must prune the quadratic pair space"
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello world"), (3, "different doc")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 3]  # 2 is a normalized dup of 1
+
+
+def test_simhash_near_dups(docs):
+    truth = _true_pairs(docs, 0.8)
+    got = {
+        (r["id1"], r["id2"])
+        for r in simhash_near_dup_pairs(
+            docs, "text", "doc_id", max_hamming=7, chunks=8
+        ).collect()
+    }
+    # 64-bit simhash at hamming≤7 recovers nearly all high-jaccard planted
+    # dups (empirically 27/28 at sf0.001; simhash is a different similarity
+    # than shingle-jaccard, so exact parity isn't expected)
+    assert truth
+    assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_embedding_near_dup_exact_vs_lsh(tables):
+    emb = tables["embeddings"]
+    exact = {
+        (r["id1"], r["id2"])
+        for r in cosine_similarity_join(emb, "embedding", "vec_id", 0.4).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in random_hyperplane_pairs(
+            emb, "embedding", "vec_id", 0.4, n_planes=16, bands=8
+        ).collect()
+    }
+    # LSH output ⊆ exact (verification is exact) with decent recall
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5
