@@ -65,36 +65,39 @@ def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
     )
 
 
-def _bands(sig: Column, bands: int, rows: int) -> Column:
-    """Array of band hashes: band j = xxhash64 over sig[j*r .. j*r+r-1]."""
-    return F.array(
-        *[
-            F.xxhash64(*[F.element_at(sig, j * rows + i + 1) for i in range(rows)])
-            for j in range(bands)
-        ]
-    )
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition to full parallelism when the input is under-partitioned.
 
-
-def _band_hashes(shingle_col: Column, bands: int, rows: int) -> Column:
-    """Band-hash array computed DIRECTLY from the shingle set.
-
-    Going through an intermediate signature array is a Catalyst trap:
-    CollapseProject inlines the k-wide array into every element_at band
-    reference, so the whole signature is recomputed k times per row through
-    interpreted higher-order functions (~30× slowdown measured). Building
-    band j as xxhash64(minhash_{j·r} .. minhash_{j·r+r-1}) evaluates each
-    minhash exactly once regardless of projection collapsing.
+    Minhashing is CPU-bound; a small parquet table arrives as one file split
+    and would pin the whole pipeline to one core. At 100 TB the input already
+    has thousands of splits and this is a no-op.
     """
-    return F.array(
-        *[
-            F.xxhash64(
-                *[
-                    F.array_min(F.transform(shingle_col, _seeded_hash(j * rows + i)))
-                    for i in range(rows)
-                ]
-            )
-            for j in range(bands)
-        ]
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want, id_col)
+    return df
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 32
+) -> DataFrame:
+    """(id, __m0..__m{k-1}) MinHash signature via explode + min aggregates.
+
+    Computing sig[i] = array_min(transform(shingles, xxhash64(i, _))) keeps
+    everything in one projection but runs k interpreted higher-order-function
+    lambdas per row — measured ~10× slower than this shape. Exploding the
+    shingle set and taking k codegen'd min() aggregates keeps the hot loop in
+    whole-stage codegen; partial (map-side) aggregation shrinks each doc to
+    k longs before the shuffle, so the exchange is tiny at any scale.
+
+    Docs with no shingles (< n tokens) drop out at the explode — they would
+    otherwise collide in every band (O(n²) pairs of empty docs).
+    """
+    ex = _spread(df, id_col).select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("__s")
+    )
+    return ex.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"__m{i}") for i in range(k)]
     )
 
 
@@ -108,12 +111,16 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs (id1 < id2) from LSH band collisions."""
     rows = k // bands
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("__sh")).filter(
-        F.size("__sh") > 0  # empty docs would collide in every band (O(n²))
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.col(f"__m{j * rows + i}") for i in range(rows)])
+            for j in range(bands)
+        ]
     )
-    banded = sh.select(
+    banded = sig.select(
         id_col,
-        F.posexplode(_band_hashes(F.col("__sh"), bands, rows)).alias("__band", "__bh"),
+        F.posexplode(band_arr).alias("__band", "__bh"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -147,7 +154,7 @@ def near_dup_pairs(
     an engine-independent oracle.
     """
     cands = minhash_lsh_candidates(df, text_col, id_col, n, k, bands)
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("__sh"))
+    sh = _spread(df, id_col).select(F.col(id_col), shingles(text_col, n).alias("__sh"))
     j = (
         cands.join(sh.select(F.col(id_col).alias("id1"), F.col("__sh").alias("__sh1")), "id1")
         .join(sh.select(F.col(id_col).alias("id2"), F.col("__sh").alias("__sh2")), "id2")
