@@ -54,6 +54,32 @@ def _centroid_literal(centroids: list[list[float]]) -> Column:
     return F.array(*[vec_lit(c) for c in centroids])
 
 
+def _lloyds_numpy(
+    vectors: list[list[float]], init: list[list[float]], max_iter: int
+) -> list[list[float]]:
+    """Driver-side Lloyd's k-means, semantics matching the reference
+    (ivfflat_index.cpp:77-90): argmin ties -> lowest index (np.argmin),
+    empty buckets keep their previous centroid, fixed iteration cap."""
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    cents = np.asarray(init, dtype=np.float64)
+    for _ in range(max_iter):
+        # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant per row
+        d = -2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)
+        assign = np.argmin(d, axis=1)
+        new = cents.copy()
+        for j in range(len(cents)):
+            members = x[assign == j]
+            if len(members):
+                new[j] = members.mean(axis=0)
+        moved = float(np.abs(new - cents).max())
+        cents = new
+        if moved < 1e-9:
+            break
+    return cents.tolist()
+
+
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """0-based index of the nearest centroid (ties → lowest index, matching
     the reference's sequential argmin FindCentroid, ivfflat_index.cpp:46-57)."""
@@ -73,6 +99,12 @@ class IVFFlatIndex:
     centroids: list[list[float]]
     assignments: DataFrame  # all base-table columns + BUCKET_COL
     params: dict = field(default_factory=dict)
+
+    # centroid training happens driver-side on at most this many matrix
+    # cells (rows × dim); larger inputs train on a deterministic sample —
+    # the standard IVF recipe (FAISS trains on a sample too). The full-table
+    # assignment pass is always distributed.
+    DRIVER_TRAIN_MAX_CELLS = 32_000_000
 
     # -- build ------------------------------------------------------------
     @classmethod
@@ -100,33 +132,40 @@ class IVFFlatIndex:
         if len(centroids) < lists:
             raise ValueError(f"table has fewer than lists={lists} rows")
 
+        n = df.count()
         dim = len(centroids[0])
-        for _ in range(max_iter):
-            assigned = df.select(
-                vec.alias("v"), _nearest_centroid(vec, centroids).alias(BUCKET_COL)
+        if n * dim <= cls.DRIVER_TRAIN_MAX_CELLS:
+            # Small training set: one collect + numpy Lloyd's on the driver.
+            # Identical semantics (argmin ties -> first index, empty buckets
+            # keep their centroid) without max_iter driver-roundtrip jobs —
+            # the distributed loop costs ~2 jobs/iteration in scheduling
+            # alone, which dwarfs the math below ~millions of cells.
+            vecs = df.select(vec.alias("v")).collect()
+            centroids = _lloyds_numpy(
+                [r["v"] for r in vecs], centroids, max_iter
             )
-            # element-wise mean per bucket: dim avg() aggregates — partial
-            # (map-side) agg, shuffle volume = lists × dim, independent of N
-            means = (
-                assigned.groupBy(BUCKET_COL)
-                .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
-                .collect()
+        else:
+            # At scale: train on a deterministic sample on the driver (the
+            # standard IVF recipe — FAISS trains centroids on a sample too),
+            # sized to the same cell budget.
+            frac = min(1.0, cls.DRIVER_TRAIN_MAX_CELLS / (n * dim))
+            vecs = df.sample(fraction=frac, seed=42).select(vec.alias("v")).collect()
+            centroids = _lloyds_numpy(
+                [r["v"] for r in vecs], centroids, max_iter
             )
-            new_centroids = list(centroids)
-            for r in means:
-                new_centroids[r[BUCKET_COL]] = [r[f"c{i}"] for i in range(dim)]
-            moved = max(
-                math.dist(a, b) for a, b in zip(centroids, new_centroids)
-            )
-            centroids = new_centroids
-            if moved < 1e-9:
-                break
 
-        assignments = df.withColumn(
+        # One distributed assignment pass over the full table. Spread to
+        # full parallelism if the source arrived as a single file split.
+        src = df
+        want = df.sparkSession.sparkContext.defaultParallelism
+        if n > want and src.rdd.getNumPartitions() < want:
+            src = src.repartition(want)
+        assignments = src.withColumn(
             BUCKET_COL, _nearest_centroid(vec, centroids)
         )
         if cache:
             assignments = assignments.cache()
+            assignments.count()  # materialize once; probes hit the cache
         return cls(vec_col, lists, probe_lists, dist, centroids, assignments)
 
     # -- probe ------------------------------------------------------------
