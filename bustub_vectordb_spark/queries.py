@@ -896,6 +896,43 @@ def q_dedup_minhash_neardup(spark, sf_dir):
     return near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
 
 
+_BIGRAM_SQL = (
+    "list_distinct(list_transform(generate_series(1, len(__ts)-1), "
+    "i -> __ts[i] || ' ' || __ts[i+1]))"
+)
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS __ts
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(__ts) >= 2 THEN {_BIGRAM_SQL}
+                  ELSE [] END AS sg
+      FROM toks
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           round(len(list_intersect(a.sg, b.sg))::DOUBLE
+                 / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(a.sg) > 0 AND len(b.sg) > 0
+      AND round(len(list_intersect(a.sg, b.sg))::DOUBLE
+                / len(list_distinct(list_concat(a.sg, b.sg))), 6) >= 0.6
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    # Exact word-bigram Jaccard join via prefix filtering; the oracle is the
+    # O(n²) pairwise join — prefix filtering must find the same pairs while
+    # joining only on each doc's rarest shingles.
+    from .dedup.jaccard import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.6, n=2)
+
+
 @_register(
     "dedup_exact_keep",
     f"""

@@ -60,6 +60,30 @@ def test_exact_dedup_keeps_lowest_id(spark):
     assert kept == [1, 3]  # 2 is a normalized dup of 1
 
 
+def test_ngram_jaccard_exact_parity(docs):
+    """Prefix-filtered Jaccard join must equal the O(n²) truth exactly."""
+    from bustub_vectordb_spark.dedup.jaccard import ngram_jaccard_pairs
+
+    truth = _true_pairs(docs, 0.5)  # trigram shingles, same as the operator's n=3
+    found = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, n=3).collect()
+    }
+    assert truth == found
+
+
+def test_ngram_jaccard_high_threshold_parity(docs):
+    """Shorter prefixes at a higher threshold must still lose no pairs."""
+    from bustub_vectordb_spark.dedup.jaccard import ngram_jaccard_pairs
+
+    truth = _true_pairs(docs, 0.8)
+    found = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8, n=3).collect()
+    }
+    assert truth == found
+
+
 def test_simhash_near_dups(docs):
     truth = _true_pairs(docs, 0.8)
     got = {
