@@ -1070,3 +1070,35 @@ def q_events_tumbling_window(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@_register(
+    "events_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, epoch(date_trunc('second', ts))::BIGINT AS sec, value
+      FROM events
+    ), m AS (
+      SELECT user_id, sec, value,
+             CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ), s AS (
+      SELECT user_id, sec, value,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM m
+    )
+    SELECT user_id, min(sec) AS session_start, max(sec) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    # Gaps-and-islands sessionization (30 min gap). Streaming twin with
+    # applyInPandasWithState: bustub_vectordb_spark.streaming.sessions.
+    from .streaming.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev)
