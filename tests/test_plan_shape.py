@@ -1,0 +1,111 @@
+"""Plan-shape assertions — the Spark analogue of the reference's
+``ensure:index_scan`` / ``ensure:seq_scan`` sqllogictest options
+(tools/sqllogictest/sqllogictest.cpp:66-100).
+
+At 100 TB these shapes ARE the performance model: a filter that misses
+PushedFilters re-reads the whole table; a dim join that misses broadcast
+shuffles the fact table; a top-n that misses TakeOrderedAndProject sorts
+the world. Correct results with the wrong plan shape fail these tests.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(tables):
+    li = tables["lineitem"]
+    q = li.filter((F.col("l_quantity") >= 30) & (F.col("l_returnflag") == "R"))
+    p = plan_of(q)
+    assert "PushedFilters" in p
+    assert "l_quantity" in p.split("PushedFilters")[1].splitlines()[0]
+    assert "l_returnflag" in p.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning_reaches_parquet(tables):
+    li = tables["lineitem"]
+    q = li.select("l_orderkey", "l_quantity")
+    p = plan_of(q)
+    schema_line = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in schema_line and "l_quantity" in schema_line
+    assert "l_shipdate" not in schema_line, "projection must prune unread columns"
+
+
+def test_small_dim_join_broadcasts(tables):
+    cust, nation = tables["customer"], tables["nation"]
+    q = cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"]).select(
+        "c_custkey", "n_name"
+    )
+    p = plan_of(q)
+    assert "BroadcastHashJoin" in p, "25-row nation must broadcast, not shuffle"
+    assert "SortMergeJoin" not in p
+
+
+def test_topn_is_take_ordered(tables):
+    li = tables["lineitem"]
+    q = li.orderBy(F.col("l_extendedprice").desc()).limit(5)
+    p = plan_of(q)
+    assert "TakeOrderedAndProject" in p, "ORDER BY + LIMIT must fuse to top-n"
+    assert "\n   Sort " not in p, "no global sort for a top-n"
+
+
+def test_knn_is_take_ordered(tables):
+    """The reference's TopN executor (topn_executor.cpp) over a distance
+    expression — Spark must plan the same heap-based top-n, not a sort."""
+    from bustub_vectordb_spark.functions.vector import l2_dist
+    from bustub_vectordb_spark.queries import QUERY_VEC
+
+    emb = tables["embeddings"]
+    q = (
+        emb.withColumn("distance", l2_dist(F.col("embedding"), QUERY_VEC))
+        .orderBy("distance")
+        .limit(10)
+    )
+    assert "TakeOrderedAndProject" in plan_of(q)
+
+
+def test_relational_queries_stay_jvm_side(spark, sf_dir):
+    """No row-at-a-time Python evaluation in any relational/text/dedup plan —
+    everything must stay in codegen'd JVM expressions (Pandas UDFs are only
+    allowed in the explicitly-exempt multimodal decode path)."""
+    from bustub_vectordb_spark.queries import QUERIES
+
+    exempt = {"multimodal_decode_features"}  # stubbed decode is a Pandas UDF
+    for name, fn in QUERIES.items():
+        if name in exempt:
+            continue
+        df = fn(spark, sf_dir)
+        p = plan_of(df, "extended")
+        assert "BatchEvalPython" not in p, f"{name} fell off the JVM fast path"
+        assert "pythonUDF" not in p, f"{name} fell off the JVM fast path"
+
+
+def test_index_selection_explain_shapes(spark, sf_dir, tables):
+    """vector.03-index-selection.slt: the session var drives the chosen plan."""
+    from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+    from bustub_vectordb_spark.index.registry import VectorIndexRegistry
+    from bustub_vectordb_spark.index.selection import plan_knn
+    from bustub_vectordb_spark.queries import QUERY_VEC
+
+    emb = tables["embeddings"]
+    reg = VectorIndexRegistry()
+    idx = IVFFlatIndex.build(emb, "embedding", lists=4, probe_lists=2, max_iter=3)
+    reg.create("emb_ivf", "embeddings", "embedding", "ivfflat", idx)
+
+    chosen = plan_knn(reg, "embeddings", emb, "embedding", QUERY_VEC, 5, method="unset")
+    assert chosen.strategy.startswith("vector_index_scan")
+    none = plan_knn(reg, "embeddings", emb, "embedding", QUERY_VEC, 5, method="none")
+    assert none.strategy == "seq_scan"
+    hnsw_only = plan_knn(
+        reg, "embeddings", emb, "embedding", QUERY_VEC, 5, method="hnsw"
+    )
+    assert hnsw_only.strategy == "seq_scan", "no hnsw index registered -> exact scan"
