@@ -602,6 +602,37 @@ def q_knn_l2(spark, sf_dir):
 
 
 @_register(
+    "sql_knn_l2",
+    f"""
+    SELECT vec_id, round(dist, 8) AS distance FROM (
+      SELECT vec_id,
+             list_distance(embedding::DOUBLE[], {_vec_sql_literal(QUERY_VEC)}) AS dist
+      FROM embeddings
+    ) ORDER BY dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q_sql_knn_l2(spark, sf_dir):
+    # Same query as knn_l2, but entering through the SQL front end with the
+    # reference's own dialect (ARRAY literal + <-> operator) — proves the
+    # textual rewrite + macro expansion yields identical results via
+    # spark.sql (bustub_vectordb_spark.sql).
+    from .sql import rewrite
+
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    arr = "ARRAY [" + ", ".join(repr(v) for v in QUERY_VEC) + "]"
+    return spark.sql(
+        rewrite(
+            f"""
+        SELECT vec_id, round(dist, 8) AS distance FROM (
+          SELECT vec_id, {arr} <-> CAST(embedding AS ARRAY<DOUBLE>) AS dist
+          FROM embeddings
+        ) ORDER BY dist ASC, vec_id ASC LIMIT 10
+        """
+        )
+    )
+
+
+@_register(
     "knn_cosine",
     f"""
     SELECT vec_id, round(sim, 8) AS similarity FROM (

@@ -1,0 +1,259 @@
+"""SQL front end — run the reference's Postgres-dialect SQL on Spark SQL.
+
+The reference's entry point is SQL (shell → Binder → Planner → executor,
+src/common/bustub_instance.cpp:234-376). Spark SQL already parses the
+relational subset; what it cannot parse is the vector-extension surface:
+
+  ARRAY [1.0, 2.0]        Postgres array literal   → array(1.0, 2.0)
+  a <-> b                 L2 distance              → l2_dist(a, b)
+  a <=> b                 cosine similarity        → cosine_similarity(a, b)
+  a <#> b                 inner product            → inner_product(a, b)
+
+:func:`rewrite` performs that translation textually (operands in the
+reference grammar are column refs, array literals, or function calls —
+handled with balanced-paren scanning, no SQL parser needed) and then
+macro-expands ``l2_dist`` / ``cosine_similarity`` / ``inner_product`` calls
+into their native higher-order-function SQL bodies. Expansion (rather than
+Spark 4 SQL UDFs, which are rejected inside ORDER BY) means the distance
+works in any clause and SQL queries get the exact same
+whole-stage-codegen'd Catalyst plans as the DataFrame API — zero Python on
+the data path (asserted in tests/test_sql_frontend.py). DDL (CREATE TABLE
+with VECTOR(n), INSERT VALUES), EXPLAIN, and SET/SHOW route through
+:class:`SqlEngine` to the engine catalog, mirroring ExecuteSql's statement
+dispatch (bustub_instance.cpp:295-331).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Catalog
+
+# ---------------------------------------------------------------------------
+# textual rewrite
+# ---------------------------------------------------------------------------
+
+_ARRAY_LIT = re.compile(r"\bARRAY\s*\[([^\]]*)\]", re.IGNORECASE)
+
+_OPS = {"<->": "l2_dist", "<=>": "cosine_similarity", "<#>": "inner_product"}
+
+_IDENT_CHARS = re.compile(r"[A-Za-z0-9_.]")
+
+
+def _left_operand(s: str, at: int) -> int:
+    """Start index of the operand ending just before position ``at``."""
+    i = at - 1
+    while i >= 0 and s[i].isspace():
+        i -= 1
+    if i >= 0 and s[i] == ")":
+        depth = 0
+        while i >= 0:
+            if s[i] == ")":
+                depth += 1
+            elif s[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        i -= 1  # continue into a preceding function name, if any
+    while i >= 0 and _IDENT_CHARS.match(s[i]):
+        i -= 1
+    return i + 1
+
+
+def _right_operand(s: str, at: int) -> int:
+    """End index (exclusive) of the operand starting at/after position ``at``."""
+    i = at
+    while i < len(s) and s[i].isspace():
+        i += 1
+    while i < len(s) and _IDENT_CHARS.match(s[i]):
+        i += 1
+    j = i
+    while j < len(s) and s[j].isspace():
+        j += 1
+    if j < len(s) and s[j] == "(":
+        depth = 0
+        while j < len(s):
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+    return i
+
+
+# macro bodies — native higher-order-function SQL, expanded at rewrite time
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x*y), 0D, (s, v) -> s + v)"
+_NORM = "sqrt(aggregate(transform({v}, x -> x*x), 0D, (s, v) -> s + v))"
+_MACROS = {
+    "l2_dist": (
+        "sqrt(aggregate(zip_with({a}, {b}, (x, y) -> (x-y)*(x-y)), "
+        "0D, (s, v) -> s + v))"
+    ),
+    "inner_product": _DOT,
+    "cosine_similarity": (
+        _DOT + " / (" + _NORM.format(v="{a}") + " * " + _NORM.format(v="{b}") + ")"
+    ),
+}
+
+
+def _split_args(args: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in args:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
+def _expand_macros(sql: str) -> str:
+    changed = True
+    while changed:
+        changed = False
+        for fn, body in _MACROS.items():
+            m = re.search(rf"\b{fn}\s*\(", sql)
+            if not m:
+                continue
+            start = m.end() - 1  # position of '('
+            depth, i = 0, start
+            while i < len(sql):
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i += 1
+            a, b = _split_args(sql[start + 1 : i])
+            ca = f"CAST({a} AS ARRAY<DOUBLE>)"
+            cb = f"CAST({b} AS ARRAY<DOUBLE>)"
+            sql = sql[: m.start()] + body.format(a=ca, b=cb) + sql[i + 1 :]
+            changed = True
+    return sql
+
+
+def rewrite(sql: str) -> str:
+    """Reference dialect → Spark SQL: array literals, distance operators,
+    then macro-expansion of the distance functions into native HOF SQL."""
+    sql = _ARRAY_LIT.sub(lambda m: f"array({m.group(1)})", sql)
+    changed = True
+    while changed:
+        changed = False
+        for op, fn in _OPS.items():
+            at = sql.find(op)
+            if at < 0:
+                continue
+            ls = _left_operand(sql, at)
+            re_ = _right_operand(sql, at + len(op))
+            left = sql[ls:at].strip()
+            right = sql[at + len(op) : re_].strip()
+            sql = f"{sql[:ls]}{fn}({left}, {right}){sql[re_:]}"
+            changed = True
+    return _expand_macros(sql)
+
+
+# ---------------------------------------------------------------------------
+# statement dispatch (mirrors ExecuteSql, bustub_instance.cpp:295-331)
+# ---------------------------------------------------------------------------
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL
+)
+_EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s*(\([a-z]\))?\s*(.*)$", re.IGNORECASE | re.DOTALL)
+_SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(\S+?);?\s*$", re.IGNORECASE)
+_SHOW_RE = re.compile(r"^\s*SHOW\s+(\w+);?\s*$", re.IGNORECASE)
+
+
+def _split_columns(cols: str) -> list[tuple[str, str]]:
+    """Top-level comma split of 'v1 VECTOR(3), v2 integer' (PRIMARY KEY
+    clauses are index metadata in the reference — accepted and ignored)."""
+    parts, depth, cur = [], 0, []
+    for ch in cols:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out = []
+    for p in parts:
+        p = p.strip()
+        if not p or p.upper().startswith("PRIMARY KEY"):
+            continue
+        name, type_str = p.split(None, 1)
+        out.append((name, type_str.strip()))
+    return out
+
+
+class SqlEngine:
+    """Reference-dialect SQL over Spark: DDL via the catalog, queries via
+    spark.sql after :func:`rewrite`. Session vars mirror the reference's
+    (`vector_index_method` consumed by index selection)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.catalog = Catalog(spark)
+        self.session_vars: dict[str, str] = {"vector_index_method": "unset"}
+
+    def execute(self, sql: str):
+        """Returns a DataFrame for queries, a plan string for EXPLAIN,
+        an int rowcount for INSERT, None for other statements."""
+        m = _SET_RE.match(sql)
+        if m:
+            self.session_vars[m.group(1)] = m.group(2).strip("'\"")
+            return None
+        m = _SHOW_RE.match(sql)
+        if m:
+            return self.spark.createDataFrame(
+                [(m.group(1), self.session_vars.get(m.group(1), ""))],
+                "variable string, value string",
+            )
+        m = _CREATE_RE.match(sql)
+        if m:
+            self.catalog.create_table(m.group(1), _split_columns(m.group(2)))
+            return None
+        m = _INSERT_RE.match(sql)
+        if m:
+            return self._insert(m.group(1), m.group(2))
+        m = _EXPLAIN_RE.match(sql)
+        if m:
+            import io
+            from contextlib import redirect_stdout
+
+            df = self.spark.sql(rewrite(m.group(2)))
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+        return self.spark.sql(rewrite(sql))
+
+    def _insert(self, table: str, values_clause: str) -> int:
+        info = self.catalog.tables[table]
+        new = self.spark.sql(f"SELECT * FROM (VALUES {rewrite(values_clause)})")
+        cast = new.select(
+            *[
+                new[i].cast(f.dataType).alias(f.name)
+                for i, f in enumerate(info.schema.fields)
+            ]
+        )
+        n = cast.count()
+        self.catalog.register(table, info.df.unionByName(cast), info.vector_lengths)
+        return n

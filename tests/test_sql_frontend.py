@@ -1,0 +1,111 @@
+"""SQL front end: the reference's own .slt query shapes, run as SQL.
+
+Statements below are the reference's vector ladder (test/sql/
+vector.01-insert-scan.slt, vector.02-naive-knn.slt) — CREATE TABLE with
+VECTOR(n), INSERT of ARRAY literals, distance operators <-> / <=> /
+inner_product, subquery distance alias, ORDER BY dist LIMIT k — plus plan
+checks that SQL-UDF distances stay native and top-n fuses.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from bustub_vectordb_spark.sql import SqlEngine, rewrite
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return SqlEngine(spark)
+
+
+def test_rewrite_operators():
+    r = rewrite("SELECT a <-> b FROM t")
+    assert "zip_with(CAST(a AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>)" in r
+    assert "(x-y)*(x-y)" in r and r.startswith("SELECT sqrt(")
+    r = rewrite("ARRAY [1.0, 2.0] <=> v1")
+    assert "array(1.0, 2.0)" in r and "x*x" in r  # cosine: dot / norms
+    r = rewrite("SELECT v1, ARRAY [0.5, 1.0] <-> v1 as d FROM t1")
+    assert r.startswith("SELECT v1, sqrt(") and r.endswith(" as d FROM t1")
+    # function-call operands survive balanced-paren scanning
+    r = rewrite("f(x, 1) <#> g(y)")
+    assert "CAST(f(x, 1) AS ARRAY<DOUBLE>)" in r and "CAST(g(y) AS ARRAY<DOUBLE>)" in r
+
+
+def test_vector01_insert_scan(engine):
+    # SELECT with no FROM (Values plan node)
+    r = engine.execute(
+        "SELECT ARRAY [1.0, 1.0, 1.0] <-> ARRAY [-1.0, -1.0, -1.0] as distance;"
+    ).collect()
+    assert r[0]["distance"] == pytest.approx(12.0**0.5)
+    r = engine.execute(
+        "SELECT inner_product(ARRAY [1.0, 1.0, 1.0], ARRAY [-1.0, -1.0, -1.0]) as distance;"
+    ).collect()
+    assert r[0]["distance"] == -3.0
+
+    engine.execute("CREATE TABLE t1(v1 VECTOR(3), v2 integer);")
+    n = engine.execute(
+        "INSERT INTO t1 VALUES (ARRAY [1.0, 1.0, 1.0], 1), (ARRAY [2.0, 1.0, 1.0], 2), "
+        "(ARRAY [3.0, 1.0, 1.0], 3), (ARRAY [4.0, 1.0, 1.0], 4);"
+    )
+    assert n == 4
+    assert engine.execute("SELECT * FROM t1;").count() == 4
+    r = engine.execute(
+        "SELECT v1, ARRAY [1.0, 1.0, 1.0] <-> v1 as distance FROM t1;"
+    ).collect()
+    assert sorted(x["distance"] for x in r) == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_vector02_naive_knn(engine):
+    engine.execute("CREATE TABLE t2(v1 VECTOR(3), v2 integer);")
+    engine.execute(
+        "INSERT INTO t2 VALUES (ARRAY [-1.0, 1.0, 1.0], -1), (ARRAY [-2.0, 1.0, 1.0], -2), "
+        "(ARRAY [-3.0, 1.0, 1.0], -3), (ARRAY [-4.0, 1.0, 1.0], -4), (ARRAY [1.0, 1.0, 1.0], 1), "
+        "(ARRAY [2.0, 1.0, 1.0], 2), (ARRAY [3.0, 1.0, 1.0], 3), (ARRAY [4.0, 1.0, 1.0], 4);"
+    )
+    r = engine.execute(
+        "SELECT v2 FROM t2 ORDER BY ARRAY [1.0, 1.0, 1.0] <-> v1 LIMIT 3;"
+    ).collect()
+    got = [x["v2"] for x in r]
+    assert got[:2] == [1, 2] and got[2] in (-1, 3)  # d = 0, 1, then a 2-2 tie
+    # subquery distance alias
+    r = engine.execute(
+        "SELECT * FROM (SELECT v2, ARRAY [0.5, 1.0, 1.0] <-> v1 as distance FROM t2) "
+        "ORDER BY distance LIMIT 3;"
+    ).collect()
+    assert r[0]["v2"] == 1 and r[0]["distance"] == 0.5
+    assert {x["v2"] for x in r[1:]} <= {-1, 2} and all(
+        x["distance"] == 1.5 for x in r[1:]
+    )
+
+
+def test_explain_and_session_vars(engine):
+    p = engine.execute(
+        "EXPLAIN (o) SELECT v1 FROM t1 ORDER BY ARRAY [1.0, 1.0, 1.0] <-> v1 LIMIT 3;"
+    )
+    assert "TakeOrderedAndProject" in p  # the reference's TopN plan shape
+    engine.execute("SET vector_index_method = ivfflat;")
+    r = engine.execute("SHOW vector_index_method;").collect()
+    assert r[0]["value"] == "ivfflat"
+
+
+def test_sql_distance_stays_native(engine, tables):
+    tables["embeddings"].createOrReplaceTempView("emb_sql")
+    df = engine.execute(
+        "SELECT vec_id FROM emb_sql "
+        "ORDER BY l2_dist(CAST(embedding AS ARRAY<DOUBLE>), array(0.1, 0.2)) LIMIT 5"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("extended")
+    assert "BatchEvalPython" not in buf.getvalue()
+
+
+def test_relational_sql_passthrough(engine, tables):
+    tables["nation"].createOrReplaceTempView("nation_sql")
+    r = engine.execute(
+        "SELECT n_regionkey, count(*) AS n FROM nation_sql "
+        "GROUP BY n_regionkey HAVING count(*) > 1 ORDER BY n_regionkey"
+    ).collect()
+    assert len(r) > 0
