@@ -144,6 +144,21 @@ def main() -> None:
     except ImportError:
         pass
 
+    # hnsw build + probe (driver-mode graph, DataFrame-backed persistence)
+    try:
+        from bustub_vectordb_spark.index.hnsw import HNSWIndex
+
+        t0 = time.time()
+        hnsw = HNSWIndex.build(
+            emb, "embedding", "vec_id", m=8, ef_construction=64, ef_search=64
+        )
+        t["hnsw_build"] = time.time() - t0
+        t0 = time.time()
+        hnsw.probe(QUERY_VEC, 10).collect()
+        t["hnsw_probe"] = time.time() - t0
+    except ImportError:
+        pass
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
         "metric": "headline_queries_total",
