@@ -333,6 +333,36 @@ def q_join_inner(spark, sf_dir):
 
 
 @_register(
+    "join_salted",
+    """
+    SELECT o.o_custkey, count(*) AS n,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN nation n2 ON o.o_custkey % 25 = n2.n_nationkey
+    GROUP BY o.o_custkey
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    # Skew-mitigation operator: identical results to the plain equi-join,
+    # with the big side's hot keys spread over salts reducers
+    # (operators/skew.py — for when the small side exceeds broadcast size
+    # but the key histogram is spiked).
+    from .operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "n_nationkey", F.col("o_custkey") % 25
+    )
+    n2 = _t(spark, sf_dir, "nation")
+    return (
+        salted_join(o, n2, "n_nationkey", salts=8)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@_register(
     "join_left",
     """
     SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
