@@ -79,6 +79,69 @@ def q_seqscan_filter(spark, sf_dir):
 
 
 @_register(
+    "index_scan_point_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey = 1984
+    """,
+)
+def q_index_scan_point_lookup(spark, sf_dir):
+    # the reference's IndexScan point lookup (`WHERE col = const` via
+    # pred_key, index_scan_plan.h:34-68). Spark has no user index: parity is
+    # the pushed-down equality predicate — min/max row-group stats skip
+    # non-matching parquet row groups, the columnar analogue of an index
+    # probe (asserted pushed in tests/test_plan_shape.py for this shape).
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 1984)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+@_register(
+    "index_scan_ordered",
+    """
+    SELECT s_suppkey, s_name, s_nationkey FROM supplier
+    ORDER BY s_suppkey ASC
+    """,
+)
+def q_index_scan_ordered(spark, sf_dir):
+    # the reference's ordered full scan via B+-tree index
+    # (OrderByAsIndexScan, src/optimizer/order_by_index_scan.cpp:24-73);
+    # in Spark ordered output is a sort — same results, no index access path
+    return (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy(F.col("s_suppkey").asc())
+    )
+
+
+@_register(
+    "nested_index_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_retailprice
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity > 45
+    """,
+)
+def q_nested_index_join(spark, sf_dir):
+    # NestedIndexJoin (nested_index_join_plan.h): per-outer-row index point
+    # lookup on the inner table. Join semantics are identical to an
+    # equi-join; Spark's broadcast hash join probes an in-memory hash table
+    # per outer row — the same access pattern without a persistent index.
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    p = _t(spark, sf_dir, "part")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_name", "p_retailprice"
+    )
+
+
+@_register(
     "projection_arithmetic",
     """
     SELECT l_orderkey + l_linenumber AS k_plus,
