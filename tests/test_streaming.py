@@ -44,6 +44,90 @@ def test_stateful_sessionize_consistent_with_batch(spark, sf_dir, tables, tmp_pa
     assert len(streamed) >= len(batch) - n_users
 
 
+def test_stateful_sessionize_multi_batch(spark, sf_dir, tables, tmp_path):
+    """Drive the stateful operator across MANY micro-batches (time-ordered
+    file splits + maxFilesPerTrigger=1) so state survives batch boundaries
+    and the advancing watermark fires event-time timeouts mid-stream."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bustub_vectordb_spark.streaming.events import EVENTS_SCHEMA, _with_event_time
+    from bustub_vectordb_spark.streaming.sessions import _with_sec, sessionize
+
+    ev = tables["events"]
+    # time-ordered splits, one file each with ascending mtimes — the file
+    # source processes oldest-first, so each batch advances the watermark
+    # past earlier sessions' horizons and timeouts fire mid-stream
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    cuts = ev.approxQuantile("ts", [0.2, 0.4, 0.6, 0.8], 0.01) + [float("inf")]
+    lo = float("-inf")
+    for i, hi in enumerate(cuts):
+        part = ev.filter((F.col("ts") > lo) & (F.col("ts") <= hi)).coalesce(1)
+        tmp_out = str(tmp_path / f"b{i}")
+        part.write.parquet(tmp_out)
+        (src_file,) = glob.glob(tmp_out + "/part-*.parquet")
+        dst = os.path.join(stage, f"{i:02d}.parquet")
+        shutil.move(src_file, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        lo = hi
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bustub_vectordb_spark.streaming.sessions import (
+        SESSION_SCHEMA,
+        _STATE_SCHEMA,
+        _session_fn,
+    )
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    e = _with_sec(_with_event_time(src)).withWatermark("event_time", "30 minutes")
+    out = e.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_mb")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_mb"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    batch = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in sessionize(ev).collect()
+    }
+    streamed = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.table("ss_mb").collect()
+    }
+    assert streamed
+    for key, val in streamed.items():
+        assert batch.get(key) == val
+    n_users = len({u for u, _ in batch})
+    assert len(streamed) >= len(batch) - n_users
+
+
 def test_stream_matches_batch(spark, sf_dir, tables, tmp_path):
     batch = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
