@@ -209,6 +209,86 @@ class IVFFlatIndex:
         order = F.col(dist_col).asc() if ASCENDING[self.dist] else F.col(dist_col).desc()
         return out.orderBy(order).limit(k).drop(BUCKET_COL)
 
+    def _centroid_score(self, qvec: Column, c: Column) -> Column:
+        """Query→centroid score in 'smaller is nearer' orientation (same
+        orientation as the driver-side rank_buckets)."""
+        if self.dist == "l2":
+            return _l2_sq(qvec, c)
+        dot = F.aggregate(
+            F.zip_with(qvec, c, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        )
+        if self.dist == "ip":
+            return -dot
+        norm = lambda v: F.sqrt(  # noqa: E731
+            F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x)
+        )
+        return -dot / (norm(qvec) * norm(c))
+
+    def probe_batch(
+        self,
+        queries: DataFrame,
+        query_vec: str,
+        query_id: str,
+        k: int,
+        probe_lists: int | None = None,
+        dist_col: str = "distance",
+    ) -> DataFrame:
+        """ANN top-k for a whole DataFrame of queries — the KNN-join shape
+        (millions of queries against the index, the realistic batch workload;
+        cf. knn_join in similarity.brute for the index-less broadcast form).
+
+        Per query: rank centroids (a transform over the literal centroid
+        array — narrow, no shuffle), explode the nearest probe_lists bucket
+        ids, join the assignments on bucket, score candidates, keep top-k
+        per query via a window. The only shuffles are the bucket join and
+        the per-query window, both on well-spread keys. With probe_lists ==
+        lists this is exact (the distributed brute-force KNN join,
+        oracle-checked); smaller probe_lists scans probe_lists/lists of the
+        data per query.
+
+        Output: (qid, all assignment columns, dist_col), ``qid`` being the
+        query's ``query_id`` value (renamed to avoid colliding with the
+        item side's columns in self-join setups). Ties broken by the
+        item-side ``query_id`` column when present, keeping results
+        deterministic.
+        """
+        from pyspark.sql import Window
+
+        from ..similarity.brute import ASCENDING, DIST_FNS
+
+        p = probe_lists if probe_lists is not None else self.probe_lists
+        qvec = F.col(query_vec).cast("array<double>")
+        # (score, idx) structs; array_sort orders by score then idx — same
+        # tie order as the driver-side rank_buckets (lowest index first)
+        scored = F.transform(
+            _centroid_literal(self.centroids),
+            lambda c, i: F.struct(
+                self._centroid_score(qvec, c).alias("d"), i.alias("b")
+            ),
+        )
+        buckets = F.slice(F.array_sort(scored), 1, p)
+        q = queries.select(
+            F.col(query_id).alias("qid"),
+            qvec.alias("__qv"),
+            F.explode(F.transform(buckets, lambda s: s["b"])).alias(BUCKET_COL),
+        )
+        cand = q.join(self.assignments, BUCKET_COL)
+        out = cand.withColumn(
+            dist_col,
+            DIST_FNS[self.dist](F.col(self.vec_col).cast("array<double>"), F.col("__qv")),
+        )
+        order = [
+            F.col(dist_col).asc() if ASCENDING[self.dist] else F.col(dist_col).desc()
+        ]
+        if query_id in self.assignments.columns:
+            order.append(F.col(query_id).asc())  # deterministic under ties
+        w = Window.partitionBy("qid").orderBy(*order)
+        return (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn", "__qv", BUCKET_COL)
+        )
+
     # -- insert (frozen centroids, ref :92-95) ----------------------------
     def insert(self, rows: DataFrame) -> "IVFFlatIndex":
         vec = F.col(self.vec_col).cast("array<double>")

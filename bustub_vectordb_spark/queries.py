@@ -828,6 +828,44 @@ def q_ann_ivfflat_exact_probe(spark, sf_dir):
     )
 
 
+@_register(
+    "ann_ivfflat_batch_exact",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 97 = 0
+    ), d AS (
+      SELECT q.qid, e.vec_id,
+             list_distance(e.embedding::DOUBLE[], q.qv) AS dist
+      FROM q CROSS JOIN embeddings e
+    ), r AS (
+      SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+      FROM d
+    )
+    SELECT qid, vec_id, round(dist, 8) AS distance FROM r WHERE rn <= 5
+    """,
+)
+def q_ann_ivfflat_batch_exact(spark, sf_dir):
+    # batch KNN-join through the IVF index with probe_lists == lists: every
+    # query's buckets cover the whole table, so results must equal the
+    # brute-force KNN join — the hash-match gate for probe_batch.
+    idx = _ivfflat_for(spark, sf_dir)
+    queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 97 == 0)
+    out = idx.probe_batch(
+        queries, "embedding", "vec_id", k=5, probe_lists=idx.lists, dist_col="dist"
+    )
+    return out.select("qid", "vec_id", F.round("dist", 8).alias("distance"))
+
+
+@_register("ann_ivfflat_batch_probe")  # approximate → rows-only; recall in tests
+def q_ann_ivfflat_batch_probe(spark, sf_dir):
+    idx = _ivfflat_for(spark, sf_dir)
+    queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 97 == 0)
+    out = idx.probe_batch(queries, "embedding", "vec_id", k=5, probe_lists=4)
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
 @_register("ann_ivfflat_probe")  # approximate → rows-only check; recall
 def q_ann_ivfflat_probe(spark, sf_dir):  # asserted in tests/test_ivfflat.py
     idx = _ivfflat_for(spark, sf_dir)

@@ -86,3 +86,31 @@ def test_save_load_roundtrip(emb, ivf, spark, tmp_path):
     probed = [r["vec_id"] for r in loaded.probe(QUERY, 10, probe_lists=8).collect()]
     exact = [r["vec_id"] for r in knn(emb, "embedding", QUERY, 10).collect()]
     assert probed == exact
+
+
+def test_batch_probe_exact_and_recall(emb, ivf):
+    """probe_batch with all buckets == brute-force KNN join; partial-bucket
+    probe keeps decent recall at a fraction of the scan."""
+    queries = emb.filter(F.col("vec_id") % 17 == 0)  # ~12 queries at sf0.001
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in ivf.probe_batch(
+            queries, "embedding", "vec_id", k=5, probe_lists=ivf.lists
+        ).collect()
+    }
+    # ground truth via per-query brute force
+    truth = set()
+    for q in queries.collect():
+        for r in knn(emb, "embedding", list(q["embedding"]), 5).collect():
+            truth.add((q["vec_id"], r["vec_id"]))
+    # tie-margin: allow equal-distance swaps by comparing sizes + overlap
+    assert len(exact) == len(truth)
+    assert len(exact & truth) / len(truth) >= 0.95
+
+    approx = {
+        (r["qid"], r["vec_id"])
+        for r in ivf.probe_batch(
+            queries, "embedding", "vec_id", k=5, probe_lists=3
+        ).collect()
+    }
+    assert len(approx & truth) / len(truth) >= 0.6
