@@ -176,6 +176,14 @@ _INSERT_RE = re.compile(
 _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s*(\([a-z]\))?\s*(.*)$", re.IGNORECASE | re.DOTALL)
 _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(\S+?);?\s*$", re.IGNORECASE)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(\w+);?\s*$", re.IGNORECASE)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _split_columns(cols: str) -> list[tuple[str, str]]:
@@ -233,6 +241,12 @@ class SqlEngine:
         m = _INSERT_RE.match(sql)
         if m:
             return self._insert(m.group(1), m.group(2))
+        m = _UPDATE_RE.match(sql)
+        if m:
+            return self._update(m.group(1), m.group(2), m.group(3))
+        m = _DELETE_RE.match(sql)
+        if m:
+            return self._delete(m.group(1), m.group(2))
         m = _EXPLAIN_RE.match(sql)
         if m:
             import io
@@ -244,6 +258,40 @@ class SqlEngine:
                 df.explain("formatted")
             return buf.getvalue()
         return self.spark.sql(rewrite(sql))
+
+    def _update(self, table: str, set_clause: str, where: str | None) -> int:
+        """UPDATE t SET c = expr, ... [WHERE pred] — overwrite rewrite
+        (operators.relational.update_rows; emits the affected-row count like
+        the reference's UpdateExecutor, p3.03-update.slt)."""
+        from pyspark.sql import functions as F
+
+        from .operators.relational import update_rows
+
+        info = self.catalog.tables[table]
+        assignments = {}
+        for part in _split_args(set_clause):
+            col, expr = part.split("=", 1)
+            assignments[col.strip()] = F.expr(rewrite(expr.strip()))
+        pred = F.expr(rewrite(where)) if where else F.lit(True)
+        n = info.df.filter(F.coalesce(pred, F.lit(False))).count()
+        new = update_rows(info.df, pred, assignments)
+        self.catalog.register(table, new, info.vector_lengths)
+        return n
+
+    def _delete(self, table: str, where: str | None) -> int:
+        """DELETE FROM t [WHERE pred] — anti rewrite
+        (operators.relational.delete_rows; emits the deleted-row count like
+        the reference's DeleteExecutor, p3.04-delete.slt)."""
+        from pyspark.sql import functions as F
+
+        from .operators.relational import delete_rows
+
+        info = self.catalog.tables[table]
+        pred = F.expr(rewrite(where)) if where else F.lit(True)
+        n = info.df.filter(F.coalesce(pred, F.lit(False))).count()
+        new = delete_rows(info.df, pred)
+        self.catalog.register(table, new, info.vector_lengths)
+        return n
 
     def _insert(self, table: str, values_clause: str) -> int:
         info = self.catalog.tables[table]

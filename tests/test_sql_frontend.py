@@ -102,6 +102,29 @@ def test_sql_distance_stays_native(engine, tables):
     assert "BatchEvalPython" not in buf.getvalue()
 
 
+def test_update_delete_slt_shapes(engine):
+    """p3.03-update.slt / p3.04-delete.slt run through the SQL front end."""
+    engine.execute("create table t3(v1 int, v2 varchar(128), v3 int);")
+    n = engine.execute(
+        "insert into t3 values (0, 'a', 10), (1, 'bb', 11), (2, 'ccc', 12), "
+        "(3, 'dddd', 13), (4, 'eeeee', 14);"
+    )
+    assert n == 5
+    n = engine.execute("update t3 set v3 = 445 where v1 >= 3;")
+    assert n == 2  # affected-row count, like the reference's UpdateExecutor
+    got = {
+        (r["v1"], r["v3"]) for r in engine.execute("select v1, v3 from t3").collect()
+    }
+    assert got == {(0, 10), (1, 11), (2, 12), (3, 445), (4, 445)}
+    n = engine.execute("delete from t3 where v1 >= 3")
+    assert n == 2
+    assert engine.execute("select * from t3").count() == 3
+    # unconditional delete empties but keeps the table (p3.04 tail)
+    n = engine.execute("delete from t3")
+    assert n == 3
+    assert engine.execute("select * from t3").count() == 0
+
+
 def test_relational_sql_passthrough(engine, tables):
     tables["nation"].createOrReplaceTempView("nation_sql")
     r = engine.execute(
