@@ -252,10 +252,18 @@ class SqlEngine:
             import io
             from contextlib import redirect_stdout
 
+            # reference modes (bustub_ddl.cpp:154-194): b=binder, p=planner,
+            # o=optimizer, s=schema → nearest Spark explain stages
+            mode = {
+                "(b)": "extended",  # parsed + analyzed logical plans
+                "(p)": "extended",
+                "(o)": "cost",  # optimized logical plan (+stats)
+                "(s)": "formatted",
+            }.get((m.group(1) or "").lower(), "formatted")
             df = self.spark.sql(rewrite(m.group(2)))
             buf = io.StringIO()
             with redirect_stdout(buf):
-                df.explain("formatted")
+                df.explain(mode)
             return buf.getvalue()
         return self.spark.sql(rewrite(sql))
 

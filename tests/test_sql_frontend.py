@@ -82,9 +82,13 @@ def test_vector02_naive_knn(engine):
 
 def test_explain_and_session_vars(engine):
     p = engine.execute(
-        "EXPLAIN (o) SELECT v1 FROM t1 ORDER BY ARRAY [1.0, 1.0, 1.0] <-> v1 LIMIT 3;"
+        "EXPLAIN (s) SELECT v1 FROM t1 ORDER BY ARRAY [1.0, 1.0, 1.0] <-> v1 LIMIT 3;"
     )
     assert "TakeOrderedAndProject" in p  # the reference's TopN plan shape
+    p = engine.execute(
+        "EXPLAIN (o) SELECT v1 FROM t1 ORDER BY ARRAY [1.0, 1.0, 1.0] <-> v1 LIMIT 3;"
+    )
+    assert "GlobalLimit" in p  # optimized logical plan (reference mode o)
     engine.execute("SET vector_index_method = ivfflat;")
     r = engine.execute("SHOW vector_index_method;").collect()
     assert r[0]["value"] == "ivfflat"
