@@ -134,6 +134,12 @@ def main() -> None:
     idx.probe(QUERY_VEC, 10).collect()
     t["ivfflat_probe"] = time.time() - t0
 
+    # batch KNN-join through the index: every 7th vector as a query
+    t0 = time.time()
+    queries = emb.filter(F.col("vec_id") % 7 == 0)
+    force(idx.probe_batch(queries, "embedding", "vec_id", k=10, probe_lists=4))
+    t["ivfflat_batch_probe"] = time.time() - t0
+
     # minhash near-dup candidates over documents
     try:
         from bustub_vectordb_spark.dedup.minhash import minhash_lsh_candidates
