@@ -326,6 +326,32 @@ class HNSWIndex:
             "level int, vertex int, neighbors array<int>",
         )
         edges.write.mode("overwrite").parquet(f"{path}/edges")
+        meta = spark.createDataFrame(
+            [(g.m, g.efc, g.efs, self.dist, int(g.entry))],
+            "m int, ef_construction int, ef_search int, dist string, entry int",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str, vec_col: str = "vec") -> "HNSWIndex":
+        """Restore a saved graph (inverse of :meth:`save`); the id column
+        name is recovered from the vertices schema."""
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        verts = spark.read.parquet(f"{path}/vertices").orderBy("vertex").collect()
+        id_col = spark.read.parquet(f"{path}/vertices").columns[1]
+        g = _Graph(
+            meta["m"], meta["ef_construction"], meta["ef_search"], meta["dist"], seed=0
+        )
+        g.ids = [r[id_col] for r in verts]
+        g.vecs = np.asarray([list(r["vec"]) for r in verts], dtype=np.float64)
+        g._norms = np.maximum(np.linalg.norm(g.vecs, axis=1), 1e-300)
+        edges = spark.read.parquet(f"{path}/edges").collect()
+        n_levels = max(r["level"] for r in edges) + 1
+        g.edges = [{} for _ in range(n_levels)]
+        for r in edges:
+            g.edges[r["level"]][r["vertex"]] = list(r["neighbors"])
+        g.entry = meta["entry"]
+        return cls(vec_col, id_col, meta["dist"], g, _spark=spark)
 
 
 @dataclass

@@ -78,3 +78,14 @@ def test_sharded_build_and_probe(emb):
     got = {r["vec_id"] for r in sharded.probe(QUERY, 10).collect()}
     assert len(got) == 10
     assert len(got & exact) / 10 >= 0.7
+
+
+def test_save_load_roundtrip(emb, hnsw, spark, tmp_path):
+    path = str(tmp_path / "hnsw")
+    hnsw.save(path)
+    from bustub_vectordb_spark.index.hnsw import HNSWIndex
+
+    loaded = HNSWIndex.load(spark, path)
+    orig = [(r["vec_id"], round(r["distance"], 8)) for r in hnsw.probe(QUERY, 10).collect()]
+    rest = [(r["vec_id"], round(r["distance"], 8)) for r in loaded.probe(QUERY, 10).collect()]
+    assert orig == rest
