@@ -1,0 +1,51 @@
+"""Deterministic sampling / train-test splits for data pipelines.
+
+Random sampling (``df.sample``) is irreproducible across runs, partitionings
+and engines. Pipelines that feed training jobs need splits that are:
+
+  * deterministic — same row → same split, forever, on any cluster layout;
+  * engine-independent — auditable with any SQL engine (the DuckDB oracle
+    hash-matches these operators);
+  * join-free — computed from the row's own key, a narrow map at any scale.
+
+Mechanism: md5(key) is uniform in [0, 16^k); comparing its first k hex
+chars against a threshold string selects a ``rate`` fraction. String
+comparison over lowercase hex is identical everywhere — no integer parsing,
+no float rounding, no engine-specific hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX_CHARS = 4  # 16^4 = 65536 distinct buckets → rate granularity ~0.002%
+
+
+def _hex_prefix(key: Column | str) -> Column:
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(c.cast("string")), 1, _HEX_CHARS)
+
+
+def _threshold(rate: float) -> str:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return format(int(rate * 16**_HEX_CHARS), f"0{_HEX_CHARS}x")
+
+
+def sample_hash_sql(key: str, rate: float) -> str:
+    """DuckDB/ANSI predicate equivalent to :func:`deterministic_sample`."""
+    return f"substr(md5(({key})::VARCHAR), 1, {_HEX_CHARS}) < '{_threshold(rate)}'"
+
+
+def deterministic_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows, selected by key hash."""
+    return df.filter(_hex_prefix(key) < F.lit(_threshold(rate)))
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_rate: float = 0.1
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) split — complementary, deterministic, leakage-free:
+    the same key always lands on the same side."""
+    t = F.lit(_threshold(test_rate))
+    return df.filter(_hex_prefix(key) >= t), df.filter(_hex_prefix(key) < t)

@@ -1096,6 +1096,25 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @_register(
+    "sample_deterministic",
+    """
+    SELECT doc_id, length(text) AS text_len FROM documents
+    WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '1eb8'
+    """,
+)
+def q_sample_deterministic(spark, sf_dir):
+    # hash-based 12% sample: same rows on every engine, run, and cluster
+    # layout (operators/sampling.py) — the reproducible-split primitive for
+    # training pipelines. The threshold '1eb8' is _threshold(0.12).
+    from .operators.sampling import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.12).select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+
+
+@_register(
     "dedup_exact_keep",
     f"""
     SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies

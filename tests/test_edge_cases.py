@@ -109,3 +109,22 @@ def test_topn_per_group_ties(spark):
     r = df.withColumn("rk", F.rank().over(w))
     got = sorted((x["g"], x["v"], x["rk"]) for x in r.collect())
     assert got == [(1, 5, 3), (1, 10, 1), (1, 10, 1), (2, 7, 1)]
+
+
+def test_train_test_split_partition(spark, weird_docs):
+    """Split is a partition (disjoint, exhaustive) and deterministic."""
+    from bustub_vectordb_spark.operators.sampling import (
+        deterministic_sample,
+        train_test_split,
+    )
+
+    train, test = train_test_split(weird_docs, "doc_id", test_rate=0.3)
+    tr = {r["doc_id"] for r in train.collect()}
+    te = {r["doc_id"] for r in test.collect()}
+    assert tr | te == set(range(1, 11)) and not (tr & te)
+    # re-running yields the identical split
+    tr2 = {r["doc_id"] for r in train_test_split(weird_docs, "doc_id", 0.3)[0].collect()}
+    assert tr == tr2
+    # sample(rate) == test side of split(rate)
+    s = {r["doc_id"] for r in deterministic_sample(weird_docs, "doc_id", 0.3).collect()}
+    assert s == te
