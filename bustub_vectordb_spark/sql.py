@@ -30,6 +30,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import Catalog
+from .index.registry import OPS_TO_DIST
 
 # ---------------------------------------------------------------------------
 # textual rewrite
@@ -170,8 +171,16 @@ def rewrite(sql: str) -> str:
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*(?:USING\s+(\w+)\s*)?"
+    r"\(\s*(\w+)\s*(\w+)?\s*\)\s*(?:WITH\s*\((.*?)\))?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL
+)
+_INSERT_SELECT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\s+.*?);?\s*$", re.IGNORECASE | re.DOTALL
 )
 _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s*(\([a-z]\))?\s*(.*)$", re.IGNORECASE | re.DOTALL)
 _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(\S+?);?\s*$", re.IGNORECASE)
@@ -211,6 +220,38 @@ def _split_columns(cols: str) -> list[tuple[str, str]]:
     return out
 
 
+def _split_statements(sql: str) -> list[str]:
+    """Split on top-level ';' (outside single quotes); drop empties."""
+    out, cur, in_str = [], [], False
+    for ch in sql:
+        if ch == "'":
+            in_str = not in_str
+        if ch == ";" and not in_str:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [s for s in out if s.strip()]
+
+
+def bootstrap_test_tables(engine: "SqlEngine") -> None:
+    """The reference harness's deterministic pre-created tables
+    (TableGenerator::GenerateTestTables, src/catalog/table_generator.cpp:95-101):
+    empty_table, test_simple_seq_1 (serial 0..9), test_simple_seq_2
+    (serial 0..9 × 10..19). Random-distribution tables (test_1, test_2)
+    are not reproducible and are not bootstrapped."""
+    engine.catalog.create_table("empty_table", [("colA", "int")])
+    engine.catalog.create_table(
+        "test_simple_seq_1", [("col1", "int")], rows=[(i,) for i in range(10)]
+    )
+    engine.catalog.create_table(
+        "test_simple_seq_2",
+        [("col1", "int"), ("col2", "int")],
+        rows=[(i, 10 + i) for i in range(10)],
+    )
+
+
 class SqlEngine:
     """Reference-dialect SQL over Spark: DDL via the catalog, queries via
     spark.sql after :func:`rewrite`. Session vars mirror the reference's
@@ -223,7 +264,15 @@ class SqlEngine:
 
     def execute(self, sql: str):
         """Returns a DataFrame for queries, a plan string for EXPLAIN,
-        an int rowcount for INSERT, None for other statements."""
+        an int rowcount for INSERT/UPDATE/DELETE, None otherwise. Multiple
+        ``;``-separated statements run in order (the reference's ExecuteSql
+        iterates the parsed statement list); the last result is returned."""
+        stmts = _split_statements(sql)
+        if len(stmts) > 1:
+            out = None
+            for s in stmts:
+                out = self.execute(s)
+            return out
         m = _SET_RE.match(sql)
         if m:
             self.session_vars[m.group(1)] = m.group(2).strip("'\"")
@@ -238,9 +287,15 @@ class SqlEngine:
         if m:
             self.catalog.create_table(m.group(1), _split_columns(m.group(2)))
             return None
+        m = _CREATE_INDEX_RE.match(sql)
+        if m:
+            return self._create_index(*m.groups())
         m = _INSERT_RE.match(sql)
         if m:
             return self._insert(m.group(1), m.group(2))
+        m = _INSERT_SELECT_RE.match(sql)
+        if m:
+            return self._insert_select(m.group(1), m.group(2))
         m = _UPDATE_RE.match(sql)
         if m:
             return self._update(m.group(1), m.group(2), m.group(3))
@@ -266,6 +321,48 @@ class SqlEngine:
                 df.explain(mode)
             return buf.getvalue()
         return self.spark.sql(rewrite(sql))
+
+    def _create_index(self, name, table, method, col, ops, with_opts) -> None:
+        """CREATE INDEX (bustub_ddl.cpp:88-152): vector methods bulk-build
+        from the current table; scalar methods (hash/bplustree/stl_*) are
+        metadata-only — Spark needs no access-path index for their
+        semantics (sort/filter/equi-join subsume them)."""
+        method = (method or "bplustree").lower()
+        if method in ("ivfflat", "hnsw"):
+            from .index.registry import VectorIndexRegistry
+
+            if not hasattr(self, "indexes"):
+                self.indexes = VectorIndexRegistry()
+            opts = {}
+            for kv in (with_opts or "").split(","):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    opts[k.strip()] = int(v.strip())
+            df = self.catalog.tables[table].df
+            if method == "ivfflat":
+                from .index.ivfflat import IVFFlatIndex
+
+                idx = IVFFlatIndex.build(
+                    df, col,
+                    lists=opts.get("lists", 8),
+                    probe_lists=opts.get("probe_lists", 1),
+                    dist=OPS_TO_DIST.get(ops, "l2"),
+                )
+            else:
+                from .index.hnsw import HNSWIndex
+
+                idx = HNSWIndex.build(
+                    df, col, self.catalog.tables[table].schema.names[0],
+                    m=opts.get("m", 8),
+                    ef_construction=opts.get("ef_construction", 64),
+                    ef_search=opts.get("ef_search", 64),
+                    dist=OPS_TO_DIST.get(ops, "l2"),
+                )
+            self.indexes.create(name, table, col, method, idx)
+        else:
+            self._scalar_indexes = getattr(self, "_scalar_indexes", {})
+            self._scalar_indexes[name] = (table, col, method)
+        return None
 
     def _update(self, table: str, set_clause: str, where: str | None) -> int:
         """UPDATE t SET c = expr, ... [WHERE pred] — overwrite rewrite
@@ -301,9 +398,8 @@ class SqlEngine:
         self.catalog.register(table, new, info.vector_lengths)
         return n
 
-    def _insert(self, table: str, values_clause: str) -> int:
+    def _append(self, table: str, new: DataFrame) -> int:
         info = self.catalog.tables[table]
-        new = self.spark.sql(f"SELECT * FROM (VALUES {rewrite(values_clause)})")
         cast = new.select(
             *[
                 new[i].cast(f.dataType).alias(f.name)
@@ -313,3 +409,11 @@ class SqlEngine:
         n = cast.count()
         self.catalog.register(table, info.df.unionByName(cast), info.vector_lengths)
         return n
+
+    def _insert(self, table: str, values_clause: str) -> int:
+        return self._append(
+            table, self.spark.sql(f"SELECT * FROM (VALUES {rewrite(values_clause)})")
+        )
+
+    def _insert_select(self, table: str, select_stmt: str) -> int:
+        return self._append(table, self.spark.sql(rewrite(select_stmt)))

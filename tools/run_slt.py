@@ -1,0 +1,111 @@
+"""Mini sqllogictest runner: replay the reference's .slt files through
+SqlEngine.
+
+Supports the subset the reference's parser defines
+(tools/sqllogictest/parser.cpp): `statement ok`, `statement error`,
+`query [rowsort]` with `----` golden blocks. Comparison is line-wise and
+order-insensitive (both sides sorted) — the reference compares sorted lines
+under rowsort and our engine gives no deterministic row order without
+ORDER BY, matching the driver gate's order-insensitive hash.
+
+Usage: python tools/run_slt.py FILE.slt [FILE2.slt ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _fmt(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return str(int(v)) if v == int(v) else repr(v)
+    return str(v)
+
+
+def parse_slt(path: str):
+    """Yield (directive, sql, golden_lines_or_None)."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        if not line or line.startswith("#"):
+            i += 1
+            continue
+        if line.startswith("statement"):
+            directive = line  # statement ok | statement error
+            i += 1
+            sql = []
+            while i < len(lines) and lines[i].strip() and not lines[i].startswith("#"):
+                sql.append(lines[i])
+                i += 1
+            yield directive, "\n".join(sql), None
+        elif line.startswith("query"):
+            directive = line  # query [rowsort] [+opts]
+            i += 1
+            sql = []
+            while i < len(lines) and lines[i].strip() != "----":
+                sql.append(lines[i])
+                i += 1
+            i += 1  # skip ----
+            golden = []
+            while i < len(lines) and lines[i].strip():
+                golden.append(lines[i].rstrip())
+                i += 1
+            yield directive, "\n".join(sql), golden
+        else:
+            i += 1
+
+
+def run_slt(engine, path: str, skip_statements: tuple[str, ...] = ()) -> tuple[int, int]:
+    """Run one file; returns (ok, total). Raises AssertionError on mismatch."""
+    ok = total = 0
+    for directive, sql, golden in parse_slt(path):
+        if any(s in sql.lower() for s in skip_statements):
+            continue
+        total += 1
+        if directive.startswith("statement error"):
+            try:
+                r = engine.execute(sql)
+                if hasattr(r, "collect"):
+                    r.collect()
+            except Exception:
+                ok += 1
+                continue
+            raise AssertionError(f"{path}: expected error for: {sql}")
+        result = engine.execute(sql)
+        if golden is None:
+            if hasattr(result, "collect"):
+                result.collect()  # must at least execute
+            ok += 1
+            continue
+        if isinstance(result, int):
+            got = [str(result)]
+        else:
+            got = [" ".join(_fmt(v) for v in row) for row in result.collect()]
+        want = [" ".join(g.split()) for g in golden]
+        if sorted(got) != sorted(want):
+            raise AssertionError(
+                f"{path}: mismatch for\n{sql}\n got: {sorted(got)[:10]}\nwant: {sorted(want)[:10]}"
+            )
+        ok += 1
+    return ok, total
+
+
+def main():
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from bustub_vectordb_spark.session import get_spark
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    engine = SqlEngine(get_spark())
+    for path in sys.argv[1:]:
+        ok, total = run_slt(engine, path)
+        print(f"{path}: {ok}/{total} ok")
+
+
+if __name__ == "__main__":
+    main()
