@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import Catalog
 from .index.registry import OPS_TO_DIST
@@ -147,6 +147,20 @@ def _expand_macros(sql: str) -> str:
 def rewrite(sql: str) -> str:
     """Reference dialect → Spark SQL: array literals, distance operators,
     then macro-expansion of the distance functions into native HOF SQL."""
+    # the reference's libpg_query fork (DuckDB's) tolerates trailing commas
+    # in SELECT lists (p3.16-sort-limit.slt) — Spark does not
+    sql = re.sub(r",\s+(FROM\b)", r" \1", sql, flags=re.IGNORECASE)
+    # the reference's binder lets columns of an UNALIASED derived table be
+    # qualified by the underlying base-table name
+    # (p3.19: `(SELECT * FROM result WHERE ...) INNER JOIN graph ON
+    # result.dst = ...`); Spark requires an alias — supply the base name
+    sql = re.sub(
+        r"\(\s*(SELECT\b[^()]*?\bFROM\s+(\w+)\b[^()]*)\)(\s*)"
+        r"(?=(?:INNER|LEFT|RIGHT|FULL|CROSS|JOIN)\b)",
+        r"(\1) AS \2\3",
+        sql,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
     sql = _ARRAY_LIT.sub(lambda m: f"array({m.group(1)})", sql)
     changed = True
     while changed:
@@ -176,13 +190,12 @@ _CREATE_INDEX_RE = re.compile(
     r"\(\s*(\w+)\s*(\w+)?\s*\)\s*(?:WITH\s*\((.*?)\))?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL
+_INSERT_ANY_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+(.*?)\s*$", re.IGNORECASE | re.DOTALL
 )
-_INSERT_SELECT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\s+.*?);?\s*$", re.IGNORECASE | re.DOTALL
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN\s*(\([a-z,]+\))?\s*(.*)$", re.IGNORECASE | re.DOTALL
 )
-_EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s*(\([a-z]\))?\s*(.*)$", re.IGNORECASE | re.DOTALL)
 _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(\S+?);?\s*$", re.IGNORECASE)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(\w+);?\s*$", re.IGNORECASE)
 _UPDATE_RE = re.compile(
@@ -218,6 +231,23 @@ def _split_columns(cols: str) -> list[tuple[str, str]]:
         name, type_str = p.split(None, 1)
         out.append((name, type_str.strip()))
     return out
+
+
+def _strip_comments(sql: str) -> str:
+    """Drop `--` line comments (outside single quotes) — the reference's
+    parser accepts them inline and on their own lines."""
+    out = []
+    for ln in sql.splitlines():
+        in_str = False
+        cut = len(ln)
+        for i, ch in enumerate(ln):
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str and ln[i : i + 2] == "--":
+                cut = i
+                break
+        out.append(ln[:cut])
+    return "\n".join(out)
 
 
 def _split_statements(sql: str) -> list[str]:
@@ -267,12 +297,18 @@ class SqlEngine:
         an int rowcount for INSERT/UPDATE/DELETE, None otherwise. Multiple
         ``;``-separated statements run in order (the reference's ExecuteSql
         iterates the parsed statement list); the last result is returned."""
+        sql = _strip_comments(sql)
         stmts = _split_statements(sql)
+        if not stmts:
+            return None
         if len(stmts) > 1:
             out = None
             for s in stmts:
                 out = self.execute(s)
             return out
+        sql = stmts[0]
+        if sql.lstrip().startswith("\\"):
+            return None  # shell meta-commands (\dt \di \help): no-op
         m = _SET_RE.match(sql)
         if m:
             self.session_vars[m.group(1)] = m.group(2).strip("'\"")
@@ -290,12 +326,16 @@ class SqlEngine:
         m = _CREATE_INDEX_RE.match(sql)
         if m:
             return self._create_index(*m.groups())
-        m = _INSERT_RE.match(sql)
+        m = _INSERT_ANY_RE.match(sql)
         if m:
-            return self._insert(m.group(1), m.group(2))
-        m = _INSERT_SELECT_RE.match(sql)
-        if m:
-            return self._insert_select(m.group(1), m.group(2))
+            rest = m.group(2).strip().rstrip(";").strip()
+            if rest.upper().startswith("VALUES"):
+                return self._insert(m.group(1), rest[len("VALUES") :])
+            if rest.startswith("(") and rest.endswith(")"):
+                rest = rest[1:-1].strip()  # insert into t (select ...)
+            if rest.upper().startswith("SELECT"):
+                return self._insert_select(m.group(1), rest)
+            raise ValueError(f"unsupported INSERT form: {sql[:80]}")
         m = _UPDATE_RE.match(sql)
         if m:
             return self._update(m.group(1), m.group(2), m.group(3))
@@ -400,11 +440,11 @@ class SqlEngine:
 
     def _append(self, table: str, new: DataFrame) -> int:
         info = self.catalog.tables[table]
-        cast = new.select(
-            *[
-                new[i].cast(f.dataType).alias(f.name)
-                for i, f in enumerate(info.schema.fields)
-            ]
+        # toDF renames positionally — robust to duplicate source column
+        # names (e.g. SELECT ..., 0, 0 FROM, p3.19-integration-2.slt)
+        renamed = new.toDF(*[f.name for f in info.schema.fields])
+        cast = renamed.select(
+            *[F.col(f.name).cast(f.dataType) for f in info.schema.fields]
         )
         n = cast.count()
         self.catalog.register(table, info.df.unionByName(cast), info.vector_lengths)

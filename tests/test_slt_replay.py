@@ -5,15 +5,24 @@ These .slt files ARE the reference's behavioral spec (SURVEY.md §5); passing
 them verbatim is the strongest parity evidence available. Files excluded and
 why:
 
-  * mock-table files (p3.05, p3.07-.19, leaderboards, intro, order_by,
-    subquery, nested_index_join, baby_arithmetic): need the reference's
-    __mock_* / random test_1-test_2 generators or EXPLAIN ensure: plan
-    assertions tied to its optimizer IR.
+`__mock_*` tables are reproduced exactly from their generator formulas
+(bustub_vectordb_spark.mock_tables ⇐ mock_scan_executor.cpp). The `ensure:`
+options on query directives assert the REFERENCE optimizer's plan shapes
+(index_scan/hash_join/...) — meaningless against Catalyst and ignored here;
+our own plan-shape assertions live in tests/test_plan_shape.py.
+
+Files excluded and why:
   * p0.02-function-error: expects `upper(1)` to be a type error; Spark SQL
     implicitly casts int→string (more permissive, documented divergence).
-  * p0.03-string-scan: needs the 100k-row random string mock table.
+  * leaderboard files: `+timing` benchmark loops, covered by bench.py.
   * vector.03-.05: assert EXPLAIN IR shapes / build ANN with randomized
     recall (covered by test_ivfflat / test_hnsw / test_plan_shape instead).
+
+Statement-level divergence: the reference's empty-input global aggregate
+yields NULL for count(expr) (course-defined initial values,
+aggregation_plan.h:128-135) where ANSI/Spark define 0; min/max/sum nulls
+match. We keep ANSI (the DuckDB oracle gate depends on it) and skip that
+one statement in p3.07.
 """
 
 import os
@@ -28,27 +37,58 @@ from run_slt import run_slt
 REF_SQL = "/root/reference/test/sql"
 
 FILES = [
+    "intro.slt",
+    "baby_arithmetic.slt",
+    "order_by.slt",
+    "subquery.slt",
     "p0.01-lower-upper.slt",
+    "p0.03-string-scan.slt",
     "p3.01-seqscan.slt",
     "p3.02-insert.slt",
     "p3.03-update.slt",
     "p3.04-delete.slt",
+    "p3.05-index-scan.slt",
     "p3.06-empty-table.slt",
+    "p3.07-simple-agg.slt",
+    "p3.08-group-agg-1.slt",
+    "p3.09-group-agg-2.slt",
+    "p3.10-simple-join.slt",
+    "p3.11-multi-way-join.slt",
+    "p3.12-repeat-execute.slt",
+    "p3.13-nested-index-join.slt",
+    "p3.14-hash-join.slt",
+    "p3.15-multi-way-hash-join.slt",
+    "p3.16-sort-limit.slt",
+    "p3.17-topn.slt",
+    "p3.18-integration-1.slt",
+    "p3.19-integration-2.slt",
     "p3.20-window-function.slt",
     "hash_join.slt",
+    "nested_index_join.slt",
     "update.slt",
     "vector.01-insert-scan.slt",
     "vector.02-naive-knn.slt",
+    "vector.slt",
 ]
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def engine(spark):
+    # fresh engine per file — each .slt assumes a clean instance (the same
+    # table name recurs across files with different schemas)
+    from bustub_vectordb_spark.mock_tables import register_mock_tables
     from bustub_vectordb_spark.sql import SqlEngine, bootstrap_test_tables
 
     e = SqlEngine(spark)
     bootstrap_test_tables(e)
+    register_mock_tables(spark)
     return e
+
+
+SKIPS = {
+    # ANSI count-on-empty = 0; the reference's stub-spec says NULL (above)
+    "p3.07-simple-agg.slt": ("select count(v1) from t1",),
+}
 
 
 @pytest.mark.parametrize("slt", FILES)
@@ -56,5 +96,5 @@ def test_slt_file(engine, slt):
     path = os.path.join(REF_SQL, slt)
     if not os.path.exists(path):
         pytest.skip(f"{slt} not present in reference checkout")
-    ok, total = run_slt(engine, path)
+    ok, total = run_slt(engine, path, skip_statements=SKIPS.get(slt, ()))
     assert ok == total and total > 0

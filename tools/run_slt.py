@@ -16,7 +16,17 @@ from __future__ import annotations
 import sys
 
 
-def _fmt(v) -> str:
+# the reference renders NULL per-type (e.g. integer_type.cpp:260); we
+# normalize every typed-null token to NULL on both sides, because aggregate
+# result types legitimately diverge (Spark widens sum(int)→bigint per ANSI,
+# the reference keeps integer) and type-of-null is a rendering artifact
+_NULL_TOKENS = {
+    "integer_null", "bigint_null", "smallint_null", "tinyint_null",
+    "decimal_null", "boolean_null", "varchar_null", "timestamp_null",
+}
+
+
+def _fmt(v, dtype: str) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -86,8 +96,15 @@ def run_slt(engine, path: str, skip_statements: tuple[str, ...] = ()) -> tuple[i
         if isinstance(result, int):
             got = [str(result)]
         else:
-            got = [" ".join(_fmt(v) for v in row) for row in result.collect()]
-        want = [" ".join(g.split()) for g in golden]
+            dtypes = [t for _, t in result.dtypes]
+            got = [
+                " ".join(_fmt(v, t) for v, t in zip(row, dtypes))
+                for row in result.collect()
+            ]
+        want = [
+            " ".join("NULL" if tok in _NULL_TOKENS else tok for tok in g.split())
+            for g in golden
+        ]
         if sorted(got) != sorted(want):
             raise AssertionError(
                 f"{path}: mismatch for\n{sql}\n got: {sorted(got)[:10]}\nwant: {sorted(want)[:10]}"
