@@ -122,21 +122,34 @@ def minhash_lsh_candidates(
         id_col,
         F.posexplode(band_arr).alias("__band", "__bh"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.__band") == F.col("b.__band"))
-            & (F.col("a.__bh") == F.col("b.__bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # pairs come from grouping each LSH bucket and expanding in-bucket
+    # combinations, NOT a banded⋈banded self-join: a self-join would
+    # recompute the whole signature pipeline for both sides (Spark does not
+    # share unmaterialized subplans) and pay a second shuffle. One groupBy =
+    # one signature computation + one shuffle of (band, hash, id) triples.
+    # Bucket arrays are tiny (a doc collides only with near-dups); a
+    # boilerplate-induced hot bucket is bounded upstream by the shingle set
+    # (see module docstring) and AQE skew splitting.
+    ids = F.array_sort(F.collect_list(id_col))
+    buckets = (
+        banded.groupBy("__band", "__bh")
+        .agg(ids.alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
-        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.id1", "__p.id2")
         .distinct()
     )
-    return pairs
 
 
 def near_dup_pairs(

@@ -1283,3 +1283,55 @@ def q_events_sessionize(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return sessionize(ev)
+
+
+@_register(
+    "events_view_purchase_join",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value,
+             epoch(date_trunc('second', ts))::BIGINT AS sec
+      FROM events
+    )
+    SELECT v.user_id AS user_id, v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           p.sec - v.sec AS lag_sec,
+           round(p.value, 2) AS purchase_value
+    FROM e v JOIN e p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.sec >= v.sec AND p.sec <= v.sec + 3600
+    """,
+)
+def q_events_view_purchase_join(spark, sf_dir):
+    # View→purchase attribution: range-condition self-join. Streaming twin
+    # (watermarked stream-stream join): bustub_vectordb_spark.streaming.joins.
+    from .streaming.joins import view_purchase_pairs
+
+    return view_purchase_pairs(_t(spark, sf_dir, "events"))
+
+
+# =========================================================================
+# Physical layout — persistent bucketing (co-located joins)
+# =========================================================================
+
+
+@_register(
+    "layout_bucketed_join",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_layout_bucketed_join(spark, sf_dir):
+    # Same rollup as a plain join would give, but over persistently BUCKETED
+    # copies of both tables — the join inputs are co-located and pay no
+    # shuffle (asserted in tests/test_layout.py). The oracle proves layout
+    # changes nothing semantically.
+    from .layout import colocated_join_agg
+
+    return colocated_join_agg(spark, sf_dir)

@@ -1,0 +1,81 @@
+"""Bucketed layout: the co-located join must read with zero Exchange below
+the join and produce byte-identical results to the plain parquet join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir, tmp_path_factory):
+    from bustub_vectordb_spark.layout import bucketize
+
+    prefix = str(tmp_path_factory.mktemp("bucketed"))
+    names = bucketize(spark, sf_dir, n_buckets=4, path_prefix=prefix)
+    yield names
+    for name in names.values():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def _join_plan(spark, names):
+    li = spark.table(names["lineitem"])
+    o = spark.table(names["orders"])
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    return j, j._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_no_shuffle(spark, bucketed):
+    """With broadcast disabled (forcing the shuffle-sensitive SMJ path),
+    neither join input may introduce an Exchange — the bucket layout IS the
+    partitioning the join needs."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j, plan = _join_plan(spark, bucketed)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_one_file_per_bucket(bucketed, spark):
+    """repartition(n, key) before bucketBy(n, key) aligns write tasks with
+    buckets: exactly one file per bucket (a cluster-scale write would
+    otherwise emit tasks×buckets files)."""
+    import os
+
+    loc = (
+        spark.sql(f"DESCRIBE EXTENDED {bucketed['lineitem']}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    files = [
+        f
+        for f in os.listdir(loc.replace("file:", ""))
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    assert len(files) == 4, files
+
+
+def test_bucketed_join_matches_plain(spark, sf_dir, bucketed, tables):
+    from bustub_vectordb_spark.layout import colocated_join_agg
+
+    got = {
+        r["o_orderpriority"]: (r["n_items"], r["revenue"])
+        for r in colocated_join_agg(spark, sf_dir, n_buckets=4).collect()
+    }
+    li, o = tables["lineitem"], tables["orders"]
+    want = {
+        r["o_orderpriority"]: (r["n_items"], r["revenue"])
+        for r in (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+        ).collect()
+    }
+    assert got == want and got
