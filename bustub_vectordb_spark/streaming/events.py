@@ -81,17 +81,28 @@ def stream_tumbling_counts(
     sf_dir: str,
     work_dir: str,
     out_table: str = "stream_counts",
+    output_mode: str = "complete",
 ) -> None:
     """Streaming form with a 2 h event-time watermark; availableNow trigger
-    drains the staged files and stops."""
+    drains the staged files and stops.
+
+    output_mode:
+      * ``complete`` — every window re-emitted each batch; parity test
+        compares the final emission against the batch twin verbatim.
+      * ``append`` — the PRODUCTION shape: each window emitted exactly once,
+        when the watermark passes its end; state for it is then dropped.
+        Windows still open at end-of-input stay in state (a real pipeline
+        keeps running). Spark's no-data final micro-batch flushes windows
+        the last watermark advance closed.
+    """
     src = events_stream(spark, sf_dir, os.path.join(work_dir, "stage"))
     e = _with_event_time(src).withWatermark("event_time", "2 hours")
     agg = _window_agg(e)
     (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(out_table)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .option("checkpointLocation", os.path.join(work_dir, f"ckpt_{output_mode}"))
         .trigger(availableNow=True)
         .start()
         .awaitTermination()

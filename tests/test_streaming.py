@@ -140,3 +140,32 @@ def test_stream_matches_batch(spark, sf_dir, tables, tmp_path):
     }
     assert batch == streamed
     assert len(batch) > 100
+
+
+def test_stream_append_mode_emits_closed_windows(spark, sf_dir, tables, tmp_path):
+    """Append mode (the production sink shape): every emitted window is
+    final and must match the batch twin exactly; every window the final
+    watermark closed must have been emitted (only end-of-input windows may
+    still sit in state)."""
+    from pyspark.sql import functions as F
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in tumbling_counts(tables["events"]).collect()
+    }
+    stream_tumbling_counts(
+        spark, sf_dir, str(tmp_path), out_table="sc_append", output_mode="append"
+    )
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("sc_append").collect()
+    }
+    assert streamed, "watermarked drain should close at least the early windows"
+    for key, val in streamed.items():
+        assert batch.get(key) == val
+    # final watermark = max event time - 2h; windows ending at or before it
+    # were closed and MUST have been appended
+    max_ns = tables["events"].agg(F.max("ts")).collect()[0][0]
+    horizon = max_ns / 1e9 - 2 * 3600
+    closed = {k for k in batch if k[0] + 3600 <= horizon}
+    assert closed <= set(streamed)
