@@ -308,6 +308,78 @@ class HNSWIndex:
         blobs = parts.mapInPandas(build_one, "shard long, blob binary")
         return ShardedHNSW(vec_col, id_col, dist, blobs.cache(), df.sparkSession)
 
+    @classmethod
+    def build_routed(
+        cls,
+        df,
+        vec_col: str,
+        id_col: str,
+        shards: int,
+        m: int = 8,
+        ef_construction: int = 64,
+        ef_search: int = 64,
+        dist: str = "l2",
+        seed: int = 42,
+        max_iter: int = 5,
+    ) -> "ShardedHNSW":
+        """IVF-routed sharded build — the 100 TB ANN design.
+
+        ``build_partitioned`` hash-shards, so every shard is a random sample
+        of the space and a probe must search ALL of them. Here shards are
+        spatially coherent: coarse k-means centroids (trained exactly like
+        IVFFlat's, driver-side on a bounded sample) route each vector to its
+        nearest centroid's shard, one HNSW is built per shard via
+        ``applyInPandas`` (parallel across shards), and a probe ranks the
+        centroid table driver-side to search only the ``n_probe`` nearest
+        shards. Probe cost drops from ∝ shards to ∝ n_probe — the same
+        coarse-quantizer-over-fine-index layering FAISS (IVF+HNSW) and
+        SPANN-style systems use at scale.
+        """
+        import pickle
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from ..shipping import ensure_package_on_workers
+        from .ivfflat import IVFFlatIndex, _lloyds_numpy, _nearest_centroid
+
+        ensure_package_on_workers(df.sparkSession)
+        vec = F.col(vec_col).cast("array<double>")
+        seeds = df.orderBy(id_col).limit(shards).select(vec.alias("v")).collect()
+        init = [list(r["v"]) for r in seeds]
+        if len(init) < shards:
+            raise ValueError(f"table has fewer than shards={shards} rows")
+        n = df.count()
+        dim = len(init[0])
+        frac = min(1.0, IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS / max(n * dim, 1))
+        sample = (
+            df.select(vec.alias("v"))
+            if frac >= 1.0
+            else df.sample(fraction=frac, seed=seed).select(vec.alias("v"))
+        )
+        centroids = _lloyds_numpy(
+            [list(r["v"]) for r in sample.collect()], init, max_iter
+        )
+
+        routed = df.select(F.col(id_col), vec.alias("__v")).withColumn(
+            "__shard", _nearest_centroid(F.col("__v"), centroids)
+        )
+
+        def build_one(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            g = _Graph(m, ef_construction, ef_search, dist, seed)
+            g.add_all(
+                pdf[id_col].tolist(),
+                np.asarray(pdf["__v"].tolist(), dtype=np.float64),
+            )
+            return pd.DataFrame({"shard": [int(key[0])], "blob": [pickle.dumps(g)]})
+
+        blobs = routed.groupBy("__shard").applyInPandas(
+            build_one, "shard long, blob binary"
+        )
+        return ShardedHNSW(
+            vec_col, id_col, dist, blobs.cache(), df.sparkSession, centroids=centroids
+        )
+
     # -- persistence: graph as DataFrames ---------------------------------
     def save(self, path: str) -> None:
         g = self.graph
@@ -358,10 +430,14 @@ class HNSWIndex:
 class ShardedHNSW:
     """Sharded HNSW: one independent graph per shard, stored as blob rows.
 
-    probe(query, k): every shard searches its own graph (a narrow Spark job
-    over the blobs DataFrame), results union → global top-k. This is the
-    100 TB design: build is embarrassingly parallel, probe fan-out equals
-    shard count, and no single machine ever holds more than one shard.
+    probe(query, k): shards search their own graphs (a narrow Spark job
+    over the blobs DataFrame), results union → global top-k. Hash-sharded
+    builds (``build_partitioned``) must search every shard; routed builds
+    (``build_routed``) carry the coarse centroid table, and a probe with
+    ``n_probe`` set searches only the nearest shards — the filter on the
+    shard column prunes the rest before any graph is even unpickled. This
+    is the 100 TB design: build is embarrassingly parallel, probe fan-out
+    is n_probe, and no single machine ever holds more than one shard.
     """
 
     vec_col: str
@@ -369,8 +445,27 @@ class ShardedHNSW:
     dist: str
     blobs: object  # DataFrame[shard long, blob binary]
     _spark: object
+    centroids: list | None = None  # routed builds: shard i ⇐ centroid i
 
-    def probe(self, query, k: int, dist_col: str = "distance"):
+    def rank_shards(self, query: list[float]) -> list[int]:
+        """Nearest-centroid shard order (driver-side, |shards| entries) —
+        same scoring orientation as IVFFlat.rank_buckets."""
+        if self.centroids is None:
+            raise ValueError("rank_shards requires a routed build")
+
+        def score(c: list[float]) -> float:
+            if self.dist == "l2":
+                return math.dist(c, query)
+            dot = sum(x * y for x, y in zip(c, query))
+            if self.dist == "ip":
+                return -dot
+            na = math.sqrt(sum(x * x for x in c)) or 1e-300
+            nb = math.sqrt(sum(y * y for y in query)) or 1e-300
+            return -(dot / (na * nb))
+
+        return sorted(range(len(self.centroids)), key=lambda i: score(self.centroids[i]))
+
+    def probe(self, query, k: int, dist_col: str = "distance", n_probe: int | None = None):
         import pickle
 
         import pandas as pd
@@ -394,7 +489,12 @@ class ShardedHNSW:
 
         from pyspark.sql import functions as F
 
-        per_shard = self.blobs.mapInPandas(search_shard, f"{id_col} long, {dist_col} double")
+        src = self.blobs
+        if n_probe is not None and self.centroids is not None:
+            src = src.filter(
+                F.col("shard").isin(self.rank_shards(q)[:n_probe])
+            )
+        per_shard = src.mapInPandas(search_shard, f"{id_col} long, {dist_col} double")
         asc = self.dist == "l2"
         order = F.col(dist_col).asc() if asc else F.col(dist_col).desc()
         return per_shard.orderBy(order).limit(k)

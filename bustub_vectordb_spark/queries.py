@@ -933,6 +933,27 @@ def q_ann_hnsw_probe(spark, sf_dir):
     )
 
 
+@_register("ann_hnsw_routed_probe")
+def q_ann_hnsw_routed_probe(spark, sf_dir):
+    # IVF-routed sharded HNSW: centroid-routed shards, probe touches only
+    # the n_probe nearest (approximate by design → rows-only gate; recall
+    # asserted in tests/test_hnsw.py::test_routed_build_and_probe)
+    from .index.hnsw import HNSWIndex
+
+    key = (sf_dir, "hnsw_routed")
+    if key not in _INDEX_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _INDEX_CACHE[key] = HNSWIndex.build_routed(
+            emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+        )
+    idx = _INDEX_CACHE[key]
+    return (
+        idx.probe(QUERY_VEC, 10, n_probe=2)
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
 @_register("ann_hnsw_batch_search")
 def q_ann_hnsw_batch_search(spark, sf_dir):
     # distributed batch ANN: broadcast graph + mapInPandas over queries

@@ -89,3 +89,23 @@ def test_save_load_roundtrip(emb, hnsw, spark, tmp_path):
     orig = [(r["vec_id"], round(r["distance"], 8)) for r in hnsw.probe(QUERY, 10).collect()]
     rest = [(r["vec_id"], round(r["distance"], 8)) for r in loaded.probe(QUERY, 10).collect()]
     assert orig == rest
+
+
+def test_routed_build_and_probe(emb):
+    """IVF-routed shards: probing only the nearest 2 of 4 spatially-coherent
+    shards must still recover most true neighbors (they concentrate in the
+    query's nearest clusters)."""
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    exact = {r["vec_id"] for r in knn(emb, "embedding", QUERY, 10).collect()}
+
+    all_shards = {r["vec_id"] for r in routed.probe(QUERY, 10).collect()}
+    assert len(all_shards) == 10
+    assert len(all_shards & exact) / 10 >= 0.7
+
+    pruned = {r["vec_id"] for r in routed.probe(QUERY, 10, n_probe=2).collect()}
+    assert len(pruned) == 10
+    assert len(pruned & exact) / 10 >= 0.6
+    # routing order is a permutation of all shards
+    assert sorted(routed.rank_shards(QUERY)) == [0, 1, 2, 3]
