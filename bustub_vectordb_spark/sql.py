@@ -198,6 +198,29 @@ _EXPLAIN_RE = re.compile(
 )
 _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(\S+?);?\s*$", re.IGNORECASE)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(\w+);?\s*$", re.IGNORECASE)
+_STRING_FN_RE = re.compile(r"\b(lower|upper)\s*\(([^()]*)\)", re.IGNORECASE)
+
+
+def _check_string_fn_args(sql: str) -> None:
+    """The reference's lower/upper are strictly 1-arg VARCHAR→VARCHAR
+    (string_expression.h:33-51; p0.02-function-error.slt). Spark would
+    happily cast int→string and ignore nothing — reproduce the stricter
+    binder errors for the literal shapes the reference rejects."""
+    for m in _STRING_FN_RE.finditer(sql):
+        args, parts, cur, in_str = m.group(2), [], [], False
+        for ch in args:
+            if ch == "'":
+                in_str = not in_str
+            if ch == "," and not in_str:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur).strip())
+        if len(parts) != 1:
+            raise ValueError(f"{m.group(1)} expects exactly 1 argument")
+        if re.fullmatch(r"[+-]?\d+(\.\d+)?", parts[0]):
+            raise ValueError(f"{m.group(1)} expects VARCHAR, got {parts[0]}")
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -309,6 +332,7 @@ class SqlEngine:
         sql = stmts[0]
         if sql.lstrip().startswith("\\"):
             return None  # shell meta-commands (\dt \di \help): no-op
+        _check_string_fn_args(sql)
         m = _SET_RE.match(sql)
         if m:
             self.session_vars[m.group(1)] = m.group(2).strip("'\"")

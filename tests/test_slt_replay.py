@@ -12,8 +12,6 @@ options on query directives assert the REFERENCE optimizer's plan shapes
 our own plan-shape assertions live in tests/test_plan_shape.py.
 
 Files excluded and why:
-  * p0.02-function-error: expects `upper(1)` to be a type error; Spark SQL
-    implicitly casts int→string (more permissive, documented divergence).
   * leaderboard files: `+timing` benchmark loops, covered by bench.py.
   * vector.03-.05: assert EXPLAIN IR shapes / build ANN with randomized
     recall (covered by test_ivfflat / test_hnsw / test_plan_shape instead).
@@ -41,8 +39,11 @@ FILES = [
     "baby_arithmetic.slt",
     "order_by.slt",
     "subquery.slt",
+    "index.slt",
     "p0.01-lower-upper.slt",
+    "p0.02-function-error.slt",
     "p0.03-string-scan.slt",
+    "p3.00-primer.slt",
     "p3.01-seqscan.slt",
     "p3.02-insert.slt",
     "p3.03-update.slt",
