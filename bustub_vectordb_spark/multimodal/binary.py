@@ -74,8 +74,10 @@ def _decode_one(payload: bytes, meta) -> list[float]:
         img = img.convert("L").resize((8, 8))
         return [p / 255.0 for p in img.getdata()]
     except Exception:
-        # deterministic fake: 16 floats from the payload digest
-        d = hashlib.sha256(payload or b"").digest()
+        # deterministic fake: 16 floats from the md5 of the payload's HEX
+        # form (hex, not raw bytes, so engines whose hash functions are
+        # VARCHAR-only — DuckDB — can replicate it for the oracle gate)
+        d = hashlib.md5((payload or b"").hex().encode()).digest()
         return [b / 255.0 for b in d[:16]]
 
 

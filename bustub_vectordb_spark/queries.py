@@ -1230,8 +1230,19 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
-@_register("multimodal_decode_features")  # stubbed decode kernel → rows-only
+_DECODE_ORACLE = "SELECT doc_id, " + ", ".join(
+    f"round(('0x' || substr(md5(sha256('image' || doc_id::VARCHAR)), {2 * i + 1}, 2))::INT"
+    f" / 255.0, 6) AS f{i}"
+    for i in range(16)
+) + " FROM documents"
+
+
+@_register("multimodal_decode_features", _DECODE_ORACLE)
 def q_multimodal_decode_features(spark, sf_dir):
+    # The decode KERNEL is a documented stub (no codecs in this container),
+    # but the stub is deterministic — md5 over the payload's hex form — so
+    # the whole mapInPandas decode STAGE (schema, Arrow batching, feature
+    # columns) is hash-match gated against DuckDB recomputing the same fake.
     from .multimodal import attach_fake_media, decode_and_featurize
     from .shipping import ensure_package_on_workers
 
@@ -1239,7 +1250,13 @@ def q_multimodal_decode_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "doc_id", kind="image")
     out = decode_and_featurize(media)
-    return out.select("doc_id", F.round(F.element_at("features", 1), 6).alias("f0"))
+    return out.select(
+        "doc_id",
+        *[
+            F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+            for i in range(16)
+        ],
+    )
 
 
 # =========================================================================
