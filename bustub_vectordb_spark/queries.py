@@ -1151,12 +1151,58 @@ def q_dedup_exact_keep(spark, sf_dir):
     ).drop("__fp")
 
 
-@_register("dedup_simhash_pairs")  # xxhash64-based → engine-specific, rows-only;
-def q_dedup_simhash_pairs(spark, sf_dir):  # recall vs truth in tests/test_dedup.py
+def _simhash_oracle(max_hamming: int = 7, chunks: int = 8) -> str:
+    """DuckDB replica of the md5-variant SimHash pipeline, bit for bit."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    sums = ", ".join(
+        f"sum(case when (({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) = 1"
+        f" then 1 else -1 end) AS b{b}"
+        for b in range(64)
+    )
+    top = "(-9223372036854775807 - 1)"
+    sig = " + ".join(
+        f"(case when b{b} > 0 then {top if b == 63 else 2**b} else 0 end)"
+        for b in range(64)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+      FROM tok
+    ), sums AS (
+      SELECT doc_id, {sums} FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, ({sig})::BIGINT AS sim FROM sums
+    ), ch AS (
+      SELECT doc_id, sim, unnest(range({chunks})) AS i FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+           bit_count(xor(a.sim, b.sim))::INT AS hamming
+    FROM ch a JOIN ch b
+      ON a.i = b.i
+     AND ((a.sim >> (a.i * {width})) & {mask}) = ((b.sim >> (b.i * {width})) & {mask})
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
+
+@_register("dedup_simhash_pairs", _simhash_oracle())
+def q_dedup_simhash_pairs(spark, sf_dir):
+    # md5-derived bits → the whole SimHash pipeline (tokenize, 64 bit-sums,
+    # signature fold, pigeonhole chunk buckets, hamming verify) hash-match
+    # gates against DuckDB. xxhash64 stays the default for production speed;
+    # recall vs planted dups in tests/test_dedup.py.
     from .dedup.simhash import simhash_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=7, chunks=8)
+    return simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=7, chunks=8, hash_fn="md5"
+    )
 
 
 @_register(
