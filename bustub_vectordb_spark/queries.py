@@ -1221,8 +1221,49 @@ def q_embedding_neardup_exact(spark, sf_dir):
     return cosine_similarity_join(emb, "embedding", "vec_id", 0.45)
 
 
-@_register("embedding_neardup_lsh")  # LSH recall < 1 by design → rows-only
+def _lsh_oracle(
+    threshold: float = 0.45,
+    n_planes: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB replica of the random-hyperplane LSH: the seeded planes are
+    inlined as literals, sign bits / packed band values / exact-cosine
+    verify recompute the identical candidate set."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    rows = n_planes // bands
+    bits = ", ".join(
+        "(case when list_inner_product(v, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]) > 0 then 1 else 0 end)"
+        for p in planes
+    )
+    bv = " + ".join(f"b[i * {rows} + {k + 1}] * {2 ** (rows - 1 - k)}" for k in range(rows))
+    return f"""
+    WITH bits AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, [{bits}] AS b FROM embeddings
+    ), banded AS (
+      SELECT vec_id, v, unnest(range({bands})) AS i, b FROM bits
+    ), bv AS (
+      SELECT vec_id, v, i, {bv} AS val FROM banded
+    )
+    SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM bv a JOIN bv b ON a.i = b.i AND a.val = b.val AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+    """
+
+
+@_register("embedding_neardup_lsh", _lsh_oracle())
 def q_embedding_neardup_lsh(spark, sf_dir):
+    # Deterministic seeded hyperplanes + positional band packing → the LSH
+    # candidate set itself is engine-reproducible and hash-match gated
+    # (recall < 1 vs the exact join remains by design; recall asserted in
+    # tests/test_dedup.py against embedding_neardup_exact).
     from .similarity.neardup import random_hyperplane_pairs
 
     emb = _t(spark, sf_dir, "embeddings")

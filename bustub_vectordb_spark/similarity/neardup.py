@@ -76,9 +76,16 @@ def random_hyperplane_pairs(
         F.col(vec_col).alias("__v"),
         _signature_bits(F.col(vec_col), planes).alias("__bits"),
     )
+    # band value = the band's bits packed positionally (rows ≤ ~20 bits, no
+    # hashing needed) — engine-neutral, so the DuckDB oracle can reproduce
+    # the exact candidate set
     band_hash = F.array(
         *[
-            F.xxhash64(*[F.element_at(F.col("__bits"), j * rows + i + 1) for i in range(rows)])
+            sum(
+                F.element_at(F.col("__bits"), j * rows + i + 1)
+                * (2 ** (rows - 1 - i))
+                for i in range(rows)
+            )
             for j in range(bands)
         ]
     )
