@@ -194,12 +194,13 @@ class HNSWIndex:
         """
         rows = df.orderBy(order_by or id_col).select(id_col, vec_col).collect()
         ids = [r[id_col] for r in rows]
-        mat = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
         g = _Graph(m, ef_construction, ef_search, dist, seed)
-        # deterministic "shuffle" of insert order (ref BuildIndex shuffles)
-        order = list(range(len(ids)))
-        random.Random(seed).shuffle(order)
-        g.add_all([ids[i] for i in order], mat[order])
+        if ids:  # empty heap builds fine in the reference (vector.03)
+            mat = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+            # deterministic "shuffle" of insert order (ref BuildIndex shuffles)
+            order = list(range(len(ids)))
+            random.Random(seed).shuffle(order)
+            g.add_all([ids[i] for i in order], mat[order])
         return cls(vec_col, id_col, dist, g, _spark=df.sparkSession)
 
     def probe(self, query, k: int, dist_col: str = "distance", ef_search: int | None = None):

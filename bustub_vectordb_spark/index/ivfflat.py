@@ -129,8 +129,13 @@ class IVFFlatIndex:
         order = init_order or df.columns[0]
         seed_rows = df.orderBy(order).limit(lists).select(vec.alias("v")).collect()
         centroids = [list(r["v"]) for r in seed_rows]
-        if len(centroids) < lists:
-            raise ValueError(f"table has fewer than lists={lists} rows")
+        # tables smaller than `lists` (incl. empty) clamp — the reference
+        # builds on an empty heap without complaint (vector.03 creates
+        # indexes before any INSERT)
+        lists = len(centroids)
+        if lists == 0:
+            empty = df.withColumn(BUCKET_COL, F.lit(0).cast("int")).limit(0)
+            return cls(vec_col, 0, probe_lists, dist, [], empty)
 
         n = df.count()
         dim = len(centroids[0])

@@ -415,8 +415,10 @@ class SqlEngine:
             else:
                 from .index.hnsw import HNSWIndex
 
+                names = self.catalog.tables[table].schema.names
+                id_col = next((c for c in names if c != col), names[0])
                 idx = HNSWIndex.build(
-                    df, col, self.catalog.tables[table].schema.names[0],
+                    df, col, id_col,
                     m=opts.get("m", 8),
                     ef_construction=opts.get("ef_construction", 64),
                     ef_search=opts.get("ef_search", 64),
