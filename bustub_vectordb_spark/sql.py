@@ -186,8 +186,10 @@ _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
 _CREATE_INDEX_RE = re.compile(
+    # column spec: `col [ops]` for vector indexes, `col, col, ...` for
+    # composite scalar indexes (p3.leaderboard-q1: t1(x, y))
     r"^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*(?:USING\s+(\w+)\s*)?"
-    r"\(\s*(\w+)\s*(\w+)?\s*\)\s*(?:WITH\s*\((.*?)\))?;?\s*$",
+    r"\(\s*(\w+)\s*[, ]?\s*(\w+)?\s*\)\s*(?:WITH\s*\((.*?)\))?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_ANY_RE = re.compile(

@@ -11,8 +11,10 @@ options on query directives assert the REFERENCE optimizer's plan shapes
 (index_scan/hash_join/...) — meaningless against Catalyst and ignored here;
 our own plan-shape assertions live in tests/test_plan_shape.py.
 
-Files excluded and why:
-  * leaderboard files: `+timing` benchmark loops, covered by bench.py.
+ALL 42 reference .slt files replay. The leaderboard files additionally
+carry golden results (q2's `400000 149999 ...`), so the reference's exact
+benchmark workload is correctness-verified here; its timing role is
+bench.py's job (same query shapes at sf0.1, min-of-N methodology).
 
 vector.03-.05 are all-`statement ok` ladders (no golden rows — the course
 graded ANN recall externally); replaying them verifies the DDL surface
@@ -68,6 +70,10 @@ FILES = [
     "p3.18-integration-1.slt",
     "p3.19-integration-2.slt",
     "p3.20-window-function.slt",
+    "p3.leaderboard-q1.slt",
+    "p3.leaderboard-q1-window.slt",
+    "p3.leaderboard-q2.slt",
+    "p3.leaderboard-q3.slt",
     "hash_join.slt",
     "nested_index_join.slt",
     "update.slt",
