@@ -25,11 +25,13 @@ best — batch index construction):
     written partitioned by bucket) + TakeOrderedAndProject top-k.
 
 At 100 TB: build cost is max_iter scans (each embarrassingly parallel);
-lists should be ~sqrt(N) so the centroid literal stays small (e.g. 10k
-centroids × 768 dims ≈ 60 MB — at that point switch the assignment step to a
-broadcast-join variant, see ``_assign_via_join``). Probe touches only
-probe_lists/lists of the data — with bucket-partitioned storage that is
-partition pruning, not a filter scan.
+lists should be ~sqrt(N). Small centroid sets inline as plan literals
+(codegen argmin); past ``_LITERAL_ASSIGN_MAX_CELLS`` (e.g. 10k centroids ×
+768 dims ≈ 60 MB) the assignment switches to ``_assign_via_broadcast`` —
+the centroid matrix broadcast once per executor, per-Arrow-batch numpy
+argmin, zero shuffle. Probe touches only probe_lists/lists of the data —
+with bucket-partitioned storage that is partition pruning, not a filter
+scan.
 """
 
 from __future__ import annotations
@@ -86,6 +88,53 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     dists = F.transform(_centroid_literal(centroids), lambda c: _l2_sq(vec, c))
     # array_position returns the FIRST position of the min → lowest index wins ties
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+# literal-centroid assignment embeds lists × dim doubles into the plan; past
+# this budget (~8 MB of literals) switch to the broadcast numpy variant
+_LITERAL_ASSIGN_MAX_CELLS = 1_000_000
+
+
+def _assign_via_broadcast(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Bucket assignment for LARGE centroid sets (lists ≈ √N at 100 TB can
+    be 10k × 768 dims ≈ 60 MB — too big to inline as a plan literal, and a
+    cross-join against a centroid table would multiply rows ×lists).
+
+    Broadcast the centroid matrix once per executor, argmin per Arrow batch
+    with one matrix multiply (‖x−c‖² = ‖x‖² − 2x·c + ‖c‖², row term
+    constant) — a narrow map, zero shuffle, identical tie semantics to the
+    literal path (np.argmin → lowest index)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..shipping import ensure_package_on_workers
+
+    spark = df.sparkSession
+    ensure_package_on_workers(spark)
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    from pyspark.sql import types as T
+
+    cols = df.columns
+    # NB: StructType.add MUTATES the df's cached schema (and then
+    # mapInPandas resolves the phantom column against the input) — build a
+    # fresh StructType instead
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(BUCKET_COL, T.IntegerType())]
+    )
+
+    def run(batches):
+        cents = bc.value
+        c_sq = (cents * cents).sum(axis=1)
+        for pdf in batches:
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            d = -2.0 * (x @ cents.T) + c_sq
+            out = pdf[cols].copy()
+            out[BUCKET_COL] = np.argmin(d, axis=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(run, schema)
 
 
 @dataclass
@@ -165,9 +214,12 @@ class IVFFlatIndex:
         want = df.sparkSession.sparkContext.defaultParallelism
         if n > want and src.rdd.getNumPartitions() < want:
             src = src.repartition(want)
-        assignments = src.withColumn(
-            BUCKET_COL, _nearest_centroid(vec, centroids)
-        )
+        if lists * dim <= _LITERAL_ASSIGN_MAX_CELLS:
+            assignments = src.withColumn(
+                BUCKET_COL, _nearest_centroid(vec, centroids)
+            )
+        else:
+            assignments = _assign_via_broadcast(src, vec_col, centroids)
         if cache:
             assignments = assignments.cache()
             assignments.count()  # materialize once; probes hit the cache

@@ -114,3 +114,35 @@ def test_batch_probe_exact_and_recall(emb, ivf):
         ).collect()
     }
     assert len(approx & truth) / len(truth) >= 0.6
+
+
+def test_broadcast_assignment_matches_literal(emb):
+    """The large-centroid-set assignment path (broadcast numpy argmin, zero
+    shuffle) must produce bucket-identical assignments to the literal
+    codegen path — same argmin, same lowest-index tie rule."""
+    from bustub_vectordb_spark.index.ivfflat import (
+        BUCKET_COL,
+        IVFFlatIndex,
+        _assign_via_broadcast,
+        _nearest_centroid,
+    )
+
+    idx = IVFFlatIndex.build(
+        emb, "embedding", lists=8, probe_lists=2, max_iter=3, init_order="vec_id"
+    )
+    lit = {
+        r["vec_id"]: r[BUCKET_COL]
+        for r in emb.select(
+            "vec_id",
+            _nearest_centroid(
+                F.col("embedding").cast("array<double>"), idx.centroids
+            ).alias(BUCKET_COL),
+        ).collect()
+    }
+    bc = {
+        r["vec_id"]: r[BUCKET_COL]
+        for r in _assign_via_broadcast(emb, "embedding", idx.centroids)
+        .select("vec_id", BUCKET_COL)
+        .collect()
+    }
+    assert lit == bc and len(lit) > 0
