@@ -333,7 +333,7 @@ class SqlEngine:
             return out
         sql = stmts[0]
         if sql.lstrip().startswith("\\"):
-            return None  # shell meta-commands (\dt \di \help): no-op
+            return self._meta_command(sql.strip())
         _check_string_fn_args(sql)
         m = _SET_RE.match(sql)
         if m:
@@ -387,6 +387,31 @@ class SqlEngine:
                 df.explain(mode)
             return buf.getvalue()
         return self.spark.sql(rewrite(sql))
+
+    def _meta_command(self, cmd: str):
+        """Shell meta-commands (bustub_instance.cpp:256-281): \\dt lists
+        tables, \\di lists indexes; others no-op."""
+        if cmd.startswith("\\dt"):
+            rows = [
+                (name, info.schema.simpleString())
+                for name, info in sorted(self.catalog.tables.items())
+            ]
+            return self.spark.createDataFrame(rows or [("", "")], "table string, schema string").filter("table != ''")
+        if cmd.startswith("\\di"):
+            rows = [
+                (i.name, i.table, i.column, i.method, i.dist)
+                for infos in getattr(self, "indexes", None)._by_table.values()
+                for i in infos
+            ] if getattr(self, "indexes", None) else []
+            rows += [
+                (name, t, c, m, "")
+                for name, (t, c, m) in getattr(self, "_scalar_indexes", {}).items()
+            ]
+            return self.spark.createDataFrame(
+                rows or [("", "", "", "", "")],
+                "index string, table string, column string, method string, dist string",
+            ).filter("index != ''")
+        return None  # \help \dbgmvcc etc.
 
     def _create_index(self, name, table, method, col, ops, with_opts) -> None:
         """CREATE INDEX (bustub_ddl.cpp:88-152): vector methods bulk-build

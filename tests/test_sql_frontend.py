@@ -136,3 +136,25 @@ def test_relational_sql_passthrough(engine, tables):
         "GROUP BY n_regionkey HAVING count(*) > 1 ORDER BY n_regionkey"
     ).collect()
     assert len(r) > 0
+
+
+def test_meta_commands_list_tables_and_indexes(spark):
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE mt1(v1 VECTOR(3), v2 integer)")
+    e.execute(
+        "INSERT INTO mt1 VALUES (ARRAY [1.0,2.0,3.0], 1),"
+        " (ARRAY [2.0,2.0,3.0], 2), (ARRAY [3.0,2.0,3.0], 3)"
+    )
+    e.execute(
+        "CREATE INDEX mi1 ON mt1 USING ivfflat (v1 vector_l2_ops)"
+        " WITH (lists = 2, probe_lists = 1)"
+    )
+    e.execute("CREATE INDEX mi2 ON mt1 (v2)")
+    tables = {r["table"] for r in e.execute("\\dt").collect()}
+    assert "mt1" in tables
+    idx = {r["index"]: (r["method"], r["dist"]) for r in e.execute("\\di").collect()}
+    assert idx["mi1"] == ("ivfflat", "l2")
+    assert idx["mi2"][0] == "bplustree"
+    assert e.execute("\\help") is None
