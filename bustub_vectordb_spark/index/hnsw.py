@@ -322,6 +322,7 @@ class HNSWIndex:
         dist: str = "l2",
         seed: int = 42,
         max_iter: int = 5,
+        replicate_eps: float = 0.0,
     ) -> "ShardedHNSW":
         """IVF-routed sharded build — the 100 TB ANN design.
 
@@ -335,6 +336,13 @@ class HNSWIndex:
         shards. Probe cost drops from ∝ shards to ∝ n_probe — the same
         coarse-quantizer-over-fine-index layering FAISS (IVF+HNSW) and
         SPANN-style systems use at scale.
+
+        ``replicate_eps`` > 0 enables SPANN-style boundary replication: a
+        vector lands in EVERY shard whose centroid is within (1+eps)× of
+        its nearest centroid's distance, so query neighborhoods straddling
+        a cluster boundary stay findable at small n_probe. Storage grows by
+        the replication factor (typically ~1.1-1.4× for eps 0.1-0.3); probe
+        results are deduped by id.
         """
         import pickle
 
@@ -362,9 +370,37 @@ class HNSWIndex:
             [list(r["v"]) for r in sample.collect()], init, max_iter
         )
 
-        routed = df.select(F.col(id_col), vec.alias("__v")).withColumn(
-            "__shard", _nearest_centroid(F.col("__v"), centroids)
-        )
+        base = df.select(F.col(id_col), vec.alias("__v"))
+        if replicate_eps > 0:
+            from .ivfflat import _centroid_literal, _l2_sq
+
+            scored = F.transform(
+                _centroid_literal(centroids),
+                lambda c, i: F.struct(
+                    _l2_sq(F.col("__v"), c).alias("d"), i.alias("b")
+                ),
+            )
+            # (1+eps) on distance = (1+eps)² on the squared distance
+            thr = (1.0 + replicate_eps) ** 2
+            routed = (
+                base.withColumn("__sc", scored)
+                .withColumn(
+                    "__thr",
+                    F.array_min(F.transform(F.col("__sc"), lambda s: s["d"])) * thr,
+                )
+                .select(
+                    id_col,
+                    "__v",
+                    F.explode(
+                        F.filter(F.col("__sc"), lambda s: s["d"] <= F.col("__thr"))
+                    ).alias("__e"),
+                )
+                .select(id_col, "__v", F.col("__e.b").cast("int").alias("__shard"))
+            )
+        else:
+            routed = base.withColumn(
+                "__shard", _nearest_centroid(F.col("__v"), centroids)
+            )
 
         def build_one(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
             g = _Graph(m, ef_construction, ef_search, dist, seed)
@@ -498,4 +534,6 @@ class ShardedHNSW:
         per_shard = src.mapInPandas(search_shard, f"{id_col} long, {dist_col} double")
         asc = self.dist == "l2"
         order = F.col(dist_col).asc() if asc else F.col(dist_col).desc()
-        return per_shard.orderBy(order).limit(k)
+        # boundary-replicated builds can surface the same id from several
+        # shards — dedupe (identical distances) before the global top-k
+        return per_shard.dropDuplicates([id_col]).orderBy(order).limit(k)

@@ -109,3 +109,29 @@ def test_routed_build_and_probe(emb):
     assert len(pruned & exact) / 10 >= 0.6
     # routing order is a permutation of all shards
     assert sorted(routed.rank_shards(QUERY)) == [0, 1, 2, 3]
+
+
+def test_routed_boundary_replication(emb):
+    """SPANN-style replication: with eps > 0, near-boundary vectors live in
+    multiple shards, so a 1-shard probe must not miss more than the
+    replication-free probe — and results stay unique per id."""
+    plain = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    repl = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48,
+        ef_search=48, replicate_eps=0.3,
+    )
+    exact = {r["vec_id"] for r in knn(emb, "embedding", QUERY, 10).collect()}
+
+    def recall(idx, n_probe):
+        rows = idx.probe(QUERY, 10, n_probe=n_probe).collect()
+        ids = [r["vec_id"] for r in rows]
+        assert len(ids) == len(set(ids)), "probe must dedupe replicated hits"
+        return len(set(ids) & exact) / 10
+
+    assert recall(repl, 1) >= recall(plain, 1)
+    assert recall(repl, 2) >= 0.6
+    # replication actually happened (storage grew)
+    n_plain = plain.blobs.count()
+    assert n_plain == 4
