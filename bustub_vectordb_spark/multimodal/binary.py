@@ -8,12 +8,14 @@ Design for a 100 TB media pipeline:
   * partitioning follows the metadata (e.g. repartition by format or
     size-bucket before decode so batches are homogeneous).
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernel is stubbed: ``decode_and_featurize`` tries to import PIL and
-otherwise produces a deterministic fake feature vector derived from the
-bytes. The Spark-side plumbing — schema, batching, UDF signatures, column
-contracts — is real and tested; swapping in a real decoder changes only the
-body of ``_decode_one``.
+Decode kernel, in preference order: REAL pure-stdlib/numpy decoders for
+magic-sniffed PCM WAV / 24-bit BMP / P6 PPM (tested against synthesized
+media in tests/test_multimodal.py); PIL for other image formats when
+importable (not in this container); else a deterministic md5-derived fake
+(which the driver's DuckDB oracle replicates — see queries.py). The
+Spark-side plumbing — schema, Arrow batching, UDF signatures, column
+contracts — is identical across all three paths; dropping in ffmpeg/librosa
+kernels changes only ``_decode_one``.
 """
 
 from __future__ import annotations
@@ -62,22 +64,104 @@ def media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
     )
 
 
+def _decode_wav(payload: bytes) -> list[float]:
+    """PCM WAV → 16 energy-band features (stdlib `wave` + numpy)."""
+    import wave
+    from io import BytesIO
+
+    import numpy as np
+
+    with wave.open(BytesIO(payload), "rb") as w:
+        n = w.getnframes()
+        raw = w.readframes(n)
+        width = w.getsampwidth()
+    dt = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+    x = np.frombuffer(raw, dtype=dt).astype(np.float64)
+    if width == 1:
+        x -= 128.0
+    x /= float(2 ** (8 * width - 1))
+    chunks = np.array_split(x, 16) if len(x) else [np.zeros(1)] * 16
+    return [float(np.sqrt((c * c).mean())) if len(c) else 0.0 for c in chunks]
+
+
+def _decode_bmp(payload: bytes) -> list[float]:
+    """Uncompressed 24-bit BMP → 4×4 grayscale grid (pure numpy)."""
+    import struct
+
+    import numpy as np
+
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    rowsz = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(abs(h)):
+        r = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off + y * rowsz)
+        rows.append(r.reshape(w, 3).mean(axis=1))
+    img = np.stack(rows[::-1] if h > 0 else rows)  # BMP stores bottom-up
+    gy = np.array_split(np.arange(abs(h)), 4)
+    gx = np.array_split(np.arange(w), 4)
+    return [float(img[np.ix_(ys, xs)].mean() / 255.0) for ys in gy for xs in gx]
+
+
+def _decode_ppm(payload: bytes) -> list[float]:
+    """Binary PPM (P6) → 4×4 grayscale grid (pure numpy)."""
+    import re
+
+    import numpy as np
+
+    # exactly ONE whitespace char terminates the header — bytes.split would
+    # also eat whitespace-valued leading pixel bytes
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("not a P6 PPM")
+    w, h, maxv = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    img = (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=m.end())
+        .reshape(h, w, 3)
+        .mean(axis=2)
+    )
+    gy = np.array_split(np.arange(h), 4)
+    gx = np.array_split(np.arange(w), 4)
+    return [float(img[np.ix_(ys, xs)].mean() / maxv) for ys in gy for xs in gx]
+
+
+_MAGIC_DECODERS = [
+    (b"RIFF", _decode_wav),
+    (b"BM", _decode_bmp),
+    (b"P6", _decode_ppm),
+]
+
+
 def _decode_one(payload: bytes, meta) -> list[float]:
-    """Decode kernel. Real decoder when available, deterministic fake
-    otherwise (STUB — container has no image/audio libs)."""
+    """Decode kernel: real decoders for stdlib/numpy-decodable formats
+    (PCM WAV, 24-bit BMP, P6 PPM — magic-sniffed), PIL for everything else
+    when available, else a deterministic fake.
+
+    All paths emit 16 floats so the stage schema is decoder-independent.
+    """
+    payload = payload or b""
+    for magic, dec in _MAGIC_DECODERS:
+        if payload.startswith(magic):
+            try:
+                return dec(payload)[:16]
+            except Exception:
+                break  # corrupt/unsupported variant → fake fallback
     try:  # pragma: no cover - PIL absent in this container
         from io import BytesIO
 
         from PIL import Image
 
         img = Image.open(BytesIO(payload))
-        img = img.convert("L").resize((8, 8))
+        img = img.convert("L").resize((4, 4))
         return [p / 255.0 for p in img.getdata()]
     except Exception:
         # deterministic fake: 16 floats from the md5 of the payload's HEX
         # form (hex, not raw bytes, so engines whose hash functions are
         # VARCHAR-only — DuckDB — can replicate it for the oracle gate)
-        d = hashlib.md5((payload or b"").hex().encode()).digest()
+        d = hashlib.md5(payload.hex().encode()).digest()
         return [b / 255.0 for b in d[:16]]
 
 
