@@ -42,6 +42,25 @@ def token_count_sql(col: str = "text") -> str:
     return f"len(regexp_split_to_array(trim({col}), '\\s+'))"
 
 
+# GPT-2-style pre-tokenizer approximation: contraction suffixes, letter
+# runs, single digits, punctuation runs. Restricted to syntax Java regex
+# (Spark) and RE2 (DuckDB) tokenize identically — verified char-for-char in
+# the oracle gate. A real BPE merges within these pieces, so this counts an
+# upper-bound-ish proxy at full scan speed with zero Python.
+SUBWORD_PATTERN = r"'(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}|[^\s\p{L}\p{N}]+"
+
+
+def subword_count(text: Column | str) -> Column:
+    """BPE-ish token count — pre-tokenizer pieces per document."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(SUBWORD_PATTERN), F.lit(0)))
+
+
+def subword_count_sql(col: str = "text") -> str:
+    pat = SUBWORD_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
 # --------------------------------------------------------------------------
 # quality scoring
 def quality_exprs(text: Column | str) -> dict[str, Column]:

@@ -983,6 +983,20 @@ def q_token_count(spark, sf_dir):
     return d.select("doc_id", X.token_count("text").alias("n_tokens"), "n_chars")
 
 
+@_register(
+    "subword_count",
+    f"""
+    SELECT doc_id, {X.subword_count_sql('text')} AS n_subwords
+    FROM documents
+    """,
+)
+def q_subword_count(spark, sf_dir):
+    # BPE-ish pre-tokenizer piece count (GPT-2-style regex), Java-regex and
+    # RE2 tokenize the pattern identically — hash-match gated
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.subword_count("text").alias("n_subwords"))
+
+
 def _quality_sql() -> str:
     parts = ",\n           ".join(
         f"{expr} AS {name}" for name, expr in X.quality_sql("text").items()
