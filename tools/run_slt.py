@@ -115,11 +115,17 @@ def run_slt(engine, path: str, skip_statements: tuple[str, ...] = ()) -> tuple[i
 
 def main():
     sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from bustub_vectordb_spark.mock_tables import register_mock_tables
     from bustub_vectordb_spark.session import get_spark
-    from bustub_vectordb_spark.sql import SqlEngine
+    from bustub_vectordb_spark.sql import SqlEngine, bootstrap_test_tables
 
-    engine = SqlEngine(get_spark())
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    register_mock_tables(spark)
     for path in sys.argv[1:]:
+        # fresh engine per file — .slt files assume a clean instance
+        engine = SqlEngine(spark)
+        bootstrap_test_tables(engine)
         ok, total = run_slt(engine, path)
         print(f"{path}: {ok}/{total} ok")
 
