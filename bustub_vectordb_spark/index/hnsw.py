@@ -114,16 +114,17 @@ class _Graph:
     def _insert(self, idx: int) -> None:
         q = self.vecs[idx]
         level = int(-math.log(self.rng.random() + 1e-300) * self.m_l)
+        # capture the top layer BEFORE extending — extending first would make
+        # `level > top` unreachable and the entry point never promoted
+        top = len(self.edges) - 1
         while len(self.edges) <= level:
             self.edges.append({})
         if self.entry is None:
             self.entry = idx
-            self.top = level
             for lv in range(level + 1):
                 self.edges[lv][idx] = []
             return
         ep = [self.entry]
-        top = len(self.edges) - 1
         for lv in range(top, level, -1):
             ep = self._search_layer(q, ep, 1, lv)[:1]
         for lv in range(min(level, top), -1, -1):
@@ -140,6 +141,11 @@ class _Graph:
                     )
             ep = cands
         if level > top:
+            # new top layer(s): the new vertex is their only member and
+            # becomes the graph entry point (ref InsertVectorEntry adds the
+            # vertex to each new layer, hnsw_index.cpp:204-279)
+            for lv in range(top + 1, level + 1):
+                self.edges[lv][idx] = []
             self.entry = idx
 
     def add_all(self, ids, mat: np.ndarray) -> None:
@@ -163,6 +169,13 @@ class _Graph:
         ]
 
 
+def _id_type(df, id_col: str) -> str:
+    """Spark simpleString type of the id column — derived from the source
+    schema at build time so string / int / bigint ids all round-trip through
+    batch search and persistence (not hardcoded to long)."""
+    return {f.name: f.dataType.simpleString() for f in df.schema}[id_col]
+
+
 @dataclass
 class HNSWIndex:
     """Driver contract mirror of IVFFlatIndex: build / probe / insert / save."""
@@ -173,6 +186,7 @@ class HNSWIndex:
     graph: _Graph
     extra_cols: dict = field(default_factory=dict)  # id -> row dict (payload)
     _spark: object = None
+    id_type: str = "bigint"  # Spark simpleString of id_col (set at build)
 
     @classmethod
     def build(
@@ -201,7 +215,10 @@ class HNSWIndex:
             order = list(range(len(ids)))
             random.Random(seed).shuffle(order)
             g.add_all([ids[i] for i in order], mat[order])
-        return cls(vec_col, id_col, dist, g, _spark=df.sparkSession)
+        return cls(
+            vec_col, id_col, dist, g,
+            _spark=df.sparkSession, id_type=_id_type(df, id_col),
+        )
 
     def probe(self, query, k: int, dist_col: str = "distance", ef_search: int | None = None):
         """Single-query ANN probe → small DataFrame (id, distance).
@@ -217,7 +234,10 @@ class HNSWIndex:
         pdf = pd.DataFrame(
             {self.id_col: [h[0] for h in hits], dist_col: [sign * h[1] for h in hits]}
         )
-        return self._spark.createDataFrame(pdf)
+        # explicit schema: correct id type and no inference failure on 0 hits
+        return self._spark.createDataFrame(
+            pdf, f"{self.id_col} {self.id_type}, {dist_col} double"
+        )
 
     def insert(self, rows) -> "HNSWIndex":
         """Insert-after-build (ref InsertVectorEntry :204-279; tested by
@@ -247,7 +267,7 @@ class HNSWIndex:
             for f in queries.schema
             if f.name != query_vec
         )
-        schema += f", {self.id_col} long, {dist_col} double"
+        schema += f", {self.id_col} {self.id_type}, {dist_col} double"
         id_col = self.id_col
 
         def run(batches):
@@ -307,7 +327,10 @@ class HNSWIndex:
             yield pd.DataFrame({"shard": [hash(tuple(sorted(ids[:3])))], "blob": [pickle.dumps(g)]})
 
         blobs = parts.mapInPandas(build_one, "shard long, blob binary")
-        return ShardedHNSW(vec_col, id_col, dist, blobs.cache(), df.sparkSession)
+        return ShardedHNSW(
+            vec_col, id_col, dist, blobs.cache(), df.sparkSession,
+            id_type=_id_type(df, id_col),
+        )
 
     @classmethod
     def build_routed(
@@ -414,7 +437,8 @@ class HNSWIndex:
             build_one, "shard long, blob binary"
         )
         return ShardedHNSW(
-            vec_col, id_col, dist, blobs.cache(), df.sparkSession, centroids=centroids
+            vec_col, id_col, dist, blobs.cache(), df.sparkSession,
+            centroids=centroids, id_type=_id_type(df, id_col),
         )
 
     # -- persistence: graph as DataFrames ---------------------------------
@@ -423,7 +447,7 @@ class HNSWIndex:
         spark = self._spark
         verts = spark.createDataFrame(
             [(int(i), g.ids[i], [float(x) for x in g.vecs[i]]) for i in range(len(g.ids))],
-            f"vertex int, {self.id_col} long, vec array<double>",
+            f"vertex int, {self.id_col} {self.id_type}, vec array<double>",
         )
         verts.write.mode("overwrite").parquet(f"{path}/vertices")
         edges = spark.createDataFrame(
@@ -446,8 +470,10 @@ class HNSWIndex:
         """Restore a saved graph (inverse of :meth:`save`); the id column
         name is recovered from the vertices schema."""
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
-        verts = spark.read.parquet(f"{path}/vertices").orderBy("vertex").collect()
-        id_col = spark.read.parquet(f"{path}/vertices").columns[1]
+        verts_df = spark.read.parquet(f"{path}/vertices")
+        verts = verts_df.orderBy("vertex").collect()
+        id_col = verts_df.columns[1]
+        id_type = verts_df.schema[id_col].dataType.simpleString()
         g = _Graph(
             meta["m"], meta["ef_construction"], meta["ef_search"], meta["dist"], seed=0
         )
@@ -460,7 +486,7 @@ class HNSWIndex:
         for r in edges:
             g.edges[r["level"]][r["vertex"]] = list(r["neighbors"])
         g.entry = meta["entry"]
-        return cls(vec_col, id_col, meta["dist"], g, _spark=spark)
+        return cls(vec_col, id_col, meta["dist"], g, _spark=spark, id_type=id_type)
 
 
 @dataclass
@@ -483,6 +509,7 @@ class ShardedHNSW:
     blobs: object  # DataFrame[shard long, blob binary]
     _spark: object
     centroids: list | None = None  # routed builds: shard i ⇐ centroid i
+    id_type: str = "bigint"  # Spark simpleString of id_col (set at build)
 
     def rank_shards(self, query: list[float]) -> list[int]:
         """Nearest-centroid shard order (driver-side, |shards| entries) —
@@ -531,7 +558,9 @@ class ShardedHNSW:
             src = src.filter(
                 F.col("shard").isin(self.rank_shards(q)[:n_probe])
             )
-        per_shard = src.mapInPandas(search_shard, f"{id_col} long, {dist_col} double")
+        per_shard = src.mapInPandas(
+            search_shard, f"{id_col} {self.id_type}, {dist_col} double"
+        )
         asc = self.dist == "l2"
         order = F.col(dist_col).asc() if asc else F.col(dist_col).desc()
         # boundary-replicated builds can surface the same id from several

@@ -64,9 +64,14 @@ def plan_knn(
             for i in registry.lookup(table, vec_col)
             if method in ("unset", i.method)
         ]
-        # exact distance-fn match preferred (ref MatchVectorIndex :50-57)
+        # exact distance-fn match preferred (ref MatchVectorIndex :50-57);
+        # the mismatched-distance fallback only applies when the method is
+        # 'unset' — an explicit 'ivfflat'/'hnsw' with no dist match returns
+        # nullptr in the reference (seq scan), since probing a wrong-distance
+        # index yields wrongly ordered top-k
         exact = [i for i in candidates if i.dist == dist]
-        chosen = exact[0] if exact else (candidates[0] if candidates else None)
+        fallback = candidates[0] if candidates and method == "unset" else None
+        chosen = exact[0] if exact else fallback
         if chosen is not None:
             probe = chosen.index.probe(query, k, dist_col=dist_col)
             return KnnPlan(f"vector_index_scan({chosen.method})", chosen.name, probe)

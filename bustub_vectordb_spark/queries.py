@@ -1382,7 +1382,9 @@ def q_events_tumbling_window(spark, sf_dir):
     # epoch seconds (TZ-proof across engines). Streaming variant:
     # bustub_vectordb_spark.streaming.events.
     ev = _t(spark, sf_dir, "events")
-    hour = (F.floor(F.col("ts") / F.lit(1_000_000_000) / 3600) * 3600).cast("bigint")
+    # integer division throughout — double division of ns epoch values
+    # (~2^60) can truncate to the wrong second near boundaries
+    hour = (F.expr("(ts div 1000000000) div 3600") * 3600).cast("bigint")
     return ev.groupBy(
         hour.alias("window_start"),
         "event_type",

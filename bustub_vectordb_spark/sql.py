@@ -451,7 +451,10 @@ class SqlEngine:
                     ef_search=opts.get("ef_search", 64),
                     dist=OPS_TO_DIST.get(ops, "l2"),
                 )
-            self.indexes.create(name, table, col, method, idx)
+            self.indexes.create(
+                name, table, col, method, idx,
+                ops=ops if ops in OPS_TO_DIST else "vector_l2_ops",
+            )
         else:
             self._scalar_indexes = getattr(self, "_scalar_indexes", {})
             self._scalar_indexes[name] = (table, col, method)

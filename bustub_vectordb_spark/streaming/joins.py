@@ -69,8 +69,10 @@ def _pair_output(j: DataFrame) -> DataFrame:
 
 
 def _with_sec(events: DataFrame) -> DataFrame:
-    # ns → whole seconds (bigint) + second-truncated timestamp
-    sec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("bigint")
+    # ns → whole seconds, integer division (exact; double division of ns
+    # epoch values (~2^60) exceeds double's 2^53 exact range — same reasoning
+    # as sessions.py)
+    sec = F.expr("ts div 1000000000")
     return events.withColumn("sec", sec).withColumn(
         "event_time", F.timestamp_seconds(F.col("sec"))
     )

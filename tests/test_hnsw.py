@@ -111,6 +111,84 @@ def test_routed_build_and_probe(emb):
     assert sorted(routed.rank_shards(QUERY)) == [0, 1, 2, 3]
 
 
+def test_entry_promoted_on_new_top_layer():
+    """When an insert draws a level above the current top layer, the new
+    vertex must become the entry point and the sole member of each new
+    layer (ref InsertVectorEntry, hnsw_index.cpp:204-279)."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.hnsw import _Graph
+
+    g = _Graph(m=4, ef_construction=8, ef_search=8, dist="l2", seed=1)
+
+    class _FixedLevels:
+        # levels drawn per insert: node0 → 0, node1 → 0, node2 → 2
+        def __init__(self, levels):
+            self._levels = iter(levels)
+
+        def random(self):
+            import math
+
+            # invert level = int(-log(r) * m_l): r = exp(-level / m_l)
+            return math.exp(-next(self._levels) / g.m_l) * 0.999
+
+    g.rng = _FixedLevels([0, 0, 2])
+    g.add_all([10, 11, 12], np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]))
+    assert g.entry == 2, "node at new top layer must become the entry point"
+    assert len(g.edges) == 3
+    assert set(g.edges[2]) == {2} and set(g.edges[1]) == {2}, (
+        "new layers contain only the promoted vertex — no fabricated "
+        "adjacency for the old entry"
+    )
+    # the graph still searches correctly from the promoted entry
+    got = [i for i, _ in g.search(np.array([0.9, 0.1]), 2)]
+    assert got[0] == 11
+
+
+def test_string_id_column(spark):
+    """Non-bigint id columns (e.g. doc_id strings) must round-trip through
+    probe, batch search, persistence, and sharded probes — schemas derive
+    the id type from the source DataFrame, not a hardcoded long."""
+    import random as _random
+
+    rng = _random.Random(7)
+    rows = [
+        (f"doc-{i:03d}", [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    idx = HNSWIndex.build(
+        df, "embedding", "doc_id", m=4, ef_construction=16, ef_search=16
+    )
+    q = rows[5][1]
+    hits = idx.probe(q, 3).collect()
+    assert hits[0]["doc_id"] == "doc-005"
+
+    queries = df.select(
+        F.col("doc_id").alias("qid"), F.col("embedding").alias("qvec")
+    ).limit(5)
+    batch = idx.search_batch(queries, "qvec", k=2).collect()
+    assert len(batch) == 10 and all(isinstance(r["doc_id"], str) for r in batch)
+
+    sharded = HNSWIndex.build_partitioned(
+        df, "embedding", "doc_id", shards=2, m=4, ef_construction=16, ef_search=16
+    )
+    got = sharded.probe(q, 3).collect()
+    assert got[0]["doc_id"] == "doc-005"
+
+
+def test_string_id_save_load(spark, tmp_path):
+    rows = [(f"k{i}", [float(i), float(i % 3)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    idx = HNSWIndex.build(df, "embedding", "doc_id", m=4, ef_construction=16, ef_search=16)
+    path = str(tmp_path / "hnsw_str")
+    idx.save(path)
+    loaded = HNSWIndex.load(spark, path)
+    assert loaded.id_type == "string"
+    orig = [(r["doc_id"], round(r["distance"], 8)) for r in idx.probe([3.0, 0.0], 5).collect()]
+    rest = [(r["doc_id"], round(r["distance"], 8)) for r in loaded.probe([3.0, 0.0], 5).collect()]
+    assert orig == rest
+
+
 def test_routed_boundary_replication(emb):
     """SPANN-style replication: with eps > 0, near-boundary vectors live in
     multiple shards, so a 1-shard probe must not miss more than the

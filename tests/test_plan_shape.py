@@ -109,3 +109,33 @@ def test_index_selection_explain_shapes(spark, sf_dir, tables):
         reg, "embeddings", emb, "embedding", QUERY_VEC, 5, method="hnsw"
     )
     assert hnsw_only.strategy == "seq_scan", "no hnsw index registered -> exact scan"
+
+
+def test_explicit_method_distance_mismatch_is_seq_scan(spark, sf_dir, tables):
+    """ref MatchVectorIndex: the mismatched-distance fallback only applies
+    when vector_index_method is 'unset'; an explicit method with no
+    distance-fn match returns nullptr → seq scan (probing a wrong-distance
+    index would return wrongly ordered top-k)."""
+    from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+    from bustub_vectordb_spark.index.registry import VectorIndexRegistry
+    from bustub_vectordb_spark.index.selection import plan_knn
+    from bustub_vectordb_spark.queries import QUERY_VEC
+
+    emb = tables["embeddings"]
+    reg = VectorIndexRegistry()
+    idx = IVFFlatIndex.build(emb, "embedding", lists=4, probe_lists=2, max_iter=3)
+    reg.create("emb_ivf_l2", "embeddings", "embedding", "ivfflat", idx)
+
+    explicit = plan_knn(
+        reg, "embeddings", emb, "embedding", QUERY_VEC, 5,
+        dist="cosine", method="ivfflat",
+    )
+    assert explicit.strategy == "seq_scan", (
+        "explicit method + no distance match must fall back to exact scan"
+    )
+    # 'unset' keeps the reference's lenient fallback to the first candidate
+    unset = plan_knn(
+        reg, "embeddings", emb, "embedding", QUERY_VEC, 5,
+        dist="cosine", method="unset",
+    )
+    assert unset.strategy == "vector_index_scan(ivfflat)"

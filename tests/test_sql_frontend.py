@@ -158,3 +158,28 @@ def test_meta_commands_list_tables_and_indexes(spark):
     assert idx["mi1"] == ("ivfflat", "l2")
     assert idx["mi2"][0] == "bplustree"
     assert e.execute("\\help") is None
+
+
+def test_create_index_ops_class_sets_registry_dist(spark):
+    """The parsed ops class must reach the registry — a cosine index
+    registered as l2 would mis-route plan_knn's exact-distance-match
+    preference (catalog.h:322-331 binds ops → distance fn)."""
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE mt2(v1 VECTOR(3), v2 integer)")
+    e.execute(
+        "INSERT INTO mt2 VALUES (ARRAY [1.0,2.0,3.0], 1),"
+        " (ARRAY [2.0,2.0,3.0], 2), (ARRAY [3.0,2.0,3.0], 3)"
+    )
+    e.execute(
+        "CREATE INDEX mc1 ON mt2 USING ivfflat (v1 vector_cosine_ops)"
+        " WITH (lists = 2, probe_lists = 2)"
+    )
+    e.execute(
+        "CREATE INDEX mc2 ON mt2 USING hnsw (v1 vector_ip_ops)"
+        " WITH (m = 4, ef_construction = 8, ef_search = 8)"
+    )
+    idx = {r["index"]: (r["method"], r["dist"]) for r in e.execute("\\di").collect()}
+    assert idx["mc1"] == ("ivfflat", "cosine")
+    assert idx["mc2"] == ("hnsw", "ip")
