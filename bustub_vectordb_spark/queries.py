@@ -907,6 +907,111 @@ def q_ann_index_selection(spark, sf_dir):
     )
 
 
+# --- ANN via LSH buckets (north-star extension: hash-routed scale path;
+# seeded hyperplanes make the candidate set engine-reproducible, so unlike
+# IVF partial probes these approximate probes are STRONG hash-match gated) ---
+
+
+def _lsh_ann_oracle(k=10, n_planes=16, max_hamming=4, dim=64, seed=42) -> str:
+    """DuckDB replica of the single LSH probe: inline the seeded planes,
+    recompute each row's packed bucket code, filter by the SAME literal
+    probe-code list the Spark side uses, exact-cosine top-k."""
+    from .similarity.lsh_ann import make_planes, probe_codes, query_code
+
+    planes = make_planes(n_planes, dim, seed)
+    codes = probe_codes(query_code(QUERY_VEC, planes), n_planes, max_hamming)
+    bits = ", ".join(
+        "(case when list_inner_product(v, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]) > 0 then 1 else 0 end)"
+        for p in planes
+    )
+    pack = " + ".join(
+        f"b[{j + 1}] * {2 ** (n_planes - 1 - j)}" for j in range(n_planes)
+    )
+    return f"""
+    WITH bits AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, [{bits}] AS b FROM embeddings
+    ), coded AS (
+      SELECT vec_id, v, ({pack})::BIGINT AS code FROM bits
+    )
+    SELECT vec_id, round(sim, 8) AS similarity FROM (
+      SELECT vec_id, code,
+             list_cosine_similarity(v, {_vec_sql_literal(QUERY_VEC)}) AS sim
+      FROM coded
+    ) WHERE code IN ({", ".join(str(c) for c in codes)})
+    ORDER BY sim DESC, vec_id ASC LIMIT {k}
+    """
+
+
+@_register("ann_lsh_probe", _lsh_ann_oracle())
+def q_ann_lsh_probe(spark, sf_dir):
+    # Hamming-ball bucket filter → exact top-k among candidates. Approximate
+    # vs full KNN, yet hash-match gated: the probed bucket set is fixed by
+    # the seeded planes (recall vs exact asserted in tests/test_lsh_ann.py).
+    from .similarity.lsh_ann import lsh_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_knn(
+        emb, "embedding", "vec_id", QUERY_VEC, 10, n_planes=16, max_hamming=4
+    )
+
+
+def _lsh_ann_batch_oracle(k=5, n_planes=16, max_hamming=3, dim=64, seed=42) -> str:
+    """Batch multi-probe replica: the Hamming-ball equi-join is expressed as
+    bit_count(xor(codes)) <= h — identical candidate pairs, since joining a
+    query's exploded probe codes on the corpus's exact code IS the Hamming
+    ball."""
+    from .similarity.lsh_ann import make_planes
+
+    planes = make_planes(n_planes, dim, seed)
+    bits = ", ".join(
+        "(case when list_inner_product(v, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]) > 0 then 1 else 0 end)"
+        for p in planes
+    )
+    pack = " + ".join(
+        f"b[{j + 1}] * {2 ** (n_planes - 1 - j)}" for j in range(n_planes)
+    )
+    return f"""
+    WITH bits AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, [{bits}] AS b FROM embeddings
+    ), coded AS (
+      SELECT vec_id, v, ({pack})::BIGINT AS code FROM bits
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv, code AS qcode FROM coded
+      WHERE vec_id % 50 = 0
+    ), cand AS (
+      SELECT q.qid, c.vec_id,
+             list_cosine_similarity(c.v, q.qv) AS sim
+      FROM q JOIN coded c ON bit_count(xor(q.qcode, c.code)) <= {max_hamming}
+    ), r AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+      FROM cand
+    )
+    SELECT qid, vec_id, round(sim, 8) AS similarity FROM r WHERE rn <= {k}
+    """
+
+
+@_register("ann_lsh_batch_probe", _lsh_ann_batch_oracle())
+def q_ann_lsh_batch_probe(spark, sf_dir):
+    # Multi-probe batch KNN join: each query explodes into its probe-code
+    # set, plain equi-join on the packed code, per-query exact top-k — and
+    # the whole approximate pipeline still hash-matches DuckDB.
+    from .similarity.lsh_ann import lsh_knn_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return lsh_knn_batch(
+        emb, "embedding", "vec_id", queries, "qid", "qv", k=5,
+        n_planes=16, max_hamming=3,
+    )
+
+
 # --- ANN via HNSW (ref: vector.05-hnsw.slt; approximate → rows-only checks,
 # recall asserted in tests/test_hnsw.py, mirroring the reference's grading) ---
 
