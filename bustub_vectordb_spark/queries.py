@@ -1557,6 +1557,73 @@ def q_events_view_purchase_join(spark, sf_dir):
     return view_purchase_pairs(_t(spark, sf_dir, "events"))
 
 
+@_register(
+    "events_asof_attribution",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value,
+             epoch(date_trunc('second', ts))::BIGINT AS sec
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), u AS (
+      SELECT user_id, sec,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_left,
+             event_id, value,
+             CASE WHEN event_type = 'view'
+                  THEN struct_pack(view_id := event_id, view_sec := sec)
+             END AS r
+      FROM e
+    ), m AS (
+      SELECT user_id, sec, is_left, event_id, value,
+             last_value(r IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY sec, is_left, r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mr
+      FROM u
+    )
+    SELECT user_id, event_id AS purchase_id,
+           CASE WHEN sec - struct_extract(mr, 'view_sec') <= 86400
+                THEN struct_extract(mr, 'view_id') END AS view_id,
+           CASE WHEN sec - struct_extract(mr, 'view_sec') <= 86400
+                THEN sec - struct_extract(mr, 'view_sec') END AS lag_sec,
+           round(value, 2) AS purchase_value
+    FROM m WHERE is_left = 1
+    """,
+)
+def q_events_asof_attribution(spark, sf_dir):
+    # Last-touch attribution as a BACKWARD AS-OF JOIN: each purchase matched
+    # to the same user's latest view at-or-before it (≤1 day tolerance),
+    # NULLs when none. Union+window formulation — one shuffle, no join
+    # blowup (operators/asof.py).
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr("ts div 1000000000").alias("sec"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("sec").alias("view_sec"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("sec").alias("purchase_sec"),
+        "value",
+    )
+    j = asof_join(
+        purchases, views, on="user_id",
+        left_time="purchase_sec", right_time="view_sec",
+        right_prefix="", tolerance=86400,
+    )
+    return j.select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        (F.col("purchase_sec") - F.col("view_sec")).alias("lag_sec"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+
+
 # =========================================================================
 # Physical layout — persistent bucketing (co-located joins)
 # =========================================================================
