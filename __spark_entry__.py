@@ -31,4 +31,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(Q.ORACLE)
+    # entries may be lazy callables (oracles that inline data-derived
+    # artifacts, e.g. trained IVF centroids) — resolve them here
+    return {k: (v() if callable(v) else v) for k, v in Q.ORACLE.items()}

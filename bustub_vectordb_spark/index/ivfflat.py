@@ -194,7 +194,11 @@ class IVFFlatIndex:
             # keep their centroid) without max_iter driver-roundtrip jobs —
             # the distributed loop costs ~2 jobs/iteration in scheduling
             # alone, which dwarfs the math below ~millions of cells.
-            vecs = df.select(vec.alias("v")).collect()
+            # Collected in `order` so the fp summation order (and thus the
+            # trained centroids) is REPRODUCIBLE bit-for-bit regardless of
+            # how the scan splits — offline_centroids() replays it for the
+            # DuckDB oracle.
+            vecs = df.orderBy(order).select(vec.alias("v")).collect()
             centroids = _lloyds_numpy(
                 [r["v"] for r in vecs], centroids, max_iter
             )
@@ -203,7 +207,12 @@ class IVFFlatIndex:
             # standard IVF recipe — FAISS trains centroids on a sample too),
             # sized to the same cell budget.
             frac = min(1.0, cls.DRIVER_TRAIN_MAX_CELLS / (n * dim))
-            vecs = df.sample(fraction=frac, seed=42).select(vec.alias("v")).collect()
+            vecs = (
+                df.sample(fraction=frac, seed=42)
+                .orderBy(order)
+                .select(vec.alias("v"))
+                .collect()
+            )
             centroids = _lloyds_numpy(
                 [r["v"] for r in vecs], centroids, max_iter
             )
@@ -382,3 +391,38 @@ class IVFFlatIndex:
         centroids = [list(r["centroid"]) for r in cent_rows]
         assignments = spark.read.parquet(f"{path}/assignments")
         return cls(vec_col, len(centroids), probe_lists, dist, centroids, assignments)
+
+
+def offline_centroids(
+    parquet_path: str,
+    vec_col: str,
+    order_col: str,
+    lists: int,
+    max_iter: int,
+) -> list[list[float]]:
+    """Replay ``IVFFlatIndex.build``'s driver-side training WITHOUT Spark —
+    pyarrow scan + the same ``_lloyds_numpy`` over rows sorted by
+    ``order_col`` (the same deterministic order build() collects in), so the
+    returned centroids are bit-identical to a Spark build over the same
+    parquet. Used to inline centroid literals into the DuckDB correctness
+    oracle for partial-probe ANN queries, making the approximate candidate
+    set itself exactly checkable. Only valid on inputs small enough for the
+    full-table training path (DRIVER_TRAIN_MAX_CELLS)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[order_col, vec_col])
+    keys = np.asarray(t[order_col])
+    order = np.argsort(keys, kind="stable")
+    # to_pylist -> python floats (exact float32→float widening), matching
+    # what Spark's collect() of CAST(vec AS array<double>) hands the trainer
+    vecs = t[vec_col].to_pylist()
+    vecs = [vecs[i] for i in order]
+    n, dim = len(vecs), len(vecs[0]) if vecs else 0
+    if n * dim > IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS:
+        raise ValueError(
+            "offline_centroids only replicates the full-table training path "
+            f"({n}×{dim} cells exceeds DRIVER_TRAIN_MAX_CELLS)"
+        )
+    init = vecs[: min(lists, n)]
+    return _lloyds_numpy(vecs, [list(v) for v in init], max_iter)

@@ -34,10 +34,15 @@ from .operators.relational import delete_rows, top_n_per_group, update_rows
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, SparkQuery] = {}
-ORACLE: dict[str, str] = {}
+# values: SQL text, or a zero-arg callable producing SQL text at
+# oracle-collection time (used when the oracle must inline artifacts derived
+# from the data, e.g. trained IVF centroids — resolved by
+# __spark_entry__.oracle_sql(); the sf dir comes from
+# $SPARK_GRAFT_ORACLE_SF_DIR, defaulting to the driver gate's sf0.01)
+ORACLE: dict[str, str | Callable[[], str]] = {}
 
 
-def _register(name: str, sql: str | None = None):
+def _register(name: str, sql: str | Callable[[], str] | None = None):
     def deco(fn: SparkQuery):
         QUERIES[name] = fn
         if sql is not None:
@@ -858,16 +863,103 @@ def q_ann_ivfflat_batch_exact(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("dist", 8).alias("distance"))
 
 
-@_register("ann_ivfflat_batch_probe")  # approximate → rows-only; recall in tests
+def _ivfflat_oracle_cents() -> tuple[str, list[list[float]]]:
+    """Inline-able centroid literals for the partial-probe oracles.
+
+    IVFFlat training is fully deterministic (seed rows + collect order fixed
+    by vec_id), so ``index.ivfflat.offline_centroids`` reproduces the Spark
+    index's centroids bit-for-bit from the parquet alone — which makes the
+    *approximate* candidate set exactly specifiable in SQL: assign each row
+    to its nearest inlined centroid, keep the query's nearest probe_lists
+    buckets, exact top-k within. Computed lazily because the centroids
+    depend on the sf dir the oracle runs against."""
+    import os
+
+    from .index.ivfflat import offline_centroids
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = offline_centroids(f"{sf}/embeddings.parquet", "embedding", "vec_id", 8, 5)
+    values = ", ".join(
+        f"({b}, {_vec_sql_literal(c)})" for b, c in enumerate(cents)
+    )
+    return values, cents
+
+
+def _ivfflat_probe_oracle() -> str:
+    import math
+
+    values, cents = _ivfflat_oracle_cents()
+    # driver-side bucket ranking, same as IVFFlatIndex.rank_buckets (l2;
+    # stable sort → lowest index on ties)
+    buckets = sorted(range(len(cents)), key=lambda i: math.dist(cents[i], QUERY_VEC))[:4]
+    blist = ", ".join(str(b) for b in buckets)
+    q = _vec_sql_literal(QUERY_VEC)
+    return f"""
+    WITH cents(b, c) AS (VALUES {values}),
+    a AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.b,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.b) AS arn
+      FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT vec_id, round(list_distance(v, {q}), 8) AS distance
+    FROM a WHERE arn = 1 AND b IN ({blist})
+    ORDER BY list_distance(v, {q}) ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+def _ivfflat_batch_probe_oracle() -> str:
+    values, _ = _ivfflat_oracle_cents()
+    return f"""
+    WITH cents(b, c) AS (VALUES {values}),
+    q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    qb AS (
+      SELECT qid, qv, b,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY list_distance(qv, c), b) AS crn
+      FROM q CROSS JOIN cents
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.b,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.b) AS arn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cand AS (
+      SELECT qb.qid, a.vec_id, list_distance(a.v, qb.qv) AS dist
+      FROM qb JOIN a ON qb.b = a.b AND qb.crn <= 4 AND a.arn = 1
+    ),
+    r AS (
+      SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+      FROM cand
+    )
+    SELECT qid, vec_id, round(dist, 8) AS distance FROM r WHERE rn <= 5
+    """
+
+
+@_register("ann_ivfflat_batch_probe", _ivfflat_batch_probe_oracle)
 def q_ann_ivfflat_batch_probe(spark, sf_dir):
+    # partial-probe batch KNN join (probe_lists=4 of 8) — approximate vs
+    # exact KNN, but the candidate set is DETERMINISTIC given the trained
+    # centroids, so the oracle replays assignment + bucket ranking + in-
+    # bucket top-k with the bit-identical offline centroids inlined.
     idx = _ivfflat_for(spark, sf_dir)
     queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 97 == 0)
     out = idx.probe_batch(queries, "embedding", "vec_id", k=5, probe_lists=4)
     return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
 
 
-@_register("ann_ivfflat_probe")  # approximate → rows-only check; recall
-def q_ann_ivfflat_probe(spark, sf_dir):  # asserted in tests/test_ivfflat.py
+@_register("ann_ivfflat_probe", _ivfflat_probe_oracle)
+def q_ann_ivfflat_probe(spark, sf_dir):  # recall also asserted in tests/test_ivfflat.py
+    # single-query partial probe; oracle replays the deterministic candidate
+    # set from offline-replicated centroids (see _ivfflat_oracle_cents)
     idx = _ivfflat_for(spark, sf_dir)
     probe = idx.probe(QUERY_VEC, 10, probe_lists=4, dist_col="dist")
     return (

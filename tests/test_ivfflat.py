@@ -146,3 +146,14 @@ def test_broadcast_assignment_matches_literal(emb):
         .collect()
     }
     assert lit == bc and len(lit) > 0
+
+
+def test_offline_centroids_bit_identical(emb, ivf, sf_dir):
+    """offline_centroids (pyarrow + numpy, no Spark) must reproduce the
+    Spark-built index's trained centroids bit-for-bit — this is what lets
+    the DuckDB oracle inline them and hash-match the partial-probe ANN
+    candidate sets exactly."""
+    from bustub_vectordb_spark.index.ivfflat import offline_centroids
+
+    off = offline_centroids(f"{sf_dir}/embeddings.parquet", "embedding", "vec_id", 8, 5)
+    assert off == ivf.centroids

@@ -21,6 +21,9 @@ import duckdb
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
+# lazy oracle generators (data-derived artifacts, e.g. IVF centroids) read
+# the sf dir from this env var — point them at the dir under test
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
