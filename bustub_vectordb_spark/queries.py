@@ -376,6 +376,193 @@ def q_agg_empty_input(spark, sf_dir):
     )
 
 
+# --- multi-level aggregation (beyond the reference's flat GROUP BY —
+# rollup/cube/grouping sets compute every level in ONE pass: Spark expands
+# the grouping sets before the shuffle, so it stays a single Exchange) ---
+
+
+@_register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@_register(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@_register(
+    "agg_grouping_sets",
+    """
+    SELECT c_nationkey, c_mktsegment, count(*) AS cnt,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment), ())
+    """,
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupingSets(
+        [["c_nationkey"], ["c_mktsegment"], []], "c_nationkey", "c_mktsegment"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+@_register(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_count_distinct(spark, sf_dir):
+    # exact DISTINCT aggregation (the reference's planner rejects DISTINCT
+    # aggs — plan_aggregation.cpp:29-31; first-class here). Spark expands
+    # multi-distinct into an Expand + two-phase agg: still one data scan.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@_register(
+    "agg_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_quantiles(spark, sf_dir):
+    # EXACT percentiles (linear interpolation — same definition as DuckDB's
+    # quantile_cont). At 100 TB the scale path is approx_percentile (t-digest
+    # sketch, mergeable map-side); exact is the correctness baseline and the
+    # two share the query shape.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 4).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.5, 0.75, 0.9)
+        ]
+    )
+
+
+@_register(
+    "agg_stddev_var",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_discount), 9) AS sd_disc,
+           round(var_samp(l_discount), 9) AS var_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stddev_var(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_discount"), 9).alias("sd_disc"),
+        F.round(F.var_samp("l_discount"), 9).alias("var_disc"),
+    )
+
+
+# --- set operations (absent from the reference — its binder has no set-op
+# path, bind_select.cpp:332-345 — but first-class in any analytics engine) ---
+
+
+@_register(
+    "set_union_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_set_union_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionAll(s)
+
+
+@_register(
+    "set_intersect",
+    """
+    SELECT DISTINCT c.c_nationkey AS nationkey, n.n_name AS name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    INTERSECT
+    SELECT s.s_nationkey, n.n_name FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_nationkey").alias("nationkey"), F.col("n_name").alias("name"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_nationkey").alias("nationkey"), F.col("n_name").alias("name"))
+    )
+    return c.intersect(s)
+
+
+@_register(
+    "set_except_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_except_all(spark, sf_dir):
+    # bag-semantics difference (multiset minus) — each row's multiplicity is
+    # max(0, count_left - count_right)
+    o = _t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left.exceptAll(right)
+
+
 # =========================================================================
 # Joins  (ref: nested_loop_join / hash_join / nested_index_join executors —
 # Spark's join strategy selection subsumes the reference's NLJAsHashJoin /
@@ -1713,6 +1900,93 @@ def q_events_asof_attribution(spark, sf_dir):
         "view_id",
         (F.col("purchase_sec") - F.col("view_sec")).alias("lag_sec"),
         F.round("value", 2).alias("purchase_value"),
+    )
+
+
+@_register(
+    "range_join_band",
+    """
+    WITH e AS (
+      SELECT event_id, event_type,
+             epoch(date_trunc('second', ts))::BIGINT AS sec
+      FROM events
+    ),
+    v AS (SELECT event_id AS view_id, sec AS view_sec FROM e WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, sec AS purchase_sec FROM e WHERE event_type = 'purchase')
+    SELECT view_id, purchase_id, purchase_sec - view_sec AS gap_sec
+    FROM v, p WHERE abs(view_sec - purchase_sec) <= 120
+    """,
+)
+def q_range_join_band(spark, sf_dir):
+    # KEYLESS band join: every (view, purchase) pair across ALL users within
+    # ±120 s. Naive Spark plans this as a BroadcastNestedLoopJoin (O(n·m));
+    # band_join manufactures a time-bucket equi-key so it runs as a plain
+    # shuffle join (operators/range_join.py — plan shape asserted in tests).
+    from .operators.range_join import band_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr("ts div 1000000000").alias("sec")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("sec").alias("view_sec")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("sec").alias("purchase_sec")
+    )
+    j = band_join(v, p, "view_sec", "purchase_sec", 120)
+    return j.select(
+        "view_id",
+        "purchase_id",
+        (F.col("purchase_sec") - F.col("view_sec")).alias("gap_sec"),
+    )
+
+
+@_register(
+    "range_join_followup_orders",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS day
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey, a.o_orderkey AS first_order,
+           b.o_orderkey AS followup_order, b.day - a.day AS gap_days
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND b.day > a.day AND b.day <= a.day + 90
+    """,
+)
+def q_range_join_followup_orders(spark, sf_dir):
+    # keyed point-in-interval join: per customer, each order paired with the
+    # follow-up orders in the 90 days after it. The date-bucket key is
+    # appended to the customer key, so even a single hot customer's pairs
+    # spread across time buckets (operators/range_join.py).
+    from .operators.range_join import interval_point_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        # o_orderdate is TIMESTAMP_NTZ — date diff is tz-free on both engines
+        F.expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)").alias("day"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("first_order"),
+        (F.col("day") + 1).alias("win_start"),
+        (F.col("day") + 90).alias("win_end"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("followup_order"),
+        F.col("day").alias("followup_day"),
+    )
+    j = interval_point_join(
+        a, b, "win_start", "win_end", "followup_day", bucket_width=90, on=["custkey"]
+    )
+    return j.select(
+        "custkey",
+        "first_order",
+        "followup_order",
+        (F.col("followup_day") - F.col("win_start") + 1).alias("gap_days"),
     )
 
 
