@@ -29,7 +29,13 @@ def _hex_prefix(key: Column | str) -> Column:
 def _threshold(rate: float) -> str:
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
-    return format(int(rate * 16**_HEX_CHARS), f"0{_HEX_CHARS}x")
+    n = int(rate * 16**_HEX_CHARS)
+    if n >= 16**_HEX_CHARS:
+        # rate 1.0: format() would yield the 5-char '10000', which sorts
+        # BELOW most 4-char hex prefixes lexicographically; 'g' sorts above
+        # every hex char, so `prefix < 'g'` keeps all rows
+        return "g"
+    return format(n, f"0{_HEX_CHARS}x")
 
 
 def sample_hash_sql(key: str, rate: float) -> str:
@@ -49,3 +55,30 @@ def train_test_split(
     the same key always lands on the same side."""
     t = F.lit(_threshold(test_rate))
     return df.filter(_hex_prefix(key) >= t), df.filter(_hex_prefix(key) < t)
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum: str, rates: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive for
+    training corpora (down-weight an over-represented language/source
+    without a shuffle: the keep decision is a row-local hash compare).
+
+    ``rates`` maps stratum value → keep fraction; strata not listed are
+    dropped. Same key+rates → same sample on any engine or partitioning.
+    """
+    pred = F.lit(False)
+    for value, rate in rates.items():
+        pred = F.when(
+            F.col(stratum) == value, _hex_prefix(key) < F.lit(_threshold(rate))
+        ).otherwise(pred)
+    return df.filter(pred)
+
+
+def stratified_sample_sql(key: str, stratum: str, rates: dict[str, float]) -> str:
+    """DuckDB predicate equivalent to :func:`stratified_sample`."""
+    cases = " ".join(
+        f"WHEN {stratum} = '{v}' THEN {sample_hash_sql(key, r)}"
+        for v, r in rates.items()
+    )
+    return f"CASE {cases} ELSE false END"

@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as X
+from .functions.ranking import bm25_search_sql, tfidf_top_terms_sql
+from .functions.repetition import repetition_metrics_sql
 from .functions.vector import cosine_similarity, inner_product, l2_dist
+from .operators.chunking import chunk_documents_sql
+from .operators.sampling import stratified_sample_sql
 from .operators.relational import delete_rows, top_n_per_group, update_rows
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -739,6 +743,147 @@ def q_multiway_join_agg(spark, sf_dir):
     )
 
 
+# --- semi/anti joins and subquery shapes (the reference plans subqueries
+# as derived tables and has no EXISTS path, bind_select.cpp:332-345;
+# first-class here: Catalyst rewrites EXISTS/NOT EXISTS to LeftSemi/
+# LeftAnti — one shuffle each, no row duplication from the probe side) ---
+
+
+@_register(
+    "join_semi_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def q_join_semi_exists(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "join_anti_not_exists",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def q_join_anti_not_exists(spark, sf_dir):
+    # customers with no pending order — the same anti-join the delete
+    # rewrite uses (operators/relational.py)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@_register(
+    "scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def q_scalar_subquery(spark, sf_dir):
+    # uncorrelated scalar subquery → one-row agg broadcast into the filter
+    # (no driver round-trip: the scalar stays inside the plan)
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_register(
+    "correlated_subquery",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def q_correlated_subquery(spark, sf_dir):
+    # correlated scalar subquery decorrelated into a per-key agg + equi-join
+    # (the same rewrite Catalyst's RewriteCorrelatedScalarSubquery performs)
+    c = _t(spark, sf_dir, "customer")
+    per_nation = c.groupBy(F.col("c_nationkey").alias("__nk")).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    return (
+        c.join(F.broadcast(per_nation), c["c_nationkey"] == F.col("__nk"))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
+@_register(
+    "pivot_status_priority",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_priority(spark, sf_dir):
+    # pivot with an EXPLICIT value list — at scale the value list must be
+    # declared (inferring it is an extra pass over 100 TB); with it, pivot
+    # compiles to one groupBy with conditional aggregates (single shuffle)
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
+@_register(
+    "unpivot_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, measure, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    )
+    """,
+)
+def q_unpivot_lineitem(spark, sf_dir):
+    # wide → long melt: Spark's native unpivot (Expand node — one scan,
+    # no self-union, no shuffle)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "measure",
+        "val",
+    )
+
+
 # =========================================================================
 # Window functions  (ref: window_plan.h — five aggs + rank, default frames;
 # test/sql/p3.20-window-function.slt)
@@ -808,6 +953,116 @@ def q_topn_per_group(spark, sf_dir):
         3,
         method="row_number",
         rank_col="rn",
+    )
+
+
+# --- extended window surface (beyond the reference's five aggs + rank:
+# lag/lead, dense/percent rank, ntile, cume_dist, explicit ROWS frames,
+# first/last value — all single-pass window exec, same one shuffle) ---
+
+
+@_register(
+    "window_lag_lead",
+    """
+    SELECT user_id, event_id,
+           lag(event_id) OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           round(value - lag(value) OVER w, 6) AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag_lead(spark, sf_dir):
+    # event_id tie-break makes lag/lead deterministic for equal timestamps
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+    )
+
+
+@_register(
+    "window_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg_4,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 2) AS future_total
+    FROM orders
+    """,
+)
+def q_window_frames(spark, sf_dir):
+    # explicit ROWS frames (the reference only has the two implicit ones,
+    # window_plan.h): trailing moving average + forward-looking suffix sum
+    o = _t(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    trail = base.rowsBetween(-3, Window.currentRow)
+    ahead = base.rowsBetween(1, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(trail), 4).alias("moving_avg_4"),
+        F.round(F.sum("o_totalprice").over(ahead), 2).alias("future_total"),
+    )
+
+
+@_register(
+    "window_rank_family",
+    """
+    SELECT c_custkey, c_mktsegment,
+           dense_rank() OVER w AS drk,
+           round(percent_rank() OVER w, 6) AS prk,
+           ntile(4) OVER w AS quartile,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_rank_family(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).alias("drk"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@_register(
+    "window_first_last",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    """,
+)
+def q_window_first_last(spark, sf_dir):
+    # last_value needs the full-partition frame (the default running frame
+    # would just echo the current row) — classic SQL footgun, made explicit
+    o = _t(spark, sf_dir, "orders")
+    run = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = run.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(run).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
     )
 
 
@@ -1436,6 +1691,62 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+@_register(
+    "text_repetition",
+    repetition_metrics_sql("documents", "doc_id", "text"),
+)
+def q_text_repetition(spark, sf_dir):
+    # Gopher-style repetition quality filters (functions/repetition.py):
+    # top-2-gram dominance + duplicate-3-gram fraction per document. Two
+    # doc_id(+gram)-keyed shuffles — fully distributed, giant docs spread
+    # by (doc, gram).
+    from .functions.repetition import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_metrics(d, "doc_id", "text")
+
+
+@_register(
+    "doc_chunking",
+    chunk_documents_sql("documents", "doc_id", "text"),
+)
+def q_doc_chunking(spark, sf_dir):
+    # overlapping token-window chunking (operators/chunking.py): pure
+    # narrow map + explode, zero shuffle; chunk ids derived from token
+    # offset so they're stable under any partitioning.
+    from .operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", window=32, stride=24)
+
+
+@_register(
+    "tfidf_top_terms",
+    tfidf_top_terms_sql("documents", "doc_id", "text"),
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    # per-document keyword extraction: argmax TF-IDF term (functions/
+    # ranking.py). tf table stays (doc, term)-partitioned; df side is
+    # term-dimension sized → broadcast.
+    from .functions.ranking import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=1)
+
+
+@_register(
+    "bm25_search",
+    bm25_search_sql("documents", "doc_id", "text", ["spark", "table", "join"]),
+)
+def q_bm25_search(spark, sf_dir):
+    # Okapi BM25 bag-of-words retrieval, top-20 docs for a 3-term query
+    # (functions/ranking.py) — sparse counterpart to the vector KNN path.
+    from .functions.ranking import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_search(d, "doc_id", "text", ["spark", "table", "join"], k=20)
+
+
 # =========================================================================
 # Near-duplicate detection (LLM-pipeline dedup suite)
 # =========================================================================
@@ -1530,6 +1841,26 @@ def q_sample_deterministic(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return deterministic_sample(docs, "doc_id", 0.12).select(
         "doc_id", F.length("text").alias("text_len")
+    )
+
+
+_STRATA_RATES = {"en": 0.3, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.8}
+
+
+@_register(
+    "sample_stratified",
+    "SELECT doc_id, lang FROM documents WHERE "
+    + stratified_sample_sql("doc_id", "lang", _STRATA_RATES),
+)
+def q_sample_stratified(spark, sf_dir):
+    # data mixing: down-weight the over-represented language (en → 30%)
+    # while keeping 80% of the rest — per-stratum deterministic hash
+    # sampling (operators/sampling.py), a row-local filter with no shuffle.
+    from .operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang", _STRATA_RATES).select(
+        "doc_id", "lang"
     )
 
 
@@ -1748,6 +2079,34 @@ def q_multimodal_decode_features(spark, sf_dir):
 # Event-time windowed aggregation (batch form; streaming variant in
 # bustub_vectordb_spark.streaming)
 # =========================================================================
+
+
+@_register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS k_decile,
+           count(*) AS cnt,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 20
+    GROUP BY event_type, k_decile
+    """,
+)
+def q_events_json_extract(spark, sf_dir):
+    # semi-structured → relational: pull a typed field out of the JSON
+    # `props` payload and aggregate on it. get_json_object is JVM-side
+    # (Jackson), evaluated in the scan stage — the JSON never reaches a
+    # shuffle, only the extracted int does.
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.filter(k >= 20)
+        .groupBy(
+            "event_type", F.floor(k / 10).cast("int").alias("k_decile")
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
 
 
 @_register(

@@ -1,0 +1,125 @@
+"""Text-pipeline operators: repetition metrics, chunking, TF-IDF/BM25,
+stratified sampling (functions/repetition.py, operators/chunking.py,
+functions/ranking.py, operators/sampling.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bustub_vectordb_spark.functions.ranking import bm25_search, tfidf_top_terms
+from bustub_vectordb_spark.functions.repetition import ngrams, repetition_metrics, tokens
+from bustub_vectordb_spark.operators.chunking import chunk_documents
+from bustub_vectordb_spark.operators.sampling import stratified_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b a b a b a b"),          # pure 2-gram repetition
+        (2, "one two three four five"),  # no repetition
+        (3, "x"),                        # too short for any 2-gram
+        (4, "p q r p q r p q r s"),      # repeated 3-gram
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_ngrams_short_doc_empty(docs):
+    out = {
+        r["doc_id"]: r["g"]
+        for r in docs.select("doc_id", ngrams(tokens("text"), 2).alias("g")).collect()
+    }
+    assert out[3] == []  # no descending-sequence fabrication
+    assert out[1][:3] == ["a b", "b a", "a b"] and len(out[1]) == 7
+
+
+def test_repetition_metrics_values(docs):
+    m = {r["doc_id"]: r for r in repetition_metrics(docs, "doc_id", "text").collect()}
+    # doc 1: 7 bigrams, 'a b' x4, 'b a' x3 -> top=4/7, all duplicated -> dup3=1.0
+    assert m[1]["top2gram_frac"] == pytest.approx(4 / 7, abs=1e-6)
+    assert m[1]["dup3gram_frac"] == 1.0
+    # doc 2: all bigrams unique
+    assert m[2]["top2gram_frac"] == pytest.approx(0.25, abs=1e-6)
+    assert m[2]["dup3gram_frac"] == 0.0
+    # doc 3: too short -> filled 0.0, but the doc row must exist
+    assert m[3]["top2gram_frac"] == 0.0 and m[3]["dup3gram_frac"] == 0.0
+    # doc 4: 'p q r' occurs 3x among 8 trigrams; 'q r p'/'r p q' twice each
+    assert m[4]["dup3gram_frac"] == pytest.approx(7 / 8, abs=1e-6)
+
+
+def test_chunking_coverage_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = chunk_documents(df, "doc_id", "text", window=32, stride=24).collect()
+    assert [r["chunk_id"] for r in out] == [0, 1, 2, 3, 4]
+    # every token appears in at least one chunk, consecutive chunks overlap by 8
+    toks = text.split()
+    covered = set()
+    for r in out:
+        covered.update(r["chunk"].split())
+    assert covered == set(toks)
+    c0, c1 = out[0]["chunk"].split(), out[1]["chunk"].split()
+    assert c0[24:] == c1[:8]
+    # last chunk is the ragged tail: tokens 96..99
+    assert out[4]["chunk_tokens"] == 4 and out[4]["chunk"].split() == toks[96:]
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "only four tokens here")], "doc_id bigint, text string")
+    out = chunk_documents(df, "doc_id", "text", window=32, stride=24).collect()
+    assert len(out) == 1 and out[0]["chunk"] == "only four tokens here"
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    rows = [(i, "common filler words " + ("rare" if i == 0 else "boring")) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    top = {r["doc_id"]: r["term"] for r in tfidf_top_terms(df, "doc_id", "text").collect()}
+    assert top[0] == "rare"  # df=1 -> max idf
+    expected = round(1 * math.log(10 / 1), 6)
+    scores = {r["doc_id"]: r["score"] for r in tfidf_top_terms(df, "doc_id", "text").collect()}
+    assert scores[0] == pytest.approx(expected, abs=1e-6)
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    rows = [
+        (1, "spark join table spark join"),
+        (2, "spark only mentioned once here pad pad pad"),
+        (3, "nothing relevant at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = bm25_search(df, "doc_id", "text", ["spark", "join"], k=5).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]  # doc 3 matches nothing
+    assert out[0]["score"] > out[1]["score"] > 0
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from bustub_vectordb_spark.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    rates = {"en": 0.2, "de": 1.0}
+    s1 = stratified_sample(docs, "doc_id", "lang", rates)
+    got = s1.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    total = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert set(by_lang) <= {"en", "de"}  # unlisted strata dropped
+    assert by_lang["de"] == total["de"]  # rate 1.0 keeps everything
+    assert 0 < by_lang.get("en", 0) < total["en"]
+    # deterministic: same rows again
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, "doc_id", "lang", rates).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_chunking_plan_is_shuffle_free(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    out = chunk_documents(df, "doc_id", "text")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
