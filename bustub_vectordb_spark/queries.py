@@ -2110,6 +2110,26 @@ def q_events_json_extract(spark, sf_dir):
 
 
 @_register(
+    "events_dedup_first",
+    """
+    SELECT user_id, event_type, ts_ns // 60000000000 AS minute,
+           min(event_id) AS keep_event_id
+    FROM (SELECT user_id, event_type, event_id,
+                 epoch_ns(ts)::BIGINT AS ts_ns FROM events)
+    GROUP BY user_id, event_type, minute
+    """,
+)
+def q_events_dedup_first(spark, sf_dir):
+    # batch twin of the streaming watermarked dedup (streaming/dedup.py):
+    # first (= min event_id) observation per (user, type, minute). One
+    # shuffle on the dedup key; the streaming twin holds only the watermark
+    # horizon's keys in state.
+    from .streaming.dedup import first_per_key
+
+    return first_per_key(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "events_tumbling_window",
     """
     SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,

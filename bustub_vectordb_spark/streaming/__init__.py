@@ -1,9 +1,12 @@
+from .dedup import first_per_key, stream_first_per_key
 from .events import events_stream, stream_tumbling_counts, tumbling_counts
 from .sessions import sessionize, stream_sessionize
 
 __all__ = [
     "events_stream",
+    "first_per_key",
     "sessionize",
+    "stream_first_per_key",
     "stream_sessionize",
     "stream_tumbling_counts",
     "tumbling_counts",
