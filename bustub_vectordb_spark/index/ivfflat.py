@@ -338,6 +338,13 @@ class IVFFlatIndex:
             qvec.alias("__qv"),
             F.explode(F.transform(buckets, lambda s: s["b"])).alias(BUCKET_COL),
         )
+        # distance scoring below is CPU-bound; an under-partitioned query
+        # side (one file split) would pin it to one core (cf. dedup.minhash
+        # _spread — same rationale, no-op at scale where inputs have
+        # thousands of splits). (qid, bucket) spreads a skewed query too.
+        want = queries.sparkSession.sparkContext.defaultParallelism
+        if queries.rdd.getNumPartitions() < want:
+            q = q.repartition(want, "qid", BUCKET_COL)
         cand = q.join(self.assignments, BUCKET_COL)
         out = cand.withColumn(
             dist_col,
