@@ -33,6 +33,7 @@ from .functions.repetition import repetition_metrics_sql
 from .functions.vector import cosine_similarity, inner_product, l2_dist
 from .operators.chunking import chunk_documents_sql
 from .operators.sampling import stratified_sample_sql
+from .similarity.quantize import sq8_adc_oracle_sql
 from .operators.relational import delete_rows, top_n_per_group, update_rows
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -1544,6 +1545,24 @@ def q_ann_lsh_batch_probe(spark, sf_dir):
         emb, "embedding", "vec_id", queries, "qid", "qv", k=5,
         n_planes=16, max_hamming=3,
     )
+
+
+# --- compressed-vector search via SQ8 scalar quantization (north-star
+# scale extension: 4x memory reduction, near-lossless recall; the whole
+# train→encode→ADC→top-k pipeline is deterministic and hash-match gated
+# against a self-contained DuckDB replica — similarity/quantize.py) ---
+
+
+@_register(
+    "ann_sq8_adc",
+    sq8_adc_oracle_sql("embeddings", "embedding", "vec_id", QUERY_VEC, 10),
+)
+def q_ann_sq8_adc(spark, sf_dir):
+    from .similarity.quantize import SQ8Model
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = SQ8Model.train(e, "embedding")
+    return model.adc_topk(e, "embedding", "vec_id", QUERY_VEC, 10)
 
 
 # --- ANN via HNSW (ref: vector.05-hnsw.slt; approximate → rows-only checks,

@@ -1,0 +1,160 @@
+"""Scalar quantization (SQ8) — compressed-vector ANN, the memory-scale path.
+
+At 100 TB of float32 embeddings, the working set is the problem: a
+1-billion-row corpus of 768-dim float vectors is ~3 TB; quantized to one
+byte per dimension it is ~0.75 TB — the difference between spilling and a
+RAM-resident scan (FAISS's SQ8 storage makes the same trade; cf. the
+IndexScalarQuantizer design in the FAISS paper, Johnson et al. 2017).
+
+Pipeline:
+
+  train    per-dimension (min, max) over the corpus — posexplode +
+           groupBy(dim): one shuffle of (dim, val) pairs, output is
+           dimension-sized (collected to the driver like IVF centroids);
+  encode   code[d] = clamp(floor(255·(x−mn)/(mx−mn) + 0.5), 0..255) —
+           a narrow zip_with projection, no shuffle;
+  probe    asymmetric distance (ADC): the query stays full-precision,
+           stored codes are decoded on the fly (mn + code·(mx−mn)/255);
+           L2 over decoded values, global top-k.
+
+Every arithmetic step uses the same operation order as the DuckDB oracle
+SQL (sq8_adc_oracle_sql), so the driver gate hash-matches the whole
+compressed pipeline bit-for-bit (only the final distance is rounded, to
+absorb summation order). `floor(x + 0.5)` is used instead of round() —
+Spark rounds half-to-even, DuckDB half-away-from-zero; floor(+0.5) is
+identical everywhere.
+
+Recall: SQ8 is near-lossless for KNN at 64-256 dims (max per-dim error =
+scale/2); tests/test_quantize.py pins recall@10 vs exact KNN.
+
+The reference has no quantization surface (its IVFFlat/HNSW store raw
+doubles, src/storage/index/*.cpp); north-star scale extension.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """(dim, mn, mx) per dimension — distributed, one shuffle keyed by dim."""
+    return (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+
+
+@dataclass
+class SQ8Model:
+    """Trained per-dimension quantizer. mins/maxs are dimension-sized
+    (driver-resident like IVF centroids — O(dims), not O(rows))."""
+
+    mins: list[float]
+    maxs: list[float]
+
+    @classmethod
+    def train(cls, df: DataFrame, vec_col: str) -> "SQ8Model":
+        rows = dim_stats(df, vec_col).orderBy("dim").collect()
+        return cls([r["mn"] for r in rows], [r["mx"] for r in rows])
+
+    def _lits(self) -> tuple[Column, Column]:
+        mn = F.array(*[F.lit(float(v)) for v in self.mins])
+        mx = F.array(*[F.lit(float(v)) for v in self.maxs])
+        return mn, mx
+
+    def encode(self, vec: Column | str) -> Column:
+        """array<int> codes in 0..255; constant dimensions encode to 0."""
+        v = (F.col(vec) if isinstance(vec, str) else vec).cast("array<double>")
+        mn, mx = self._lits()
+        with_mn = F.zip_with(v, mn, lambda x, lo: x - lo)
+        # pair with the per-dim range, then quantize
+        return F.zip_with(
+            with_mn,
+            F.zip_with(mx, mn, lambda hi, lo: hi - lo),
+            lambda cen, rng: F.when(rng == 0, F.lit(0)).otherwise(
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(255), F.floor(F.lit(255.0) * cen / rng + 0.5).cast("int")
+                    ),
+                )
+            ),
+        )
+
+    def adc_dist_sq(self, codes: Column | str, query: list[float]) -> Column:
+        """Squared L2 between the full-precision query and the decoded
+        codes — decode order: mn + code·(mx−mn)/255 (matches the oracle)."""
+        c = F.col(codes) if isinstance(codes, str) else codes
+        mn, mx = self._lits()
+        decoded = F.transform(
+            c, lambda code, i: F.get(mn, i) + code * (F.get(mx, i) - F.get(mn, i)) / 255.0
+        )
+        q = F.array(*[F.lit(float(x)) for x in query])
+        return F.aggregate(
+            F.zip_with(decoded, q, lambda d, qq: (d - qq) * (d - qq)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    def adc_topk(
+        self,
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        query: list[float],
+        k: int,
+        dist_col: str = "adc_dist",
+    ) -> DataFrame:
+        """End-to-end compressed probe: encode (narrow) → ADC distance →
+        global top-k (TakeOrderedAndProject). Ties broken by id."""
+        codes = self.encode(vec_col)
+        return (
+            df.select(F.col(id_col), F.round(self.adc_dist_sq(codes, query), 6).alias(dist_col))
+            .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+
+
+def sq8_adc_oracle_sql(
+    table: str, vec_col: str, id_col: str, query: list[float], k: int,
+    dist_col: str = "adc_dist",
+) -> str:
+    """Self-contained DuckDB replica of train→encode→ADC→top-k: the
+    per-dimension stats are computed in SQL (no data-derived literals), and
+    every arithmetic step mirrors SQ8Model's operation order."""
+    qvals = ", ".join(repr(float(x)) for x in query)
+    return f"""
+    WITH dims AS (
+        SELECT i AS dim, min(x) AS mn, max(x) AS mx
+        FROM (SELECT unnest({vec_col}::DOUBLE[]) AS x,
+                     generate_subscripts({vec_col}, 1) AS i
+              FROM {table})
+        GROUP BY i
+    ),
+    q AS (SELECT unnest([{qvals}]) AS qx,
+                 generate_subscripts([{qvals}], 1) AS dim),
+    elems AS (
+        SELECT {id_col}, generate_subscripts({vec_col}, 1) AS dim,
+               unnest({vec_col}::DOUBLE[]) AS x
+        FROM {table}
+    ),
+    coded AS (
+        SELECT e.{id_col}, e.dim, d.mn, d.mx, q.qx,
+               CASE WHEN d.mx - d.mn = 0 THEN 0
+                    ELSE greatest(0, least(255,
+                         CAST(floor(255.0 * (e.x - d.mn) / (d.mx - d.mn) + 0.5) AS INTEGER)))
+               END AS code
+        FROM elems e JOIN dims d USING (dim) JOIN q USING (dim)
+    ),
+    dists AS (
+        SELECT {id_col},
+               round(sum(((mn + code * (mx - mn) / 255.0) - qx)
+                       * ((mn + code * (mx - mn) / 255.0) - qx)), 6) AS {dist_col}
+        FROM coded GROUP BY {id_col}
+    )
+    SELECT {id_col}, {dist_col} FROM dists
+    ORDER BY {dist_col} ASC, {id_col} ASC LIMIT {k}
+    """

@@ -1,0 +1,71 @@
+"""SQ8 scalar quantization (similarity/quantize.py): code bounds,
+constant-dimension guard, ADC recall vs exact KNN, round-trip error bound."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bustub_vectordb_spark.catalog import read_table
+from bustub_vectordb_spark.queries import QUERY_VEC
+from bustub_vectordb_spark.similarity.brute import knn
+from bustub_vectordb_spark.similarity.quantize import SQ8Model, dim_stats
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def model(emb):
+    return SQ8Model.train(emb, "embedding")
+
+
+def test_codes_in_byte_range(emb, model):
+    stats = emb.select(
+        F.array_min(model.encode("embedding")).alias("lo"),
+        F.array_max(model.encode("embedding")).alias("hi"),
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+    assert 0 <= stats["lo"] and stats["hi"] <= 255
+
+
+def test_constant_dim_encodes_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, 7.0])], "id bigint, v array<double>"
+    )
+    m = SQ8Model.train(df, "v")
+    codes = {r["id"]: r["c"] for r in df.select("id", m.encode("v").alias("c")).collect()}
+    assert codes[1][0] == 0 and codes[2][0] == 0  # dim 0 constant
+    assert codes[1][1] == 0 and codes[2][1] == 255  # dim 1 spans the range
+
+
+def test_roundtrip_error_bounded(emb, model):
+    """Decoded values deviate from the original by at most scale/2 + eps
+    per dimension (the quantizer's resolution bound)."""
+    scales = [(hi - lo) / 255.0 for lo, hi in zip(model.mins, model.maxs)]
+    max_scale = max(scales)
+    mn = F.array(*[F.lit(float(v)) for v in model.mins])
+    mx = F.array(*[F.lit(float(v)) for v in model.maxs])
+    decoded = F.transform(
+        model.encode("embedding"),
+        lambda c, i: F.get(mn, i) + c * (F.get(mx, i) - F.get(mn, i)) / 255.0,
+    )
+    worst = emb.select(
+        F.array_max(
+            F.zip_with(
+                decoded,
+                F.col("embedding").cast("array<double>"),
+                lambda d, x: F.abs(d - x),
+            )
+        ).alias("err")
+    ).agg(F.max("err").alias("e")).collect()[0]["e"]
+    assert worst <= max_scale / 2 + 1e-9
+
+
+def test_adc_recall_vs_exact(emb, model):
+    exact = [r["vec_id"] for r in knn(emb, "embedding", QUERY_VEC, 10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in model.adc_topk(emb, "embedding", "vec_id", QUERY_VEC, 10).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"SQ8 recall@10 {recall}"
