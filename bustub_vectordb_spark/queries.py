@@ -505,6 +505,25 @@ def q_agg_stddev_var(spark, sf_dir):
     )
 
 
+@_register(
+    "agg_corr",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 9) AS corr_qty_price,
+           round(covar_samp(l_discount, l_tax), 9) AS cov_disc_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr(spark, sf_dir):
+    # bivariate aggregates — single-pass mergeable moments (map-side
+    # partials), same shuffle shape as sum/min/max
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 9).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 9).alias("cov_disc_tax"),
+    )
+
+
 # --- set operations (absent from the reference — its binder has no set-op
 # path, bind_select.cpp:332-345 — but first-class in any analytics engine) ---
 
@@ -1565,6 +1584,78 @@ def q_ann_sq8_adc(spark, sf_dir):
     return model.adc_topk(e, "embedding", "vec_id", QUERY_VEC, 10)
 
 
+def _ivf_sq8_rerank_oracle() -> str:
+    """DuckDB replica of the full IVF+SQ8+rerank pipeline: inlined IVF
+    centroids (deterministic training, same as the partial-probe oracles),
+    SQ8 stats computed in SQL, ADC evaluated per row as an in-order list
+    fold (rounded to 9 like the Spark side), exact re-rank of the top-40."""
+    import math
+
+    values, cents = _ivfflat_oracle_cents()
+    buckets = sorted(range(len(cents)), key=lambda i: math.dist(cents[i], QUERY_VEC))[:4]
+    blist = ", ".join(str(b) for b in buckets)
+    q = _vec_sql_literal(QUERY_VEC)
+    # decoded value for dim i (1-based lists), matching SQ8Model.encode/
+    # adc_dist_sq operation order
+    dec = (
+        "(mnl[i] + (CASE WHEN mxl[i] - mnl[i] = 0 THEN 0 "
+        "ELSE greatest(0, least(255, CAST(floor(255.0 * (v[i] - mnl[i]) / (mxl[i] - mnl[i]) + 0.5) AS INTEGER))) END)"
+        " * (mxl[i] - mnl[i]) / 255.0)"
+    )
+    return f"""
+    WITH cents(b, c) AS (VALUES {values}),
+    dims AS (
+      SELECT i AS dim, min(x) AS mn, max(x) AS mx
+      FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+      GROUP BY i
+    ),
+    stats AS (
+      SELECT list(mn ORDER BY dim) AS mnl, list(mx ORDER BY dim) AS mxl,
+             {q} AS ql
+      FROM dims
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.b,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.b) AS arn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    adc AS (
+      SELECT vec_id, v,
+             round(list_sum(list_transform(range(1, len(v) + 1), i ->
+                 ({dec} - ql[i]) * ({dec} - ql[i]))), 9) AS adc_d
+      FROM a CROSS JOIN stats
+      WHERE arn = 1 AND b IN ({blist})
+    ),
+    shortlist AS (
+      SELECT vec_id, v FROM adc ORDER BY adc_d ASC, vec_id ASC LIMIT 40
+    )
+    SELECT vec_id, round(list_distance(v, {q}), 8) AS distance
+    FROM shortlist
+    ORDER BY list_distance(v, {q}) ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@_register("ann_ivf_sq8_rerank", _ivf_sq8_rerank_oracle)
+def q_ann_ivf_sq8_rerank(spark, sf_dir):
+    # FAISS-style IVFSQ: probe 4/8 buckets, ADC-score their codes, exact
+    # re-rank of the top-40 (similarity/quantize.py). Hash-match gated end
+    # to end — the approximation (bucket pruning + rerank depth) is part of
+    # the specified semantics, not noise.
+    from .similarity.quantize import SQ8Model, ivf_sq8_rerank_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = _ivfflat_for(spark, sf_dir)
+    model = SQ8Model.train(e, "embedding")
+    return ivf_sq8_rerank_topk(
+        idx, model, "embedding", "vec_id", QUERY_VEC, k=10, rerank=40, probe_lists=4
+    )
+
+
 # --- ANN via HNSW (ref: vector.05-hnsw.slt; approximate → rows-only checks,
 # recall asserted in tests/test_hnsw.py, mirroring the reference's grading) ---
 
@@ -1860,6 +1951,76 @@ def q_sample_deterministic(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return deterministic_sample(docs, "doc_id", 0.12).select(
         "doc_id", F.length("text").alias("text_len")
+    )
+
+
+@_register(
+    "heavy_hitters",
+    f"""
+    SELECT term, count(*) AS freq
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+          FROM documents)
+    GROUP BY term
+    ORDER BY freq DESC, term ASC
+    LIMIT 20
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    # corpus-wide most-frequent tokens: explode → two-phase hash agg
+    # (map-side combine shrinks the shuffle to the vocabulary size, not the
+    # token count) → TakeOrderedAndProject top-20. The classic first look
+    # at any new 100 TB text corpus.
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@_register(
+    "vector_centroid_per_label",
+    """
+    SELECT label, list(round(dim_avg, 6) ORDER BY dim) AS centroid,
+           max(n)::BIGINT AS n_vecs
+    FROM (
+        SELECT label, dim, avg(x) AS dim_avg, count(*) AS n
+        FROM (
+            SELECT label, generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings
+        )
+        GROUP BY label, dim
+    )
+    GROUP BY label
+    """,
+)
+def q_vector_centroid_per_label(spark, sf_dir):
+    # elementwise vector aggregation (class centroids / cluster means —
+    # the primitive behind k-means steps and prototype classifiers):
+    # posexplode to (label, dim, x), aggregate per (label, dim) — a
+    # well-spread two-level key — then fold back into an ordered array.
+    e = _t(spark, sf_dir, "embeddings")
+    per_dim = (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("dim_avg"), F.count("*").alias("n"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "dim_avg"))),
+                lambda s: s["dim_avg"],
+            ).alias("centroid"),
+            F.max("n").alias("n_vecs"),
+        )
+        .select("label", "centroid", "n_vecs")
     )
 
 

@@ -158,3 +158,54 @@ def sq8_adc_oracle_sql(
     SELECT {id_col}, {dist_col} FROM dists
     ORDER BY {dist_col} ASC, {id_col} ASC LIMIT {k}
     """
+
+
+def ivf_sq8_rerank_topk(
+    index,
+    model: SQ8Model,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int,
+    rerank: int,
+    probe_lists: int | None = None,
+    dist_col: str = "distance",
+) -> DataFrame:
+    """IVF + SQ8 probe with exact re-rank — the FAISS IVFSQ serving pattern.
+
+    1. route: nearest ``probe_lists`` IVF buckets (driver-side centroid
+       ranking — O(lists), like IVFFlatIndex.probe);
+    2. coarse score: ADC distance over the CODES of the probed buckets'
+       rows (at scale the codes table is what sits in memory — 4x smaller
+       than the floats);
+    3. re-rank: exact distance on the raw vectors of the ADC top-``rerank``
+       candidates only, emit the top-``k``.
+
+    Fully deterministic (ADC ties broken by id), so the whole three-stage
+    pipeline is hash-match gated against a DuckDB replica (queries.py
+    `ann_ivf_sq8_rerank`). Approximation comes only from bucket pruning and
+    the finite rerank depth; tests pin recall vs exact KNN.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.vector import l2_dist
+    from ..index.ivfflat import BUCKET_COL
+
+    buckets = index.rank_buckets(query)[: (probe_lists or index.probe_lists)]
+    cand = index.assignments.filter(F.col(BUCKET_COL).isin(buckets))
+    # ADC rounded to 9 decimals before ordering: Spark folds the dim sum
+    # left-to-right, DuckDB's list_sum may differ in the last bits — the
+    # rounding makes the shortlist boundary engine-independent
+    adc = cand.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.round(model.adc_dist_sq(model.encode(vec_col), query), 9).alias("__adc"),
+    )
+    shortlist = adc.orderBy(F.col("__adc").asc(), F.col(id_col).asc()).limit(rerank)
+    return (
+        shortlist.select(
+            F.col(id_col), F.round(l2_dist(vec_col, query), 8).alias(dist_col)
+        )
+        .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -69,3 +69,25 @@ def test_adc_recall_vs_exact(emb, model):
     ]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.9, f"SQ8 recall@10 {recall}"
+
+
+def test_ivf_sq8_rerank_recall(spark, emb, sf_dir):
+    from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+    from bustub_vectordb_spark.similarity.quantize import ivf_sq8_rerank_topk
+
+    idx = IVFFlatIndex.build(
+        emb, "embedding", lists=8, probe_lists=4, max_iter=5, init_order="vec_id"
+    )
+    model = SQ8Model.train(emb, "embedding")
+    exact = [r["vec_id"] for r in knn(emb, "embedding", QUERY_VEC, 10).collect()]
+    got = [
+        r["vec_id"]
+        for r in ivf_sq8_rerank_topk(
+            idx, model, "embedding", "vec_id", QUERY_VEC, k=10, rerank=40, probe_lists=4
+        ).collect()
+    ]
+    recall = len(set(exact) & set(got)) / 10
+    # 4/8 buckets probed: misses can only come from bucket pruning
+    assert recall >= 0.7, f"IVFSQ recall@10 {recall}"
+    # within the probed buckets the result is exact (rerank covers k)
+    assert got == sorted(got, key=lambda v: exact.index(v) if v in exact else 999)
