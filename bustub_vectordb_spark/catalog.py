@@ -140,11 +140,34 @@ class Catalog:
             self.register(t, read_table(self.spark, sf_dir, t))
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Enforce the engine's events.ts contract: BIGINT nanoseconds since epoch.
+
+    Driver testdata has shipped the column both as TIMESTAMP(NANOS) parquet
+    (reads as long under the nanosAsLong legacy conf) and as timestamp[us]
+    (reads as TIMESTAMP_NTZ). Normalize timestamps to ns-epoch integers
+    timezone-independently so every downstream operator — and the DuckDB
+    oracles' epoch_ns(ts), which treats naive timestamps as epoch-relative —
+    sees identical values regardless of spark.sql.session.timeZone."""
+    kind = df.schema["ts"].dataType.simpleString()
+    if kind == "timestamp_ntz":
+        ns = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+        )
+    elif kind == "timestamp":
+        ns = F.unix_micros(F.col("ts")) * 1000
+    else:  # already integral (TIMESTAMP(NANOS) under nanosAsLong, or bigint)
+        return df
+    return df.withColumn("ts", ns.cast("long"))
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table; events.parquet uses TIMESTAMP(NANOS), which
-    Spark only reads (as long ns) under the legacy conf."""
+    """Read one testdata table; events.parquet carries event time (see
+    normalize_events_ts for the type contract)."""
     if name == "events":
+        # harmless for timestamp[us] files; required for TIMESTAMP(NANOS) ones
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

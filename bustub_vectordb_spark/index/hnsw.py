@@ -385,13 +385,18 @@ class HNSWIndex:
         dim = len(init[0])
         frac = min(1.0, IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS / max(n * dim, 1))
         sample = (
-            df.select(vec.alias("v"))
+            df.select(F.col(id_col).alias("__id"), vec.alias("v"))
             if frac >= 1.0
-            else df.sample(fraction=frac, seed=seed).select(vec.alias("v"))
+            else df.sample(fraction=frac, seed=seed).select(
+                F.col(id_col).alias("__id"), vec.alias("v")
+            )
         )
-        centroids = _lloyds_numpy(
-            [list(r["v"]) for r in sample.collect()], init, max_iter
-        )
+        # driver-side sort by id: the trained centroids become a pure
+        # function of the table contents (collect order is partition order,
+        # which offline replays can't reproduce) — required by the
+        # offline-replay correctness oracle (offline_routed below)
+        srows = sorted(sample.collect(), key=lambda r: r["__id"])
+        centroids = _lloyds_numpy([list(r["v"]) for r in srows], init, max_iter)
 
         base = df.select(F.col(id_col), vec.alias("__v"))
         if replicate_eps > 0:
@@ -426,6 +431,10 @@ class HNSWIndex:
             )
 
         def build_one(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            # insert in id order: group-row order after a shuffle is not
+            # deterministic, and the graph depends on insert order — sorting
+            # pins it (and lets offline_routed replay builds bit-exactly)
+            pdf = pdf.sort_values(id_col)
             g = _Graph(m, ef_construction, ef_search, dist, seed)
             g.add_all(
                 pdf[id_col].tolist(),
@@ -566,3 +575,139 @@ class ShardedHNSW:
         # boundary-replicated builds can surface the same id from several
         # shards — dedupe (identical distances) before the global top-k
         return per_shard.dropDuplicates([id_col]).orderBy(order).limit(k)
+
+
+# =========================================================================
+# Offline replay (correctness oracles)
+# =========================================================================
+# Same trick as ivfflat.offline_centroids: every driver-side build above is
+# a pure function of (table contents, params, seed), so a numpy-only replay
+# over the same parquet reproduces the graph — and therefore the probe
+# results — bit-exactly. The DuckDB oracle for the HNSW probe queries inlines
+# the replayed hits as VALUES rows, turning "approximate" output into an
+# exactly-checkable contract (the approximation IS the specified semantics).
+
+
+def _read_sorted(parquet_path: str, vec_col: str, order_col: str):
+    """(ids, vectors) sorted by ``order_col`` — the same deterministic order
+    ``HNSWIndex.build``/``build_routed`` materialize on the driver. to_pylist
+    widens float32 exactly, matching Spark's collect()."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[order_col, vec_col])
+    keys = t[order_col].to_pylist()
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+    vecs = t[vec_col].to_pylist()
+    return [keys[i] for i in order], [vecs[i] for i in order]
+
+
+def offline_graph(
+    parquet_path: str,
+    vec_col: str,
+    order_col: str,
+    m: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 64,
+    dist: str = "l2",
+    seed: int = 42,
+) -> _Graph:
+    """Replay ``HNSWIndex.build`` without Spark (bit-identical graph)."""
+    ids, vecs = _read_sorted(parquet_path, vec_col, order_col)
+    g = _Graph(m, ef_construction, ef_search, dist, seed)
+    if ids:
+        mat = np.asarray(vecs, dtype=np.float64)
+        order = list(range(len(ids)))
+        random.Random(seed).shuffle(order)
+        g.add_all([ids[i] for i in order], mat[order])
+    return g
+
+
+def _l2_sq_fold(v: list, c: list) -> float:
+    """Sequential left-fold sum of squared diffs — replicates Spark's
+    F.aggregate(zip_with(...)) evaluation order (ivfflat._l2_sq) so argmin
+    routing ties and float results match the distributed assignment."""
+    s = 0.0
+    for x, y in zip(v, c):
+        d = x - y
+        s = s + d * d
+    return s
+
+
+def offline_routed(
+    parquet_path: str,
+    vec_col: str,
+    order_col: str,
+    shards: int,
+    m: int = 8,
+    ef_construction: int = 48,
+    ef_search: int = 48,
+    dist: str = "l2",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> tuple[list[list[float]], dict[int, _Graph]]:
+    """Replay ``HNSWIndex.build_routed`` (replicate_eps=0) without Spark.
+
+    Valid only on inputs small enough for the full-table training path
+    (same bound as offline_centroids); raises otherwise."""
+    from .ivfflat import IVFFlatIndex, _lloyds_numpy
+
+    ids, vecs = _read_sorted(parquet_path, vec_col, order_col)
+    n, dim = len(vecs), len(vecs[0]) if vecs else 0
+    if n * dim > IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS:
+        raise ValueError("offline_routed only replicates the full-table training path")
+    if n < shards:
+        raise ValueError(f"table has fewer than shards={shards} rows")
+    centroids = _lloyds_numpy(vecs, [list(v) for v in vecs[:shards]], max_iter)
+
+    members: dict[int, tuple[list, list]] = {}
+    for i, v in zip(ids, vecs):
+        dists = [_l2_sq_fold(v, c) for c in centroids]
+        b = dists.index(min(dists))  # first-min ties, like array_position
+        members.setdefault(b, ([], []))[0].append(i)
+        members[b][1].append(v)
+
+    graphs: dict[int, _Graph] = {}
+    for b, (mids, mvecs) in members.items():
+        g = _Graph(m, ef_construction, ef_search, dist, seed)
+        g.add_all(mids, np.asarray(mvecs, dtype=np.float64))
+        graphs[b] = g
+    return centroids, graphs
+
+
+def offline_routed_probe(
+    centroids: list[list[float]],
+    graphs: dict[int, _Graph],
+    query: list[float],
+    k: int,
+    n_probe: int,
+    dist: str = "l2",
+) -> list[tuple]:
+    """Replay ``ShardedHNSW.probe`` (rank shards → search n_probe graphs →
+    dedupe → global top-k). Returns [(id, signed_distance)]."""
+
+    def score(c: list[float]) -> float:
+        if dist == "l2":
+            return math.dist(c, query)
+        dot = sum(x * y for x, y in zip(c, query))
+        if dist == "ip":
+            return -dot
+        na = math.sqrt(sum(x * x for x in c)) or 1e-300
+        nb = math.sqrt(sum(y * y for y in query)) or 1e-300
+        return -(dot / (na * nb))
+
+    ranked = sorted(range(len(centroids)), key=lambda i: score(centroids[i]))
+    sign = -1.0 if dist in ("ip", "cosine") else 1.0
+    q = np.asarray(query, dtype=np.float64)
+    hits: dict = {}
+    for b in ranked[:n_probe]:
+        g = graphs.get(b)
+        if g is None:
+            continue
+        for hid, d in g.search(q, k):
+            sd = sign * d
+            if hid not in hits or sd < hits[hid]:
+                hits[hid] = sd
+    asc = dist == "l2"
+    out = sorted(hits.items(), key=lambda t: (t[1] if asc else -t[1], t[0]))
+    return out[:k]

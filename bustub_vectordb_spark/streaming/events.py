@@ -25,10 +25,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# normalized engine contract: ts = BIGINT ns since epoch (catalog.normalize_events_ts)
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns (TIMESTAMP(NANOS) parquet)
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# raw driver testdata file shape (timestamp[us] parquet → TIMESTAMP_NTZ)
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -72,8 +85,11 @@ def events_stream(spark: SparkSession, sf_dir: str, stage_dir: str) -> DataFrame
     link = os.path.join(stage_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(stage_dir)
+    from ..catalog import normalize_events_ts
+
+    return normalize_events_ts(
+        spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(stage_dir)
+    )
 
 
 def stream_tumbling_counts(
