@@ -188,6 +188,12 @@ class HNSWIndex:
     _spark: object = None
     id_type: str = "bigint"  # Spark simpleString of id_col (set at build)
 
+    # driver-mode build materializes the whole table on the driver — a
+    # deliberate choice for dimension-table scale, a scale-killer past it.
+    # build() refuses above this row count; callers with big tables must use
+    # build_routed/build_partitioned (sql._create_index routes automatically).
+    DRIVER_BUILD_MAX_ROWS = 2_000_000
+
     @classmethod
     def build(
         cls,
@@ -200,12 +206,24 @@ class HNSWIndex:
         dist: str = "l2",
         seed: int = 42,
         order_by: str | None = None,
+        max_rows: int | None = None,
     ) -> "HNSWIndex":
         """Driver-mode build: exact single HNSW graph.
 
         Deterministic given `seed` and `order_by` (the reference shuffles
         input with a random_device — we pin the seed so tests are stable).
+        Refuses tables larger than ``max_rows`` (default
+        ``DRIVER_BUILD_MAX_ROWS``) — collect()ing those onto the driver is
+        the one scale-killer this index family has; use ``build_routed``.
         """
+        limit = cls.DRIVER_BUILD_MAX_ROWS if max_rows is None else max_rows
+        n = df.count()
+        if n > limit:
+            raise ValueError(
+                f"HNSW driver-mode build refused: table has {n} rows > "
+                f"max_rows={limit}. Use HNSWIndex.build_routed (IVF-routed "
+                "shards, distributed build/probe) for tables this size."
+            )
         rows = df.orderBy(order_by or id_col).select(id_col, vec_col).collect()
         ids = [r[id_col] for r in rows]
         g = _Graph(m, ef_construction, ef_search, dist, seed)
@@ -519,6 +537,9 @@ class ShardedHNSW:
     _spark: object
     centroids: list | None = None  # routed builds: shard i ⇐ centroid i
     id_type: str = "bigint"  # Spark simpleString of id_col (set at build)
+    # probes without an explicit n_probe use this (set by the SQL DDL path so
+    # planner-driven probes stay pruned); None = search every shard
+    default_n_probe: int | None = None
 
     def rank_shards(self, query: list[float]) -> list[int]:
         """Nearest-centroid shard order (driver-side, |shards| entries) —
@@ -547,6 +568,8 @@ class ShardedHNSW:
 
         ensure_package_on_workers(self._spark)
 
+        if n_probe is None:
+            n_probe = self.default_n_probe
         q = [float(x) for x in query]
         sign = -1.0 if self.dist in ("ip", "cosine") else 1.0
         id_col = self.id_col

@@ -312,6 +312,12 @@ class SqlEngine:
     spark.sql after :func:`rewrite`. Session vars mirror the reference's
     (`vector_index_method` consumed by index selection)."""
 
+    # CREATE INDEX ... USING hnsw on tables past this size routes to the
+    # IVF-routed sharded build (no whole-table driver collect); below it the
+    # exact single-graph driver build is both faster and higher-recall.
+    HNSW_DRIVER_BUILD_MAX_ROWS = 500_000
+    HNSW_SHARD_TARGET_ROWS = 250_000
+
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.catalog = Catalog(spark)
@@ -444,13 +450,27 @@ class SqlEngine:
 
                 names = self.catalog.tables[table].schema.names
                 id_col = next((c for c in names if c != col), names[0])
-                idx = HNSWIndex.build(
-                    df, col, id_col,
+                common = dict(
                     m=opts.get("m", 8),
                     ef_construction=opts.get("ef_construction", 64),
                     ef_search=opts.get("ef_search", 64),
                     dist=OPS_TO_DIST.get(ops, "l2"),
                 )
+                n = df.count()
+                if n > self.HNSW_DRIVER_BUILD_MAX_ROWS or "shards" in opts:
+                    # big table: never collect() it to the driver — IVF-routed
+                    # sharded build, probes pruned to the n_probe nearest
+                    # shards (the 100 TB shape; hnsw.build_routed)
+                    import math as _math
+
+                    shards = opts.get(
+                        "shards",
+                        max(2, _math.ceil(n / self.HNSW_SHARD_TARGET_ROWS)),
+                    )
+                    idx = HNSWIndex.build_routed(df, col, id_col, shards=shards, **common)
+                    idx.default_n_probe = opts.get("n_probe", max(2, shards // 4))
+                else:
+                    idx = HNSWIndex.build(df, col, id_col, **common)
             self.indexes.create(
                 name, table, col, method, idx,
                 ops=ops if ops in OPS_TO_DIST else "vector_l2_ops",

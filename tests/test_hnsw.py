@@ -213,3 +213,60 @@ def test_routed_boundary_replication(emb):
     # replication actually happened (storage grew)
     n_plain = plain.blobs.count()
     assert n_plain == 4
+
+
+# -- driver-build guard (sql._create_index routing; VERDICT r2 item 3) -----
+
+
+def test_driver_build_refuses_big_table(tables):
+    from bustub_vectordb_spark.index.hnsw import HNSWIndex
+
+    with pytest.raises(ValueError, match="build_routed"):
+        HNSWIndex.build(
+            tables["embeddings"], "embedding", "vec_id", max_rows=100
+        )
+
+
+def test_sql_create_index_routes_big_table(spark, tables, monkeypatch):
+    """CREATE INDEX ... USING hnsw on a table past the threshold must build
+    the IVF-routed sharded index and never collect() the table to the
+    driver (HNSWIndex.build is the only full-collect path — poison it)."""
+    from bustub_vectordb_spark.index.hnsw import HNSWIndex, ShardedHNSW
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    engine = SqlEngine(spark)
+    emb = tables["embeddings"]
+    engine.catalog.register("emb_big", emb)
+    monkeypatch.setattr(SqlEngine, "HNSW_DRIVER_BUILD_MAX_ROWS", 100)
+    monkeypatch.setattr(SqlEngine, "HNSW_SHARD_TARGET_ROWS", 200)
+
+    def poisoned(*a, **kw):
+        raise AssertionError("driver-mode HNSWIndex.build called for a big table")
+
+    monkeypatch.setattr(HNSWIndex, "build", poisoned)
+    engine.execute("CREATE INDEX big_idx ON emb_big USING hnsw (embedding vector_l2_ops);")
+    (info,) = engine.indexes.lookup("emb_big", "embedding")
+    assert isinstance(info.index, ShardedHNSW)
+    assert info.index.default_n_probe is not None
+    hits = info.index.probe([0.0] * 64, 5).collect()
+    assert len(hits) == 5
+
+    # the planner path picks the sharded index up transparently
+    from bustub_vectordb_spark.index.selection import plan_knn
+
+    plan = plan_knn(engine.indexes, "emb_big", emb, "embedding", [0.0] * 64, 5)
+    assert plan.strategy == "vector_index_scan(hnsw)"
+    assert len(plan.df.collect()) == 5
+
+
+def test_sql_create_index_small_table_stays_exact(spark, tables):
+    from bustub_vectordb_spark.index.hnsw import HNSWIndex
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    engine = SqlEngine(spark)
+    engine.catalog.register("emb_small", tables["embeddings"])
+    engine.execute(
+        "CREATE INDEX small_idx ON emb_small USING hnsw (embedding vector_l2_ops);"
+    )
+    (info,) = engine.indexes.lookup("emb_small", "embedding")
+    assert isinstance(info.index, HNSWIndex)
