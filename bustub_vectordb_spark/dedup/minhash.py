@@ -19,8 +19,9 @@ s=0.1 → 0.15. Tune b/r for the target threshold.
 
 At 100 TB: every stage is a narrow map except the two shuffles (band
 self-join, verify join), both on high-entropy keys. Hot bands (boilerplate
-shingles) are handled by AQE skew splitting; for pathological cases cap
-bucket size with a count filter before the self-join.
+shingles) are handled by AQE skew splitting; pathological boilerplate
+buckets are dropped by the ``max_bucket`` size cap before pair expansion
+(see minhash_lsh_candidates).
 """
 
 from __future__ import annotations
@@ -108,8 +109,20 @@ def minhash_lsh_candidates(
     n: int = 3,
     k: int = 32,
     bands: int = 16,
+    max_bucket: int | None = 1024,
+    log_dropped: bool = False,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id1 < id2) from LSH band collisions."""
+    """Candidate near-dup pairs (id1 < id2) from LSH band collisions.
+
+    ``max_bucket`` caps LSH bucket size before pair expansion: a
+    boilerplate band bucket with 1M ids would otherwise expand to 5×10¹¹
+    in-bucket pairs inside a single row's flatten(transform(...)) — an
+    executor OOM, not just skew. Buckets past the cap are dropped (the
+    standard giant-cluster policy in large dedup pipelines: a bucket that
+    hot is boilerplate, and its members still pair up in their other
+    bands if they are genuine near-dups). ``log_dropped`` additionally
+    counts and warns about dropped buckets (costs one extra aggregation —
+    keep off on the hot path)."""
     rows = k // bands
     sig = minhash_signatures(df, text_col, id_col, n, k)
     band_arr = F.array(
@@ -136,6 +149,19 @@ def minhash_lsh_candidates(
         .agg(ids.alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
+    if max_bucket is not None:
+        if log_dropped:
+            import logging
+
+            n_hot = buckets.filter(F.size("__ids") > max_bucket).count()
+            if n_hot:
+                logging.getLogger(__name__).warning(
+                    "minhash_lsh_candidates: dropped %d hot bucket(s) larger "
+                    "than max_bucket=%d (boilerplate collision)",
+                    n_hot,
+                    max_bucket,
+                )
+        buckets = buckets.filter(F.size("__ids") <= max_bucket)
     pair_structs = F.flatten(
         F.transform(
             F.col("__ids"),
@@ -160,13 +186,17 @@ def near_dup_pairs(
     n: int = 3,
     k: int = 32,
     bands: int = 16,
+    max_bucket: int | None = 1024,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard ≥ threshold.
 
     Output: (id1, id2, jaccard) — jaccard rounded to 6 so results hash-match
     an engine-independent oracle.
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, n, k, bands)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, n, k, bands, max_bucket, log_dropped
+    )
     sh = _spread(df, id_col).select(F.col(id_col), shingles(text_col, n).alias("__sh"))
     j = (
         cands.join(sh.select(F.col(id_col).alias("id1"), F.col("__sh").alias("__sh1")), "id1")

@@ -115,3 +115,32 @@ def test_embedding_near_dup_exact_vs_lsh(tables):
     assert lsh <= exact
     if exact:
         assert len(lsh) / len(exact) >= 0.5
+
+
+def test_minhash_hot_bucket_cap(spark, caplog):
+    """A planted boilerplate cluster (thousands of identical docs) must not
+    expand to O(cluster²) pairs — the max_bucket cap drops the hot LSH
+    buckets (and logs them) while genuine near-dup pairs elsewhere are
+    still found."""
+    import logging
+
+    n_boiler = 3000
+    rows = [(i, "lorem ipsum dolor sit amet boilerplate footer text here") for i in range(n_boiler)]
+    # one genuine near-dup pair, distinct from the boilerplate
+    rows += [
+        (100000, "the quick brown fox jumps over the lazy dog tonight"),
+        (100001, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with caplog.at_level(logging.WARNING, logger="bustub_vectordb_spark.dedup.minhash"):
+        cands = minhash_lsh_candidates(
+            df, "text", "doc_id", max_bucket=100, log_dropped=True
+        ).collect()
+    pairs = {(r["id1"], r["id2"]) for r in cands}
+    # bounded: no boilerplate pair survives (its buckets were all dropped),
+    # far below the ~4.5M pairs an uncapped expansion would build
+    assert len(pairs) < 1000
+    assert (100000, 100001) in pairs
+    assert all(not (a < n_boiler and b < n_boiler) for a, b in pairs)
+    assert any("hot bucket" in r.message for r in caplog.records)
