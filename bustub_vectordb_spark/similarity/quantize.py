@@ -160,6 +160,100 @@ def sq8_adc_oracle_sql(
     """
 
 
+CODES_COL = "__codes"
+
+
+@dataclass
+class IVFSQ8Index:
+    """IVF + materialized SQ8 codes — the FAISS IVFSQ layout, realized.
+
+    ``build`` encodes the corpus ONCE and persists a codes relation of
+    (id, bucket, codes) with NO raw-vector column: the ADC probe scans 1
+    byte/dim instead of 4-8, which at 100 TB is the difference between a
+    RAM-resident codes sweep and a spilling float scan. Raw vectors are
+    touched only (a) per-shortlist-row in the exact re-rank join and (b) at
+    save() time. The probe plan provably reads codes, not vectors —
+    asserted in tests/test_quantize.py::test_probe_plan_reads_codes_only.
+    """
+
+    ivf: object  # IVFFlatIndex
+    model: SQ8Model
+    codes: DataFrame  # (id_col, BUCKET_COL, CODES_COL) — no raw vectors
+    vec_col: str
+    id_col: str
+
+    @classmethod
+    def build(cls, ivf_index, vec_col: str, id_col: str, model: SQ8Model | None = None) -> "IVFSQ8Index":
+        from ..index.ivfflat import BUCKET_COL
+
+        model = model or SQ8Model.train(ivf_index.assignments, vec_col)
+        codes = ivf_index.assignments.select(
+            F.col(id_col), F.col(BUCKET_COL), model.encode(vec_col).alias(CODES_COL)
+        ).persist()
+        return cls(ivf_index, model, codes, vec_col, id_col)
+
+    def probe(
+        self,
+        query: list[float],
+        k: int,
+        rerank: int,
+        probe_lists: int | None = None,
+        dist_col: str = "distance",
+    ) -> DataFrame:
+        """route → ADC over codes → exact re-rank of the shortlist.
+
+        1. nearest ``probe_lists`` IVF buckets (driver-side, O(lists));
+        2. ADC distance over the probed buckets' CODES (columnar-pruned
+           scan of the persisted codes relation — raw vectors unread);
+        3. exact distance on raw vectors for the ADC top-``rerank`` ids
+           only (shortlist broadcast into the fetch join), emit top-``k``.
+
+        Deterministic (ADC ties broken by id) → hash-match gated end to end
+        (queries.py `ann_ivf_sq8_rerank`); approximation comes only from
+        bucket pruning and the rerank depth.
+        """
+        from ..functions.vector import l2_dist
+        from ..index.ivfflat import BUCKET_COL
+
+        buckets = self.ivf.rank_buckets(query)[: (probe_lists or self.ivf.probe_lists)]
+        cand = self.codes.filter(F.col(BUCKET_COL).isin(buckets))
+        # ADC rounded to 9 decimals before ordering: Spark folds the dim sum
+        # left-to-right, DuckDB's list_sum may differ in the last bits — the
+        # rounding makes the shortlist boundary engine-independent
+        adc = cand.select(
+            F.col(self.id_col),
+            F.round(self.model.adc_dist_sq(CODES_COL, query), 9).alias("__adc"),
+        )
+        shortlist = adc.orderBy(F.col("__adc").asc(), F.col(self.id_col).asc()).limit(
+            rerank
+        )
+        # raw-vector fetch: only the probed buckets are scanned (partition
+        # pruning on bucket-partitioned storage) and only shortlist ids
+        # survive the broadcast semi-join
+        raw = self.ivf.assignments.filter(F.col(BUCKET_COL).isin(buckets)).select(
+            F.col(self.id_col), F.col(self.vec_col)
+        )
+        rer = raw.join(F.broadcast(shortlist.select(self.id_col)), self.id_col)
+        return (
+            rer.select(
+                F.col(self.id_col),
+                F.round(l2_dist(self.vec_col, query), 8).alias(dist_col),
+            )
+            .orderBy(F.col(dist_col).asc(), F.col(self.id_col).asc())
+            .limit(k)
+        )
+
+    def save(self, path: str) -> None:
+        """Codes partitioned by bucket (probe = partition pruning) next to
+        the IVF index's own layout."""
+        from ..index.ivfflat import BUCKET_COL
+
+        self.codes.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
+            f"{path}/codes"
+        )
+        self.ivf.save(f"{path}/ivf")
+
+
 def ivf_sq8_rerank_topk(
     index,
     model: SQ8Model,
@@ -171,41 +265,8 @@ def ivf_sq8_rerank_topk(
     probe_lists: int | None = None,
     dist_col: str = "distance",
 ) -> DataFrame:
-    """IVF + SQ8 probe with exact re-rank — the FAISS IVFSQ serving pattern.
-
-    1. route: nearest ``probe_lists`` IVF buckets (driver-side centroid
-       ranking — O(lists), like IVFFlatIndex.probe);
-    2. coarse score: ADC distance over the CODES of the probed buckets'
-       rows (at scale the codes table is what sits in memory — 4x smaller
-       than the floats);
-    3. re-rank: exact distance on the raw vectors of the ADC top-``rerank``
-       candidates only, emit the top-``k``.
-
-    Fully deterministic (ADC ties broken by id), so the whole three-stage
-    pipeline is hash-match gated against a DuckDB replica (queries.py
-    `ann_ivf_sq8_rerank`). Approximation comes only from bucket pruning and
-    the finite rerank depth; tests pin recall vs exact KNN.
-    """
-    from pyspark.sql import functions as F
-
-    from ..functions.vector import l2_dist
-    from ..index.ivfflat import BUCKET_COL
-
-    buckets = index.rank_buckets(query)[: (probe_lists or index.probe_lists)]
-    cand = index.assignments.filter(F.col(BUCKET_COL).isin(buckets))
-    # ADC rounded to 9 decimals before ordering: Spark folds the dim sum
-    # left-to-right, DuckDB's list_sum may differ in the last bits — the
-    # rounding makes the shortlist boundary engine-independent
-    adc = cand.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.round(model.adc_dist_sq(model.encode(vec_col), query), 9).alias("__adc"),
-    )
-    shortlist = adc.orderBy(F.col("__adc").asc(), F.col(id_col).asc()).limit(rerank)
-    return (
-        shortlist.select(
-            F.col(id_col), F.round(l2_dist(vec_col, query), 8).alias(dist_col)
-        )
-        .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    """One-shot convenience wrapper over :class:`IVFSQ8Index` (build codes +
+    probe). For repeated probes build the index once — the codes relation
+    is persisted and each probe then scans codes only."""
+    sq = IVFSQ8Index.build(index, vec_col, id_col, model=model)
+    return sq.probe(query, k, rerank, probe_lists=probe_lists, dist_col=dist_col)
