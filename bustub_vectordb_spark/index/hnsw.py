@@ -291,15 +291,21 @@ class HNSWIndex:
         def run(batches):
             g = bc.value
             for pdf in batches:
-                recs = []
-                for _, row in pdf.iterrows():
-                    q = np.asarray(row[query_vec], dtype=np.float64)
-                    for hid, d in g.search(q, k):
-                        rec = {c: row[c] for c in out_cols}
-                        rec[id_col] = hid
-                        rec[dist_col] = sign * d
-                        recs.append(rec)
-                yield pd.DataFrame(recs)
+                # columnar assembly: one graph walk per query (inherent),
+                # but hits land in flat arrays + a repeat-index gather of
+                # the passthrough columns — no per-row iterrows/dict churn
+                hit_ids: list = []
+                hit_dists: list = []
+                rep_idx: list = []
+                for i, qv in enumerate(pdf[query_vec].tolist()):
+                    hits = g.search(np.asarray(qv, dtype=np.float64), k)
+                    hit_ids.extend(h[0] for h in hits)
+                    hit_dists.extend(h[1] for h in hits)
+                    rep_idx.extend([i] * len(hits))
+                out = pdf.iloc[rep_idx][out_cols].reset_index(drop=True)
+                out[id_col] = hit_ids
+                out[dist_col] = np.asarray(hit_dists, dtype=np.float64) * sign
+                yield out
 
         return queries.mapInPandas(run, schema)
 
