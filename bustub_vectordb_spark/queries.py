@@ -2474,6 +2474,34 @@ def q_events_view_purchase_join(spark, sf_dir):
 
 
 @_register(
+    "events_view_purchase_join_guarded",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value,
+             epoch(date_trunc('second', ts))::BIGINT AS sec
+      FROM events
+    )
+    SELECT v.user_id AS user_id, v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           p.sec - v.sec AS lag_sec,
+           round(p.value, 2) AS purchase_value
+    FROM e v JOIN e p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.sec >= v.sec AND p.sec <= v.sec + 3600
+    """,
+)
+def q_events_view_purchase_join_guarded(spark, sf_dir):
+    # Same attribution semantics, skew-guarded plan: join key is
+    # (user_id, hour-bucket) via interval_point_join, so one power user
+    # cannot concentrate its pair expansion in a single task. Same oracle
+    # as events_view_purchase_join — the guard must change nothing.
+    from .streaming.joins import view_purchase_pairs_skew_guarded
+
+    return view_purchase_pairs_skew_guarded(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "events_asof_attribution",
     """
     WITH e AS (

@@ -97,6 +97,51 @@ def view_purchase_pairs(events: DataFrame) -> DataFrame:
     return _pair_output(j)
 
 
+def view_purchase_pairs_skew_guarded(
+    events: DataFrame, bucket_sec: int = ATTRIBUTION_WINDOW_SEC
+) -> DataFrame:
+    """Skew-guarded batch twin: identical output to
+    :func:`view_purchase_pairs`, but the join key is (user_id, time-bucket).
+
+    The plain twin shuffles on user_id alone — one power user (a bot, a
+    load tester) concentrates its V×P candidate pairs in a single
+    sort-merge-join task. Routing through
+    ``operators.range_join.interval_point_join`` appends a
+    ``bucket_sec``-wide time bucket to the key: the hot user's events
+    spread across its active hours, so task size is bounded by events per
+    (user, hour) rather than per user, with no semantic change (the exact
+    range predicate runs as the join residual). This is the same
+    skew-splitting argument as range_join.py's module docstring, applied
+    to a keyed join.
+    """
+    from ..operators.range_join import interval_point_join
+
+    e = _with_sec(events)
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("sec").alias("view_sec"),
+        (F.col("sec") + ATTRIBUTION_WINDOW_SEC).alias("win_end"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("sec").alias("purchase_sec"),
+        F.col("value").alias("p_value"),
+    )
+    j = interval_point_join(
+        v, p, "view_sec", "win_end", "purchase_sec", bucket_width=bucket_sec,
+        on=["user_id"],
+    )
+    return j.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.col("purchase_sec") - F.col("view_sec")).alias("lag_sec"),
+        F.round("p_value", 2).alias("purchase_value"),
+    )
+
+
 def stream_view_purchase_pairs(
     spark: SparkSession,
     sf_dir: str,
