@@ -217,10 +217,11 @@ class HNSWIndex:
         the one scale-killer this index family has; use ``build_routed``.
         """
         limit = cls.DRIVER_BUILD_MAX_ROWS if max_rows is None else max_rows
-        n = df.count()
-        if n > limit:
+        # bounded guard scan (one narrow column, stops at limit+1 rows) —
+        # refuses BEFORE collecting anything, without a full count job
+        if df.select(id_col).limit(limit + 1).count() > limit:
             raise ValueError(
-                f"HNSW driver-mode build refused: table has {n} rows > "
+                f"HNSW driver-mode build refused: table exceeds "
                 f"max_rows={limit}. Use HNSWIndex.build_routed (IVF-routed "
                 "shards, distributed build/probe) for tables this size."
             )

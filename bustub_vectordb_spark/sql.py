@@ -417,7 +417,21 @@ class SqlEngine:
                 rows or [("", "", "", "", "")],
                 "index string, table string, column string, method string, dist string",
             ).filter("index != ''")
-        return None  # \help \dbgmvcc etc.
+        if cmd.startswith("\\help"):
+            # ref HandleHelp (bustub_instance.cpp:256-281) prints the shell's
+            # command summary; we emit ours as one line per row
+            lines = [
+                "\\dt                      list tables",
+                "\\di                      list indexes (vector + scalar)",
+                "\\help                    this message",
+                "SET var = value          session variable (vector_index_method)",
+                "SHOW var                 show session variable",
+                "EXPLAIN (b|p|o|s) stmt   show binder/planner/optimizer/plan IR",
+                "CREATE TABLE / CREATE INDEX (USING ivfflat|hnsw ... WITH (k=v))",
+                "INSERT / UPDATE / DELETE / SELECT (incl. <->, <=>, inner_product)",
+            ]
+            return self.spark.createDataFrame([(l,) for l in lines], "help string")
+        return None  # \dbgmvcc (MVCC out of scope, SURVEY §2.4)
 
     def _create_index(self, name, table, method, col, ops, with_opts) -> None:
         """CREATE INDEX (bustub_ddl.cpp:88-152): vector methods bulk-build

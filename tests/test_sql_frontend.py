@@ -157,7 +157,10 @@ def test_meta_commands_list_tables_and_indexes(spark):
     idx = {r["index"]: (r["method"], r["dist"]) for r in e.execute("\\di").collect()}
     assert idx["mi1"] == ("ivfflat", "l2")
     assert idx["mi2"][0] == "bplustree"
-    assert e.execute("\\help") is None
+    help_lines = [r["help"] for r in e.execute("\\help").collect()]
+    assert any("\\dt" in l for l in help_lines)
+    assert any("vector_index_method" in l for l in help_lines)
+    assert e.execute("\\dbgmvcc") is None  # MVCC out of scope (SURVEY §2.4)
 
 
 def test_create_index_ops_class_sets_registry_dist(spark):
