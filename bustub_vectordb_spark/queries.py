@@ -2014,6 +2014,48 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @_register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS __ts
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(__ts) >= 3 THEN {_TRIGRAM_SQL}
+                  ELSE [] END AS sg
+      FROM toks
+    ), pr AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.sg, b.sg))::DOUBLE
+                  / len(list_distinct(list_concat(a.sg, b.sg))), 6) >= 0.5
+    ), edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pr
+      UNION ALL
+      SELECT id2, id1 FROM pr
+    ), reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id
+    """,
+)
+def q_dedup_components(spark, sf_dir):
+    # Transitive near-dup clustering: min-label propagation over the
+    # verified LSH pair graph (dedup/components.py) vs a recursive-CTE
+    # fixpoint in DuckDB — an independent formulation of the same component
+    # function. Single-pass dedup under-merges chains; this is the full
+    # cluster assignment a training pipeline keeps one representative from.
+    from .dedup.components import connected_components
+    from .dedup.minhash import near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+    return connected_components(docs.select("doc_id"), pairs, "doc_id")
+
+
+@_register(
     "sample_deterministic",
     """
     SELECT doc_id, length(text) AS text_len FROM documents

@@ -144,3 +144,23 @@ def test_minhash_hot_bucket_cap(spark, caplog):
     assert (100000, 100001) in pairs
     assert all(not (a < n_boiler and b < n_boiler) for a, b in pairs)
     assert any("hot bucket" in r.message for r in caplog.records)
+
+
+def test_connected_components_chain(spark):
+    """Transitive clustering: a chain A~B~C is ONE component even though
+    A and C never pair directly; isolated nodes keep their own id; a
+    10-node chain exercises multi-round propagation."""
+    from bustub_vectordb_spark.dedup.components import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    pairs = [(0, 1), (1, 2), (4, 5)] + [(i, i + 1) for i in range(6, 15)]
+    pdf = spark.createDataFrame(pairs, "id1 long, id2 long")
+    out = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, pdf, "doc_id").collect()
+    }
+    assert {out[i] for i in (0, 1, 2)} == {0}
+    assert out[3] == 3
+    assert {out[4], out[5]} == {4}
+    assert {out[i] for i in range(6, 16)} == {6}
+    assert out[15] == 6  # far end of the chain reached the min label
