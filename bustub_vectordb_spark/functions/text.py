@@ -169,3 +169,88 @@ def fingerprint(text: Column | str) -> Column:
 
 def fingerprint_sql(col: str = "text") -> str:
     return f"md5(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'))"
+
+
+# --------------------------------------------------------------------------
+# quality FILTER (Gopher-style keep/drop verdict over the metrics above;
+# cf. the published Gopher data-quality rules, Rae et al. 2021 §A1.1)
+QUALITY_RULES = {
+    "min_tokens": 30,
+    "max_tokens": 200_000,
+    "min_mean_token_len": 2.0,
+    "max_mean_token_len": 12.0,
+    "max_punct_ratio": 0.3,
+    "min_stopword_ratio": 0.05,
+}
+
+
+def quality_keep(text: Column | str, rules: dict | None = None) -> Column:
+    """Boolean keep verdict from the quality metrics (one codegen pass)."""
+    r = {**QUALITY_RULES, **(rules or {})}
+    m = quality_exprs(text)
+    return (
+        (m["n_tokens"] >= r["min_tokens"])
+        & (m["n_tokens"] <= r["max_tokens"])
+        & (m["mean_token_len"] >= r["min_mean_token_len"])
+        & (m["mean_token_len"] <= r["max_mean_token_len"])
+        & (m["punct_ratio"] <= r["max_punct_ratio"])
+        & (m["stopword_ratio"] >= r["min_stopword_ratio"])
+    )
+
+
+def quality_keep_sql(col: str = "text", rules: dict | None = None) -> str:
+    r = {**QUALITY_RULES, **(rules or {})}
+    m = quality_sql(col)
+    return (
+        f"({m['n_tokens']} >= {r['min_tokens']} AND {m['n_tokens']} <= {r['max_tokens']}"
+        f" AND {m['mean_token_len']} >= {r['min_mean_token_len']}"
+        f" AND {m['mean_token_len']} <= {r['max_mean_token_len']}"
+        f" AND {m['punct_ratio']} <= {r['max_punct_ratio']}"
+        f" AND {m['stopword_ratio']} >= {r['min_stopword_ratio']})"
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data redaction). Patterns restricted to syntax
+# Java regex (Spark) and RE2 (DuckDB) interpret identically — no
+# backreferences, no lookaround.
+PII_PATTERNS = {
+    # local@domain.tld
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # +1 555-123-4567 / (555) 123 4567 / 555.123.4567
+    "PHONE": r"\+?[0-9]{0,2}[ .-]?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}",
+    # 123-45-6789
+    "SSN": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact each PII class to a [CLASS] placeholder (order: EMAIL, PHONE,
+    SSN — fixed so both engines rewrite identically)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{name}]")
+    return c
+
+
+def pii_scrub_sql(col: str = "text") -> str:
+    expr = col
+    for name, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '[{name}]', 'g')"
+    return expr
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Total PII matches in the document (sum over classes)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.lit(0)
+    for pat in PII_PATTERNS.values():
+        n = n + F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+    return n.cast("bigint")
+
+
+def pii_counts_sql(col: str = "text") -> str:
+    terms = " + ".join(
+        f"len(regexp_extract_all({col}, '{p}'))" for p in PII_PATTERNS.values()
+    )
+    return f"({terms})::BIGINT"

@@ -1861,6 +1861,40 @@ def q_fingerprint(spark, sf_dir):
 
 
 @_register(
+    "text_quality_filter",
+    f"SELECT doc_id, n_chars FROM documents WHERE {X.quality_keep_sql('text')}",
+)
+def q_text_quality_filter(spark, sf_dir):
+    # Gopher-style keep/drop verdict composed from the quality metrics —
+    # the operator a training pipeline actually runs (text_quality exposes
+    # the metrics; this applies the rules). One codegen pass, no shuffle.
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(X.quality_keep("text")).select("doc_id", "n_chars")
+
+
+@_register(
+    "pii_scrub",
+    f"""
+    SELECT doc_id, md5({X.pii_scrub_sql('text')}) AS scrub_fp,
+           {X.pii_counts_sql('text')} AS n_pii
+    FROM documents
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    # PII redaction (emails/phones/SSNs → [CLASS] placeholders): narrow
+    # regexp_replace map, zero shuffle. The synthetic corpus contains no
+    # PII (n_pii = 0 everywhere) — the formula is still oracle-gated
+    # end-to-end, and tests/test_text_pipeline.py plants real PII and
+    # asserts the redaction + Spark/DuckDB parity on it.
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(X.pii_scrub("text")).alias("scrub_fp"),
+        X.pii_counts("text").alias("n_pii"),
+    )
+
+
+@_register(
     "dedup_exact",
     f"""
     SELECT {X.fingerprint_sql('text')} AS fp, count(*) AS n_copies,

@@ -123,3 +123,68 @@ def test_chunking_plan_is_shuffle_free(spark):
     with redirect_stdout(buf):
         out.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_pii_scrub_planted_and_engine_parity(spark):
+    """Planted PII must be redacted, and the Spark and DuckDB formulations
+    must rewrite the text identically (the synthetic corpus has no PII, so
+    the oracle gate alone would never exercise a real match)."""
+    import duckdb
+
+    from bustub_vectordb_spark.functions.text import (
+        pii_counts,
+        pii_counts_sql,
+        pii_scrub,
+        pii_scrub_sql,
+    )
+
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk for details"),
+        (2, "call (555) 123 4567 or +1 555-123-4567 tomorrow"),
+        (3, "ssn is 123-45-6789 do not share"),
+        (4, "no pii here at all"),
+        (5, "two mails a@b.io and c.d@e-f.org in one line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["scrubbed"], r["n_pii"])
+        for r in df.select(
+            "doc_id",
+            pii_scrub("text").alias("scrubbed"),
+            pii_counts("text").alias("n_pii"),
+        ).collect()
+    }
+    assert got[1] == ("contact me at [EMAIL] for details", 1)
+    assert got[2][1] == 2 and "[PHONE]" in got[2][0] and "555" not in got[2][0]
+    assert got[3] == ("ssn is [SSN] do not share", 1)
+    assert got[4] == ("no pii here at all", 0)
+    assert got[5][1] == 2 and "@" not in got[5][0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ", ".join(f"({i}, '{s}')" for i, s in rows) + ") v(doc_id, text)")
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT doc_id, {pii_scrub_sql('text')}, {pii_counts_sql('text')} FROM t"
+        ).fetchall()
+    }
+    assert oracle == got
+
+
+def test_quality_filter_selectivity(tables):
+    """The keep verdict must be a real split (not all-pass/all-fail) on the
+    corpus, and equal the conjunction of its component rules."""
+    from bustub_vectordb_spark.functions.text import quality_exprs, quality_keep
+
+    d = tables["documents"]
+    n = d.count()
+    kept = d.filter(quality_keep("text")).count()
+    assert 0 < kept < n
+    m = quality_exprs("text")
+    manual = d.select(
+        ((m["n_tokens"] >= 30) & (m["n_tokens"] <= 200_000)
+         & (m["mean_token_len"] >= 2.0) & (m["mean_token_len"] <= 12.0)
+         & (m["punct_ratio"] <= 0.3) & (m["stopword_ratio"] >= 0.05)).alias("k")
+    ).filter("k").count()
+    assert manual == kept
