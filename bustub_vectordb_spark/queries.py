@@ -2089,6 +2089,48 @@ def q_dedup_components(spark, sf_dir):
     return connected_components(docs.select("doc_id"), pairs, "doc_id")
 
 
+def _projection_oracle() -> str:
+    from .similarity.lsh_ann import make_planes
+    from .similarity.projection import project_sql
+
+    planes = make_planes(8, 64, seed=42)
+    return f"SELECT vec_id, {project_sql('embedding', planes)} AS proj FROM embeddings"
+
+
+@_register("embedding_projection", _projection_oracle)
+def q_embedding_projection(spark, sf_dir):
+    # Johnson-Lindenstrauss 64→8 random projection (deterministic seeded
+    # planes, one codegen inner product per output dim, zero shuffle) — the
+    # cheap pre-filter stage before exact rerank at scale. Planes inlined
+    # into the DuckDB oracle.
+    from .similarity.projection import random_projection
+
+    e = _t(spark, sf_dir, "embeddings")
+    return random_projection(e, "embedding", "vec_id", k=8, seed=42)
+
+
+@_register(
+    "embedding_normalize",
+    lambda: (
+        "SELECT vec_id, list_transform("
+        + __import__(
+            "bustub_vectordb_spark.similarity.projection", fromlist=["normalize_sql"]
+        ).normalize_sql("embedding")
+        + ", x -> round(x, 6)) AS unit FROM embeddings"
+    ),
+)
+def q_embedding_normalize(spark, sf_dir):
+    # L2 normalization at ingest: downstream cosine similarity becomes a
+    # plain dot product. Elementwise rounding on both sides absorbs the
+    # engines' summation-order last-bit difference in ||v||.
+    from .similarity.projection import normalize
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.transform(normalize("embedding"), lambda x: F.round(x, 6)).alias("unit")
+    )
+
+
 @_register(
     "sample_deterministic",
     """

@@ -68,3 +68,29 @@ def test_vec_lit_is_double(spark):
 def test_no_python_udf_in_plan(vecs):
     plan = vecs.select(l2_dist("v", [0.0, 0.0, 0.0])). _jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_normalize_and_projection(spark, tables):
+    from pyspark.sql import functions as F
+
+    from bustub_vectordb_spark.similarity.projection import normalize, random_projection
+
+    emb = tables["embeddings"]
+    unit = emb.select(
+        F.aggregate(
+            F.transform(normalize("embedding"), lambda x: x * x),
+            F.lit(0.0),
+            lambda s, t: s + t,
+        ).alias("sq")
+    ).collect()
+    assert all(abs(r["sq"] - 1.0) < 1e-9 for r in unit)
+
+    z = spark.createDataFrame([(1, [0.0] * 4)], "id long, embedding array<double>")
+    assert z.select(normalize("embedding").alias("u")).first()["u"] == [0.0] * 4
+
+    p1 = random_projection(emb, "embedding", "vec_id", k=8, seed=42).collect()
+    p2 = random_projection(emb, "embedding", "vec_id", k=8, seed=42).collect()
+    assert sorted(map(tuple, ((r["vec_id"], tuple(r["proj"])) for r in p1))) == sorted(
+        map(tuple, ((r["vec_id"], tuple(r["proj"])) for r in p2))
+    )
+    assert all(len(r["proj"]) == 8 for r in p1)
