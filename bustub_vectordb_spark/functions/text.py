@@ -161,14 +161,18 @@ def langid_sql(col: str = "text") -> str:
 def fingerprint(text: Column | str) -> Column:
     """Content fingerprint: md5 over lowercased, whitespace-collapsed text.
 
+    Runs are collapsed BEFORE trimming: trim() strips only spaces, so
+    collapsing first makes the key invariant under any leading/trailing
+    whitespace (tabs/newlines included) — the equivalence class exact dedup
+    is defined over (property-tested in tests/test_properties.py).
     Identical formula on both engines; used as the exact-dedup key.
     """
     c = F.col(text) if isinstance(text, str) else text
-    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
 
 
 def fingerprint_sql(col: str = "text") -> str:
-    return f"md5(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'))"
+    return f"md5(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')))"
 
 
 # --------------------------------------------------------------------------

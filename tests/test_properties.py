@@ -1,0 +1,99 @@
+"""Property-based invariants (hypothesis) for the text/dedup operators.
+
+The reference has no randomized testing (SURVEY.md §5); these pin algebraic
+contracts that example-based tests can miss. Each property evaluates the
+Spark Column expressions over a one-batch DataFrame — the engine's actual
+codegen path, not a Python re-implementation.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# printable-ish text incl. whitespace runs, punctuation, digits, PII-shaped
+# fragments
+_FRAGMENTS = st.sampled_from(
+    list("abcdefghij XYZ.,!?;:@-_+()0123456789\t\n")
+    + ["the ", "and ", "a@b.io ", "555-123-4567", "word "]
+)
+TEXT = st.lists(_FRAGMENTS, min_size=0, max_size=60).map("".join)
+
+RELAXED = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _eval(spark, texts, col):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    return [r["v"] for r in df.select(col.alias("v")).orderBy("i").collect()]
+
+
+@given(st.lists(TEXT, min_size=1, max_size=8))
+@RELAXED
+def test_pii_scrub_idempotent_and_clean(spark, texts):
+    """scrub(scrub(x)) == scrub(x), and scrubbed text never matches a PII
+    pattern again (placeholders are fixpoints)."""
+    from bustub_vectordb_spark.functions.text import pii_counts, pii_scrub
+
+    once = _eval(spark, texts, pii_scrub("text"))
+    twice = _eval(spark, once, pii_scrub("text"))
+    assert once == twice
+    assert all(n == 0 for n in _eval(spark, once, pii_counts("text")))
+
+
+@given(st.lists(TEXT, min_size=1, max_size=8))
+@RELAXED
+def test_fingerprint_whitespace_invariant(spark, texts):
+    """The dedup fingerprint is invariant under leading/trailing space and
+    internal whitespace-run collapse — the exact equivalence class exact
+    dedup is defined over."""
+    from bustub_vectordb_spark.functions.text import fingerprint
+
+    mangled = ["  " + t.replace(" ", "   ") + "\t" for t in texts]
+    assert _eval(spark, texts, fingerprint("text")) == _eval(
+        spark, mangled, fingerprint("text")
+    )
+
+
+@given(st.lists(TEXT, min_size=1, max_size=6))
+@RELAXED
+def test_shingles_distinct_and_bounded(spark, texts):
+    """Shingle sets are duplicate-free and no larger than the token count;
+    docs under n tokens yield the empty set (the guarded short-doc path)."""
+    from bustub_vectordb_spark.dedup.minhash import shingles, _tokens
+
+    sh = _eval(spark, texts, shingles("text", 3))
+    ntok = _eval(spark, texts, F.size(_tokens("text")))
+    for s, n in zip(sh, ntok):
+        assert len(s) == len(set(s))
+        assert len(s) <= max(n, 0)
+        if n < 3:
+            assert s == []
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30),
+)
+@RELAXED
+def test_band_join_equals_naive(spark, left_ts, right_ts):
+    """Bucketized band join ≡ naive |Δt| ≤ tol filter over the cross
+    product, for arbitrary integer timestamps."""
+    from bustub_vectordb_spark.operators.range_join import band_join
+
+    tol = 37
+    l = spark.createDataFrame([(i, t) for i, t in enumerate(left_ts)], "lid long, lt long")
+    r = spark.createDataFrame([(i, t) for i, t in enumerate(right_ts)], "rid long, rt long")
+    got = {
+        (x["lid"], x["rid"]) for x in band_join(l, r, "lt", "rt", tol).collect()
+    }
+    want = {
+        (i, j)
+        for i, a in enumerate(left_ts)
+        for j, b in enumerate(right_ts)
+        if abs(a - b) <= tol
+    }
+    assert got == want
