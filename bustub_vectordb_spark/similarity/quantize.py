@@ -181,11 +181,19 @@ class IVFSQ8Index:
     codes: DataFrame  # (id_col, BUCKET_COL, CODES_COL) — no raw vectors
     vec_col: str
     id_col: str
+    # probes without an explicit rerank depth use this; None → 4×k
+    default_rerank: int | None = None
 
     @classmethod
     def build(cls, ivf_index, vec_col: str, id_col: str, model: SQ8Model | None = None) -> "IVFSQ8Index":
         from ..index.ivfflat import BUCKET_COL
 
+        if ivf_index.dist != "l2":
+            raise ValueError(
+                "IVFSQ8Index supports l2 indexes only (the ADC decode formula "
+                "is squared-L2; cosine/ip need normalized or asymmetric "
+                "variants)"
+            )
         model = model or SQ8Model.train(ivf_index.assignments, vec_col)
         codes = ivf_index.assignments.select(
             F.col(id_col), F.col(BUCKET_COL), model.encode(vec_col).alias(CODES_COL)
@@ -196,7 +204,7 @@ class IVFSQ8Index:
         self,
         query: list[float],
         k: int,
-        rerank: int,
+        rerank: int | None = None,
         probe_lists: int | None = None,
         dist_col: str = "distance",
     ) -> DataFrame:
@@ -215,6 +223,8 @@ class IVFSQ8Index:
         from ..functions.vector import l2_dist
         from ..index.ivfflat import BUCKET_COL
 
+        if rerank is None:
+            rerank = self.default_rerank or 4 * k  # shortlist 4× the ask
         buckets = self.ivf.rank_buckets(query)[: (probe_lists or self.ivf.probe_lists)]
         cand = self.codes.filter(F.col(BUCKET_COL).isin(buckets))
         # ADC rounded to 9 decimals before ordering: Spark folds the dim sum

@@ -459,6 +459,17 @@ class SqlEngine:
                     probe_lists=opts.get("probe_lists", 1),
                     dist=OPS_TO_DIST.get(ops, "l2"),
                 )
+                if opts.get("sq8"):
+                    # WITH (sq8=1[, rerank=R]): store SQ8 codes instead of
+                    # raw floats on the probe path (4× scan cut); probes
+                    # ADC-score codes and exact-rerank the shortlist
+                    from .similarity.quantize import IVFSQ8Index
+
+                    names = self.catalog.tables[table].schema.names
+                    id_col = next((c for c in names if c != col), names[0])
+                    sq = IVFSQ8Index.build(idx, col, id_col)
+                    sq.default_rerank = opts.get("rerank")
+                    idx = sq
             else:
                 from .index.hnsw import HNSWIndex
 

@@ -131,3 +131,29 @@ def test_probe_plan_reads_codes_only(spark, emb):
         assert len(got) == 10
     finally:
         sq.codes.unpersist()
+
+
+def test_sql_create_index_sq8(spark, emb):
+    """CREATE INDEX ... USING ivfflat WITH (sq8=1): the registered index
+    stores materialized codes, the planner routes KNN through it, and the
+    rerank recovers exact ordering within the probed buckets."""
+    from bustub_vectordb_spark.index.selection import plan_knn
+    from bustub_vectordb_spark.similarity.quantize import IVFSQ8Index
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    engine = SqlEngine(spark)
+    engine.catalog.register("emb_sq8", emb)
+    engine.execute(
+        "CREATE INDEX sq8_idx ON emb_sq8 USING ivfflat (embedding vector_l2_ops)"
+        " WITH (lists = 8, probe_lists = 8, sq8 = 1, rerank = 40);"
+    )
+    (info,) = engine.indexes.lookup("emb_sq8", "embedding")
+    assert isinstance(info.index, IVFSQ8Index)
+    assert info.index.default_rerank == 40
+
+    plan = plan_knn(engine.indexes, "emb_sq8", emb, "embedding", QUERY_VEC, 10)
+    assert plan.strategy == "vector_index_scan(ivfflat)"
+    got = [r["vec_id"] for r in plan.df.collect()]
+    # probe_lists = lists → all buckets probed; rerank ≥ k → exact top-k
+    exact = [r["vec_id"] for r in knn(emb, "embedding", QUERY_VEC, 10).collect()]
+    assert got == exact
