@@ -258,12 +258,20 @@ class IVFFlatIndex:
         k: int,
         probe_lists: int | None = None,
         dist_col: str = "distance",
+        where: Column | None = None,
     ) -> DataFrame:
         """ANN top-k: scan only the probe_lists nearest buckets.
 
         With probe_lists == lists this is EXACT (all buckets scanned) — used
         by the hash-match oracle; smaller probe_lists trades recall for a
         proportionally smaller scan.
+
+        ``where`` is a metadata PRE-filter (filtered vector search): applied
+        to the probed buckets' rows BEFORE any distance is computed, so the
+        predicate pushes into the (bucket-pruned, columnar) assignments scan
+        and the top-k is taken among matching rows only — not post-filtered
+        from an unfiltered top-k, which can return < k rows at high
+        selectivity.
         """
         from ..similarity.brute import ASCENDING, DIST_FNS
 
@@ -271,6 +279,8 @@ class IVFFlatIndex:
         buckets = self.rank_buckets(query)[:p]
         fn = DIST_FNS[self.dist]
         cand = self.assignments.filter(F.col(BUCKET_COL).isin(buckets))
+        if where is not None:
+            cand = cand.filter(where)
         out = cand.withColumn(dist_col, fn(F.col(self.vec_col), query))
         order = F.col(dist_col).asc() if ASCENDING[self.dist] else F.col(dist_col).desc()
         return out.orderBy(order).limit(k).drop(BUCKET_COL)

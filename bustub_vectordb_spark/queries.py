@@ -1430,6 +1430,45 @@ def q_ann_ivfflat_probe(spark, sf_dir):  # recall also asserted in tests/test_iv
     )
 
 
+def _ivfflat_filtered_probe_oracle() -> str:
+    import math
+
+    values, cents = _ivfflat_oracle_cents()
+    buckets = sorted(range(len(cents)), key=lambda i: math.dist(cents[i], QUERY_VEC))[:4]
+    blist = ", ".join(str(b) for b in buckets)
+    q = _vec_sql_literal(QUERY_VEC)
+    return f"""
+    WITH cents(b, c) AS (VALUES {values}),
+    a AS (
+      SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v, c.b,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.b) AS arn
+      FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT vec_id, label, round(list_distance(v, {q}), 8) AS distance
+    FROM a WHERE arn = 1 AND b IN ({blist}) AND label = 2
+    ORDER BY list_distance(v, {q}) ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@_register("ann_ivfflat_filtered_probe", _ivfflat_filtered_probe_oracle)
+def q_ann_ivfflat_filtered_probe(spark, sf_dir):
+    # FILTERED vector search: metadata predicate (label = 2) applied as a
+    # PRE-filter inside the probed buckets — top-k among matching rows, not
+    # a post-filter that can come up short. The oracle replays bucket
+    # assignment + the same predicate on the inlined offline centroids.
+    idx = _ivfflat_for(spark, sf_dir)
+    probe = idx.probe(
+        QUERY_VEC, 10, probe_lists=4, dist_col="dist", where=F.col("label") == 2
+    )
+    return (
+        probe.orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .select("vec_id", "label", F.round("dist", 8).alias("distance"))
+    )
+
+
 @_register(
     "ann_index_selection",
     f"""

@@ -157,3 +157,33 @@ def test_offline_centroids_bit_identical(emb, ivf, sf_dir):
 
     off = offline_centroids(f"{sf_dir}/embeddings.parquet", "embedding", "vec_id", 8, 5)
     assert off == ivf.centroids
+
+
+def test_filtered_probe_prefilter_semantics(ivf, emb):
+    """The metadata predicate is a PRE-filter: top-k among matching rows in
+    the probed buckets — a post-filter over the unfiltered top-k would
+    return fewer rows whenever the neighborhood is dominated by other
+    labels."""
+    from pyspark.sql import functions as F
+
+    from bustub_vectordb_spark.queries import QUERY_VEC
+
+    k = 10
+    filtered = ivf.probe(
+        QUERY_VEC, k, probe_lists=ivf.lists, where=F.col("label") == 2
+    ).collect()
+    n_label2 = emb.filter(F.col("label") == 2).count()
+    assert len(filtered) == min(k, n_label2)
+    assert all(r["label"] == 2 for r in filtered)
+
+    # equals exact KNN over the label-2 subset when all buckets are probed
+    from bustub_vectordb_spark.similarity.brute import knn
+
+    exact = knn(emb.filter(F.col("label") == 2), "embedding", QUERY_VEC, k).collect()
+    assert [r["vec_id"] for r in filtered] == [r["vec_id"] for r in exact]
+
+    # post-filtering the unfiltered top-k comes up short (the semantics we
+    # deliberately do NOT have)
+    post = [r for r in ivf.probe(QUERY_VEC, k, probe_lists=ivf.lists).collect()
+            if r["label"] == 2]
+    assert len(post) < len(filtered)
