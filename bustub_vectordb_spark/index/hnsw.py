@@ -566,6 +566,116 @@ class ShardedHNSW:
 
         return sorted(range(len(self.centroids)), key=lambda i: score(self.centroids[i]))
 
+    def search_batch(
+        self,
+        queries,
+        query_vec: str,
+        qid_col: str,
+        k: int,
+        dist_col: str = "distance",
+        n_probe: int | None = None,
+    ):
+        """Distributed batch ANN over the shards.
+
+        Shape (the one that scales): each query row is ROUTED to its
+        ``n_probe`` nearest shards with a codegen'd centroid-scoring
+        expression (array_sort over (score, shard) structs — ties break to
+        the lowest shard, matching rank_shards), queries are then grouped
+        per shard (collect_list — one row per shard, so the pickled graph
+        blob is never duplicated per query row), each shard's graph
+        unpickles ONCE and searches its queries inside applyInPandas, and a
+        per-qid window takes the global top-k (dedup first: replicated
+        builds surface the same id from several shards).
+
+        Hash-sharded builds (no centroids) search every shard. Offline
+        replay: ``offline_routed_batch`` reproduces routing + hits exactly.
+        """
+        import pickle
+
+        import pandas as pd
+        from pyspark.sql import Window, functions as F
+
+        from ..shipping import ensure_package_on_workers
+
+        ensure_package_on_workers(self._spark)
+        qv = F.col(query_vec).cast("array<double>")
+
+        if n_probe is not None and self.centroids is not None:
+            from .ivfflat import _centroid_literal, _l2_sq
+
+            if self.dist == "l2":
+                score = lambda c: _l2_sq(qv, c)  # noqa: E731
+            else:
+                dot = lambda c: F.aggregate(  # noqa: E731
+                    F.zip_with(qv, c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                )
+                if self.dist == "ip":
+                    score = lambda c: -dot(c)  # noqa: E731
+                else:
+                    norm = lambda v: F.sqrt(  # noqa: E731
+                        F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x)
+                    )
+                    score = lambda c: -(  # noqa: E731
+                        dot(c) / (norm(qv) * norm(c))
+                    )
+            scored = F.array_sort(
+                F.transform(
+                    _centroid_literal(self.centroids),
+                    lambda c, i: F.struct(score(c).alias("d"), i.alias("b")),
+                )
+            )
+            routed = queries.select(
+                F.col(qid_col), qv.alias("__qv"),
+                F.explode(
+                    F.slice(
+                        F.transform(scored, lambda s: s["b"].cast("long")), 1, n_probe
+                    )
+                ).alias("__shard"),
+            )
+        else:
+            routed = queries.select(
+                F.col(qid_col), qv.alias("__qv")
+            ).crossJoin(self.blobs.select(F.col("shard").alias("__shard")))
+
+        per_shard = routed.groupBy("__shard").agg(
+            F.collect_list(F.struct(F.col(qid_col), F.col("__qv"))).alias("__qs")
+        )
+        joined = per_shard.join(self.blobs, per_shard["__shard"] == self.blobs["shard"])
+        sign = -1.0 if self.dist in ("ip", "cosine") else 1.0
+        id_col, id_type = self.id_col, self.id_type
+        qid_type = {f.name: f.dataType.simpleString() for f in queries.schema}[qid_col]
+        out_schema = f"{qid_col} {qid_type}, {id_col} {id_type}, {dist_col} double"
+
+        def run(batches):
+            for pdf in batches:
+                recs_q, recs_i, recs_d = [], [], []
+                for blob, qs in zip(pdf["blob"], pdf["__qs"]):
+                    g = pickle.loads(blob)
+                    for q in qs:
+                        arr = np.asarray(q["__qv"], dtype=np.float64)
+                        for hid, d in g.search(arr, k):
+                            recs_q.append(q[qid_col])
+                            recs_i.append(hid)
+                            recs_d.append(sign * d)
+                yield pd.DataFrame(
+                    {qid_col: recs_q, id_col: recs_i, dist_col: recs_d}
+                )
+
+        hits = joined.select("__qs", "blob").mapInPandas(run, out_schema)
+        asc = self.dist == "l2"
+        best = hits.groupBy(qid_col, id_col).agg(
+            (F.min(dist_col) if asc else F.max(dist_col)).alias(dist_col)
+        )
+        order = [F.col(dist_col).asc() if asc else F.col(dist_col).desc(), F.col(id_col).asc()]
+        w = Window.partitionBy(qid_col).orderBy(*order)
+        return (
+            best.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def probe(self, query, k: int, dist_col: str = "distance", n_probe: int | None = None):
         import pickle
 
@@ -741,3 +851,33 @@ def offline_routed_probe(
     asc = dist == "l2"
     out = sorted(hits.items(), key=lambda t: (t[1] if asc else -t[1], t[0]))
     return out[:k]
+
+
+def offline_routed_batch(
+    centroids: list[list[float]],
+    graphs: dict[int, _Graph],
+    queries: list[tuple],
+    k: int,
+    n_probe: int,
+    dist: str = "l2",
+) -> list[tuple]:
+    """Replay ``ShardedHNSW.search_batch`` for l2 routed builds: per-query
+    (score, shard) routing with the same left-fold arithmetic as the
+    distributed expression, per-(qid, id) min, (d, id)-ordered top-k.
+    Returns [(qid, id, distance)]."""
+    if dist != "l2":
+        raise ValueError("offline_routed_batch replicates the l2 routing path only")
+    out = []
+    for qid, qv in queries:
+        ranked = sorted((_l2_sq_fold(qv, c), b) for b, c in enumerate(centroids))
+        hits: dict = {}
+        for _, b in ranked[:n_probe]:
+            g = graphs.get(b)
+            if g is None:
+                continue
+            for hid, d in g.search(np.asarray(qv, dtype=np.float64), k):
+                if hid not in hits or d < hits[hid]:
+                    hits[hid] = d
+        for hid, d in sorted(hits.items(), key=lambda t: (t[1], t[0]))[:k]:
+            out.append((qid, hid, d))
+    return out

@@ -1820,6 +1820,62 @@ def q_ann_hnsw_routed_probe(spark, sf_dir):
     )
 
 
+def _routed_params():
+    return dict(shards=4, m=8, ef_construction=48, ef_search=48)
+
+
+def _hnsw_routed_batch_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed, offline_routed_batch
+
+    p = _routed_params()
+    cents, graphs = offline_routed(
+        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+        shards=p["shards"], m=p["m"],
+        ef_construction=p["ef_construction"], ef_search=p["ef_search"],
+    )
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qs = [
+        (qid, qv)
+        for qid, qv in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if qid % 97 == 0
+    ]
+    rows = [
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_batch(cents, graphs, qs, k=5, n_probe=2)
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_hnsw_routed_batch", _hnsw_routed_batch_oracle)
+def q_ann_hnsw_routed_batch(spark, sf_dir):
+    # Distributed batch ANN over IVF-routed HNSW shards: per-query codegen
+    # shard routing → per-shard grouped graph walks (one unpickle per
+    # shard) → windowed global top-k. The at-scale serving shape; exact
+    # offline-replay oracle (hnsw.offline_routed_batch).
+    from .index.hnsw import HNSWIndex
+
+    key = (sf_dir, "hnsw_routed")
+    if key not in _INDEX_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _INDEX_CACHE[key] = HNSWIndex.build_routed(
+            emb, "embedding", "vec_id", **_routed_params()
+        )
+    idx = _INDEX_CACHE[key]
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = idx.search_batch(queries, "embedding", "qid", k=5, n_probe=2)
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
 @_register("ann_hnsw_batch_search", _hnsw_batch_oracle)
 def q_ann_hnsw_batch_search(spark, sf_dir):
     # distributed batch ANN: broadcast graph + mapInPandas over queries

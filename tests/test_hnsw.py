@@ -295,3 +295,26 @@ def test_routed_recall_at_scale_sf01(spark):
         recalls.append(len(got & exact) / 10)
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.9, f"routed recall@10 at sf0.1: avg={avg} recalls={recalls}"
+
+
+def test_routed_search_batch_matches_single_probes(emb):
+    """Distributed batch search over routed shards returns, per query, the
+    same hits as the single-query probe path (same routing, same graphs,
+    same dedup + top-k)."""
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    qrows = emb.filter(F.col("vec_id") % 100 == 7).limit(5).collect()
+    queries = emb.filter(F.col("vec_id") % 100 == 7).limit(5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    batch = {}
+    for r in routed.search_batch(queries, "embedding", "qid", k=5, n_probe=2).collect():
+        batch.setdefault(r["qid"], []).append((r["distance"], r["vec_id"]))
+    assert set(batch) == {r["vec_id"] for r in qrows}
+    for r in qrows:
+        single = [
+            (x["distance"], x["vec_id"])
+            for x in routed.probe(list(r["embedding"]), 5, n_probe=2).collect()
+        ]
+        assert sorted(batch[r["vec_id"]]) == sorted(single)
