@@ -548,6 +548,39 @@ class ShardedHNSW:
     # planner-driven probes stay pruned); None = search every shard
     default_n_probe: int | None = None
 
+    # -- persistence: blobs + centroids as parquet -------------------------
+    def save(self, path: str) -> None:
+        """One parquet row per shard blob (written partitioned by shard so a
+        routed probe's shard filter is partition pruning on disk), plus the
+        centroid table for routed builds."""
+        self.blobs.write.partitionBy("shard").mode("overwrite").parquet(
+            f"{path}/blobs"
+        )
+        meta = [(self.vec_col, self.id_col, self.dist, self.id_type)]
+        self._spark.createDataFrame(
+            meta, "vec_col string, id_col string, dist string, id_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        if self.centroids is not None:
+            self._spark.createDataFrame(
+                [(i, c) for i, c in enumerate(self.centroids)],
+                "shard int, centroid array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "ShardedHNSW":
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        blobs = spark.read.parquet(f"{path}/blobs")
+        centroids = None
+        try:
+            crows = spark.read.parquet(f"{path}/centroids").orderBy("shard").collect()
+            centroids = [list(r["centroid"]) for r in crows]
+        except Exception:
+            pass  # hash-sharded build: no centroid table
+        return cls(
+            meta["vec_col"], meta["id_col"], meta["dist"], blobs.cache(), spark,
+            centroids=centroids, id_type=meta["id_type"],
+        )
+
     def rank_shards(self, query: list[float]) -> list[int]:
         """Nearest-centroid shard order (driver-side, |shards| entries) —
         same scoring orientation as IVFFlat.rank_buckets."""

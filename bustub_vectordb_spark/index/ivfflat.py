@@ -308,6 +308,7 @@ class IVFFlatIndex:
         k: int,
         probe_lists: int | None = None,
         dist_col: str = "distance",
+        where: Column | None = None,
     ) -> DataFrame:
         """ANN top-k for a whole DataFrame of queries — the KNN-join shape
         (millions of queries against the index, the realistic batch workload;
@@ -320,7 +321,9 @@ class IVFFlatIndex:
         the per-query window, both on well-spread keys. With probe_lists ==
         lists this is exact (the distributed brute-force KNN join,
         oracle-checked); smaller probe_lists scans probe_lists/lists of the
-        data per query.
+        data per query. ``where`` is the metadata PRE-filter (filtered
+        vector search) applied to the item side before the bucket join —
+        same semantics as :meth:`probe`.
 
         Output: (qid, all assignment columns, dist_col), ``qid`` being the
         query's ``query_id`` value (renamed to avoid colliding with the
@@ -355,7 +358,8 @@ class IVFFlatIndex:
         want = queries.sparkSession.sparkContext.defaultParallelism
         if queries.rdd.getNumPartitions() < want:
             q = q.repartition(want, "qid", BUCKET_COL)
-        cand = q.join(self.assignments, BUCKET_COL)
+        items = self.assignments if where is None else self.assignments.filter(where)
+        cand = q.join(items, BUCKET_COL)
         out = cand.withColumn(
             dist_col,
             DIST_FNS[self.dist](F.col(self.vec_col).cast("array<double>"), F.col("__qv")),

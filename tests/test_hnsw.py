@@ -318,3 +318,19 @@ def test_routed_search_batch_matches_single_probes(emb):
             for x in routed.probe(list(r["embedding"]), 5, n_probe=2).collect()
         ]
         assert sorted(batch[r["vec_id"]]) == sorted(single)
+
+
+def test_sharded_save_load_roundtrip(spark, emb, tmp_path):
+    """Routed ShardedHNSW persists as shard-partitioned blob parquet +
+    centroid table; the loaded index probes identically (routing included)."""
+    from bustub_vectordb_spark.index.hnsw import ShardedHNSW
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    before = [(r["vec_id"], r["distance"]) for r in routed.probe(QUERY, 10, n_probe=2).collect()]
+    routed.save(str(tmp_path / "sharded"))
+    loaded = ShardedHNSW.load(spark, str(tmp_path / "sharded"))
+    assert loaded.centroids == routed.centroids
+    after = [(r["vec_id"], r["distance"]) for r in loaded.probe(QUERY, 10, n_probe=2).collect()]
+    assert after == before

@@ -187,3 +187,24 @@ def test_filtered_probe_prefilter_semantics(ivf, emb):
     post = [r for r in ivf.probe(QUERY_VEC, k, probe_lists=ivf.lists).collect()
             if r["label"] == 2]
     assert len(post) < len(filtered)
+
+
+def test_filtered_batch_probe(ivf, emb):
+    """Batch KNN-join honors the same metadata pre-filter as single probe:
+    per query, top-k among label-matching rows only (exact when all buckets
+    probed)."""
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") % 100 == 11).limit(3)
+    out = ivf.probe_batch(
+        queries, "embedding", "vec_id", k=5, probe_lists=ivf.lists,
+        where=F.col("label") == 2,
+    ).collect()
+    assert out and all(r["label"] == 2 for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    sub = emb.filter(F.col("label") == 2)
+    for qr in queries.collect():
+        exact = [r["vec_id"] for r in knn(sub, "embedding", list(qr["embedding"]), 5).collect()]
+        assert by_q[qr["vec_id"]] == exact
