@@ -2227,6 +2227,37 @@ def q_embedding_normalize(spark, sf_dir):
 
 
 @_register(
+    "pipeline_prep",
+    f"""
+    WITH kept AS (
+      SELECT doc_id, {X.pii_scrub_sql('text')} AS clean
+      FROM documents WHERE {X.quality_keep_sql('text')}
+    ), dd AS (
+      SELECT doc_id, clean,
+             row_number() OVER (
+               PARTITION BY {X.fingerprint_sql('clean')} ORDER BY doc_id) AS rn
+      FROM kept
+    )
+    SELECT doc_id, {X.token_count_sql('clean')} AS n_tokens
+    FROM dd WHERE rn = 1
+    """,
+)
+def q_pipeline_prep(spark, sf_dir):
+    # The composed training-data prep pipeline as ONE oracle-gated unit:
+    # quality keep/drop → PII scrub → exact dedup on the scrubbed
+    # fingerprint (keep lowest doc_id) → token count. Everything is native
+    # Column expressions, so the whole chain is a single codegen stage plus
+    # one window shuffle — the shape a 100 TB prep job actually runs.
+    d = _t(spark, sf_dir, "documents")
+    kept = d.filter(X.quality_keep("text")).select(
+        "doc_id", X.pii_scrub("text").alias("clean")
+    )
+    w = Window.partitionBy(X.fingerprint("clean")).orderBy("doc_id")
+    dd = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return dd.select("doc_id", X.token_count("clean").alias("n_tokens"))
+
+
+@_register(
     "sample_deterministic",
     """
     SELECT doc_id, length(text) AS text_len FROM documents
