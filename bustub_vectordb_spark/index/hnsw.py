@@ -106,6 +106,47 @@ class _Graph:
         out = sorted(((-nd, v) for nd, v in result))
         return [v for _, v in out]
 
+    def _search_layer_filtered(
+        self, q: np.ndarray, entries: list[int], ef: int, level: int, allowed: set
+    ) -> list[int]:
+        """SearchLayer with an allowed-set: traversal visits every vertex for
+        NAVIGATION (disallowed vertices still route the walk, so recall does
+        not collapse when the filter is selective), but only allowed vertices
+        enter the result heap. This is the standard filtered-HNSW approach
+        (hnswlib's filtered searchBaseLayerST); reference surface:
+        SearchLayer (src/storage/index/hnsw_index.cpp:86-130) composed with
+        filter semantics. Kept separate from _search_layer so the unfiltered
+        path (and every existing offline-replay oracle) stays bit-identical.
+        """
+        edges = self.edges[level]
+        visited = set(entries)
+        cand: list[tuple[float, int]] = []
+        result: list[tuple[float, int]] = []  # max-heap via negated dist
+        for e, d in zip(entries, self._dist_many(q, entries)):
+            heapq.heappush(cand, (d, e))
+            if e in allowed:
+                heapq.heappush(result, (-d, e))
+        while cand:
+            d, v = heapq.heappop(cand)
+            # stop only once ef allowed results exist AND the nearest
+            # remaining candidate can't improve them (an empty result heap
+            # must keep expanding — entries may all be filtered out)
+            if len(result) >= ef and d > -result[0][0]:
+                break
+            nbs = [nb for nb in edges.get(v, ()) if nb not in visited]
+            if not nbs:
+                continue
+            visited.update(nbs)
+            for nb, dn in zip(nbs, self._dist_many(q, nbs)):
+                if len(result) < ef or dn < -result[0][0]:
+                    heapq.heappush(cand, (dn, nb))
+                    if nb in allowed:
+                        heapq.heappush(result, (-dn, nb))
+                        if len(result) > ef:
+                            heapq.heappop(result)
+        out = sorted(((-nd, v) for nd, v in result))
+        return [v for _, v in out]
+
     def _select_neighbors(self, q: np.ndarray, cands: list[int], m: int) -> list[int]:
         # simple m-nearest selection (the reference's SelectNeighbors)
         scored = sorted(zip(self._dist_many(q, cands), cands))
@@ -156,17 +197,45 @@ class _Graph:
         for i in range(len(ids)):
             self._insert(base + i)
 
-    def search(self, q: np.ndarray, k: int, ef: int | None = None) -> list[tuple]:
+    def search(
+        self,
+        q: np.ndarray,
+        k: int,
+        ef: int | None = None,
+        allowed_ids: set | None = None,
+    ) -> list[tuple]:
+        """Top-k graph walk. ``allowed_ids`` (a set of EXTERNAL ids) turns
+        this into filtered vector search: upper layers navigate unfiltered
+        (they only steer toward the query's region), the layer-0 beam admits
+        only allowed vertices — top-k among matching rows, not a post-filter
+        that can come up short."""
         if self.entry is None:
             return []
         ef = max(ef or self.efs, k)
         ep = [self.entry]
         for lv in range(len(self.edges) - 1, 0, -1):
             ep = self._search_layer(q, ep, 1, lv)[:1]
-        found = self._search_layer(q, ep, ef, 0)[:k]
+        if allowed_ids is None:
+            found = self._search_layer(q, ep, ef, 0)[:k]
+        else:
+            allowed = {i for i, ext in enumerate(self.ids) if ext in allowed_ids}
+            found = self._search_layer_filtered(q, ep, ef, 0, allowed)[:k]
         return [
             (self.ids[v], float(d)) for v, d in zip(found, self._dist_many(q, found))
         ]
+
+
+def _allowed_id_set(allowed) -> frozenset | None:
+    """Normalize a filtered-search allowed-set: None passes through, a
+    one-column DataFrame collects its ids (bounded: callers pass a filter
+    over an indexed table whose size the build path already guarded), any
+    other iterable is frozen as-is."""
+    if allowed is None:
+        return None
+    if hasattr(allowed, "collect"):  # DataFrame of ids (first column)
+        col = allowed.columns[0]
+        return frozenset(r[col] for r in allowed.collect())
+    return frozenset(allowed)
 
 
 def _id_type(df, id_col: str) -> str:
@@ -239,16 +308,34 @@ class HNSWIndex:
             _spark=df.sparkSession, id_type=_id_type(df, id_col),
         )
 
-    def probe(self, query, k: int, dist_col: str = "distance", ef_search: int | None = None):
+    def probe(
+        self,
+        query,
+        k: int,
+        dist_col: str = "distance",
+        ef_search: int | None = None,
+        allowed=None,
+    ):
         """Single-query ANN probe → small DataFrame (id, distance).
 
         Online single-vector serving is the path that doesn't fit Spark
         (north-star note in BASELINE.json) — the graph walk runs driver-side
         on the in-memory graph, and only the k results become a DataFrame.
+
+        ``allowed`` enables FILTERED vector search (the HNSW twin of
+        IVFFlatIndex.probe's ``where``): an iterable of ids or a one-column
+        DataFrame of ids; the graph walk admits only those ids into the
+        beam (graph-traversal-time filtering, so recall holds instead of
+        post-filtering an unfiltered top-k below k). The id set is bounded
+        by the driver-build guard (≤ DRIVER_BUILD_MAX_ROWS), so collecting
+        a DataFrame filter result here is not a scale hazard.
         """
         import pandas as pd
 
-        hits = self.graph.search(np.asarray(query, dtype=np.float64), k, ef_search)
+        allowed_ids = _allowed_id_set(allowed)
+        hits = self.graph.search(
+            np.asarray(query, dtype=np.float64), k, ef_search, allowed_ids=allowed_ids
+        )
         sign = -1.0 if self.dist in ("ip", "cosine") else 1.0
         pdf = pd.DataFrame(
             {self.id_col: [h[0] for h in hits], dist_col: [sign * h[1] for h in hits]}
@@ -349,12 +436,21 @@ class HNSWIndex:
                 return
             g = _Graph(m, ef_construction, ef_search, dist, seed)
             g.add_all(ids, np.asarray(vecs, dtype=np.float64))
-            yield pd.DataFrame({"shard": [hash(tuple(sorted(ids[:3])))], "blob": [pickle.dumps(g)]})
+            # deterministic shard id: Python hash() is per-process salted for
+            # strings (PYTHONHASHSEED), so it would differ across executors/
+            # runs — derive from a stable digest of the member ids instead
+            import hashlib
+
+            key = repr(sorted(ids)[:3]).encode()
+            shard = int.from_bytes(hashlib.md5(key).digest()[:8], "big") >> 1
+            yield pd.DataFrame({"shard": [shard], "blob": [pickle.dumps(g)]})
 
         blobs = parts.mapInPandas(build_one, "shard long, blob binary")
         return ShardedHNSW(
             vec_col, id_col, dist, blobs.cache(), df.sparkSession,
             id_type=_id_type(df, id_col),
+            params=dict(m=m, ef_construction=ef_construction,
+                        ef_search=ef_search, seed=seed),
         )
 
     @classmethod
@@ -473,6 +569,8 @@ class HNSWIndex:
         return ShardedHNSW(
             vec_col, id_col, dist, blobs.cache(), df.sparkSession,
             centroids=centroids, id_type=_id_type(df, id_col),
+            params=dict(m=m, ef_construction=ef_construction,
+                        ef_search=ef_search, seed=seed),
         )
 
     # -- persistence: graph as DataFrames ---------------------------------
@@ -547,6 +645,9 @@ class ShardedHNSW:
     # probes without an explicit n_probe use this (set by the SQL DDL path so
     # planner-driven probes stay pruned); None = search every shard
     default_n_probe: int | None = None
+    # graph build params (m / ef_construction / ef_search / seed) — needed by
+    # insert() when a new row routes to a shard that was empty at build time
+    params: dict | None = None
 
     # -- persistence: blobs + centroids as parquet -------------------------
     def save(self, path: str) -> None:
@@ -556,9 +657,20 @@ class ShardedHNSW:
         self.blobs.write.partitionBy("shard").mode("overwrite").parquet(
             f"{path}/blobs"
         )
-        meta = [(self.vec_col, self.id_col, self.dist, self.id_type)]
+        import json
+
+        meta = [
+            (
+                self.vec_col,
+                self.id_col,
+                self.dist,
+                self.id_type,
+                json.dumps(self.params) if self.params else None,
+            )
+        ]
         self._spark.createDataFrame(
-            meta, "vec_col string, id_col string, dist string, id_type string"
+            meta,
+            "vec_col string, id_col string, dist string, id_type string, params string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
         if self.centroids is not None:
             self._spark.createDataFrame(
@@ -568,6 +680,8 @@ class ShardedHNSW:
 
     @classmethod
     def load(cls, spark, path: str) -> "ShardedHNSW":
+        import json
+
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         blobs = spark.read.parquet(f"{path}/blobs")
         centroids = None
@@ -576,9 +690,11 @@ class ShardedHNSW:
             centroids = [list(r["centroid"]) for r in crows]
         except Exception:
             pass  # hash-sharded build: no centroid table
+        raw = meta["params"] if "params" in meta.__fields__ else None
         return cls(
             meta["vec_col"], meta["id_col"], meta["dist"], blobs.cache(), spark,
             centroids=centroids, id_type=meta["id_type"],
+            params=json.loads(raw) if raw else None,
         )
 
     def rank_shards(self, query: list[float]) -> list[int]:
@@ -633,6 +749,11 @@ class ShardedHNSW:
         ensure_package_on_workers(self._spark)
         qv = F.col(query_vec).cast("array<double>")
 
+        if n_probe is None:
+            # DDL-created routed indexes carry default_n_probe — without this
+            # fallback a WITH(n_probe=...) index would lose its pruning on
+            # the batch path while keeping it on probe()
+            n_probe = self.default_n_probe
         if n_probe is not None and self.centroids is not None:
             from .ivfflat import _centroid_literal, _l2_sq
 
@@ -709,7 +830,101 @@ class ShardedHNSW:
             .drop("__rn")
         )
 
-    def probe(self, query, k: int, dist_col: str = "distance", n_probe: int | None = None):
+    def insert(self, rows) -> "ShardedHNSW":
+        """Insert-after-build on the at-scale routed variant (the reference's
+        InsertVectorEntry, src/storage/index/hnsw_index.cpp:204-279, lifted
+        to shard scale): each new row routes to its nearest-centroid shard
+        with the same codegen argmin as build_routed, rows group per shard,
+        and only shards that RECEIVED rows unpickle → add_all (id-sorted, so
+        the extended graph is deterministic) → repickle; untouched shards
+        pass their blob bytes through unchanged. Centroids stay frozen —
+        the same frozen-coarse-quantizer contract as IVFFlatIndex.insert
+        (ivfflat_index.cpp:92-95). Cost: one narrow shuffle of the new rows
+        on the shard key + graph work proportional to touched shards only.
+        """
+        import pickle
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from ..shipping import ensure_package_on_workers
+        from .ivfflat import _nearest_centroid
+
+        if self.centroids is None:
+            raise ValueError(
+                "insert requires a routed build (frozen-centroid routing); "
+                "hash-sharded builds have no routing function for new rows"
+            )
+        ensure_package_on_workers(self._spark)
+        vec = F.col(self.vec_col).cast("array<double>")
+        routed = rows.select(
+            F.col(self.id_col).alias("__nid"), vec.alias("__nv")
+        ).withColumn(
+            "__shard", _nearest_centroid(F.col("__nv"), self.centroids).cast("long")
+        )
+        per_shard = routed.groupBy("__shard").agg(
+            F.collect_list(F.struct("__nid", "__nv")).alias("__new")
+        )
+        joined = self.blobs.join(
+            per_shard, self.blobs["shard"] == per_shard["__shard"], "full_outer"
+        ).select(
+            F.coalesce(self.blobs["shard"], per_shard["__shard"]).alias("shard"),
+            "blob",
+            "__new",
+        )
+        p = self.params or {}
+        m = p.get("m", 8)
+        efc = p.get("ef_construction", 64)
+        efs = p.get("ef_search", 64)
+        seed = p.get("seed", 42)
+        dist = self.dist
+
+        def upsert(batches):
+            for pdf in batches:
+                out_s, out_b = [], []
+                for shard, blob, new in zip(pdf["shard"], pdf["blob"], pdf["__new"]):
+                    if new is None or len(new) == 0:
+                        out_s.append(shard)
+                        out_b.append(blob)
+                        continue
+                    g = (
+                        pickle.loads(blob)
+                        if blob is not None
+                        # shard was empty at build time: fresh graph
+                        else _Graph(m, efc, efs, dist, seed)
+                    )
+                    recs = sorted(
+                        ((r["__nid"], r["__nv"]) for r in new), key=lambda t: t[0]
+                    )
+                    g.add_all(
+                        [r[0] for r in recs],
+                        np.asarray([r[1] for r in recs], dtype=np.float64),
+                    )
+                    out_s.append(shard)
+                    out_b.append(pickle.dumps(g))
+                yield pd.DataFrame({"shard": out_s, "blob": out_b})
+
+        blobs = joined.mapInPandas(upsert, "shard long, blob binary")
+        return ShardedHNSW(
+            self.vec_col, self.id_col, self.dist, blobs.cache(), self._spark,
+            centroids=self.centroids, id_type=self.id_type,
+            default_n_probe=self.default_n_probe, params=self.params,
+        )
+
+    def probe(
+        self,
+        query,
+        k: int,
+        dist_col: str = "distance",
+        n_probe: int | None = None,
+        allowed=None,
+    ):
+        """``allowed`` (iterable of ids or a one-column DataFrame) enables
+        filtered vector search on the routed/sharded variant: the id set is
+        broadcast once and each probed shard's graph walk filters at
+        traversal time (_search_layer_filtered), so the per-shard top-k is
+        taken among matching rows. Shard pruning (n_probe) still applies —
+        the filter composes with, not replaces, centroid routing."""
         import pickle
 
         import pandas as pd
@@ -723,13 +938,20 @@ class ShardedHNSW:
         q = [float(x) for x in query]
         sign = -1.0 if self.dist in ("ip", "cosine") else 1.0
         id_col = self.id_col
+        allowed_ids = _allowed_id_set(allowed)
+        bc_allowed = (
+            self._spark.sparkContext.broadcast(allowed_ids)
+            if allowed_ids is not None
+            else None
+        )
 
         def search_shard(batches):
+            aset = bc_allowed.value if bc_allowed is not None else None
             for pdf in batches:
                 recs = []
                 for blob in pdf["blob"]:
                     g = pickle.loads(blob)
-                    for hid, d in g.search(np.asarray(q), k):
+                    for hid, d in g.search(np.asarray(q), k, allowed_ids=aset):
                         recs.append({id_col: hid, dist_col: sign * d})
                 yield pd.DataFrame(recs, columns=[id_col, dist_col])
 
@@ -818,14 +1040,22 @@ def offline_routed(
     dist: str = "l2",
     seed: int = 42,
     max_iter: int = 5,
+    keep=None,
 ) -> tuple[list[list[float]], dict[int, _Graph]]:
     """Replay ``HNSWIndex.build_routed`` (replicate_eps=0) without Spark.
+
+    ``keep`` (optional id predicate) replays a build over a FILTERED table
+    — ``build_routed(df.filter(...))`` — since both the centroid seeds and
+    the training collect are id-ordered over whatever rows the input holds.
 
     Valid only on inputs small enough for the full-table training path
     (same bound as offline_centroids); raises otherwise."""
     from .ivfflat import IVFFlatIndex, _lloyds_numpy
 
     ids, vecs = _read_sorted(parquet_path, vec_col, order_col)
+    if keep is not None:
+        pairs = [(i, v) for i, v in zip(ids, vecs) if keep(i)]
+        ids, vecs = [p[0] for p in pairs], [p[1] for p in pairs]
     n, dim = len(vecs), len(vecs[0]) if vecs else 0
     if n * dim > IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS:
         raise ValueError("offline_routed only replicates the full-table training path")
@@ -855,9 +1085,11 @@ def offline_routed_probe(
     k: int,
     n_probe: int,
     dist: str = "l2",
+    allowed_ids: set | None = None,
 ) -> list[tuple]:
     """Replay ``ShardedHNSW.probe`` (rank shards → search n_probe graphs →
-    dedupe → global top-k). Returns [(id, signed_distance)]."""
+    dedupe → global top-k; ``allowed_ids`` replays the filtered walk).
+    Returns [(id, signed_distance)]."""
 
     def score(c: list[float]) -> float:
         if dist == "l2":
@@ -877,13 +1109,44 @@ def offline_routed_probe(
         g = graphs.get(b)
         if g is None:
             continue
-        for hid, d in g.search(q, k):
+        for hid, d in g.search(q, k, allowed_ids=allowed_ids):
             sd = sign * d
             if hid not in hits or sd < hits[hid]:
                 hits[hid] = sd
     asc = dist == "l2"
     out = sorted(hits.items(), key=lambda t: (t[1] if asc else -t[1], t[0]))
     return out[:k]
+
+
+def offline_routed_insert(
+    centroids: list[list[float]],
+    graphs: dict[int, _Graph],
+    rows: list[tuple],
+    m: int = 8,
+    ef_construction: int = 48,
+    ef_search: int = 48,
+    dist: str = "l2",
+    seed: int = 42,
+) -> dict[int, _Graph]:
+    """Replay ``ShardedHNSW.insert`` without Spark: route each (id, vec) by
+    the same left-fold argmin the distributed expression evaluates, then
+    extend each touched shard's graph in id order (exactly what the worker's
+    sorted add_all does). Mutates and returns ``graphs``."""
+    members: dict[int, list[tuple]] = {}
+    for i, v in rows:
+        dists = [_l2_sq_fold(v, c) for c in centroids]
+        b = dists.index(min(dists))  # first-min ties, like array_position
+        members.setdefault(b, []).append((i, v))
+    for b, recs in sorted(members.items()):
+        recs.sort(key=lambda t: t[0])
+        g = graphs.get(b)
+        if g is None:
+            g = _Graph(m, ef_construction, ef_search, dist, seed)
+            graphs[b] = g
+        g.add_all(
+            [r[0] for r in recs], np.asarray([r[1] for r in recs], dtype=np.float64)
+        )
+    return graphs
 
 
 def offline_routed_batch(

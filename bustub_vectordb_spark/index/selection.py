@@ -53,11 +53,17 @@ def plan_knn(
     dist: str = "l2",
     method: str = "unset",
     dist_col: str = "distance",
+    where=None,
 ) -> KnnPlan:
-    """Plan ``SELECT *, dist(vec_col, query) AS d FROM table ORDER BY d LIMIT k``.
+    """Plan ``SELECT *, dist(vec_col, query) AS d FROM table [WHERE pred]
+    ORDER BY d LIMIT k``.
 
-    method is the ``vector_index_method`` session variable.
-    """
+    method is the ``vector_index_method`` session variable. ``where`` (a
+    Column predicate over the base table) plans FILTERED vector search: the
+    predicate is pushed INTO the chosen index probe — a metadata pre-filter
+    inside probed buckets for IVFFlat, a traversal-time allowed-set for the
+    HNSW family — so top-k is taken among matching rows (never a
+    post-filter of an unfiltered top-k, which can return < k rows)."""
     if method != "none":
         candidates = [
             i
@@ -73,8 +79,17 @@ def plan_knn(
         fallback = candidates[0] if candidates and method == "unset" else None
         chosen = exact[0] if exact else fallback
         if chosen is not None:
-            probe = chosen.index.probe(query, k, dist_col=dist_col)
+            if where is None:
+                probe = chosen.index.probe(query, k, dist_col=dist_col)
+            elif hasattr(chosen.index, "assignments"):  # IVFFlat: bucket pre-filter
+                probe = chosen.index.probe(query, k, dist_col=dist_col, where=where)
+            else:  # HNSW family: allowed-id set from the base-table filter
+                allowed = df.filter(where).select(chosen.index.id_col)
+                probe = chosen.index.probe(
+                    query, k, dist_col=dist_col, allowed=allowed
+                )
             return KnnPlan(f"vector_index_scan({chosen.method})", chosen.name, probe)
+    base = df if where is None else df.filter(where)
     return KnnPlan(
-        "seq_scan", None, brute_knn(df, vec_col, query, k, dist=dist, dist_col=dist_col)
+        "seq_scan", None, brute_knn(base, vec_col, query, k, dist=dist, dist_col=dist_col)
     )

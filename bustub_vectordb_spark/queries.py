@@ -1623,6 +1623,45 @@ def q_ann_sq8_adc(spark, sf_dir):
     return model.adc_topk(e, "embedding", "vec_id", QUERY_VEC, 10)
 
 
+@_register(
+    "ann_sq8_adc_cosine",
+    sq8_adc_oracle_sql(
+        "embeddings", "embedding", "vec_id", QUERY_VEC, 10,
+        dist_col="adc_sim", metric="cosine",
+    ),
+)
+def q_ann_sq8_adc_cosine(spark, sf_dir):
+    # compressed serving for vector_cosine_ops (ref catalog.h:322-331 binds
+    # all three ops classes): asymmetric cosine — full-precision query vs
+    # decoded codes, ‖q‖ inlined as the same literal on both sides.
+    from .similarity.quantize import SQ8Model
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = SQ8Model.train(e, "embedding")
+    return model.adc_topk(
+        e, "embedding", "vec_id", QUERY_VEC, 10, dist_col="adc_sim", metric="cosine"
+    )
+
+
+@_register(
+    "ann_sq8_adc_ip",
+    sq8_adc_oracle_sql(
+        "embeddings", "embedding", "vec_id", QUERY_VEC, 10,
+        dist_col="adc_ip", metric="ip",
+    ),
+)
+def q_ann_sq8_adc_ip(spark, sf_dir):
+    # compressed serving for vector_ip_ops: asymmetric inner product over
+    # decoded codes, descending (larger = nearer).
+    from .similarity.quantize import SQ8Model
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = SQ8Model.train(e, "embedding")
+    return model.adc_topk(
+        e, "embedding", "vec_id", QUERY_VEC, 10, dist_col="adc_ip", metric="ip"
+    )
+
+
 def _ivf_sq8_rerank_oracle() -> str:
     """DuckDB replica of the full IVF+SQ8+rerank pipeline: inlined IVF
     centroids (deterministic training, same as the partial-probe oracles),
@@ -1874,6 +1913,147 @@ def q_ann_hnsw_routed_batch(spark, sf_dir):
     )
     out = idx.search_batch(queries, "embedding", "qid", k=5, n_probe=2)
     return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
+def _hnsw_filtered_probe_oracle() -> str:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "label"])
+    allowed = {
+        i for i, lb in zip(t["vec_id"].to_pylist(), t["label"].to_pylist()) if lb == 2
+    }
+    hits = _offline_hnsw_graph().search(
+        np.asarray(QUERY_VEC, dtype=np.float64), 10, allowed_ids=allowed
+    )
+    rows = sorted(((int(i), float(d)) for i, d in hits), key=lambda t: (t[1], t[0]))
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_hnsw_filtered_probe", _hnsw_filtered_probe_oracle)
+def q_ann_hnsw_filtered_probe(spark, sf_dir):
+    # FILTERED vector search on HNSW (twin of ann_ivfflat_filtered_probe):
+    # the metadata predicate (label = 2) becomes an allowed-id set enforced
+    # DURING the graph walk (_search_layer_filtered) — top-k among matching
+    # rows with full recall, not a post-filter that can come up short.
+    # Exact offline-replay oracle: same graph, same filtered walk, numpy-only.
+    idx = _hnsw_for(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = idx.probe(QUERY_VEC, 10, allowed=emb.filter(F.col("label") == 2).select("vec_id"))
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
+def _hnsw_routed_filtered_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed, offline_routed_probe
+
+    p = _routed_params()
+    cents, graphs = offline_routed(
+        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+        shards=p["shards"], m=p["m"],
+        ef_construction=p["ef_construction"], ef_search=p["ef_search"],
+    )
+    t = pq.read_table(f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "label"])
+    allowed = {
+        i for i, lb in zip(t["vec_id"].to_pylist(), t["label"].to_pylist()) if lb == 2
+    }
+    hits = offline_routed_probe(cents, graphs, QUERY_VEC, 10, n_probe=2, allowed_ids=allowed)
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_hnsw_routed_filtered_probe", _hnsw_routed_filtered_oracle)
+def q_ann_hnsw_routed_filtered_probe(spark, sf_dir):
+    # filtered search composed WITH shard pruning: the allowed-id set is
+    # broadcast and enforced inside each of the n_probe probed shards'
+    # graph walks. Exact offline replay (offline_routed_probe + allowed_ids).
+    from .index.hnsw import HNSWIndex
+
+    key = (sf_dir, "hnsw_routed")
+    if key not in _INDEX_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _INDEX_CACHE[key] = HNSWIndex.build_routed(
+            emb, "embedding", "vec_id", **_routed_params()
+        )
+    idx = _INDEX_CACHE[key]
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = idx.probe(
+        QUERY_VEC, 10, n_probe=2,
+        allowed=emb.filter(F.col("label") == 2).select("vec_id"),
+    )
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
+def _hnsw_routed_insert_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed, offline_routed_insert, offline_routed_probe
+
+    p = _routed_params()
+    # build over vec_id % 7 != 0, then insert the held-out % 7 == 0 rows —
+    # the at-scale InsertVectorEntry shape (vector.05-hnsw.slt's
+    # insert-after-build, lifted to routed shards)
+    cents, graphs = offline_routed(
+        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+        shards=p["shards"], m=p["m"],
+        ef_construction=p["ef_construction"], ef_search=p["ef_search"],
+        keep=lambda i: i % 7 != 0,
+    )
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    new = [
+        (i, v)
+        for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if i % 7 == 0
+    ]
+    offline_routed_insert(
+        cents, graphs, new, m=p["m"], ef_construction=p["ef_construction"],
+        ef_search=p["ef_search"],
+    )
+    hits = offline_routed_probe(cents, graphs, QUERY_VEC, 10, n_probe=2)
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_hnsw_routed_insert", _hnsw_routed_insert_oracle)
+def q_ann_hnsw_routed_insert(spark, sf_dir):
+    # ShardedHNSW.insert: new rows route to their nearest-centroid shard
+    # (frozen centroids), only touched shards extend their graphs; then a
+    # pruned probe over the extended index. Exact offline-replay oracle
+    # (offline_routed + offline_routed_insert + offline_routed_probe).
+    from .index.hnsw import HNSWIndex
+
+    key = (sf_dir, "hnsw_routed_ins")
+    if key not in _INDEX_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        base = HNSWIndex.build_routed(
+            emb.filter(F.col("vec_id") % 7 != 0), "embedding", "vec_id",
+            **_routed_params(),
+        )
+        _INDEX_CACHE[key] = base.insert(emb.filter(F.col("vec_id") % 7 == 0))
+    idx = _INDEX_CACHE[key]
+    return (
+        idx.probe(QUERY_VEC, 10, n_probe=2)
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
 
 
 @_register("ann_hnsw_batch_search", _hnsw_batch_oracle)

@@ -84,20 +84,68 @@ class SQ8Model:
             ),
         )
 
-    def adc_dist_sq(self, codes: Column | str, query: list[float]) -> Column:
-        """Squared L2 between the full-precision query and the decoded
-        codes — decode order: mn + code·(mx−mn)/255 (matches the oracle)."""
+    def _decoded(self, codes: Column | str) -> Column:
+        """On-the-fly decode: mn + code·(mx−mn)/255 (matches the oracle)."""
         c = F.col(codes) if isinstance(codes, str) else codes
         mn, mx = self._lits()
-        decoded = F.transform(
+        return F.transform(
             c, lambda code, i: F.get(mn, i) + code * (F.get(mx, i) - F.get(mn, i)) / 255.0
         )
+
+    def adc_dist_sq(self, codes: Column | str, query: list[float]) -> Column:
+        """Squared L2 between the full-precision query and the decoded codes
+        (asymmetric: the query is never quantized)."""
+        decoded = self._decoded(codes)
         q = F.array(*[F.lit(float(x)) for x in query])
         return F.aggregate(
             F.zip_with(decoded, q, lambda d, qq: (d - qq) * (d - qq)),
             F.lit(0.0),
             lambda s, v: s + v,
         )
+
+    def adc_ip(self, codes: Column | str, query: list[float]) -> Column:
+        """Asymmetric inner product ⟨decoded, q⟩ — larger is nearer
+        (vector_ip_ops; ops classes per reference catalog.h:322-331)."""
+        decoded = self._decoded(codes)
+        q = F.array(*[F.lit(float(x)) for x in query])
+        return F.aggregate(
+            F.zip_with(decoded, q, lambda d, qq: d * qq),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    def adc_cosine(self, codes: Column | str, query: list[float]) -> Column:
+        """Asymmetric cosine similarity: ⟨decoded,q⟩ / (‖decoded‖·‖q‖).
+        ‖q‖ is a driver-computed literal (query-derived, same literal is
+        inlined into the oracle SQL); ‖decoded‖ is per-row."""
+        import math
+
+        decoded = self._decoded(codes)
+        q = F.array(*[F.lit(float(x)) for x in query])
+        dot = F.aggregate(
+            F.zip_with(decoded, q, lambda d, qq: d * qq), F.lit(0.0), lambda s, v: s + v
+        )
+        dn = F.sqrt(
+            F.aggregate(
+                F.transform(decoded, lambda d: d * d), F.lit(0.0), lambda s, v: s + v
+            )
+        )
+        qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1e-300
+        return dot / (dn * F.lit(qn))
+
+    # metric → (score builder attr, ascending?) — 'l2' orders ascending
+    # (distance), 'ip'/'cosine' descending (similarity), mirroring
+    # similarity.brute.ASCENDING
+    _METRICS = {"l2": True, "ip": False, "cosine": False}
+
+    def adc_score(self, codes: Column | str, query: list[float], metric: str) -> Column:
+        if metric == "l2":
+            return self.adc_dist_sq(codes, query)
+        if metric == "ip":
+            return self.adc_ip(codes, query)
+        if metric == "cosine":
+            return self.adc_cosine(codes, query)
+        raise ValueError(f"unknown SQ8 metric: {metric}")
 
     def adc_topk(
         self,
@@ -107,25 +155,49 @@ class SQ8Model:
         query: list[float],
         k: int,
         dist_col: str = "adc_dist",
+        metric: str = "l2",
     ) -> DataFrame:
-        """End-to-end compressed probe: encode (narrow) → ADC distance →
-        global top-k (TakeOrderedAndProject). Ties broken by id."""
+        """End-to-end compressed probe: encode (narrow) → ADC score →
+        global top-k (TakeOrderedAndProject). Ties broken by id. ``metric``
+        covers all three reference ops classes (l2 ascending, ip/cosine
+        descending)."""
         codes = self.encode(vec_col)
+        score = F.round(self.adc_score(codes, query, metric), 6)
+        order = (
+            F.col(dist_col).asc() if self._METRICS[metric] else F.col(dist_col).desc()
+        )
         return (
-            df.select(F.col(id_col), F.round(self.adc_dist_sq(codes, query), 6).alias(dist_col))
-            .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+            df.select(F.col(id_col), score.alias(dist_col))
+            .orderBy(order, F.col(id_col).asc())
             .limit(k)
         )
 
 
 def sq8_adc_oracle_sql(
     table: str, vec_col: str, id_col: str, query: list[float], k: int,
-    dist_col: str = "adc_dist",
+    dist_col: str = "adc_dist", metric: str = "l2",
 ) -> str:
     """Self-contained DuckDB replica of train→encode→ADC→top-k: the
     per-dimension stats are computed in SQL (no data-derived literals), and
-    every arithmetic step mirrors SQ8Model's operation order."""
+    every arithmetic step mirrors SQ8Model's operation order. ``metric``
+    mirrors adc_topk's: l2 (squared distance, ASC), ip / cosine
+    (similarity, DESC)."""
+    import math
+
     qvals = ", ".join(repr(float(x)) for x in query)
+    dec = "(mn + code * (mx - mn) / 255.0)"
+    if metric == "l2":
+        score = f"round(sum(({dec} - qx) * ({dec} - qx)), 6)"
+        direction = "ASC"
+    elif metric == "ip":
+        score = f"round(sum({dec} * qx), 6)"
+        direction = "DESC"
+    elif metric == "cosine":
+        qn = repr(math.sqrt(sum(float(x) * float(x) for x in query)) or 1e-300)
+        score = f"round(sum({dec} * qx) / (sqrt(sum({dec} * {dec})) * {qn}), 6)"
+        direction = "DESC"
+    else:
+        raise ValueError(f"unknown SQ8 metric: {metric}")
     return f"""
     WITH dims AS (
         SELECT i AS dim, min(x) AS mn, max(x) AS mx
@@ -150,13 +222,11 @@ def sq8_adc_oracle_sql(
         FROM elems e JOIN dims d USING (dim) JOIN q USING (dim)
     ),
     dists AS (
-        SELECT {id_col},
-               round(sum(((mn + code * (mx - mn) / 255.0) - qx)
-                       * ((mn + code * (mx - mn) / 255.0) - qx)), 6) AS {dist_col}
+        SELECT {id_col}, {score} AS {dist_col}
         FROM coded GROUP BY {id_col}
     )
     SELECT {id_col}, {dist_col} FROM dists
-    ORDER BY {dist_col} ASC, {id_col} ASC LIMIT {k}
+    ORDER BY {dist_col} {direction}, {id_col} ASC LIMIT {k}
     """
 
 
@@ -188,11 +258,10 @@ class IVFSQ8Index:
     def build(cls, ivf_index, vec_col: str, id_col: str, model: SQ8Model | None = None) -> "IVFSQ8Index":
         from ..index.ivfflat import BUCKET_COL
 
-        if ivf_index.dist != "l2":
+        if ivf_index.dist not in SQ8Model._METRICS:
             raise ValueError(
-                "IVFSQ8Index supports l2 indexes only (the ADC decode formula "
-                "is squared-L2; cosine/ip need normalized or asymmetric "
-                "variants)"
+                f"IVFSQ8Index supports {sorted(SQ8Model._METRICS)} indexes, "
+                f"got {ivf_index.dist!r}"
             )
         model = model or SQ8Model.train(ivf_index.assignments, vec_col)
         codes = ivf_index.assignments.select(
@@ -218,11 +287,15 @@ class IVFSQ8Index:
 
         Deterministic (ADC ties broken by id) → hash-match gated end to end
         (queries.py `ann_ivf_sq8_rerank`); approximation comes only from
-        bucket pruning and the rerank depth.
+        bucket pruning and the rerank depth. Scoring follows the IVF
+        index's ops class (l2 / cosine / ip): ADC shortlist and exact
+        re-rank both order ascending for l2, descending for similarities.
         """
-        from ..functions.vector import l2_dist
+        from ..functions.vector import cosine_similarity, inner_product, l2_dist
         from ..index.ivfflat import BUCKET_COL
 
+        metric = self.ivf.dist
+        asc = SQ8Model._METRICS[metric]
         if rerank is None:
             rerank = self.default_rerank or 4 * k  # shortlist 4× the ask
         buckets = self.ivf.rank_buckets(query)[: (probe_lists or self.ivf.probe_lists)]
@@ -232,11 +305,10 @@ class IVFSQ8Index:
         # rounding makes the shortlist boundary engine-independent
         adc = cand.select(
             F.col(self.id_col),
-            F.round(self.model.adc_dist_sq(CODES_COL, query), 9).alias("__adc"),
+            F.round(self.model.adc_score(CODES_COL, query, metric), 9).alias("__adc"),
         )
-        shortlist = adc.orderBy(F.col("__adc").asc(), F.col(self.id_col).asc()).limit(
-            rerank
-        )
+        adc_order = F.col("__adc").asc() if asc else F.col("__adc").desc()
+        shortlist = adc.orderBy(adc_order, F.col(self.id_col).asc()).limit(rerank)
         # raw-vector fetch: only the probed buckets are scanned (partition
         # pruning on bucket-partitioned storage) and only shortlist ids
         # survive the broadcast semi-join
@@ -244,12 +316,16 @@ class IVFSQ8Index:
             F.col(self.id_col), F.col(self.vec_col)
         )
         rer = raw.join(F.broadcast(shortlist.select(self.id_col)), self.id_col)
+        exact_fn = {"l2": l2_dist, "cosine": cosine_similarity, "ip": inner_product}[
+            metric
+        ]
+        order = F.col(dist_col).asc() if asc else F.col(dist_col).desc()
         return (
             rer.select(
                 F.col(self.id_col),
-                F.round(l2_dist(self.vec_col, query), 8).alias(dist_col),
+                F.round(exact_fn(self.vec_col, query), 8).alias(dist_col),
             )
-            .orderBy(F.col(dist_col).asc(), F.col(self.id_col).asc())
+            .orderBy(order, F.col(self.id_col).asc())
             .limit(k)
         )
 

@@ -320,6 +320,126 @@ def test_routed_search_batch_matches_single_probes(emb):
         assert sorted(batch[r["vec_id"]]) == sorted(single)
 
 
+def test_filtered_probe_pre_vs_post(emb, hnsw):
+    """Filtered vector search (allowed-set enforced DURING the graph walk)
+    must return a full top-k among matching rows; post-filtering an
+    unfiltered top-k is the broken alternative that comes up short. Twin of
+    tests/test_ivfflat.py's filtered-probe semantics test."""
+    allowed_df = emb.filter(F.col("label") == 2).select("vec_id")
+    allowed = {r["vec_id"] for r in allowed_df.collect()}
+    assert len(allowed) >= 10
+
+    hits = hnsw.probe(QUERY, 10, allowed=allowed_df).collect()
+    assert len(hits) == 10
+    assert {r["vec_id"] for r in hits} <= allowed, "filter must be enforced"
+    ds = [r["distance"] for r in hits]
+    assert ds == sorted(ds)
+
+    # recall vs the exact filtered KNN (top-k over label==2 rows only)
+    exact = {
+        r["vec_id"]
+        for r in knn(emb.filter(F.col("label") == 2), "embedding", QUERY, 10).collect()
+    }
+    assert len({r["vec_id"] for r in hits} & exact) / 10 >= 0.8
+
+    # the post-filter strawman surfaces strictly fewer matching rows
+    post = [
+        r for r in hnsw.probe(QUERY, 10).collect() if r["vec_id"] in allowed
+    ]
+    assert len(post) < 10, "unfiltered top-10 post-filtered should come up short"
+
+
+def test_routed_filtered_probe(emb):
+    """Filtered search composes with shard pruning on the routed variant:
+    the allowed set is enforced inside each probed shard's walk."""
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    allowed_df = emb.filter(F.col("label") == 2).select("vec_id")
+    allowed = {r["vec_id"] for r in allowed_df.collect()}
+    hits = routed.probe(QUERY, 10, n_probe=2, allowed=allowed_df).collect()
+    assert 0 < len(hits) <= 10
+    assert {r["vec_id"] for r in hits} <= allowed
+    exact = {
+        r["vec_id"]
+        for r in knn(emb.filter(F.col("label") == 2), "embedding", QUERY, 10).collect()
+    }
+    assert len({r["vec_id"] for r in hits} & exact) / 10 >= 0.5  # 2 of 4 shards
+
+
+def test_plan_knn_filtered(emb):
+    """plan_knn(where=...) pushes the predicate into the index probe (HNSW:
+    allowed-set; seq_scan fallback: pre-filter) — filtered results only."""
+    from bustub_vectordb_spark.index.registry import VectorIndexRegistry
+    from bustub_vectordb_spark.index.selection import plan_knn
+
+    idx = HNSWIndex.build(
+        emb, "embedding", "vec_id", m=8, ef_construction=64, ef_search=64
+    )
+    reg = VectorIndexRegistry()
+    reg.create("emb_hnsw", "embeddings", "embedding", "hnsw", idx)
+    allowed = {r["vec_id"] for r in emb.filter(F.col("label") == 2).collect()}
+
+    plan = plan_knn(
+        reg, "embeddings", emb, "embedding", QUERY, 10,
+        where=F.col("label") == 2,
+    )
+    assert plan.strategy == "vector_index_scan(hnsw)"
+    assert {r["vec_id"] for r in plan.df.collect()} <= allowed
+
+    seq = plan_knn(
+        reg, "embeddings", emb, "embedding", QUERY, 10,
+        method="none", where=F.col("label") == 2,
+    )
+    assert seq.strategy == "seq_scan"
+    assert {r["vec_id"] for r in seq.df.collect()} <= allowed
+
+
+def test_sharded_insert_after_build(emb, spark):
+    """ShardedHNSW.insert (the at-scale InsertVectorEntry): an inserted
+    duplicate of an existing vector must be findable by a pruned probe,
+    untouched shards' results are unchanged, and the hash-sharded variant
+    (no routing function) refuses."""
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    target = emb.limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [(88888, list(target["embedding"]))], "vec_id long, embedding array<double>"
+    )
+    extended = routed.insert(new)
+    q = [float(x) for x in target["embedding"]]
+    ids = {r["vec_id"] for r in extended.probe(q, 3, n_probe=2).collect()}
+    assert 88888 in ids and target["vec_id"] in ids
+    # original index untouched (insert returns a new index, like IVF insert)
+    assert 88888 not in {r["vec_id"] for r in routed.probe(q, 3, n_probe=2).collect()}
+    # shard count unchanged: the row routed into an existing shard
+    assert extended.blobs.count() == routed.blobs.count()
+
+    hashed = HNSWIndex.build_partitioned(
+        emb, "embedding", "vec_id", shards=2, m=8, ef_construction=48, ef_search=48
+    )
+    with pytest.raises(ValueError, match="routed"):
+        hashed.insert(new)
+
+
+def test_partitioned_shard_ids_deterministic(spark):
+    """build_partitioned shard ids must be stable across builds/processes —
+    string ids previously went through Python hash(), which is per-process
+    salted (PYTHONHASHSEED) and differed between executors."""
+    rows = [(f"doc-{i:03d}", [float(i % 5), float(i % 3)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    a = HNSWIndex.build_partitioned(
+        df, "embedding", "doc_id", shards=2, m=4, ef_construction=16, ef_search=16
+    )
+    b = HNSWIndex.build_partitioned(
+        df, "embedding", "doc_id", shards=2, m=4, ef_construction=16, ef_search=16
+    )
+    ids_a = sorted(r["shard"] for r in a.blobs.select("shard").collect())
+    ids_b = sorted(r["shard"] for r in b.blobs.select("shard").collect())
+    assert ids_a == ids_b and len(set(ids_a)) == len(ids_a)
+
+
 def test_sharded_save_load_roundtrip(spark, emb, tmp_path):
     """Routed ShardedHNSW persists as shard-partitioned blob parquet +
     centroid table; the loaded index probes identically (routing included)."""

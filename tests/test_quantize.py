@@ -71,6 +71,67 @@ def test_adc_recall_vs_exact(emb, model):
     assert recall >= 0.9, f"SQ8 recall@10 {recall}"
 
 
+def test_adc_recall_cosine_and_ip(emb, model):
+    """ADC compressed serving for the other two reference ops classes
+    (vector_cosine_ops / vector_ip_ops, catalog.h:322-331): asymmetric
+    scores over decoded codes keep recall vs the exact similarity top-k."""
+    from bustub_vectordb_spark.functions.vector import cosine_similarity, inner_product
+
+    exact_cos = [
+        r["vec_id"]
+        for r in emb.select("vec_id", cosine_similarity("embedding", QUERY_VEC).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    approx_cos = [
+        r["vec_id"]
+        for r in model.adc_topk(
+            emb, "embedding", "vec_id", QUERY_VEC, 10, metric="cosine"
+        ).collect()
+    ]
+    assert len(set(exact_cos) & set(approx_cos)) / 10 >= 0.9
+
+    exact_ip = [
+        r["vec_id"]
+        for r in emb.select("vec_id", inner_product("embedding", QUERY_VEC).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    approx_ip = [
+        r["vec_id"]
+        for r in model.adc_topk(
+            emb, "embedding", "vec_id", QUERY_VEC, 10, metric="ip"
+        ).collect()
+    ]
+    assert len(set(exact_ip) & set(approx_ip)) / 10 >= 0.9
+
+
+def test_ivf_sq8_cosine_index_probe(emb):
+    """IVFSQ8Index on a cosine IVF index: ADC shortlist + exact re-rank both
+    order descending; results match the exact cosine top-k within the
+    probed buckets (all buckets probed → fully exact)."""
+    from bustub_vectordb_spark.functions.vector import cosine_similarity
+    from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+    from bustub_vectordb_spark.similarity.quantize import IVFSQ8Index
+
+    idx = IVFFlatIndex.build(
+        emb, "embedding", lists=8, probe_lists=8, dist="cosine",
+        max_iter=5, init_order="vec_id",
+    )
+    sq = IVFSQ8Index.build(idx, "embedding", "vec_id")
+    got = [r["vec_id"] for r in sq.probe(QUERY_VEC, k=10, rerank=40).collect()]
+    exact = [
+        r["vec_id"]
+        for r in emb.select("vec_id", cosine_similarity("embedding", QUERY_VEC).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    assert len(set(got) & set(exact)) / 10 >= 0.9
+
+
 def test_ivf_sq8_rerank_recall(spark, emb, sf_dir):
     from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
     from bustub_vectordb_spark.similarity.quantize import ivf_sq8_rerank_topk
