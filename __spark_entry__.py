@@ -30,7 +30,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q.QUERIES)
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     # entries may be lazy callables (oracles that inline data-derived
-    # artifacts, e.g. trained IVF centroids) — resolve them here
-    return {k: (v() if callable(v) else v) for k, v in Q.ORACLE.items()}
+    # artifacts, e.g. trained IVF centroids / replayed ANN graphs) —
+    # resolve them here. ``sf_dir`` threads the scale-factor dir into those
+    # generators explicitly; without it they fall back to
+    # $SPARK_GRAFT_ORACLE_SF_DIR, then the driver gate's sf0.01.
+    Q.set_oracle_sf(sf_dir)
+    try:
+        return {k: (v() if callable(v) else v) for k, v in Q.ORACLE.items()}
+    finally:
+        Q.set_oracle_sf(None)

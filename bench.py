@@ -17,7 +17,13 @@ probe) that define this engine's core capability:
   ivfflat_probe     ANN probe over 1/4 of buckets
   ivfflat_batch_probe  KNN-join through the index for a query DataFrame
   minhash_dedup     MinHash-LSH near-dup candidate pairs over documents
-  hnsw_build/probe  HNSW graph build + beam-search probe
+  hnsw_build/probe  HNSW graph build + beam-search probe (driver mode —
+                    the dimension-table shape)
+  hnsw_routed_build/_batch_search  the SCALE path: IVF-routed sharded
+                    build (applyInPandas per shard) + distributed batch
+                    serving over the n_probe nearest shards
+  pipeline_prep     composed training-data prep (quality filter + PII
+                    scrub + dedup + token count) end to end
 
 Timing methodology: the reference's own harness runs every leaderboard
 query N times and reports per-run ms (`+timing:x10`,
@@ -173,6 +179,35 @@ def build_workloads(spark):
     def hnsw_probe():
         state["hnsw"].probe(QUERY_VEC, 10).collect()
 
+    # the SCALE-path HNSW: the driver-mode build above is the dimension-
+    # table shape; at 100× the SQL DDL auto-routes to these, so regressions
+    # must be caught on them (VERDICT r3 task 6)
+    def hnsw_routed_build():
+        idx = HNSWIndex.build_routed(
+            emb, "embedding", "vec_id", shards=4, m=8,
+            ef_construction=48, ef_search=48,
+        )
+        idx.blobs.count()  # materialize the per-shard graphs
+        state["hnsw_routed"] = idx
+
+    def hnsw_routed_batch_search():
+        queries = emb.filter(F.col("vec_id") % 7 == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        force(
+            state["hnsw_routed"].search_batch(
+                queries, "embedding", "qid", k=10, n_probe=2
+            )
+        )
+
+    def pipeline_prep_bench():
+        # the composed training-data prep pipeline (quality filter + PII
+        # scrub + exact dedup + token count) — tracked so the end-to-end
+        # pipeline shape has a perf signal, not just correctness
+        from bustub_vectordb_spark.queries import QUERIES
+
+        force(QUERIES["pipeline_prep"](spark, SF_DIR))
+
     return [
         ("q1_filter_scan", q1),
         ("q2_join_agg", q2),
@@ -186,6 +221,9 @@ def build_workloads(spark):
         ("minhash_dedup", minhash),
         ("hnsw_build", hnsw_build),
         ("hnsw_probe", hnsw_probe),
+        ("hnsw_routed_build", hnsw_routed_build),
+        ("hnsw_routed_batch_search", hnsw_routed_batch_search),
+        ("pipeline_prep", pipeline_prep_bench),
     ]
 
 

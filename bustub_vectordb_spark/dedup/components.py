@@ -17,7 +17,10 @@ dense and tiny (duplicates of one source document), so the diameter is a
 handful; the loop stops at the first iteration with zero label changes.
 At adversarial diameters (long chains) the classic large-star/small-star
 rewrite (Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14) converges in O(log²) rounds — not needed for dedup graphs.
+SoCC'14) converges in O(log² n) rounds; ``algorithm="auto"`` (default)
+runs propagation inside the round budget and escalates to the alternating
+algorithm instead of failing, so callers never have to know the diameter
+up front.
 
 The DuckDB oracle is a recursive CTE computing min reachable id over the
 symmetrized edge set — an independent fixpoint formulation of the same
@@ -38,21 +41,32 @@ def connected_components(
     id_col: str,
     pair_cols: tuple[str, str] = ("id1", "id2"),
     max_iter: int = 20,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """(id_col, component) for every node; component = min id reachable
     through the undirected ``pairs`` graph (isolated nodes map to
     themselves).
 
-    Runs min-label propagation until a fixpoint, checked with one small
-    count action per iteration; raises if ``max_iter`` rounds don't
-    converge (a dedup graph that deep means the pair threshold is broken).
+    algorithm:
+      'propagate' — min-label propagation, `diameter` rounds; raises past
+                    ``max_iter`` (a dedup graph that deep usually means the
+                    pair threshold is broken).
+      'star'      — alternating large-star/small-star (Kiveris et al.,
+                    SoCC'14), O(log² n) rounds regardless of diameter.
+      'auto'      — propagation first (cheapest for the dense, tiny
+                    clusters dedup produces); if the round budget runs out,
+                    escalate to 'star' instead of raising.
     """
+    if algorithm not in ("auto", "propagate", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     a, b = pair_cols
     edges = (
         pairs.select(F.col(a).alias("__src"), F.col(b).alias("__dst"))
         .union(pairs.select(F.col(b).alias("__src"), F.col(a).alias("__dst")))
         .distinct()
     )
+    if algorithm == "star":
+        return _star_components(nodes, edges, id_col)
     # localCheckpoint each round: iterative self-referencing plans otherwise
     # grow exponentially in the analyzer (persist caches data but NOT the
     # logical plan) — the classic iterative-algorithm trap on Spark
@@ -88,8 +102,116 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels
+    if algorithm == "auto":
+        # diameter exceeded the round budget: escalate to the alternating
+        # algorithm, which is insensitive to diameter
+        return _star_components(nodes, edges, id_col)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations — "
-        "graph diameter too large for plain label propagation (use a "
-        "large-star/small-star variant)"
+        "graph diameter too large for plain label propagation (use "
+        "algorithm='star' or 'auto')"
+    )
+
+
+# =========================================================================
+# Alternating large-star / small-star (Kiveris et al., SoCC'14)
+# =========================================================================
+# Both operations are one shuffle each (groupBy-min + join), and the edge
+# set provably converges to component stars — every non-minimum node ends
+# up with a single edge to its component's minimum id — in O(log² n)
+# alternations, independent of graph diameter. This is the 100 TB shape for
+# adversarial graphs: no step ever materializes a neighborhood larger than
+# the skew the data already has, and large-star specifically SPLITS
+# high-degree neighborhoods toward the minimum, taming skew as it runs.
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star: for every node u (over the symmetrized neighborhood),
+    connect each strictly-larger neighbor v > u to m = min(Γ(u) ∪ {u})."""
+    sym = edges.union(
+        edges.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+    ).distinct()
+    mins = sym.groupBy("__src").agg(F.min("__dst").alias("__mn"))
+    return (
+        sym.join(mins, "__src")
+        .filter(F.col("__dst") > F.col("__src"))
+        .select(
+            F.col("__dst").alias("u"),
+            F.least(F.col("__src"), F.col("__mn")).alias("v"),
+        )
+        .distinct()
+        .select(F.col("u").alias("__src"), F.col("v").alias("__dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star: orient every edge large→small, then for every node u link
+    u and all its smaller neighbors to m = min(Γ(u) ∪ {u})."""
+    oriented = (
+        edges.select(
+            F.greatest("__src", "__dst").alias("u"), F.least("__src", "__dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    j = oriented.join(oriented.groupBy("u").agg(F.min("v").alias("m")), "u")
+    return (
+        j.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        .union(
+            j.filter(F.col("v") != F.col("m")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        )
+        .distinct()
+        .select(F.col("a").alias("__src"), F.col("b").alias("__dst"))
+    )
+
+
+def _star_components(
+    nodes: DataFrame, edges: DataFrame, id_col: str, max_rounds: int = 30
+) -> DataFrame:
+    """Run alternating large-star/small-star to the edge-set fixpoint, then
+    read labels off the final stars. Fixpoint detection: (count, xxhash64
+    sum) signature of the canonically-oriented edge set — one tiny agg
+    action per round (a hash-sum collision between different edge sets is
+    ~2⁻⁶⁴; the alternation is monotone toward stars, so a false match
+    cannot oscillate)."""
+
+    def sig(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum of 2⁶⁴-range hashes overflows ANSI mode
+            F.sum(F.xxhash64("__src", "__dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    cur = (
+        edges.select(
+            F.greatest("__src", "__dst").alias("__src"),
+            F.least("__src", "__dst").alias("__dst"),
+        )
+        .filter(F.col("__src") != F.col("__dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = sig(cur)
+    for _ in range(max_rounds):
+        # localCheckpoint per round — same iterative-plan-growth trap as the
+        # propagation loop above
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur_sig = sig(cur)
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_rounds} rounds"
+        )
+    # at the fixpoint every edge is (member, component_min); nodes absent
+    # from the member side are component minima or isolated → themselves
+    comp = cur.groupBy("__src").agg(F.min("__dst").alias("__comp"))
+    nd = nodes.select(F.col(id_col)).distinct()
+    return nd.join(comp, nd[id_col] == comp["__src"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__comp"), F.col(id_col)).alias("component"),
     )

@@ -109,20 +109,23 @@ def minhash_lsh_candidates(
     n: int = 3,
     k: int = 32,
     bands: int = 16,
-    max_bucket: int | None = 1024,
+    max_bucket: int | None = None,
     log_dropped: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (id1 < id2) from LSH band collisions.
 
-    ``max_bucket`` caps LSH bucket size before pair expansion: a
+    ``max_bucket`` (OPT-IN) caps LSH bucket size before pair expansion: a
     boilerplate band bucket with 1M ids would otherwise expand to 5×10¹¹
     in-bucket pairs inside a single row's flatten(transform(...)) — an
     executor OOM, not just skew. Buckets past the cap are dropped (the
     standard giant-cluster policy in large dedup pipelines: a bucket that
     hot is boilerplate, and its members still pair up in their other
-    bands if they are genuine near-dups). ``log_dropped`` additionally
-    counts and warns about dropped buckets (costs one extra aggregation —
-    keep off on the hot path)."""
+    bands if they are genuine near-dups). The default is None — capping
+    silently changes which pairs exist, so the exact-semantics contract
+    (and the O(n²)-join oracle it is gated against) requires the caller to
+    opt in at production scale. ``log_dropped`` additionally counts and
+    warns about dropped buckets (costs one extra aggregation — keep off on
+    the hot path)."""
     rows = k // bands
     sig = minhash_signatures(df, text_col, id_col, n, k)
     band_arr = F.array(
@@ -186,13 +189,16 @@ def near_dup_pairs(
     n: int = 3,
     k: int = 32,
     bands: int = 16,
-    max_bucket: int | None = 1024,
+    max_bucket: int | None = None,
     log_dropped: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard ≥ threshold.
 
     Output: (id1, id2, jaccard) — jaccard rounded to 6 so results hash-match
-    an engine-independent oracle.
+    an engine-independent oracle. ``max_bucket`` is opt-in (None = exact
+    LSH semantics; see minhash_lsh_candidates) so results keep matching the
+    exact pairwise-join oracle unless a caller explicitly trades
+    completeness for hot-bucket protection.
     """
     cands = minhash_lsh_candidates(
         df, text_col, id_col, n, k, bands, max_bucket, log_dropped

@@ -109,17 +109,23 @@ def interval_point_join(
     keys = list(on)
     w = int(bucket_width)
 
+    # explicit aliases: both sides often derive from the SAME source frame
+    # (self-join attribution shapes) — parent-frame column refs would then
+    # resolve to identical attribute ids (Spark's "trivially true equals
+    # predicate" warning + reliance on auto self-join disambiguation)
     ib = intervals.withColumn(
         "__b",
         F.explode(F.sequence(_bucket(start, w), _bucket(end, w))),
-    )
-    pb = points.withColumn("__b", _bucket(point_time, w))
-    cond = [ib["__b"] == pb["__b"]]
+    ).alias("__ivl")
+    pb = points.withColumn("__b", _bucket(point_time, w)).alias("__pt")
+    iv = lambda c: F.col(f"__ivl.{c}")  # noqa: E731
+    pt = lambda c: F.col(f"__pt.{c}")  # noqa: E731
+    cond = [iv("__b") == pt("__b")]
     for k in keys:
-        cond.append(ib[k] == pb[k])
-    residual = (pb[point_time] >= ib[start]) & (pb[point_time] <= ib[end])
+        cond.append(iv(k) == pt(k))
+    residual = (pt(point_time) >= iv(start)) & (pt(point_time) <= iv(end))
     j = ib.join(pb, cond + [residual], "inner")
     pcols = [c for c in points.columns if c not in keys]
     return j.select(
-        *[ib[c] for c in intervals.columns], *[pb[c] for c in pcols]
+        *[iv(c) for c in intervals.columns], *[pt(c) for c in pcols]
     )

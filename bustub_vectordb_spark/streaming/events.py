@@ -78,18 +78,45 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     return _window_agg(_with_event_time(events))
 
 
+def _events_read_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Pick the streaming read schema from the parquet footer's physical ts
+    type — the testdata has shipped events.ts as TIMESTAMP(NANOS) (needs
+    the nanosAsLong conf + a LONG field), timestamp[us] (TIMESTAMP_NTZ),
+    and could ship tz-adjusted micros (TIMESTAMP). Mirrors
+    catalog.normalize_events_ts's three-way handling so the streaming path
+    accepts every shape the batch path does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field("ts").type
+    if pa.types.is_timestamp(t) and t.unit == "ns":
+        # Spark has no ns timestamp: read the raw int64 under the legacy conf
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_type: T.DataType = T.LongType()
+    elif pa.types.is_timestamp(t) and t.tz is not None:
+        ts_type = T.TimestampType()
+    else:
+        ts_type = T.TimestampNTZType()
+    return T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", ts_type)
+            for f in EVENTS_FILE_SCHEMA.fields
+        ]
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str, stage_dir: str) -> DataFrame:
     """Streaming read of events.parquet via a staging dir (the file source
     streams a directory; testdata dirs mix tables, so we stage a symlink)."""
     os.makedirs(stage_dir, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
     link = os.path.join(stage_dir, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(src, link)
     from ..catalog import normalize_events_ts
 
-    return normalize_events_ts(
-        spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(stage_dir)
-    )
+    schema = _events_read_schema(spark, src)
+    return normalize_events_ts(spark.readStream.schema(schema).parquet(stage_dir))
 
 
 def stream_tumbling_counts(

@@ -164,3 +164,62 @@ def test_connected_components_chain(spark):
     assert {out[4], out[5]} == {4}
     assert {out[i] for i in range(6, 16)} == {6}
     assert out[15] == 6  # far end of the chain reached the min label
+
+
+def test_star_components_long_chain_vs_recursive_cte(spark):
+    """Adversarial diameter (100-node path): large-star/small-star (Kiveris
+    et al., SoCC'14) must converge within its O(log² n) round budget —
+    plain propagation's 20-round budget cannot — and match the same
+    recursive-CTE fixpoint DuckDB oracle the dedup_components registry
+    entry uses."""
+    import duckdb
+
+    from bustub_vectordb_spark.dedup.components import connected_components
+
+    n = 100
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    prs = [(i, i + 1) for i in range(n - 1)]
+    pdf = spark.createDataFrame(prs, "id1 long, id2 long")
+
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, pdf, "doc_id", algorithm="star").collect()
+    }
+
+    vals = ", ".join(f"({a}, {b})" for a, b in prs)
+    oracle = duckdb.sql(
+        f"""
+        WITH RECURSIVE pr(id1, id2) AS (VALUES {vals}),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM pr
+          UNION ALL SELECT id2, id1 FROM pr
+        ),
+        reach(id, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id, min(lab) FROM reach GROUP BY id
+        """
+    ).fetchall()
+    exp = {i: lab for i, lab in oracle}
+    assert got == exp
+    assert all(v == 0 for v in got.values())
+
+
+def test_components_auto_escalates_past_budget(spark):
+    """algorithm='auto' (the default): when propagation's round budget runs
+    out on a long chain, the star algorithm takes over instead of raising;
+    'propagate' keeps the strict raise."""
+    import pytest as _pytest
+
+    from bustub_vectordb_spark.dedup.components import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    pdf = spark.createDataFrame([(i, i + 1) for i in range(63)], "id1 long, id2 long")
+
+    out = connected_components(nodes, pdf, "doc_id", max_iter=3, algorithm="auto")
+    assert all(r["component"] == 0 for r in out.collect())
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, pdf, "doc_id", max_iter=3, algorithm="propagate")

@@ -75,6 +75,56 @@ def test_shingles_distinct_and_bounded(spark, texts):
 
 
 @given(
+    st.integers(min_value=1, max_value=24),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=23), st.integers(min_value=0, max_value=23)
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_components_equal_union_find(spark, n, prs):
+    """Large-star/small-star component labels ≡ union-find min-reachable
+    labels for arbitrary graphs (self-loops, duplicate edges, isolated
+    nodes, any diameter) — the algebraic contract of the SoCC'14
+    alternation."""
+    from bustub_vectordb_spark.dedup.components import connected_components
+
+    prs = [(a, b) for a, b in prs if a < n and b < n]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pdf = spark.createDataFrame(
+        prs or [(None, None)], "id1 long, id2 long"
+    ).filter(F.col("id1").isNotNull())
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, pdf, "doc_id", algorithm="star").collect()
+    }
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in prs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {}
+    for i in range(n):
+        roots.setdefault(find(i), []).append(i)
+    want = {i: min(mem) for mem in roots.values() for i in mem}
+    assert got == want
+
+
+@given(
     st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30),
     st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30),
 )

@@ -169,3 +169,49 @@ def test_stream_append_mode_emits_closed_windows(spark, sf_dir, tables, tmp_path
     horizon = max_ns / 1e9 - 2 * 3600
     closed = {k for k in batch if k[0] + 3600 <= horizon}
     assert closed <= set(streamed)
+
+
+def test_stream_handles_nanos_parquet(spark, tmp_path):
+    """The streaming path must accept the TIMESTAMP(NANOS) events shape the
+    testdata shipped in earlier rounds (footer-sniffed schema + the
+    nanosAsLong conf), mirroring catalog.normalize_events_ts's batch-side
+    three-way handling — not just the current timestamp[us] files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bustub_vectordb_spark.catalog import read_table
+    from bustub_vectordb_spark.streaming.events import _events_read_schema
+
+    base_ns = 1_700_000_000 * 10**9
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(8), pa.int64()),
+            "ts": pa.array(
+                [base_ns + i * 1800 * 10**9 for i in range(8)], pa.timestamp("ns")
+            ),
+            "user_id": pa.array([1] * 8, pa.int64()),
+            "event_type": pa.array(["view"] * 8),
+            "value": pa.array([1.0] * 8),
+            "props": pa.array(["{}"] * 8),
+        }
+    )
+    sf = tmp_path / "sf_ns"
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "events.parquet"), version="2.6")
+    # footer really is TIMESTAMP(NANOS)
+    assert pq.read_schema(str(sf / "events.parquet")).field("ts").type == pa.timestamp("ns")
+
+    schema = _events_read_schema(spark, str(sf / "events.parquet"))
+    assert schema["ts"].dataType.simpleString() == "bigint"
+
+    work = tmp_path / "work_ns"
+    stream_tumbling_counts(spark, str(sf), str(work), out_table="sc_ns")
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in tumbling_counts(read_table(spark, str(sf), "events")).collect()
+    }
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("sc_ns").collect()
+    }
+    assert batch == streamed and len(batch) == 4  # 8 events, 30 min apart
