@@ -354,11 +354,20 @@ class HNSWIndex:
         self.graph.add_all(ids, mat)
         return self
 
-    def search_batch(self, queries, query_vec: str, k: int, dist_col: str = "distance"):
+    def search_batch(
+        self,
+        queries,
+        query_vec: str,
+        k: int,
+        dist_col: str = "distance",
+        allowed=None,
+    ):
         """Distributed batch ANN: graph broadcast once, queries stream
         through mapInPandas (Arrow batches). Output: one row per (query row,
         hit) — the big-side work is the graph walks, parallel over query
-        partitions."""
+        partitions. ``allowed`` (iterable of ids / one-column DataFrame)
+        applies the same traversal-time filter as probe() to EVERY query in
+        the batch — broadcast once alongside the graph."""
         import pandas as pd
 
         from ..shipping import ensure_package_on_workers
@@ -366,6 +375,12 @@ class HNSWIndex:
         spark = queries.sparkSession
         ensure_package_on_workers(spark)
         bc = spark.sparkContext.broadcast(self.graph)
+        allowed_ids = _allowed_id_set(allowed)
+        bc_allowed = (
+            spark.sparkContext.broadcast(allowed_ids)
+            if allowed_ids is not None
+            else None
+        )
         sign = -1.0 if self.dist in ("ip", "cosine") else 1.0
         out_cols = [c for c in queries.columns if c != query_vec]
         schema = ", ".join(
@@ -378,6 +393,7 @@ class HNSWIndex:
 
         def run(batches):
             g = bc.value
+            aset = bc_allowed.value if bc_allowed is not None else None
             for pdf in batches:
                 # columnar assembly: one graph walk per query (inherent),
                 # but hits land in flat arrays + a repeat-index gather of
@@ -386,7 +402,7 @@ class HNSWIndex:
                 hit_dists: list = []
                 rep_idx: list = []
                 for i, qv in enumerate(pdf[query_vec].tolist()):
-                    hits = g.search(np.asarray(qv, dtype=np.float64), k)
+                    hits = g.search(np.asarray(qv, dtype=np.float64), k, allowed_ids=aset)
                     hit_ids.extend(h[0] for h in hits)
                     hit_dists.extend(h[1] for h in hits)
                     rep_idx.extend([i] * len(hits))
@@ -723,6 +739,7 @@ class ShardedHNSW:
         k: int,
         dist_col: str = "distance",
         n_probe: int | None = None,
+        allowed=None,
     ):
         """Distributed batch ANN over the shards.
 
@@ -738,6 +755,9 @@ class ShardedHNSW:
 
         Hash-sharded builds (no centroids) search every shard. Offline
         replay: ``offline_routed_batch`` reproduces routing + hits exactly.
+        ``allowed`` applies the traversal-time filter (see probe()) inside
+        every probed shard's walk, for every query — routing itself stays
+        UNfiltered (centroids are corpus geometry, not per-row metadata).
         """
         import pickle
 
@@ -747,6 +767,12 @@ class ShardedHNSW:
         from ..shipping import ensure_package_on_workers
 
         ensure_package_on_workers(self._spark)
+        allowed_ids = _allowed_id_set(allowed)
+        bc_allowed = (
+            self._spark.sparkContext.broadcast(allowed_ids)
+            if allowed_ids is not None
+            else None
+        )
         qv = F.col(query_vec).cast("array<double>")
 
         if n_probe is None:
@@ -803,13 +829,14 @@ class ShardedHNSW:
         out_schema = f"{qid_col} {qid_type}, {id_col} {id_type}, {dist_col} double"
 
         def run(batches):
+            aset = bc_allowed.value if bc_allowed is not None else None
             for pdf in batches:
                 recs_q, recs_i, recs_d = [], [], []
                 for blob, qs in zip(pdf["blob"], pdf["__qs"]):
                     g = pickle.loads(blob)
                     for q in qs:
                         arr = np.asarray(q["__qv"], dtype=np.float64)
-                        for hid, d in g.search(arr, k):
+                        for hid, d in g.search(arr, k, allowed_ids=aset):
                             recs_q.append(q[qid_col])
                             recs_i.append(hid)
                             recs_d.append(sign * d)
@@ -1156,11 +1183,13 @@ def offline_routed_batch(
     k: int,
     n_probe: int,
     dist: str = "l2",
+    allowed_ids: set | None = None,
 ) -> list[tuple]:
     """Replay ``ShardedHNSW.search_batch`` for l2 routed builds: per-query
     (score, shard) routing with the same left-fold arithmetic as the
-    distributed expression, per-(qid, id) min, (d, id)-ordered top-k.
-    Returns [(qid, id, distance)]."""
+    distributed expression, per-(qid, id) min, (d, id)-ordered top-k;
+    ``allowed_ids`` replays the filtered walks. Returns [(qid, id,
+    distance)]."""
     if dist != "l2":
         raise ValueError("offline_routed_batch replicates the l2 routing path only")
     out = []
@@ -1171,7 +1200,9 @@ def offline_routed_batch(
             g = graphs.get(b)
             if g is None:
                 continue
-            for hid, d in g.search(np.asarray(qv, dtype=np.float64), k):
+            for hid, d in g.search(
+                np.asarray(qv, dtype=np.float64), k, allowed_ids=allowed_ids
+            ):
                 if hid not in hits or d < hits[hid]:
                     hits[hid] = d
         for hid, d in sorted(hits.items(), key=lambda t: (t[1], t[0]))[:k]:

@@ -9,8 +9,9 @@ Design for a 100 TB media pipeline:
     size-bucket before decode so batches are homogeneous).
 
 Decode kernel, in preference order: REAL pure-stdlib/numpy decoders for
-magic-sniffed PCM WAV / 24-bit BMP / P6 PPM (tested against synthesized
-media in tests/test_multimodal.py); PIL for other image formats when
+magic-sniffed PCM WAV / 24-bit BMP / P6 PPM / 8-bit PNG (zlib inflate +
+per-scanline unfilter; all tested against synthesized media in
+tests/test_multimodal.py); PIL for other image formats when
 importable (not in this container); else a deterministic md5-derived fake
 (which the driver's DuckDB oracle replicates — see queries.py). The
 Spark-side plumbing — schema, Arrow batching, UDF signatures, column
@@ -106,6 +107,85 @@ def _decode_bmp(payload: bytes) -> list[float]:
     return [float(img[np.ix_(ys, xs)].mean() / 255.0) for ys in gy for xs in gx]
 
 
+def _decode_png(payload: bytes) -> list[float]:
+    """PNG → 4×4 grayscale grid, pure stdlib zlib + numpy.
+
+    Real decoder for the common cases: 8-bit depth, gray / gray+alpha /
+    RGB / RGBA color types, non-interlaced, all five scanline filter types
+    (None/Sub/Up/Average/Paeth) per the public PNG spec (RFC 2083 §6).
+    Palette or 16-bit variants raise → caller falls through to the next
+    decode path. Filters None/Up vectorize across the scanline; Sub/Avg/
+    Paeth have a left-neighbor recurrence and run per byte (scanlines are
+    short; decode is per-row inside an Arrow batch anyway)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc32
+    if w is None:
+        raise ValueError("no IHDR")
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("IDAT size mismatch")
+    out = np.zeros((h, stride), dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left recurrence
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+    px = out.reshape(h, w, channels).astype(np.float64)
+    # gray = color mean (alpha excluded), matching the BMP/PPM kernels
+    gray = px[:, :, : min(3, channels) if channels != 2 else 1].mean(axis=2)
+    gy = np.array_split(np.arange(h), 4)
+    gx = np.array_split(np.arange(w), 4)
+    return [float(gray[np.ix_(ys, xs)].mean() / 255.0) for ys in gy for xs in gx]
+
+
 def _decode_ppm(payload: bytes) -> list[float]:
     """Binary PPM (P6) → 4×4 grayscale grid (pure numpy)."""
     import re
@@ -132,13 +212,14 @@ _MAGIC_DECODERS = [
     (b"RIFF", _decode_wav),
     (b"BM", _decode_bmp),
     (b"P6", _decode_ppm),
+    (b"\x89PNG\r\n\x1a\n", _decode_png),
 ]
 
 
 def _decode_one(payload: bytes, meta) -> list[float]:
     """Decode kernel: real decoders for stdlib/numpy-decodable formats
-    (PCM WAV, 24-bit BMP, P6 PPM — magic-sniffed), PIL for everything else
-    when available, else a deterministic fake.
+    (PCM WAV, 24-bit BMP, P6 PPM, 8-bit PNG — magic-sniffed), PIL for
+    everything else when available, else a deterministic fake.
 
     All paths emit 16 floats so the stage schema is decoder-independent.
     """

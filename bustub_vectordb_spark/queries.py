@@ -1930,12 +1930,8 @@ def q_ann_hnsw_routed_batch(spark, sf_dir):
 
 def _hnsw_filtered_probe_oracle() -> str:
     import numpy as np
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "label"])
-    allowed = {
-        i for i, lb in zip(t["vec_id"].to_pylist(), t["label"].to_pylist()) if lb == 2
-    }
+    allowed = _allowed_label2()
     hits = _offline_hnsw_graph().search(
         np.asarray(QUERY_VEC, dtype=np.float64), 10, allowed_ids=allowed
     )
@@ -1963,8 +1959,6 @@ def q_ann_hnsw_filtered_probe(spark, sf_dir):
 
 
 def _hnsw_routed_filtered_oracle() -> str:
-    import pyarrow.parquet as pq
-
     from .index.hnsw import offline_routed, offline_routed_probe
 
     p = _routed_params()
@@ -1973,10 +1967,7 @@ def _hnsw_routed_filtered_oracle() -> str:
         shards=p["shards"], m=p["m"],
         ef_construction=p["ef_construction"], ef_search=p["ef_search"],
     )
-    t = pq.read_table(f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "label"])
-    allowed = {
-        i for i, lb in zip(t["vec_id"].to_pylist(), t["label"].to_pylist()) if lb == 2
-    }
+    allowed = _allowed_label2()
     hits = offline_routed_probe(cents, graphs, QUERY_VEC, 10, n_probe=2, allowed_ids=allowed)
     rows = [(int(i), float(d)) for i, d in hits]
     return (
@@ -2078,6 +2069,111 @@ def q_ann_hnsw_batch_search(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     ).filter(F.col("qid") < 20)
     out = idx.search_batch(queries, "qvec", k=3)
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
+def _allowed_label2() -> set:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "label"])
+    return {
+        i for i, lb in zip(t["vec_id"].to_pylist(), t["label"].to_pylist()) if lb == 2
+    }
+
+
+def _hnsw_batch_filtered_oracle() -> str:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    g = _offline_hnsw_graph()
+    allowed = _allowed_label2()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rows = []
+    for qid, qv in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()):
+        if qid < 20:
+            for hid, d in g.search(
+                np.asarray(qv, dtype=np.float64), 3, allowed_ids=allowed
+            ):
+                rows.append((int(qid), int(hid), float(d)))
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_hnsw_batch_filtered", _hnsw_batch_filtered_oracle)
+def q_ann_hnsw_batch_filtered(spark, sf_dir):
+    # filtered BATCH vector search: the allowed-id set (label = 2) is
+    # broadcast once beside the graph and enforced in every query's
+    # traversal — the batch twin of ann_hnsw_filtered_probe, mirroring
+    # IVF's filtered probe_batch. Exact offline replay.
+    idx = _hnsw_for(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    ).filter(F.col("qid") < 20)
+    out = idx.search_batch(
+        queries, "qvec", k=3, allowed=emb.filter(F.col("label") == 2).select("vec_id")
+    )
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
+def _hnsw_routed_batch_filtered_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed, offline_routed_batch
+
+    p = _routed_params()
+    cents, graphs = offline_routed(
+        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+        shards=p["shards"], m=p["m"],
+        ef_construction=p["ef_construction"], ef_search=p["ef_search"],
+    )
+    allowed = _allowed_label2()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qs = [
+        (qid, qv)
+        for qid, qv in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if qid % 97 == 0
+    ]
+    rows = [
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_batch(
+            cents, graphs, qs, k=5, n_probe=2, allowed_ids=allowed
+        )
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_hnsw_routed_batch_filtered", _hnsw_routed_batch_filtered_oracle)
+def q_ann_hnsw_routed_batch_filtered(spark, sf_dir):
+    # filtered batch serving on the at-scale variant: shard routing stays
+    # unfiltered (corpus geometry), each probed shard's walks enforce the
+    # broadcast allowed-set. Exact offline replay.
+    from .index.hnsw import HNSWIndex
+
+    key = (sf_dir, "hnsw_routed")
+    if key not in _INDEX_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _INDEX_CACHE[key] = HNSWIndex.build_routed(
+            emb, "embedding", "vec_id", **_routed_params()
+        )
+    idx = _INDEX_CACHE[key]
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = idx.search_batch(
+        queries, "embedding", "qid", k=5, n_probe=2,
+        allowed=emb.filter(F.col("label") == 2).select("vec_id"),
+    )
     return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
 
 

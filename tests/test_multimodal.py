@@ -96,6 +96,89 @@ def _mk_ppm(w=8, h=8):
     return b"P6\n%d %d\n255\n" % (w, h) + px
 
 
+def _mk_png(w=8, h=8, channels=3, filters=(0,), seed=7):
+    """Minimal PNG encoder (stdlib struct/zlib): 8-bit, chosen per-row
+    filter types — returns (payload, raw_image) so tests can compare the
+    decoder's grid against the ground-truth pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, channels), dtype=np.uint8
+    )
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    flat = img.reshape(h, stride).astype(int)
+    raw = bytearray()
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        for x in range(stride):
+            a = flat[y][x - channels] if x >= channels else 0
+            b = flat[y - 1][x] if y else 0
+            c = flat[y - 1][x - channels] if (y and x >= channels) else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((flat[y][x] - pred) % 256)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    return payload, img
+
+
+def test_png_decoder_all_filters_and_color_types():
+    """The pure stdlib+numpy PNG kernel must invert every scanline filter
+    type (None/Sub/Up/Average/Paeth) for gray, gray+alpha, RGB and RGBA —
+    grid values checked against the ground-truth pixels, not just shape."""
+    import numpy as np
+
+    from bustub_vectordb_spark.multimodal.binary import _decode_png
+
+    for channels in (1, 2, 3, 4):
+        payload, img = _mk_png(
+            w=10, h=9, channels=channels, filters=(0, 1, 2, 3, 4), seed=channels
+        )
+        got = _decode_png(payload)
+        px = img.astype(np.float64)
+        gray = px[:, :, : min(3, channels) if channels != 2 else 1].mean(axis=2)
+        gy = np.array_split(np.arange(9), 4)
+        gx = np.array_split(np.arange(10), 4)
+        want = [float(gray[np.ix_(ys, xs)].mean() / 255.0) for ys in gy for xs in gx]
+        assert got == pytest.approx(want, abs=1e-12), f"channels={channels}"
+
+    # unsupported variants raise (palette type 3) → fake-fallback path
+    payload, _ = _mk_png(channels=3)
+    bad = bytearray(payload)
+    bad[8 + 8 + 9] = 3  # IHDR color_type byte → palette
+    with pytest.raises(ValueError):
+        _decode_png(bytes(bad))
+
+
 def test_real_decoders_via_spark_stage(spark):
     """Real WAV/BMP/PPM payloads decode to real features through the same
     Arrow-batched mapInPandas stage the fake path uses."""
@@ -104,11 +187,13 @@ def test_real_decoders_via_spark_stage(spark):
 
     from bustub_vectordb_spark.multimodal.binary import MEDIA_META_SCHEMA
 
+    png_payload, png_img = _mk_png(filters=(0, 1, 2, 3, 4))
     rows = [
         (1, _mk_wav(), ("audio", 0, 0, 1, 8000)),
         (2, _mk_bmp(), ("image", 8, 8, 1, 0)),
         (3, _mk_ppm(), ("image", 8, 8, 1, 0)),
         (4, b"\x00garbage", ("image", 0, 0, 1, 0)),
+        (5, png_payload, ("image", 8, 8, 1, 0)),
     ]
     schema = T.StructType(
         [
@@ -129,3 +214,8 @@ def test_real_decoders_via_spark_stage(spark):
     assert abs(out[3][0] - out[3][3]) < 1e-9
     # garbage falls back to the deterministic fake (still 16 floats in [0,1])
     assert all(0.0 <= v <= 1.0 for v in out[4])
+    # PNG: real decode — overall mean matches the ground-truth pixel mean
+    import numpy as np
+
+    want_mean = float(png_img.astype(np.float64).mean(axis=2).mean() / 255.0)
+    assert abs(sum(out[5]) / 16 - want_mean) < 0.02
