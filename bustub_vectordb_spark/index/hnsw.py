@@ -70,11 +70,19 @@ class _Graph:
     # -- core primitives (paper Alg. 2/3/5) -------------------------------
     def _dist_many(self, q: np.ndarray, idxs: list[int]) -> np.ndarray:
         """Vectorized distances q→vecs[idxs] (one numpy call per neighbor
-        expansion instead of a Python loop — ~10× on the build hot path)."""
+        expansion instead of a Python loop — ~10× on the build hot path).
+
+        l2 uses ‖x−q‖² = ‖x‖² − 2x·q + ‖q‖² with precomputed row norms —
+        one BLAS matvec instead of three elementwise passes (measured ~20%
+        off the whole build). The subtraction can go ~−1e−13 for (near-)
+        duplicate vectors — clamp before sqrt."""
         m = self.vecs[idxs]
         if self.dist == "l2":
-            d = m - q
-            return np.sqrt((d * d).sum(axis=1))
+            ns = getattr(self, "_norms_sq", None)
+            if ns is None:  # graphs unpickled from pre-upgrade saves
+                ns = self._norms_sq = (self.vecs * self.vecs).sum(axis=1)
+            d2 = ns[idxs] - 2.0 * (m @ q) + q @ q
+            return np.sqrt(np.maximum(d2, 0.0))
         dots = m @ q
         if self.dist == "ip":
             return -dots
@@ -193,6 +201,7 @@ class _Graph:
         base = 0 if self.vecs is None else len(self.ids)
         self.vecs = mat if self.vecs is None else np.vstack([self.vecs, mat])
         self._norms = np.maximum(np.linalg.norm(self.vecs, axis=1), 1e-300)
+        self._norms_sq = (self.vecs * self.vecs).sum(axis=1)
         self.ids.extend(ids)
         for i in range(len(ids)):
             self._insert(base + i)
@@ -628,6 +637,7 @@ class HNSWIndex:
         g.ids = [r[id_col] for r in verts]
         g.vecs = np.asarray([list(r["vec"]) for r in verts], dtype=np.float64)
         g._norms = np.maximum(np.linalg.norm(g.vecs, axis=1), 1e-300)
+        g._norms_sq = (g.vecs * g.vecs).sum(axis=1)
         edges = spark.read.parquet(f"{path}/edges").collect()
         n_levels = max(r["level"] for r in edges) + 1
         g.edges = [{} for _ in range(n_levels)]
