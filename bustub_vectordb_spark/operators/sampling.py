@@ -82,3 +82,49 @@ def stratified_sample_sql(key: str, stratum: str, rates: dict[str, float]) -> st
         for v, r in rates.items()
     )
     return f"CASE {cases} ELSE false END"
+
+
+def mixture_upsample(
+    df: DataFrame, key: str, stratum: str, weights: dict[str, float]
+) -> DataFrame:
+    """Mixture weights that may EXCEED 1.0 — the source-weighting primitive
+    training corpora use (Pile/Gopher-style: a high-value source is seen
+    more than one epoch). Every row is emitted ``floor(w)`` times, plus one
+    more when its hash lands below ``frac(w)``; strata not listed are
+    dropped. Deterministic like everything in this module: same key +
+    weights → the same multiset on any engine or partitioning.
+
+    Output adds ``rep`` (1-based repeat index) so downstream export can
+    shuffle on (key, rep) and repeats don't collapse. Scale shape: a pure
+    projection + explode — rows out ∝ Σ weights, no shuffle, no RNG state.
+    """
+    n_expr = F.lit(0)
+    for value, w in weights.items():
+        if w < 0:
+            raise ValueError("weights must be >= 0")
+        base, frac = int(w), w - int(w)
+        n_v = F.lit(base) + (
+            (_hex_prefix(key) < F.lit(_threshold(frac))).cast("int")
+            if frac > 0
+            else F.lit(0)
+        )
+        n_expr = F.when(F.col(stratum) == value, n_v).otherwise(n_expr)
+    out = df.withColumn("__n", n_expr).filter(F.col("__n") > 0)
+    out = out.withColumn("rep", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+    # bigint rep matches DuckDB's range() element type for the oracle
+    return out.withColumn("rep", F.col("rep").cast("bigint")).drop("__n")
+
+
+def mixture_upsample_sql(key: str, stratum: str, weights: dict[str, float]) -> str:
+    """DuckDB replica of :func:`mixture_upsample`: emits ``nn`` repeat
+    counts per row; callers unnest ``range(1, nn+1)`` as ``rep``."""
+    cases = " ".join(
+        f"WHEN {stratum} = '{v}' THEN {int(w)}"
+        + (
+            f" + ({sample_hash_sql(key, w - int(w))})::INT"
+            if w - int(w) > 0
+            else ""
+        )
+        for v, w in weights.items()
+    )
+    return f"CASE {cases} ELSE 0 END"

@@ -32,7 +32,7 @@ from .functions.ranking import bm25_search_sql, tfidf_top_terms_sql
 from .functions.repetition import repetition_metrics_sql
 from .functions.vector import cosine_similarity, inner_product, l2_dist
 from .operators.chunking import chunk_documents_sql
-from .operators.sampling import stratified_sample_sql
+from .operators.sampling import mixture_upsample_sql, stratified_sample_sql
 from .similarity.quantize import sq8_adc_oracle_sql
 from .operators.relational import delete_rows, top_n_per_group, update_rows
 
@@ -2471,6 +2471,93 @@ def q_dedup_components(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
     return connected_components(docs.select("doc_id"), pairs, "doc_id")
+
+
+_MIX_WEIGHTS = {"en": 1.5, "de": 3.0, "zh": 0.4}
+
+
+@_register(
+    "sample_mixture_upsample",
+    f"""
+    WITH n AS (
+      SELECT doc_id, lang,
+             {mixture_upsample_sql("doc_id", "lang", _MIX_WEIGHTS)} AS nn
+      FROM documents
+    )
+    SELECT doc_id, lang, unnest(range(1, nn + 1)) AS rep
+    FROM n WHERE nn > 0
+    """,
+)
+def q_sample_mixture_upsample(spark, sf_dir):
+    # Data mixing with weights > 1 (epoch repeats): en ×1.5, de ×3, zh ×0.4,
+    # other sources dropped — the Pile/Gopher-style mixture primitive,
+    # deterministic (md5 threshold) so the emitted multiset hash-matches
+    # the DuckDB replica exactly (operators/sampling.mixture_upsample).
+    from .operators.sampling import mixture_upsample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_upsample(d, "doc_id", "lang", _MIX_WEIGHTS)
+    return out.select("doc_id", "lang", "rep")
+
+
+@_register(
+    "decontaminate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS __ts
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(__ts) >= 3 THEN {_TRIGRAM_SQL} ELSE [] END AS sg
+      FROM toks
+    ), g AS (
+      SELECT doc_id, unnest(sg) AS gg FROM sh
+    ), bench AS (
+      SELECT DISTINCT gg FROM g WHERE doc_id % 50 = 0
+    ), hit AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gg)
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    # Benchmark decontamination (GPT-3-style n-gram overlap filter): the
+    # eval set is every 50th doc; docs sharing any word trigram with it are
+    # flagged. Broadcast semi-join — the corpus side never shuffles
+    # (operators/decontaminate.py). Oracle is an independent EXISTS-join
+    # formulation over the same trigram definition.
+    from .operators.decontaminate import contamination_flags
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    out = contamination_flags(d, bench, "text", "doc_id")
+    return out.select("doc_id", "contaminated")
+
+
+@_register(
+    "training_export_shards",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INT AS shard,
+             substr(md5(doc_id::VARCHAR), 9, 8) AS ok
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS shard_pos
+    FROM s
+    """,
+)
+def q_training_export_shards(spark, sf_dir):
+    # Training-data export layout: engine-independent md5 shard assignment
+    # + deterministic intra-shard pseudo-shuffle position (operators/
+    # export.py) — the reproducible global shuffle a data-parallel trainer
+    # reads. Oracle replicates the digest arithmetic exactly.
+    from .operators.export import export_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return export_shards(d, "doc_id", 8).select("doc_id", "shard", "shard_pos")
 
 
 def _projection_oracle() -> str:

@@ -79,3 +79,47 @@ def test_bucketed_join_matches_plain(spark, sf_dir, bucketed, tables):
         ).collect()
     }
     assert got == want and got
+
+
+def test_training_export_shards_roundtrip(spark, tables, tmp_path):
+    """Training export: one directory per shard (readers partition-prune),
+    deterministic engine-independent assignment, reproducible intra-shard
+    order, no rows lost, roughly balanced shards."""
+    import glob
+    import os
+
+    from bustub_vectordb_spark.operators.export import (
+        export_shards,
+        write_training_shards,
+    )
+
+    docs = tables["documents"]
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, "doc_id", 4, path)
+    dirs = sorted(os.path.basename(p) for p in glob.glob(f"{path}/shard=*"))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    counts = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert max(counts.values()) < 3 * min(counts.values()), counts
+
+    # (shard, shard_pos) is a pure function of ids — identical across runs,
+    # and shard_pos is a dense 1..n_k permutation within each shard
+    a = sorted(
+        (r["doc_id"], r["shard"], r["shard_pos"])
+        for r in export_shards(docs, "doc_id", 4).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["shard"], r["shard_pos"])
+        for r in export_shards(docs, "doc_id", 4).collect()
+    )
+    assert a == b
+    per_shard = {}
+    for _, s, p in a:
+        per_shard.setdefault(s, []).append(p)
+    for s, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))

@@ -188,3 +188,69 @@ def test_quality_filter_selectivity(tables):
          & (m["punct_ratio"] <= 0.3) & (m["stopword_ratio"] >= 0.05)).alias("k")
     ).filter("k").count()
     assert manual == kept
+
+
+def test_mixture_upsample_multiset_semantics(spark):
+    """Weights > 1 repeat rows deterministically: every listed-stratum row
+    appears floor(w) or ceil(w) times with dense 1-based rep indexes; the
+    overall count approaches w × stratum size; unlisted strata are dropped;
+    two runs emit the identical multiset."""
+    from bustub_vectordb_spark.operators.sampling import mixture_upsample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    weights = {"a": 2.0, "b": 0.5}
+    out = mixture_upsample(df, "doc_id", "src", weights).collect()
+
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault((r["doc_id"], r["src"]), []).append(r["rep"])
+    for (i, src), reps in per_doc.items():
+        w = weights[src]
+        assert len(reps) in (int(w), int(w) + 1)
+        assert sorted(reps) == list(range(1, len(reps) + 1))
+    assert all(src != "c" for _, src in per_doc)
+    n_a = sum(len(v) for (_, s), v in per_doc.items() if s == "a")
+    n_b = sum(len(v) for (_, s), v in per_doc.items() if s == "b")
+    assert n_a == 200  # integral weight: exact
+    assert 30 <= n_b <= 70  # 0.5 of 100, hash-thresholded
+
+    again = mixture_upsample(df, "doc_id", "src", weights).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_decontaminate_flags_exact_overlaps(spark):
+    """A doc is contaminated iff it shares a word trigram with the bench
+    set — verified against a brute-force Python shingle intersection."""
+    from bustub_vectordb_spark.operators.decontaminate import (
+        contamination_flags,
+        decontaminate,
+    )
+
+    corpus = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a completely different sentence with no overlap at all"),
+        (2, "we meet the quick brown fox again in this text"),  # shares trigram w/ 0
+        (3, "short doc"),  # < 3 tokens: never flagged
+        (4, "no overlap here either just filler words everywhere"),
+    ]
+    bench = [(100, "someone saw the quick brown fox yesterday")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+
+    def tris(t):
+        ts = t.lower().split()
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    bench_tris = set().union(*(tris(t) for _, t in bench))
+    want = {i: bool(tris(t) & bench_tris) for i, t in corpus}
+
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_flags(docs, bdf, "text", "doc_id").collect()
+    }
+    assert got == want
+    assert want[0] and want[2] and not want[1] and not want[3]
+
+    kept = {r["doc_id"] for r in decontaminate(docs, bdf, "text", "doc_id").collect()}
+    assert kept == {i for i, f in want.items() if not f}
