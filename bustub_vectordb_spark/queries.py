@@ -3312,12 +3312,14 @@ def q_layout_bucketed_join(spark, sf_dir):
 # signal hygiene, not risk management):
 #   r≤3 window — one representative per operator family (the 50 names in
 #     the r03 CORRECTNESS file).
-#   r4 window (below) — the 50 entries NOT gated in r03, including every
-#     operator added this round; 11 cheap family-duplicates that the r03
-#     judge independently re-verified (agg_simple, join_left/right,
+#   r4 window (below) — 50 entries NOT gated in r03, including the core
+#     round-4 operators; rotating in next round: 11 cheap family-duplicates
+#     the r03 judge independently re-verified (agg_simple, join_left/right,
 #     cross_join, index_scan_ordered, window_running_agg, knn_cosine /
 #     knn_inner_product / sql_knn_l2 / knn_subquery_alias,
-#     sample_deterministic) rotate in next round.
+#     sample_deterministic) plus the entries added after this window was
+#     frozen (ann_hnsw_batch_filtered, ann_hnsw_routed_batch_filtered,
+#     training_export_shards, sample_mixture_upsample, decontaminate).
 # Entries outside the current window remain verified by tools/
 # check_oracle.py (full registry) in tests/CI — see COVERAGE.md.
 
