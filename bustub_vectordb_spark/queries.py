@@ -1735,6 +1735,91 @@ def q_ann_ivf_sq8_rerank(spark, sf_dir):
     return _INDEX_CACHE[key].probe(QUERY_VEC, k=10, rerank=40, probe_lists=4)
 
 
+def _ivf_sq8_rerank_cosine_oracle() -> str:
+    """Cosine twin of _ivf_sq8_rerank_oracle: same l2 bucket ASSIGNMENT
+    (the reference's FindCentroid is l2 regardless of ops class — assignment
+    geometry is fixed at build), cosine bucket RANKING (rank_buckets'
+    arithmetic replicated below), asymmetric-cosine ADC shortlist (DESC),
+    exact cosine re-rank."""
+    import math
+
+    values, cents = _ivfflat_oracle_cents()
+
+    def cos_score(c):  # rank_buckets' exact float arithmetic, negated-cos
+        dot = sum(x * y for x, y in zip(c, QUERY_VEC))
+        na = math.sqrt(sum(x * x for x in c)) or 1e-300
+        nb = math.sqrt(sum(y * y for y in QUERY_VEC)) or 1e-300
+        return -(dot / (na * nb))
+
+    buckets = sorted(range(len(cents)), key=lambda i: cos_score(cents[i]))[:4]
+    blist = ", ".join(str(b) for b in buckets)
+    q = _vec_sql_literal(QUERY_VEC)
+    qn = repr(math.sqrt(sum(float(x) * float(x) for x in QUERY_VEC)) or 1e-300)
+    dec = (
+        "(mnl[i] + (CASE WHEN mxl[i] - mnl[i] = 0 THEN 0 "
+        "ELSE greatest(0, least(255, CAST(floor(255.0 * (v[i] - mnl[i]) / (mxl[i] - mnl[i]) + 0.5) AS INTEGER))) END)"
+        " * (mxl[i] - mnl[i]) / 255.0)"
+    )
+    return f"""
+    WITH cents(b, c) AS (VALUES {values}),
+    dims AS (
+      SELECT i AS dim, min(x) AS mn, max(x) AS mx
+      FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+      GROUP BY i
+    ),
+    stats AS (
+      SELECT list(mn ORDER BY dim) AS mnl, list(mx ORDER BY dim) AS mxl,
+             {q} AS ql
+      FROM dims
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.b,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.b) AS arn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    adc AS (
+      SELECT vec_id, v,
+             round(list_sum(list_transform(range(1, len(v) + 1), i ->
+                 {dec} * ql[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(v) + 1), i ->
+                 {dec} * {dec}))) * {qn}), 9) AS adc_s
+      FROM a CROSS JOIN stats
+      WHERE arn = 1 AND b IN ({blist})
+    ),
+    shortlist AS (
+      SELECT vec_id, v FROM adc ORDER BY adc_s DESC, vec_id ASC LIMIT 40
+    )
+    SELECT vec_id, round(list_cosine_similarity(v, {q}), 8) AS distance
+    FROM shortlist
+    ORDER BY list_cosine_similarity(v, {q}) DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@_register("ann_ivf_sq8_rerank_cosine", _ivf_sq8_rerank_cosine_oracle)
+def q_ann_ivf_sq8_rerank_cosine(spark, sf_dir):
+    # compressed serving end-to-end for vector_cosine_ops: cosine bucket
+    # routing + asymmetric-cosine ADC over materialized codes + exact
+    # cosine re-rank — the full three-ops-class IVFSQ story, hash-gated.
+    from .index.ivfflat import IVFFlatIndex
+    from .similarity.quantize import IVFSQ8Index, SQ8Model
+
+    key = (sf_dir, "ivf_sq8_cos")
+    if key not in _INDEX_CACHE:
+        e = _t(spark, sf_dir, "embeddings")
+        idx = IVFFlatIndex.build(
+            e, "embedding", lists=8, probe_lists=4, dist="cosine",
+            max_iter=5, init_order="vec_id",
+        )
+        model = SQ8Model.train(e, "embedding")
+        _INDEX_CACHE[key] = IVFSQ8Index.build(idx, "embedding", "vec_id", model=model)
+    return _INDEX_CACHE[key].probe(QUERY_VEC, k=10, rerank=40, probe_lists=4)
+
+
 # --- ANN via HNSW (ref: vector.05-hnsw.slt). The reference's .slt corpus
 # asserts only `statement ok` for HNSW (recall graded externally); we do
 # strictly better: every driver-side build is deterministic (pinned seed +

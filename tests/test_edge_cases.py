@@ -128,3 +128,54 @@ def test_train_test_split_partition(spark, weird_docs):
     # sample(rate) == test side of split(rate)
     s = {r["doc_id"] for r in deterministic_sample(weird_docs, "doc_id", 0.3).collect()}
     assert s == te
+
+
+def test_filtered_hnsw_empty_and_tiny_allowed(spark):
+    """Degenerate filtered-search inputs: an empty allowed set returns 0
+    rows (not an error, not unfiltered results); a single-id allowed set
+    returns exactly that id regardless of its distance rank."""
+    import random as _random
+
+    from bustub_vectordb_spark.index.hnsw import HNSWIndex
+
+    rng = _random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = HNSWIndex.build(df, "embedding", "vec_id", m=4, ef_construction=16, ef_search=16)
+    q = rows[0][1]
+
+    assert idx.probe(q, 5, allowed=[]).count() == 0
+    got = idx.probe(q, 5, allowed=[77]).collect()
+    assert [r["vec_id"] for r in got] == [77]
+
+    # batch path agrees
+    queries = df.limit(3).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    assert idx.search_batch(queries, "qv", k=5, allowed=[]).count() == 0
+    b = idx.search_batch(queries, "qv", k=5, allowed=[77]).collect()
+    assert len(b) == 3 and all(r["vec_id"] == 77 for r in b)
+
+    # routed variant: empty allowed set → 0 rows through the shard walks
+    routed = HNSWIndex.build_routed(
+        df, "embedding", "vec_id", shards=2, m=4, ef_construction=16, ef_search=16
+    )
+    assert routed.probe(q, 5, n_probe=2, allowed=[]).count() == 0
+
+
+def test_plan_knn_filtered_empty_result(spark):
+    """plan_knn(where=) with a predicate matching nothing returns an empty
+    DataFrame on both the index and seq_scan strategies."""
+    from bustub_vectordb_spark.index.hnsw import HNSWIndex
+    from bustub_vectordb_spark.index.registry import VectorIndexRegistry
+    from bustub_vectordb_spark.index.selection import plan_knn
+
+    rows = [(i, [float(i % 5), float(i % 3)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = HNSWIndex.build(df, "embedding", "vec_id", m=4, ef_construction=16, ef_search=16)
+    reg = VectorIndexRegistry()
+    reg.create("i", "t", "embedding", "hnsw", idx)
+    for method in ("unset", "none"):
+        plan = plan_knn(
+            reg, "t", df, "embedding", [0.0, 0.0], 5,
+            method=method, where=F.col("vec_id") < 0,
+        )
+        assert plan.df.count() == 0

@@ -139,3 +139,39 @@ def test_explicit_method_distance_mismatch_is_seq_scan(spark, sf_dir, tables):
         dist="cosine", method="unset",
     )
     assert unset.strategy == "vector_index_scan(ivfflat)"
+
+
+def test_decontaminate_broadcasts_bench_side(spark, tables):
+    """Decontamination must broadcast the (small) benchmark shingle set —
+    the 100 TB corpus side never shuffles for the semi-join."""
+    from bustub_vectordb_spark.operators.decontaminate import contamination_flags
+
+    docs = tables["documents"]
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    out = contamination_flags(docs, bench, "text", "doc_id")
+    p = plan_of(out)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_export_shards_single_exchange(spark, tables):
+    """The export layout pays exactly ONE shuffle: the shard-key window
+    (assignment itself is a pure projection). No extra Exchange sneaks in."""
+    from bustub_vectordb_spark.operators.export import export_shards
+
+    out = export_shards(tables["documents"], "doc_id", 8)
+    p = plan_of(out)
+    # formatted mode lists each node twice (tree + detail) — count tree rows
+    assert p.count("Exchange (") == 1, p
+
+
+def test_mixture_upsample_is_narrow(spark, tables):
+    """Mixture upsampling is projection + filter + explode — zero shuffle,
+    zero Python."""
+    from bustub_vectordb_spark.operators.sampling import mixture_upsample
+
+    out = mixture_upsample(
+        tables["documents"], "doc_id", "lang", {"en": 1.5, "de": 3.0}
+    )
+    p = plan_of(out)
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
