@@ -10,9 +10,10 @@ Design for a 100 TB media pipeline:
 
 Decode kernel, in preference order: REAL pure-stdlib/numpy decoders for
 magic-sniffed PCM WAV / 24-bit BMP / P6 PPM / 8-bit PNG (zlib inflate +
-per-scanline unfilter; all tested against synthesized media in
-tests/test_multimodal.py); PIL for other image formats when
-importable (not in this container); else a deterministic md5-derived fake
+per-scanline unfilter) / GIF (variable-width LZW + palette + de-interlace;
+all tested against synthesized media in tests/test_multimodal.py); PIL for
+other image formats when importable (not in this container); else a
+deterministic md5-derived fake
 (which the driver's DuckDB oracle replicates — see queries.py). The
 Spark-side plumbing — schema, Arrow batching, UDF signatures, column
 contracts — is identical across all three paths; dropping in ffmpeg/librosa
@@ -186,6 +187,123 @@ def _decode_png(payload: bytes) -> list[float]:
     return [float(gray[np.ix_(ys, xs)].mean() / 255.0) for ys in gy for xs in gx]
 
 
+def _decode_gif(payload: bytes) -> list[float]:
+    """GIF87a/89a first frame → 4×4 grayscale grid, pure stdlib + numpy.
+
+    Real decoder per the public GIF spec: logical-screen / image
+    descriptors, global+local color tables, extension-block skipping, the
+    variable-width LZW codestream (clear/end codes, dict growth to 12
+    bits), and 4-pass de-interlacing. Unsupported shapes raise → caller
+    falls through to the next decode path."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = np.frombuffer(payload, np.uint8, n, pos).reshape(-1, 3)
+        pos += n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            table = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                table = np.frombuffer(payload, np.uint8, n, pos).reshape(-1, 3)
+                pos += n
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = _gif_lzw(bytes(data), min_code, w * h)
+            img = table[np.asarray(idx, dtype=np.int32)].reshape(h, w, 3)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            gray = img.astype(np.float64).mean(axis=2)
+            gy = np.array_split(np.arange(h), 4)
+            gx = np.array_split(np.arange(w), 4)
+            return [float(gray[np.ix_(ys, xs)].mean() / 255.0) for ys in gy for xs in gx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF has no image data")
+
+
+def _gif_lzw(data: bytes, min_code: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, CLEAR/END control codes,
+    code width grows 3..12 bits, dict resets on CLEAR."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    def fresh():
+        return {i: [i] for i in range(clear)}, min_code + 1
+
+    table, width = fresh()
+    out: list[int] = []
+    acc = nbits = 0
+    prev: list[int] | None = None
+    next_code = end + 1
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width = fresh()
+                next_code = end + 1
+                prev = None
+                continue
+            if code == end:
+                return out[:n_pixels]
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]  # the KwKwK case
+            else:
+                raise ValueError("corrupt LZW code")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    return out[:n_pixels]
+
+
 def _decode_ppm(payload: bytes) -> list[float]:
     """Binary PPM (P6) → 4×4 grayscale grid (pure numpy)."""
     import re
@@ -213,13 +331,14 @@ _MAGIC_DECODERS = [
     (b"BM", _decode_bmp),
     (b"P6", _decode_ppm),
     (b"\x89PNG\r\n\x1a\n", _decode_png),
+    (b"GIF8", _decode_gif),
 ]
 
 
 def _decode_one(payload: bytes, meta) -> list[float]:
     """Decode kernel: real decoders for stdlib/numpy-decodable formats
-    (PCM WAV, 24-bit BMP, P6 PPM, 8-bit PNG — magic-sniffed), PIL for
-    everything else when available, else a deterministic fake.
+    (PCM WAV, 24-bit BMP, P6 PPM, 8-bit PNG, GIF — magic-sniffed), PIL
+    for everything else when available, else a deterministic fake.
 
     All paths emit 16 floats so the stage schema is decoder-independent.
     """

@@ -179,6 +179,140 @@ def test_png_decoder_all_filters_and_color_types():
         _decode_png(bytes(bad))
 
 
+def _mk_gif(w=8, h=8, interlace=False, seed=5):
+    """Minimal GIF89a encoder: grayscale 256-entry palette, LZW stream of
+    literal codes with periodic CLEARs (the classic 'uncompressed GIF'
+    technique — keeps the code width pinned at 9 bits), optional interlace.
+    Returns (payload, index_image)."""
+    import struct
+
+    import numpy as np
+
+    img = np.random.RandomState(seed).randint(0, 256, size=(h, w), dtype=np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # 256-entry GCT
+    out += bytes(b for i in range(256) for b in (i, i, i))  # gray palette
+    # a Graphics Control Extension the decoder must skip
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        pix = img[order].flatten()
+    else:
+        pix = img.flatten()
+    clear, end = 256, 257
+    codes = [clear]
+    for i, p in enumerate(pix):
+        if i and i % 100 == 0:
+            codes.append(clear)  # dict stays < 512 → width stays 9
+        codes.append(int(p))
+    codes.append(end)
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:  # 9-bit codes, LSB-first
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out.append(8)  # LZW min code size
+    for i in range(0, len(data), 255):
+        sub = data[i : i + 255]
+        out.append(len(sub))
+        out += sub
+    out += b"\x00\x3b"
+    return bytes(out), img
+
+
+def test_gif_decoder_plain_and_interlaced():
+    """The pure stdlib+numpy GIF kernel: LZW codestream, palette lookup,
+    extension skipping, and 4-pass de-interlacing — grid values checked
+    against the ground-truth index image (gray palette: index == gray)."""
+    import numpy as np
+
+    from bustub_vectordb_spark.multimodal.binary import _decode_gif
+
+    for interlace in (False, True):
+        payload, img = _mk_gif(w=10, h=9, interlace=interlace, seed=11)
+        got = _decode_gif(payload)
+        gray = img.astype(np.float64)
+        gy = np.array_split(np.arange(9), 4)
+        gx = np.array_split(np.arange(10), 4)
+        want = [float(gray[np.ix_(ys, xs)].mean() / 255.0) for ys in gy for xs in gx]
+        assert got == pytest.approx(want, abs=1e-12), f"interlace={interlace}"
+
+    with pytest.raises(ValueError):
+        _decode_gif(b"GIF89a" + b"\x00" * 7)  # truncated: no image data
+
+
+def test_gif_lzw_real_compression_roundtrip():
+    """The decoder must also handle REAL LZW streams (dict growth, KwKwK
+    case, width escalation) — exercised with a reference LZW compressor
+    implemented independently in the test."""
+    import numpy as np
+
+    from bustub_vectordb_spark.multimodal.binary import _gif_lzw
+
+    rng = np.random.RandomState(3)
+    # repetitive data drives dict growth + the KwKwK pattern
+    pix = list(rng.randint(0, 4, size=500)) + [1, 1, 1, 1, 1, 1] * 40
+    min_code = 2
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    # textbook GIF-LZW compressor
+    table = {(i,): i for i in range(clear)}
+    next_code, width = end + 1, min_code + 1
+    codes, cur = [clear], ()
+    for p in pix:
+        if cur + (p,) in table:
+            cur = cur + (p,)
+            continue
+        codes.append(table[cur])
+        if next_code < 4096:
+            table[cur + (p,)] = next_code
+            next_code += 1
+        cur = (p,)
+    if cur:
+        codes.append(table[cur])
+    codes.append(end)
+
+    data = bytearray()
+    acc = nbits = 0
+    next_code, width = end + 1, min_code + 1
+    prev_data = False  # decoder adds NO entry on the first data code
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        # mirror the decoder's width schedule exactly: it adds an entry on
+        # every data code EXCEPT the first after a clear, and bumps the
+        # width when its next slot reaches 2^width
+        if c == clear:
+            next_code, width, prev_data = end + 1, min_code + 1, False
+        elif c != end:
+            if prev_data and next_code < 4096:
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev_data = True
+    if nbits:
+        data.append(acc & 0xFF)
+
+    got = _gif_lzw(bytes(data), min_code, len(pix))
+    assert got == pix
+
+
 def test_real_decoders_via_spark_stage(spark):
     """Real WAV/BMP/PPM payloads decode to real features through the same
     Arrow-batched mapInPandas stage the fake path uses."""
