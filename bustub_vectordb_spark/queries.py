@@ -2558,6 +2558,26 @@ def q_dedup_components(spark, sf_dir):
     return connected_components(docs.select("doc_id"), pairs, "doc_id")
 
 
+@_register("dedup_components_star")
+def q_dedup_components_star(spark, sf_dir):
+    # Same component function, FORCED through the large-star/small-star
+    # alternation (Kiveris et al., SoCC'14) — driver-gates the O(log² n)
+    # algorithm itself against the identical recursive-CTE oracle, not
+    # just via tests (the auto path converges by propagation on this
+    # graph, so the star code would otherwise never face the gate).
+    from .dedup.components import connected_components
+    from .dedup.minhash import near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+    return connected_components(
+        docs.select("doc_id"), pairs, "doc_id", algorithm="star"
+    )
+
+
+ORACLE["dedup_components_star"] = ORACLE["dedup_components"]
+
+
 _MIX_WEIGHTS = {"en": 1.5, "de": 3.0, "zh": 0.4}
 
 
@@ -2716,6 +2736,28 @@ def q_pipeline_prep(spark, sf_dir):
     w = Window.partitionBy(X.fingerprint("clean")).orderBy("doc_id")
     dd = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return dd.select("doc_id", X.token_count("clean").alias("n_tokens"))
+
+
+@_register(
+    "sample_train_test_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '4ccc'
+                THEN 'test' ELSE 'train' END AS side
+    FROM documents
+    """,
+)
+def q_sample_train_test_split(spark, sf_dir):
+    # Leakage-free deterministic split (operators/sampling.train_test_split):
+    # the same key lands on the same side forever, on any engine — union of
+    # both sides labeled, proving they partition the table.
+    from .operators.sampling import train_test_split
+
+    d = _t(spark, sf_dir, "documents")
+    train, test = train_test_split(d, "doc_id", test_rate=0.3)
+    return train.select("doc_id", F.lit("train").alias("side")).unionByName(
+        test.select("doc_id", F.lit("test").alias("side"))
+    )
 
 
 @_register(
@@ -3036,6 +3078,63 @@ def q_multimodal_decode_features(spark, sf_dir):
             for i in range(16)
         ],
     )
+
+
+def _synth_media_rows() -> list[tuple]:
+    """24 deterministic (media_id, payload, kind) rows — PNGs and GIFs from
+    the package's stdlib synthesizers (multimodal/synth.py)."""
+    from .multimodal.synth import synth_gif, synth_png
+
+    rows = []
+    for i in range(24):
+        if i % 2 == 0:
+            rows.append((i, synth_png(seed=i), "png"))
+        else:
+            rows.append((i, synth_gif(seed=i), "gif"))
+    return rows
+
+
+def _multimodal_real_decode_oracle() -> str:
+    from .multimodal.binary import _decode_one
+
+    vals = []
+    for i, payload, _k in _synth_media_rows():
+        for d, v in enumerate(_decode_one(payload, None)):
+            vals.append((i, d, round(float(v), 8)))
+    return (
+        "SELECT media_id, dim, CAST(v AS DOUBLE) AS value FROM "
+        f"{_hits_values_sql(vals, 'media_id, dim, v')}"
+    )
+
+
+@_register("multimodal_real_decode", _multimodal_real_decode_oracle)
+def q_multimodal_real_decode(spark, sf_dir):
+    # REAL codec path through the driver gate: valid synthesized PNG/GIF
+    # payloads (multimodal/synth.py) decode through the same Arrow-batched
+    # mapInPandas stage as everything else; expected features are the same
+    # kernels run offline and inlined as VALUES (the offline-replay oracle
+    # pattern — deterministic bytes in, deterministic grid out).
+    from pyspark.sql import types as T
+
+    from .multimodal import decode_and_featurize
+    from .multimodal.binary import MEDIA_META_SCHEMA
+    from .shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    rows = [
+        (i, payload, ("image", 8, 8, 1, 0)) for i, payload, _k in _synth_media_rows()
+    ]
+    out = decode_and_featurize(spark.createDataFrame(rows, schema))
+    return out.select(
+        "media_id", F.posexplode("features").alias("dim", "value")
+    ).select("media_id", "dim", F.round("value", 8).alias("value"))
 
 
 # =========================================================================
@@ -3404,7 +3503,9 @@ def q_layout_bucketed_join(spark, sf_dir):
 #     knn_inner_product / sql_knn_l2 / knn_subquery_alias,
 #     sample_deterministic) plus the entries added after this window was
 #     frozen (ann_hnsw_batch_filtered, ann_hnsw_routed_batch_filtered,
-#     training_export_shards, sample_mixture_upsample, decontaminate).
+#     training_export_shards, sample_mixture_upsample, decontaminate,
+#     ann_ivf_sq8_rerank_cosine, dedup_components_star,
+#     sample_train_test_split, multimodal_real_decode).
 # Entries outside the current window remain verified by tools/
 # check_oracle.py (full registry) in tests/CI — see COVERAGE.md.
 

@@ -440,6 +440,29 @@ def test_partitioned_shard_ids_deterministic(spark):
     assert ids_a == ids_b and len(set(ids_a)) == len(ids_a)
 
 
+def test_sharded_load_then_insert(spark, emb, tmp_path):
+    """Insert-after-LOAD: build params persist in the index meta, so a
+    reloaded routed index can still extend shard graphs (including a shard
+    that was empty at build time, which needs the params to start fresh)."""
+    from bustub_vectordb_spark.index.hnsw import ShardedHNSW
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    routed.save(str(tmp_path / "sh_ins"))
+    loaded = ShardedHNSW.load(spark, str(tmp_path / "sh_ins"))
+    assert loaded.params == routed.params and loaded.params["m"] == 8
+
+    target = emb.limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [(99999, list(target["embedding"]))], "vec_id long, embedding array<double>"
+    )
+    extended = loaded.insert(new)
+    q = [float(x) for x in target["embedding"]]
+    ids = {r["vec_id"] for r in extended.probe(q, 3, n_probe=2).collect()}
+    assert 99999 in ids and target["vec_id"] in ids
+
+
 def test_sharded_save_load_roundtrip(spark, emb, tmp_path):
     """Routed ShardedHNSW persists as shard-partitioned blob parquet +
     centroid table; the loaded index probes identically (routing included)."""
