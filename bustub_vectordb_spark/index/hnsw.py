@@ -66,6 +66,9 @@ class _Graph:
         # edges[level][vertex] -> list of neighbor vertex indexes
         self.edges: list[dict[int, list[int]]] = []
         self.entry: int | None = None
+        # filtered-search caches (lazy; invalidated by add_all)
+        self._id_map: dict | None = None  # external id -> internal index
+        self._allowed_cache: tuple | None = None  # (ext-set obj, internal set)
 
     # -- core primitives (paper Alg. 2/3/5) -------------------------------
     def _dist_many(self, q: np.ndarray, idxs: list[int]) -> np.ndarray:
@@ -203,8 +206,26 @@ class _Graph:
         self._norms = np.maximum(np.linalg.norm(self.vecs, axis=1), 1e-300)
         self._norms_sq = (self.vecs * self.vecs).sum(axis=1)
         self.ids.extend(ids)
+        self._id_map = None
+        self._allowed_cache = None
         for i in range(len(ids)):
             self._insert(base + i)
+
+    def _internal_allowed(self, allowed_ids) -> set:
+        """External→internal conversion for filtered search, done once per
+        (graph, allowed-set object): the id→index map builds lazily per
+        graph, and the converted set is identity-cached, so batch paths that
+        pass the same set for every query pay the O(|allowed|) conversion
+        once per graph — not an O(N) self.ids scan per search call."""
+        cache = getattr(self, "_allowed_cache", None)
+        if cache is not None and cache[0] is allowed_ids:
+            return cache[1]
+        idmap = getattr(self, "_id_map", None)
+        if idmap is None or len(idmap) != len(self.ids):
+            idmap = self._id_map = {ext: i for i, ext in enumerate(self.ids)}
+        internal = {idmap[e] for e in allowed_ids if e in idmap}
+        self._allowed_cache = (allowed_ids, internal)
+        return internal
 
     def search(
         self,
@@ -227,7 +248,7 @@ class _Graph:
         if allowed_ids is None:
             found = self._search_layer(q, ep, ef, 0)[:k]
         else:
-            allowed = {i for i, ext in enumerate(self.ids) if ext in allowed_ids}
+            allowed = self._internal_allowed(allowed_ids)
             found = self._search_layer_filtered(q, ep, ef, 0, allowed)[:k]
         return [
             (self.ids[v], float(d)) for v, d in zip(found, self._dist_many(q, found))
@@ -236,9 +257,12 @@ class _Graph:
 
 def _allowed_id_set(allowed) -> frozenset | None:
     """Normalize a filtered-search allowed-set: None passes through, a
-    one-column DataFrame collects its ids (bounded: callers pass a filter
-    over an indexed table whose size the build path already guarded), any
-    other iterable is frozen as-is."""
+    one-column DataFrame collects its ids, any other iterable is frozen
+    as-is. Used ONLY by the driver-graph paths (HNSWIndex), whose corpus is
+    already bounded by DRIVER_BUILD_MAX_ROWS — so the collect is bounded
+    too. The routed/sharded paths (ShardedHNSW.probe/search_batch) never
+    call this for DataFrames: they semi-join the allowed ids shard-locally
+    (ShardedHNSW.members) so the driver never materializes the set."""
     if allowed is None:
         return None
     if hasattr(allowed, "collect"):  # DataFrame of ids (first column)
@@ -674,6 +698,58 @@ class ShardedHNSW:
     # graph build params (m / ef_construction / ef_search / seed) — needed by
     # insert() when a new row routes to a shard that was empty at build time
     params: dict | None = None
+    # lazy cache for members() (shard-membership DataFrame)
+    _members_df: object = None
+
+    def members(self):
+        """DataFrame[shard, id]: shard membership, extracted from the blobs
+        by one distributed unpickle pass (cached). This is what makes
+        filtered search scale-safe on the routed path: an allowed-id
+        DataFrame is semi-joined against it SHARD-LOCALLY, so each probed
+        shard receives only its own matching ids as a plan column and the
+        driver never collects the allowed set (ref semantics anchor:
+        src/optimizer/vector_index_scan.cpp:64-149 — a filtered probe must
+        return top-k among matching rows)."""
+        if self._members_df is None:
+            import pickle
+
+            import pandas as pd
+
+            from ..shipping import ensure_package_on_workers
+
+            ensure_package_on_workers(self._spark)
+            id_col = self.id_col
+
+            def emit(batches):
+                for pdf in batches:
+                    for shard, blob in zip(pdf["shard"], pdf["blob"]):
+                        g = pickle.loads(blob)
+                        yield pd.DataFrame(
+                            {"shard": [shard] * len(g.ids), id_col: list(g.ids)}
+                        )
+
+            self._members_df = self.blobs.mapInPandas(
+                emit, f"shard long, {id_col} {self.id_type}"
+            ).cache()
+        return self._members_df
+
+    def _shard_allowed(self, allowed_df):
+        """DataFrame[shard, __allowed array<id>]: the allowed ids each shard
+        actually holds — the distributed replacement for broadcasting a
+        driver-collected set. Per-shard list size is bounded by shard size
+        (which the build path bounds), never by the global filter size.
+        Shards with zero matches drop out, pruning their graph unpickle
+        entirely."""
+        from pyspark.sql import functions as F
+
+        acol = allowed_df.columns[0]
+        adf = allowed_df.select(F.col(acol).alias(self.id_col)).distinct()
+        return (
+            self.members()
+            .join(adf, self.id_col)
+            .groupBy("shard")
+            .agg(F.collect_list(self.id_col).alias("__allowed"))
+        )
 
     # -- persistence: blobs + centroids as parquet -------------------------
     def save(self, path: str) -> None:
@@ -768,6 +844,8 @@ class ShardedHNSW:
         ``allowed`` applies the traversal-time filter (see probe()) inside
         every probed shard's walk, for every query — routing itself stays
         UNfiltered (centroids are corpus geometry, not per-row metadata).
+        A DataFrame filter is semi-joined shard-locally (never collected to
+        the driver — see probe()); an iterable is broadcast.
         """
         import pickle
 
@@ -777,7 +855,8 @@ class ShardedHNSW:
         from ..shipping import ensure_package_on_workers
 
         ensure_package_on_workers(self._spark)
-        allowed_ids = _allowed_id_set(allowed)
+        allowed_df = allowed if hasattr(allowed, "collect") else None
+        allowed_ids = _allowed_id_set(allowed) if allowed_df is None else None
         bc_allowed = (
             self._spark.sparkContext.broadcast(allowed_ids)
             if allowed_ids is not None
@@ -832,18 +911,29 @@ class ShardedHNSW:
         per_shard = routed.groupBy("__shard").agg(
             F.collect_list(F.struct(F.col(qid_col), F.col("__qv"))).alias("__qs")
         )
-        joined = per_shard.join(self.blobs, per_shard["__shard"] == self.blobs["shard"])
+        blobs_src = self.blobs
+        sel = ["__qs", "blob"]
+        if allowed_df is not None:
+            # shard-local allowed lists; shards with no allowed members are
+            # pruned by the inner join before any graph unpickles
+            blobs_src = blobs_src.join(self._shard_allowed(allowed_df), "shard")
+            sel.append("__allowed")
+        joined = per_shard.join(blobs_src, per_shard["__shard"] == blobs_src["shard"])
         sign = -1.0 if self.dist in ("ip", "cosine") else 1.0
         id_col, id_type = self.id_col, self.id_type
         qid_type = {f.name: f.dataType.simpleString() for f in queries.schema}[qid_col]
         out_schema = f"{qid_col} {qid_type}, {id_col} {id_type}, {dist_col} double"
 
         def run(batches):
-            aset = bc_allowed.value if bc_allowed is not None else None
+            bset = bc_allowed.value if bc_allowed is not None else None
             for pdf in batches:
                 recs_q, recs_i, recs_d = [], [], []
-                for blob, qs in zip(pdf["blob"], pdf["__qs"]):
+                local = pdf["__allowed"] if "__allowed" in pdf.columns else None
+                for i, (blob, qs) in enumerate(zip(pdf["blob"], pdf["__qs"])):
                     g = pickle.loads(blob)
+                    # one set object per shard → _internal_allowed converts
+                    # ext→int once per shard, not once per query
+                    aset = set(local.iloc[i]) if local is not None else bset
                     for q in qs:
                         arr = np.asarray(q["__qv"], dtype=np.float64)
                         for hid, d in g.search(arr, k, allowed_ids=aset):
@@ -854,7 +944,7 @@ class ShardedHNSW:
                     {qid_col: recs_q, id_col: recs_i, dist_col: recs_d}
                 )
 
-        hits = joined.select("__qs", "blob").mapInPandas(run, out_schema)
+        hits = joined.select(*sel).mapInPandas(run, out_schema)
         asc = self.dist == "l2"
         best = hits.groupBy(qid_col, id_col).agg(
             (F.min(dist_col) if asc else F.max(dist_col)).alias(dist_col)
@@ -909,6 +999,7 @@ class ShardedHNSW:
             "blob",
             "__new",
         )
+        has_params = self.params is not None
         p = self.params or {}
         m = p.get("m", 8)
         efc = p.get("ef_construction", 64)
@@ -924,6 +1015,18 @@ class ShardedHNSW:
                         out_s.append(shard)
                         out_b.append(blob)
                         continue
+                    if blob is None and not has_params:
+                        # pre-upgrade save without build params: refusing
+                        # beats silently building the fresh shard graph with
+                        # defaults that may differ from the original build
+                        # (would break the determinism/offline-replay
+                        # contract for this index)
+                        raise ValueError(
+                            f"insert routed rows to shard {shard}, empty at "
+                            "build time, but this index carries no build "
+                            "params (loaded from a pre-upgrade save) — "
+                            "rebuild the index or set .params explicitly"
+                        )
                     g = (
                         pickle.loads(blob)
                         if blob is not None
@@ -941,9 +1044,16 @@ class ShardedHNSW:
                     out_b.append(pickle.dumps(g))
                 yield pd.DataFrame({"shard": out_s, "blob": out_b})
 
-        blobs = joined.mapInPandas(upsert, "shard long, blob binary")
+        # localCheckpoint truncates the lineage (repeated inserts would
+        # otherwise chain full_outer+mapInPandas plans forever — the same
+        # iterative-plan trap dedup/components.py checkpoints against) and
+        # the predecessor's cache is dropped once the new blobs materialize
+        blobs = joined.mapInPandas(upsert, "shard long, blob binary").localCheckpoint(
+            eager=True
+        )
+        self.blobs.unpersist()
         return ShardedHNSW(
-            self.vec_col, self.id_col, self.dist, blobs.cache(), self._spark,
+            self.vec_col, self.id_col, self.dist, blobs, self._spark,
             centroids=self.centroids, id_type=self.id_type,
             default_n_probe=self.default_n_probe, params=self.params,
         )
@@ -957,11 +1067,17 @@ class ShardedHNSW:
         allowed=None,
     ):
         """``allowed`` (iterable of ids or a one-column DataFrame) enables
-        filtered vector search on the routed/sharded variant: the id set is
-        broadcast once and each probed shard's graph walk filters at
-        traversal time (_search_layer_filtered), so the per-shard top-k is
-        taken among matching rows. Shard pruning (n_probe) still applies —
-        the filter composes with, not replaces, centroid routing."""
+        filtered vector search on the routed/sharded variant: each probed
+        shard's graph walk filters at traversal time
+        (_search_layer_filtered), so the per-shard top-k is taken among
+        matching rows. Shard pruning (n_probe) still applies — the filter
+        composes with, not replaces, centroid routing.
+
+        Scale: a DataFrame filter is NEVER collected to the driver — it is
+        semi-joined shard-locally (_shard_allowed), so an unselective
+        predicate over a 100 TB corpus costs one distributed join, and each
+        shard only sees its own members. A plain iterable (a small literal
+        id list) is broadcast as before."""
         import pickle
 
         import pandas as pd
@@ -975,7 +1091,8 @@ class ShardedHNSW:
         q = [float(x) for x in query]
         sign = -1.0 if self.dist in ("ip", "cosine") else 1.0
         id_col = self.id_col
-        allowed_ids = _allowed_id_set(allowed)
+        allowed_df = allowed if hasattr(allowed, "collect") else None
+        allowed_ids = _allowed_id_set(allowed) if allowed_df is None else None
         bc_allowed = (
             self._spark.sparkContext.broadcast(allowed_ids)
             if allowed_ids is not None
@@ -983,11 +1100,13 @@ class ShardedHNSW:
         )
 
         def search_shard(batches):
-            aset = bc_allowed.value if bc_allowed is not None else None
+            bset = bc_allowed.value if bc_allowed is not None else None
             for pdf in batches:
                 recs = []
-                for blob in pdf["blob"]:
+                local = pdf["__allowed"] if "__allowed" in pdf.columns else None
+                for i, blob in enumerate(pdf["blob"]):
                     g = pickle.loads(blob)
+                    aset = set(local.iloc[i]) if local is not None else bset
                     for hid, d in g.search(np.asarray(q), k, allowed_ids=aset):
                         recs.append({id_col: hid, dist_col: sign * d})
                 yield pd.DataFrame(recs, columns=[id_col, dist_col])
@@ -999,6 +1118,10 @@ class ShardedHNSW:
             src = src.filter(
                 F.col("shard").isin(self.rank_shards(q)[:n_probe])
             )
+        if allowed_df is not None:
+            # inner join: shards holding no allowed ids are pruned before
+            # their graph is even unpickled
+            src = src.join(self._shard_allowed(allowed_df), "shard")
         per_shard = src.mapInPandas(
             search_shard, f"{id_col} {self.id_type}, {dist_col} double"
         )

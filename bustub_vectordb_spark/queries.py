@@ -64,6 +64,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _t_impl(spark, sf_dir, name)
 
 
+def _vec_str(col) -> "F.Column":
+    """Serialize array<double> to a driver-comparable scalar string.
+
+    The driver's canonicalizer (pandas sort_values) cannot sort list-valued
+    cells, so gated entries must emit scalars. Elements are converted to
+    micro-unit integers (round(x*1e6) as bigint) and comma-joined — an exact
+    string compare that sidesteps engine float-formatting differences.
+    Inputs are pre-rounded to 6 decimals on both sides, so the micro-int is
+    exact. DuckDB twin: _vec_str_sql.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(
+        F.transform(c, lambda x: F.round(x * 1000000).cast("bigint").cast("string")),
+        ",",
+    )
+
+
+def _vec_str_sql(expr: str) -> str:
+    """DuckDB twin of _vec_str: identical micro-int serialization."""
+    return (
+        f"array_to_string(list_transform({expr}, "
+        "x -> CAST(round(x * 1000000) AS BIGINT)::VARCHAR), ',')"
+    )
+
+
 # =========================================================================
 # Scan / filter / projection  (ref: seq_scan_executor.cpp, filter_executor.cpp,
 # projection_executor.cpp)
@@ -2670,7 +2695,10 @@ def _projection_oracle() -> str:
     from .similarity.projection import project_sql
 
     planes = make_planes(8, 64, seed=42)
-    return f"SELECT vec_id, {project_sql('embedding', planes)} AS proj FROM embeddings"
+    return (
+        f"SELECT vec_id, {_vec_str_sql(project_sql('embedding', planes))} AS proj "
+        "FROM embeddings"
+    )
 
 
 @_register("embedding_projection", _projection_oracle)
@@ -2678,33 +2706,39 @@ def q_embedding_projection(spark, sf_dir):
     # Johnson-Lindenstrauss 64→8 random projection (deterministic seeded
     # planes, one codegen inner product per output dim, zero shuffle) — the
     # cheap pre-filter stage before exact rerank at scale. Planes inlined
-    # into the DuckDB oracle.
+    # into the DuckDB oracle; output serialized via _vec_str so the driver
+    # gate can canonicalize it (arrays break pandas sort_values).
     from .similarity.projection import random_projection
 
     e = _t(spark, sf_dir, "embeddings")
-    return random_projection(e, "embedding", "vec_id", k=8, seed=42)
+    p = random_projection(e, "embedding", "vec_id", k=8, seed=42)
+    return p.select("vec_id", _vec_str("proj").alias("proj"))
 
 
 @_register(
     "embedding_normalize",
     lambda: (
-        "SELECT vec_id, list_transform("
-        + __import__(
-            "bustub_vectordb_spark.similarity.projection", fromlist=["normalize_sql"]
-        ).normalize_sql("embedding")
-        + ", x -> round(x, 6)) AS unit FROM embeddings"
+        "SELECT vec_id, "
+        + _vec_str_sql(
+            "list_transform("
+            + __import__(
+                "bustub_vectordb_spark.similarity.projection", fromlist=["normalize_sql"]
+            ).normalize_sql("embedding")
+            + ", x -> round(x, 6))"
+        )
+        + " AS unit FROM embeddings"
     ),
 )
 def q_embedding_normalize(spark, sf_dir):
     # L2 normalization at ingest: downstream cosine similarity becomes a
     # plain dot product. Elementwise rounding on both sides absorbs the
-    # engines' summation-order last-bit difference in ||v||.
+    # engines' summation-order last-bit difference in ||v||; _vec_str
+    # serializes the unit vector so the driver gate can canonicalize it.
     from .similarity.projection import normalize
 
     e = _t(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id", F.transform(normalize("embedding"), lambda x: F.round(x, 6)).alias("unit")
-    )
+    unit = F.transform(normalize("embedding"), lambda x: F.round(x, 6))
+    return e.select("vec_id", _vec_str(unit).alias("unit"))
 
 
 @_register(
@@ -2807,8 +2841,9 @@ def q_heavy_hitters(spark, sf_dir):
 
 @_register(
     "vector_centroid_per_label",
-    """
-    SELECT label, list(round(dim_avg, 6) ORDER BY dim) AS centroid,
+    f"""
+    SELECT label,
+           {_vec_str_sql("list(round(dim_avg, 6) ORDER BY dim)")} AS centroid,
            max(n)::BIGINT AS n_vecs
     FROM (
         SELECT label, dim, avg(x) AS dim_avg, count(*) AS n
@@ -2826,7 +2861,8 @@ def q_vector_centroid_per_label(spark, sf_dir):
     # elementwise vector aggregation (class centroids / cluster means —
     # the primitive behind k-means steps and prototype classifiers):
     # posexplode to (label, dim, x), aggregate per (label, dim) — a
-    # well-spread two-level key — then fold back into an ordered array.
+    # well-spread two-level key — then fold back into an ordered array,
+    # serialized via _vec_str for driver-gate canonicalization.
     e = _t(spark, sf_dir, "embeddings")
     per_dim = (
         e.select(
@@ -2836,13 +2872,14 @@ def q_vector_centroid_per_label(spark, sf_dir):
         .groupBy("label", "dim")
         .agg(F.round(F.avg("x"), 6).alias("dim_avg"), F.count("*").alias("n"))
     )
+    centroid = F.transform(
+        F.array_sort(F.collect_list(F.struct("dim", "dim_avg"))),
+        lambda s: s["dim_avg"],
+    )
     return (
         per_dim.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "dim_avg"))),
-                lambda s: s["dim_avg"],
-            ).alias("centroid"),
+            _vec_str(centroid).alias("centroid"),
             F.max("n").alias("n_vecs"),
         )
         .select("label", "centroid", "n_vecs")

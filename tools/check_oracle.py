@@ -74,6 +74,20 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            # the driver's canonicalizer (pandas sort_values) cannot handle
+            # non-scalar cells — every entry must emit atomic columns only
+            # (serialize arrays via queries._vec_str / _vec_str_sql)
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if bad:
+                print(f"FAIL {name}: non-scalar output columns {bad}")
+                n_fail += 1
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
