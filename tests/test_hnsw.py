@@ -477,3 +477,72 @@ def test_sharded_save_load_roundtrip(spark, emb, tmp_path):
     assert loaded.centroids == routed.centroids
     after = [(r["vec_id"], r["distance"]) for r in loaded.probe(QUERY, 10, n_probe=2).collect()]
     assert after == before
+
+
+def test_routed_filtered_search_never_collects_allowed_set(emb):
+    """The 100 TB contract for filtered search on the routed path: a
+    DataFrame allowed-set must NEVER be materialized on the driver — it is
+    semi-joined shard-locally against the blob membership (hnsw.members),
+    so an allowed set far larger than driver memory still works. Enforced
+    by making collect() on the filter explode, and checked for parity
+    against the broadcast (iterable) path on the same deterministic graphs."""
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    allowed_df = emb.filter(F.col("label") == 2).select("vec_id")
+    allowed_set = frozenset(r["vec_id"] for r in allowed_df.collect())
+
+    def boom(*a, **k):
+        raise AssertionError("driver collected the allowed set")
+
+    guarded = emb.filter(F.col("label") == 2).select("vec_id")
+    guarded.collect = boom  # any driver materialization now fails the test
+
+    got = routed.probe(QUERY, 10, n_probe=2, allowed=guarded).collect()
+    assert 0 < len(got) <= 10
+    assert {r["vec_id"] for r in got} <= allowed_set
+    # parity with the broadcast path (same graphs, same allowed ids)
+    bc = routed.probe(QUERY, 10, n_probe=2, allowed=allowed_set).collect()
+    assert [(r["vec_id"], r["distance"]) for r in got] == [
+        (r["vec_id"], r["distance"]) for r in bc
+    ]
+
+    # batch path: same no-driver-collect guarantee
+    queries = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    ).limit(5)
+    guarded2 = emb.filter(F.col("label") == 2).select("vec_id")
+    guarded2.collect = boom
+    batch = routed.search_batch(
+        queries, "qvec", "qid", k=3, n_probe=2, allowed=guarded2
+    ).collect()
+    assert batch and {r["vec_id"] for r in batch} <= allowed_set
+    bc_batch = routed.search_batch(
+        queries, "qvec", "qid", k=3, n_probe=2, allowed=allowed_set
+    ).collect()
+    key = lambda r: (r["qid"], r["vec_id"])  # noqa: E731
+    assert sorted([(*key(r), r["distance"]) for r in batch]) == sorted(
+        [(*key(r), r["distance"]) for r in bc_batch]
+    )
+
+
+def test_sharded_insert_refuses_fresh_shard_without_params(emb, spark):
+    """insert() must not silently build a fresh shard graph with default
+    params on an index that lost its build params (pre-upgrade save):
+    determinism/offline-replay would quietly break. It raises instead."""
+    import dataclasses
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    target = emb.limit(1).collect()[0]
+    s = routed.rank_shards([float(x) for x in target["embedding"]])[0]
+    # simulate a pre-upgrade save: drop shard s's blob and the params
+    crippled = dataclasses.replace(
+        routed, blobs=routed.blobs.filter(F.col("shard") != s), params=None
+    )
+    new = spark.createDataFrame(
+        [(88888, list(target["embedding"]))], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="params"):
+        crippled.insert(new).blobs.count()
