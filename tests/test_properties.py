@@ -147,3 +147,63 @@ def test_band_join_equals_naive(spark, left_ts, right_ts):
         if abs(a - b) <= tol
     }
     assert got == want
+
+
+# -------------------------------------------------------------------------
+# Filtered-HNSW recall under selective filters (VERDICT r4 #6)
+# -------------------------------------------------------------------------
+# _search_layer_filtered navigates THROUGH disallowed vertices (they still
+# route the walk; only allowed ones enter the beam), so recall must not
+# collapse as the filter gets selective. Pinned here across selectivity
+# 0.01–0.9 vs exact filtered KNN over the sf0.01 embeddings (5k × 64).
+
+import os
+
+import numpy as np
+
+
+@pytest.fixture(scope="module")
+def filtered_graph():
+    import pyarrow.parquet as pq
+
+    from bustub_vectordb_spark.index.hnsw import _Graph
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.01 testdata not present")
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids = [ids[i] for i in order]
+    vecs = vecs[order]
+    g = _Graph(8, 64, 128, "l2", seed=42)
+    g.add_all(ids, vecs)
+    return g, np.asarray(ids), vecs
+
+
+@given(sel=st.floats(0.01, 0.9), seed=st.integers(0, 2**16))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_filtered_hnsw_recall_sweep(filtered_graph, sel, seed):
+    """recall@10 of the traversal-time filtered walk vs exact filtered KNN
+    stays ≥ 0.9 from near-exhaustive (sel 0.01 → walk degenerates to a
+    scan of the component) through mildly filtered (sel 0.9)."""
+    from hypothesis import assume
+
+    g, ids, vecs = filtered_graph
+    rng = np.random.default_rng(seed)
+    mask = rng.random(len(ids)) < sel
+    assume(mask.sum() >= 10)
+    allowed = frozenset(int(x) for x in ids[mask])
+    q = vecs[int(rng.integers(len(ids)))] + rng.normal(0, 0.05, vecs.shape[1])
+
+    d = np.linalg.norm(vecs[mask] - q, axis=1)
+    exact = set(int(x) for x in ids[mask][np.argsort(d, kind="stable")[:10]])
+
+    got = {hid for hid, _ in g.search(q, 10, ef=128, allowed_ids=allowed)}
+    assert len(got) == 10
+    assert len(got & exact) / 10 >= 0.9
