@@ -10,8 +10,10 @@ Design for a 100 TB media pipeline:
 
 Decode kernel, in preference order: REAL pure-stdlib/numpy decoders for
 magic-sniffed PCM WAV / 24-bit BMP / P6 PPM / 8-bit PNG (zlib inflate +
-per-scanline unfilter) / GIF (variable-width LZW + palette + de-interlace;
-all tested against synthesized media in tests/test_multimodal.py); PIL for
+per-scanline unfilter) / GIF (variable-width LZW + palette + de-interlace)
+/ baseline JPEG (T.81 huffman + dequant + IDCT, gray and YCbCr incl. 4:2:0,
+DRI restarts; all tested against synthesized media in
+tests/test_multimodal.py); PIL for
 other image formats when importable (not in this container); else a
 deterministic md5-derived fake
 (which the driver's DuckDB oracle replicates — see queries.py). The
@@ -217,7 +219,13 @@ def _decode_gif(payload: bytes) -> list[float]:
                 pos += payload[pos] + 1
             pos += 1
         elif block == 0x2C:  # image descriptor
-            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            if (left, top) != (0, 0) or (w, h) != (sw, sh):
+                # a frame offset within / smaller than the logical screen
+                # needs canvas compositing like a real codec; featurizing the
+                # bare frame would silently yield a different grid — raise to
+                # fall through, per the decoder's unsupported-shape policy
+                raise ValueError("GIF frame offset/size != logical screen")
             pos += 9
             table = gct
             if ipacked & 0x80:
@@ -304,6 +312,275 @@ def _gif_lzw(data: bytes, min_code: int, n_pixels: int) -> list[int]:
     return out[:n_pixels]
 
 
+# JPEG zigzag scan order: position i of the coded stream lands at natural
+# (row-major) index _JPEG_ZZ[i] of the 8×8 block (public spec, ITU T.81 Fig. 5)
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8×8 DCT-II basis C: C[k,n] = α(k)·cos((2n+1)kπ/16).
+    The matrix form of the T.81 IDCT — α(u)α(v) equals the spec's
+    ¼·C(u)·C(v) scaling exactly, so `C.T @ coeffs @ C` IS the standard
+    inverse transform (deterministic float64: encoder tests replay the
+    identical expression for bit-exact comparison)."""
+    import numpy as np
+
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    c[0] *= np.sqrt(1 / 8) / c[0, 0]  # α(0) = √(1/8) (c[0] row is all 1s)
+    c[1:] *= 0.5  # α(k>0) = √(2/8)
+    return c
+
+
+def _jpeg_huff_table(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman table per T.81 Annex C: (length, code) → symbol."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (already
+    unstuffed / split at restart markers)."""
+
+    def __init__(self, data: bytes):
+        self.d, self.i, self.b = data, 0, 0
+
+    def bit(self) -> int:
+        if self.i >= len(self.d):
+            raise ValueError("truncated JPEG scan")
+        v = (self.d[self.i] >> (7 - self.b)) & 1
+        self.b += 1
+        if self.b == 8:
+            self.b, self.i = 0, self.i + 1
+        return v
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huffdec(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("bad JPEG huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_pixels(payload: bytes):
+    """Baseline JPEG (SOF0/SOF1, huffman, 8-bit) → float64 gray (h, w) in
+    0..255. Pure stdlib + numpy, per the public T.81 spec: marker segments,
+    DQT (8/16-bit), DHT, DRI/RSTn restarts, interleaved MCU scan, per-block
+    huffman → dequant → dezigzag → IDCT, nearest-neighbor chroma upsample,
+    YCbCr→RGB (CCIR 601 floats) → channel mean, matching the other image
+    kernels' gray convention. Progressive/arithmetic/12-bit variants raise →
+    caller falls through to PIL/fake."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    sel = None
+    ri = 0
+    pos = 2
+    scan_start = None
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        data = payload[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(data, np.uint8, 64, i).astype(np.int64)
+                    i += 64
+                else:
+                    qt[tq] = (
+                        np.frombuffer(data[i : i + 128], ">u2").astype(np.int64)
+                    )
+                    i += 128
+        elif marker in (0xC0, 0xC1):  # baseline / extended-sequential huffman
+            if data[0] != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            h = struct.unpack_from(">H", data, 1)[0]
+            w = struct.unpack_from(">H", data, 3)[0]
+            comps = []
+            for c in range(data[5]):
+                comps.append(
+                    {
+                        "id": data[6 + 3 * c],
+                        "h": data[7 + 3 * c] >> 4,
+                        "v": data[7 + 3 * c] & 15,
+                        "tq": data[8 + 3 * c],
+                    }
+                )
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline JPEG supported")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                i += 1
+                counts = list(data[i : i + 16])
+                i += 16
+                symbols = list(data[i : i + sum(counts)])
+                i += sum(counts)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _jpeg_huff_table(
+                    counts, symbols
+                )
+        elif marker == 0xDD:  # DRI
+            ri = struct.unpack(">H", data)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows; single-scan baseline
+            sel = []
+            for c in range(data[0]):
+                cid, tt = data[1 + 2 * c], data[2 + 2 * c]
+                sel.append((cid, tt >> 4, tt & 15))
+            scan_start = pos
+            break
+        # APPn / COM / anything else: skipped
+    if frame is None or sel is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # split the entropy stream: FF00 unstuffs to FF, RSTn bounds segments
+    segs, cur, p = [], bytearray(), scan_start
+    while p < len(payload):
+        b = payload[p]
+        if b == 0xFF:
+            nb = payload[p + 1] if p + 1 < len(payload) else 0xD9
+            if nb == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nb <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI / next marker ends the scan
+        cur.append(b)
+        p += 1
+    segs.append(bytes(cur))
+
+    h, w, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    }
+    C = _jpeg_dct_matrix()
+    zz = np.asarray(_JPEG_ZZ)
+    dc_pred = {c["id"]: 0 for c in comps}
+    seg_idx, bits = 0, _JpegBits(segs[0])
+    for m in range(mcux * mcuy):
+        if ri and m and m % ri == 0:  # restart: next segment, reset DC preds
+            seg_idx += 1
+            bits = _JpegBits(segs[seg_idx])
+            dc_pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for cid, dct_id, act_id in sel:
+            comp = by_id[cid]
+            q = qt[comp["tq"]]
+            for byy in range(comp["v"]):
+                for bxx in range(comp["h"]):
+                    coef = np.zeros(64, dtype=np.int64)
+                    t = _jpeg_huffdec(bits, dc_tabs[dct_id])
+                    dc_pred[cid] += _jpeg_extend(bits.bits(t), t) if t else 0
+                    coef[0] = dc_pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huffdec(bits, ac_tabs[act_id])
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        s = rs & 15
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        coef[k] = _jpeg_extend(bits.bits(s), s)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[zz] = (coef * q).astype(np.float64)
+                    px = C.T @ block.reshape(8, 8) @ C + 128.0
+                    px = np.clip(np.round(px), 0.0, 255.0)
+                    y0 = (my * comp["v"] + byy) * 8
+                    x0 = (mx * comp["h"] + bxx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+    full = []
+    for comp in comps:
+        pl = planes[comp["id"]]
+        pl = np.repeat(
+            np.repeat(pl, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1
+        )
+        full.append(pl[:h, :w])
+    if len(full) == 1:
+        gray = full[0]
+    elif len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        gray = np.clip(np.stack([r, g, b]), 0.0, 255.0).mean(axis=0)
+    else:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    return gray
+
+
+def _decode_jpeg(payload: bytes) -> list[float]:
+    """Baseline JPEG → 4×4 grayscale grid (same grid as BMP/PPM/PNG/GIF)."""
+    import numpy as np
+
+    gray = _jpeg_pixels(payload)
+    h, w = gray.shape
+    gy = np.array_split(np.arange(h), 4)
+    gx = np.array_split(np.arange(w), 4)
+    return [float(gray[np.ix_(ys, xs)].mean() / 255.0) for ys in gy for xs in gx]
+
+
 def _decode_ppm(payload: bytes) -> list[float]:
     """Binary PPM (P6) → 4×4 grayscale grid (pure numpy)."""
     import re
@@ -332,6 +609,7 @@ _MAGIC_DECODERS = [
     (b"P6", _decode_ppm),
     (b"\x89PNG\r\n\x1a\n", _decode_png),
     (b"GIF8", _decode_gif),
+    (b"\xff\xd8\xff", _decode_jpeg),
 ]
 
 

@@ -3118,16 +3118,21 @@ def q_multimodal_decode_features(spark, sf_dir):
 
 
 def _synth_media_rows() -> list[tuple]:
-    """24 deterministic (media_id, payload, kind) rows — PNGs and GIFs from
+    """24 deterministic (media_id, payload, kind) rows — PNGs, GIFs, and
+    baseline JPEGs (gray + YCbCr 4:2:0, incl. non-MCU-multiple sizes) from
     the package's stdlib synthesizers (multimodal/synth.py)."""
-    from .multimodal.synth import synth_gif, synth_png
+    from .multimodal.synth import synth_gif, synth_jpeg, synth_png
 
     rows = []
     for i in range(24):
-        if i % 2 == 0:
+        if i % 3 == 0:
             rows.append((i, synth_png(seed=i), "png"))
-        else:
+        elif i % 3 == 1:
             rows.append((i, synth_gif(seed=i), "gif"))
+        elif (i // 3) % 2 == 0:
+            rows.append((i, synth_jpeg(seed=i, w=12, h=10, mode="gray"), "jpeg"))
+        else:
+            rows.append((i, synth_jpeg(seed=i, w=20, h=12, mode="420"), "jpeg"))
     return rows
 
 

@@ -353,3 +353,99 @@ def test_real_decoders_via_spark_stage(spark):
 
     want_mean = float(png_img.astype(np.float64).mean(axis=2).mean() / 255.0)
     assert abs(sum(out[5]) / 16 - want_mean) < 0.02
+
+
+def test_jpeg_decoder_bit_exact_gray_and_420():
+    """The baseline-JPEG kernel (T.81 huffman + dequant + IDCT) must
+    reproduce the encoder-implied reconstruction BIT-EXACTLY: the pure
+    python encoder (multimodal/synth.encode_jpeg) returns the pixel planes
+    its quantized coefficients imply, and the decoder must land on exactly
+    those float64 values — gray, and YCbCr 4:2:0 with non-MCU-multiple
+    dimensions and restart markers."""
+    import random
+
+    import numpy as np
+
+    from bustub_vectordb_spark.multimodal.binary import _decode_jpeg, _jpeg_pixels
+    from bustub_vectordb_spark.multimodal.synth import encode_jpeg
+
+    def plane(seed, h, w):
+        rng = random.Random(seed)
+        return np.asarray(
+            [[rng.randrange(256) for _ in range(w)] for _ in range(h)],
+            dtype=np.float64,
+        )
+
+    # gray, 11x7 (padding on both axes)
+    img = plane(7, 7, 11)
+    payload, recon = encode_jpeg([img], [(1, 1)], [2], 11, 7)
+    assert np.array_equal(_jpeg_pixels(payload), recon[0][:7, :11])
+
+    # YCbCr 4:2:0, 20x12, restart interval 1 (RST markers + DC resets)
+    w, h = 20, 12
+    y, cb, cr = plane(1, h, w), plane(2, 6, 10), plane(3, 6, 10)
+    payload, recon = encode_jpeg(
+        [y, cb, cr], [(2, 2), (1, 1), (1, 1)], [2, 3, 3], w, h, restart=1
+    )
+    ry = recon[0][:h, :w]
+    rcb = np.repeat(np.repeat(recon[1], 2, axis=0), 2, axis=1)[:h, :w]
+    rcr = np.repeat(np.repeat(recon[2], 2, axis=0), 2, axis=1)[:h, :w]
+    r = ry + 1.402 * (rcr - 128.0)
+    g = ry - 0.344136 * (rcb - 128.0) - 0.714136 * (rcr - 128.0)
+    b = ry + 1.772 * (rcb - 128.0)
+    want = np.clip(np.stack([r, g, b]), 0.0, 255.0).mean(axis=0)
+    assert np.array_equal(_jpeg_pixels(payload), want)
+
+    # grid features: 16 floats in [0, 1]
+    feats = _decode_jpeg(payload)
+    assert len(feats) == 16 and all(0.0 <= f <= 1.0 for f in feats)
+
+    # a constant-128 image survives the lossy round-trip exactly
+    # (level shift 0 → all coefficients 0 → reconstruction 128)
+    flat, _ = encode_jpeg([np.full((8, 8), 128.0)], [(1, 1)], [2], 8, 8)
+    assert np.array_equal(_jpeg_pixels(flat), np.full((8, 8), 128.0))
+
+
+def test_jpeg_unsupported_variants_raise():
+    """Progressive (SOF2) and non-JPEG payloads raise → _decode_one falls
+    through to the deterministic fake, like the other kernels."""
+    import pytest as _pytest
+
+    from bustub_vectordb_spark.multimodal.binary import (
+        _decode_jpeg,
+        _decode_one,
+        _jpeg_pixels,
+    )
+    from bustub_vectordb_spark.multimodal.synth import synth_jpeg
+
+    payload = bytearray(synth_jpeg(3, 8, 8, "gray"))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
+    with _pytest.raises(ValueError):
+        _jpeg_pixels(bytes(payload))
+    feats = _decode_one(bytes(payload), None)  # falls back to the md5 fake
+    assert len(feats) == 16
+
+    with _pytest.raises(ValueError):
+        _decode_jpeg(b"\xff\xd8\xff\xe0 not really a jpeg")
+
+
+def test_gif_offset_frame_raises():
+    """A GIF frame offset within (or smaller than) the logical screen needs
+    canvas compositing — the kernel must raise (→ fallback), not silently
+    featurize the bare frame as if it were the screen."""
+    import struct
+
+    import pytest as _pytest
+
+    from bustub_vectordb_spark.multimodal.binary import _decode_gif
+
+    payload, _ = _mk_gif(w=8, h=8, seed=2)
+    ba = bytearray(payload)
+    # image descriptor starts after header(6)+LSD(7)+GCT(768)+GCE(8) = 789
+    idesc = 6 + 7 + 768 + 8
+    assert payload[idesc] == 0x2C
+    struct.pack_into("<HH", ba, idesc + 1, 2, 0)  # left=2, top=0
+    struct.pack_into("<H", ba, idesc + 5, 6)  # width=6 (was 8)
+    with _pytest.raises(ValueError):
+        _decode_gif(bytes(ba))
