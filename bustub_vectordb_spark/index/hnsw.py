@@ -69,6 +69,46 @@ class _Graph:
         # filtered-search caches (lazy; invalidated by add_all)
         self._id_map: dict | None = None  # external id -> internal index
         self._allowed_cache: tuple | None = None  # (ext-set obj, internal set)
+        # SQ8 storage (quantize_sq8): uint8 codes replace the float matrix
+        self.codes: np.ndarray | None = None
+        self.qmn: np.ndarray | None = None  # per-dim minimum
+        self.qscale: np.ndarray | None = None  # per-dim (max-min)/255
+
+    # -- SQ8 compressed storage -------------------------------------------
+    def _mat_rows(self, idxs) -> np.ndarray:
+        """Rows of the vector matrix; decodes SQ8 codes on the fly when the
+        graph is quantized (ADC: queries stay full-precision)."""
+        if self.vecs is not None:
+            return self.vecs[idxs]
+        return self.qmn + self.codes[idxs].astype(np.float64) * self.qscale
+
+    def _encode_sq8(self, mat: np.ndarray) -> np.ndarray:
+        safe = np.where(self.qscale == 0.0, 1.0, self.qscale)
+        c = np.floor((mat - self.qmn) / safe + 0.5)
+        c = np.where(self.qscale == 0.0, 0.0, c)
+        return np.clip(c, 0, 255).astype(np.uint8)
+
+    def quantize_sq8(self, mins, maxs) -> None:
+        """Swap the float64 matrix for per-dim SQ8 codes: 8 bytes/dim → 1
+        byte/dim per stored vector, the FAISS SQScalarQuantizer trade lifted
+        into shard blobs. code = clamp(floor((x−mn)/scale + .5)) with scale
+        = (mx−mn)/255 (same affine family as similarity/quantize.SQ8Model);
+        walks decode rows on demand, norms are recomputed from the DECODED
+        values so distance orientation stays internally consistent. Walk
+        distances become approximate (ADC) — pair with an exact rerank
+        (ShardedHNSW.probe(rerank=...)) for serving."""
+        mn = np.asarray(mins, dtype=np.float64)
+        mx = np.asarray(maxs, dtype=np.float64)
+        self.qmn = mn
+        self.qscale = (mx - mn) / 255.0
+        if self.vecs is None:
+            self.codes = np.zeros((0, len(mn)), dtype=np.uint8)
+        else:
+            self.codes = self._encode_sq8(self.vecs)
+        self.vecs = None
+        dec = self._mat_rows(slice(None))
+        self._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
+        self._norms_sq = (dec * dec).sum(axis=1)
 
     # -- core primitives (paper Alg. 2/3/5) -------------------------------
     def _dist_many(self, q: np.ndarray, idxs: list[int]) -> np.ndarray:
@@ -79,7 +119,7 @@ class _Graph:
         one BLAS matvec instead of three elementwise passes (measured ~20%
         off the whole build). The subtraction can go ~−1e−13 for (near-)
         duplicate vectors — clamp before sqrt."""
-        m = self.vecs[idxs]
+        m = self._mat_rows(idxs) if self.vecs is None else self.vecs[idxs]
         if self.dist == "l2":
             ns = getattr(self, "_norms_sq", None)
             if ns is None:  # graphs unpickled from pre-upgrade saves
@@ -164,7 +204,7 @@ class _Graph:
         return [c for _, c in scored[:m]]
 
     def _insert(self, idx: int) -> None:
-        q = self.vecs[idx]
+        q = self._mat_rows([idx])[0] if self.vecs is None else self.vecs[idx]
         level = int(-math.log(self.rng.random() + 1e-300) * self.m_l)
         # capture the top layer BEFORE extending — extending first would make
         # `level > top` unreachable and the entry point never promoted
@@ -189,7 +229,9 @@ class _Graph:
                 lst.append(idx)
                 if len(lst) > m_max:
                     self.edges[lv][nb] = self._select_neighbors(
-                        self.vecs[nb], lst, m_max
+                        self._mat_rows([nb])[0] if self.vecs is None else self.vecs[nb],
+                        lst,
+                        m_max,
                     )
             ep = cands
         if level > top:
@@ -201,10 +243,18 @@ class _Graph:
             self.entry = idx
 
     def add_all(self, ids, mat: np.ndarray) -> None:
-        base = 0 if self.vecs is None else len(self.ids)
-        self.vecs = mat if self.vecs is None else np.vstack([self.vecs, mat])
-        self._norms = np.maximum(np.linalg.norm(self.vecs, axis=1), 1e-300)
-        self._norms_sq = (self.vecs * self.vecs).sum(axis=1)
+        base = len(self.ids)
+        if getattr(self, "codes", None) is not None:
+            # quantized graph: encode new rows with the FROZEN affine params
+            # (same frozen-quantizer contract as IVF's frozen centroids)
+            self.codes = np.vstack([self.codes, self._encode_sq8(np.asarray(mat, dtype=np.float64))])
+            dec = self._mat_rows(slice(None))
+            self._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
+            self._norms_sq = (dec * dec).sum(axis=1)
+        else:
+            self.vecs = mat if self.vecs is None else np.vstack([self.vecs, mat])
+            self._norms = np.maximum(np.linalg.norm(self.vecs, axis=1), 1e-300)
+            self._norms_sq = (self.vecs * self.vecs).sum(axis=1)
         self.ids.extend(ids)
         self._id_map = None
         self._allowed_cache = None
@@ -799,6 +849,46 @@ class ShardedHNSW:
             params=json.loads(raw) if raw else None,
         )
 
+    def quantize(self, mins, maxs) -> "ShardedHNSW":
+        """SQ8-compress every shard graph: one distributed pass unpickles
+        each blob, swaps its float64 matrix for uint8 codes
+        (_Graph.quantize_sq8 — 8× smaller vector storage per shard), and
+        repickles. The affine params (usually exact per-dim min/max from
+        similarity/quantize.dim_stats — O(dim) driver state, like
+        centroids) are frozen into params so save/load and insert-into-
+        empty-shard keep encoding consistently. Walk distances become ADC
+        approximations — serve with probe(rerank=source_df) for exact
+        final ordering."""
+        import pickle
+
+        import pandas as pd
+
+        from ..shipping import ensure_package_on_workers
+
+        ensure_package_on_workers(self._spark)
+        mins = [float(x) for x in mins]
+        maxs = [float(x) for x in maxs]
+
+        def run(batches):
+            for pdf in batches:
+                out_s, out_b = [], []
+                for shard, blob in zip(pdf["shard"], pdf["blob"]):
+                    g = pickle.loads(blob)
+                    g.quantize_sq8(mins, maxs)
+                    out_s.append(shard)
+                    out_b.append(pickle.dumps(g))
+                yield pd.DataFrame({"shard": out_s, "blob": out_b})
+
+        blobs = self.blobs.mapInPandas(run, "shard long, blob binary").localCheckpoint(
+            eager=True
+        )
+        params = dict(self.params or {}, sq8_mins=mins, sq8_maxs=maxs)
+        return ShardedHNSW(
+            self.vec_col, self.id_col, self.dist, blobs, self._spark,
+            centroids=self.centroids, id_type=self.id_type,
+            default_n_probe=self.default_n_probe, params=params,
+        )
+
     def rank_shards(self, query: list[float]) -> list[int]:
         """Nearest-centroid shard order (driver-side, |shards| entries) —
         same scoring orientation as IVFFlat.rank_buckets."""
@@ -1027,12 +1117,15 @@ class ShardedHNSW:
                             "params (loaded from a pre-upgrade save) — "
                             "rebuild the index or set .params explicitly"
                         )
-                    g = (
-                        pickle.loads(blob)
-                        if blob is not None
-                        # shard was empty at build time: fresh graph
-                        else _Graph(m, efc, efs, dist, seed)
-                    )
+                    if blob is not None:
+                        g = pickle.loads(blob)
+                    else:
+                        # shard was empty at build time: fresh graph, SQ8-
+                        # encoded with the frozen params if the index is
+                        # quantized
+                        g = _Graph(m, efc, efs, dist, seed)
+                        if "sq8_mins" in p:
+                            g.quantize_sq8(p["sq8_mins"], p["sq8_maxs"])
                     recs = sorted(
                         ((r["__nid"], r["__nv"]) for r in new), key=lambda t: t[0]
                     )
@@ -1065,8 +1158,19 @@ class ShardedHNSW:
         dist_col: str = "distance",
         n_probe: int | None = None,
         allowed=None,
+        rerank=None,
+        rerank_mult: int = 4,
     ):
-        """``allowed`` (iterable of ids or a one-column DataFrame) enables
+        """``rerank`` (the source DataFrame carrying id + vector columns)
+        turns the probe into ADC-shortlist + exact-rerank — the serving
+        shape for SQ8-quantized shards: each probed shard walks for
+        k·rerank_mult candidates over its compressed codes, then the
+        candidate ids (≤ n_probe·k·rerank_mult rows — broadcast-sized) join
+        back to the full-precision source for exact distances and the true
+        top-k. Corpus never shuffles; the join is broadcast-candidates
+        against a pruned column scan.
+
+        ``allowed`` (iterable of ids or a one-column DataFrame) enables
         filtered vector search on the routed/sharded variant: each probed
         shard's graph walk filters at traversal time
         (_search_layer_filtered), so the per-shard top-k is taken among
@@ -1099,6 +1203,8 @@ class ShardedHNSW:
             else None
         )
 
+        k_walk = k * rerank_mult if rerank is not None else k
+
         def search_shard(batches):
             bset = bc_allowed.value if bc_allowed is not None else None
             for pdf in batches:
@@ -1107,7 +1213,7 @@ class ShardedHNSW:
                 for i, blob in enumerate(pdf["blob"]):
                     g = pickle.loads(blob)
                     aset = set(local.iloc[i]) if local is not None else bset
-                    for hid, d in g.search(np.asarray(q), k, allowed_ids=aset):
+                    for hid, d in g.search(np.asarray(q), k_walk, allowed_ids=aset):
                         recs.append({id_col: hid, dist_col: sign * d})
                 yield pd.DataFrame(recs, columns=[id_col, dist_col])
 
@@ -1129,7 +1235,24 @@ class ShardedHNSW:
         order = F.col(dist_col).asc() if asc else F.col(dist_col).desc()
         # boundary-replicated builds can surface the same id from several
         # shards — dedupe (identical distances) before the global top-k
-        return per_shard.dropDuplicates([id_col]).orderBy(order).limit(k)
+        if rerank is None:
+            return per_shard.dropDuplicates([id_col]).orderBy(order).limit(k)
+        # exact rerank: the ADC shortlist's ids (broadcast-sized) join back
+        # to the full-precision source; distances recompute exactly there
+        from ..functions.vector import cosine_similarity, inner_product, l2_dist
+
+        cand = per_shard.select(id_col).dropDuplicates([id_col])
+        exact = {
+            "l2": lambda: l2_dist(self.vec_col, q),
+            "ip": lambda: inner_product(self.vec_col, q),
+            "cosine": lambda: cosine_similarity(self.vec_col, q),
+        }[self.dist]()
+        scored = (
+            rerank.select(F.col(id_col), F.col(self.vec_col))
+            .join(F.broadcast(cand), id_col)
+            .select(id_col, exact.alias(dist_col))
+        )
+        return scored.orderBy(order, F.col(id_col).asc()).limit(k)
 
 
 # =========================================================================
@@ -1276,6 +1399,70 @@ def offline_routed_probe(
     asc = dist == "l2"
     out = sorted(hits.items(), key=lambda t: (t[1] if asc else -t[1], t[0]))
     return out[:k]
+
+
+def offline_routed_sq8_probe(
+    centroids: list[list[float]],
+    graphs: dict[int, _Graph],
+    vectors_by_id: dict,
+    query: list[float],
+    k: int,
+    n_probe: int,
+    mins: list[float],
+    maxs: list[float],
+    dist: str = "l2",
+    rerank_mult: int = 4,
+) -> list[tuple]:
+    """Replay ``ShardedHNSW.quantize(mins, maxs).probe(..., rerank=src)``:
+    quantize the replayed graphs with the same affine params, walk each
+    probed shard for k·rerank_mult ADC candidates, then rerank the
+    candidate ids with EXACT distances computed by the same left-fold
+    arithmetic Spark's functions.vector expressions evaluate
+    (F.aggregate(zip_with(...))) — bit-matching the distributed result.
+    Returns [(id, exact_distance)] in the probe's output order."""
+    for g in graphs.values():
+        g.quantize_sq8(mins, maxs)
+
+    def score(c: list[float]) -> float:
+        if dist == "l2":
+            return math.dist(c, query)
+        dot = sum(x * y for x, y in zip(c, query))
+        if dist == "ip":
+            return -dot
+        na = math.sqrt(sum(x * x for x in c)) or 1e-300
+        nb = math.sqrt(sum(y * y for y in query)) or 1e-300
+        return -(dot / (na * nb))
+
+    ranked = sorted(range(len(centroids)), key=lambda i: score(centroids[i]))
+    q = np.asarray(query, dtype=np.float64)
+    cand: set = set()
+    for b in ranked[:n_probe]:
+        g = graphs.get(b)
+        if g is None:
+            continue
+        for hid, _d in g.search(q, k * rerank_mult):
+            cand.add(hid)
+
+    def fold(vals) -> float:
+        s = 0.0
+        for v in vals:
+            s = s + v
+        return s
+
+    def exact(v: list[float]) -> float:
+        if dist == "l2":
+            return math.sqrt(fold((x - y) * (x - y) for x, y in zip(v, query)))
+        dot = fold(x * y for x, y in zip(v, query))
+        if dist == "ip":
+            return dot
+        na = math.sqrt(fold(x * x for x in v))
+        nb = math.sqrt(fold(y * y for y in query))
+        return dot / (na * nb)
+
+    asc = dist == "l2"
+    scored = [(hid, exact([float(x) for x in vectors_by_id[hid]])) for hid in cand]
+    scored.sort(key=lambda t: (t[1] if asc else -t[1], t[0]))
+    return scored[:k]
 
 
 def offline_routed_insert(

@@ -2111,6 +2111,65 @@ def q_ann_hnsw_routed_filtered_probe(spark, sf_dir):
     )
 
 
+def _hnsw_routed_sq8_oracle() -> str:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed, offline_routed_sq8_probe
+
+    p = _routed_params()
+    path = f"{_oracle_sf()}/embeddings.parquet"
+    cents, graphs = offline_routed(
+        path, "embedding", "vec_id",
+        shards=p["shards"], m=p["m"],
+        ef_construction=p["ef_construction"], ef_search=p["ef_search"],
+    )
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    mat = np.asarray(vecs, dtype=np.float64)
+    hits = offline_routed_sq8_probe(
+        cents, graphs, dict(zip(ids, vecs)), QUERY_VEC, 10, 2,
+        mat.min(axis=0).tolist(), mat.max(axis=0).tolist(),
+    )
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_hnsw_routed_sq8_rerank", _hnsw_routed_sq8_oracle)
+def q_ann_hnsw_routed_sq8_rerank(spark, sf_dir):
+    # SQ8 codes INSIDE the routed shard graphs (ShardedHNSW.quantize): the
+    # per-shard vector matrix drops from 8 bytes/dim to 1 (memory ÷8 for
+    # serving density), walks run ADC over the codes, and the shortlist
+    # reranks with exact distances against the source table (broadcast
+    # candidate ids, corpus never shuffles). Exact offline-replay oracle
+    # (offline_routed_sq8_probe — same quantization, walk, and fold-order
+    # rerank arithmetic).
+    from .index.hnsw import HNSWIndex
+    from .similarity.quantize import dim_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "hnsw_routed_sq8")
+    if key not in _INDEX_CACHE:
+        rkey = (sf_dir, "hnsw_routed")
+        if rkey not in _INDEX_CACHE:
+            _INDEX_CACHE[rkey] = HNSWIndex.build_routed(
+                emb, "embedding", "vec_id", **_routed_params()
+            )
+        stats = dim_stats(emb, "embedding").orderBy("dim").collect()
+        _INDEX_CACHE[key] = _INDEX_CACHE[rkey].quantize(
+            [r["mn"] for r in stats], [r["mx"] for r in stats]
+        )
+    probe = _INDEX_CACHE[key].probe(QUERY_VEC, 10, n_probe=2, rerank=emb)
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
 def _hnsw_routed_insert_oracle() -> str:
     import pyarrow.parquet as pq
 
@@ -3538,76 +3597,74 @@ def q_layout_bucketed_join(spark, sf_dir):
 # signal hygiene, not risk management):
 #   r≤3 window — one representative per operator family (the 50 names in
 #     the r03 CORRECTNESS file).
-#   r4 window (below) — 50 entries NOT gated in r03, including the core
-#     round-4 operators; rotating in next round: 11 cheap family-duplicates
-#     the r03 judge independently re-verified (agg_simple, join_left/right,
-#     cross_join, index_scan_ordered, window_running_agg, knn_cosine /
-#     knn_inner_product / sql_knn_l2 / knn_subquery_alias,
-#     sample_deterministic) plus the entries added after this window was
-#     frozen (ann_hnsw_batch_filtered, ann_hnsw_routed_batch_filtered,
-#     training_export_shards, sample_mixture_upsample, decontaminate,
-#     ann_ivf_sq8_rerank_cosine, dedup_components_star,
-#     sample_train_test_split, multimodal_real_decode).
+#   r4 window — 50 entries NOT gated in r03 (the r04 CORRECTNESS file).
+#   r5 window (below) — with r1–r4 complete, every entry that EVER lacked a
+#     driver row rotates in: the 9 never-gated entries, the 11 family
+#     duplicates last gated r1–r2, the 3 array-output entries whose r4 rows
+#     erred in the harness (now serialized scalar — see _vec_str), and the
+#     new round-5 entry (ann_hnsw_routed_sq8_rerank). The remaining 26
+#     slots are STABLE SENTINELS — a cross-section of every operator family
+#     that stays in the window from now on (ADVICE r4: the external gate
+#     should always exercise core families, rotating only the remainder).
 # Entries outside the current window remain verified by tools/
 # check_oracle.py (full registry) in tests/CI — see COVERAGE.md.
 
 _GATE_WINDOW = [
-    # relational: previously-ungated agg / set / join / subquery / window
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_count_distinct",
-    "agg_quantiles",
-    "agg_stddev_var",
-    "agg_corr",
-    "set_union_all",
-    "set_intersect",
-    "set_except_all",
-    "join_salted",
-    "join_semi_exists",
-    "join_anti_not_exists",
-    "scalar_subquery",
-    "correlated_subquery",
-    "pivot_status_priority",
-    "unpivot_lineitem",
-    "window_lag_lead",
-    "window_frames",
-    "window_rank_family",
-    "window_first_last",
-    # vector / ANN: exact probes + round-4 additions
-    "ann_ivfflat_exact_probe",
-    "ann_ivfflat_batch_exact",
-    "ann_ivfflat_filtered_probe",
-    "ann_lsh_batch_probe",
-    "ann_sq8_adc_cosine",
-    "ann_sq8_adc_ip",
-    "ann_hnsw_routed_batch",
-    "ann_hnsw_filtered_probe",
-    "ann_hnsw_routed_filtered_probe",
-    "ann_hnsw_routed_insert",
+    # --- never driver-gated before r5 ---
+    "ann_hnsw_batch_filtered",
+    "ann_hnsw_routed_batch_filtered",
+    "ann_ivf_sq8_rerank_cosine",
+    "decontaminate",
+    "dedup_components_star",
+    "sample_mixture_upsample",
+    "sample_train_test_split",
+    "training_export_shards",
+    "multimodal_real_decode",
+    # --- family duplicates last gated r1–r2 ---
+    "agg_simple",
+    "join_left",
+    "join_right",
+    "cross_join",
+    "index_scan_ordered",
+    "window_running_agg",
+    "knn_cosine",
+    "knn_inner_product",
+    "sql_knn_l2",
+    "knn_subquery_alias",
+    "sample_deterministic",
+    # --- r4 harness-err rows, now scalar-serialized ---
     "vector_centroid_per_label",
-    # text analysis / documents
-    "subword_count",
-    "fingerprint",
-    "text_quality_filter",
-    "pii_scrub",
-    "doc_chunking",
-    "tfidf_top_terms",
-    # dedup / embeddings
-    "dedup_components",
-    "dedup_exact_keep",
-    "embedding_neardup_exact",
     "embedding_projection",
     "embedding_normalize",
+    # --- new in round 5 ---
+    "ann_hnsw_routed_sq8_rerank",
+    # --- stable sentinels (one per core family, kept in every window) ---
+    "seqscan_filter",
+    "projection_arithmetic",
+    "filter_logic",
+    "values_literal",
+    "agg_group",
+    "agg_empty_input",
+    "join_inner",
+    "join_full",
+    "theta_join",
+    "multiway_join_agg",
+    "sort_limit",
+    "topn_per_group",
+    "window_rank",
+    "update_rewrite",
+    "delete_rewrite",
+    "index_scan_point_lookup",
+    "nested_index_join",
+    "knn_l2",
+    "ann_ivfflat_probe",
+    "ann_hnsw_batch_search",
+    "ann_sq8_adc",
+    "token_count",
+    "dedup_minhash_neardup",
     "pipeline_prep",
-    # multimodal
-    "multimodal_frame_sample",
-    # events
-    "events_json_extract",
-    "events_dedup_first",
-    "events_view_purchase_join",
-    "events_view_purchase_join_guarded",
-    "range_join_followup_orders",
+    "events_tumbling_window",
+    "range_join_band",
 ]
 
 

@@ -494,6 +494,18 @@ class SqlEngine:
                     )
                     idx = HNSWIndex.build_routed(df, col, id_col, shards=shards, **common)
                     idx.default_n_probe = opts.get("n_probe", max(2, shards // 4))
+                    if opts.get("sq8"):
+                        # WITH (sq8=1) on a routed build: shard graphs store
+                        # uint8 codes (8× smaller vector payload); serve via
+                        # probe(rerank=source) for exact final ordering
+                        from .similarity.quantize import dim_stats
+
+                        stats = dim_stats(df, col).orderBy("dim").collect()
+                        n_probe = idx.default_n_probe
+                        idx = idx.quantize(
+                            [r["mn"] for r in stats], [r["mx"] for r in stats]
+                        )
+                        idx.default_n_probe = n_probe
                 else:
                     idx = HNSWIndex.build(df, col, id_col, **common)
             self.indexes.create(

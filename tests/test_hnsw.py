@@ -546,3 +546,60 @@ def test_sharded_insert_refuses_fresh_shard_without_params(emb, spark):
     )
     with pytest.raises(Exception, match="params"):
         crippled.insert(new).blobs.count()
+
+
+def test_sharded_sq8_quantize_rerank_and_size(emb):
+    """SQ8 codes inside the shard blobs (ShardedHNSW.quantize): the probe
+    with exact rerank must (a) return EXACT distances, (b) match-or-beat
+    the unquantized probe's recall vs exact KNN, and (c) actually shrink
+    the blobs (vectors are the dominant payload)."""
+    import numpy as np
+
+    from bustub_vectordb_spark.similarity.quantize import dim_stats
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    stats = dim_stats(emb, "embedding").orderBy("dim").collect()
+    sq8 = routed.quantize([r["mn"] for r in stats], [r["mx"] for r in stats])
+
+    exact_rows = knn(emb, "embedding", QUERY, 10).collect()
+    exact = {r["vec_id"]: r["distance"] for r in exact_rows}
+    plain_hits = {r["vec_id"] for r in routed.probe(QUERY, 10, n_probe=2).collect()}
+    got = sq8.probe(QUERY, 10, n_probe=2, rerank=emb).collect()
+    assert len(got) == 10
+    # reranked distances are exact, not ADC approximations
+    for r in got:
+        if r["vec_id"] in exact:
+            assert r["distance"] == pytest.approx(exact[r["vec_id"]], abs=1e-9)
+    sq8_recall = len({r["vec_id"] for r in got} & set(exact)) / 10
+    plain_recall = len(plain_hits & set(exact)) / 10
+    assert sq8_recall >= plain_recall
+
+    plain_bytes = sum(len(r["blob"]) for r in routed.blobs.collect())
+    sq8_bytes = sum(len(r["blob"]) for r in sq8.blobs.collect())
+    assert sq8_bytes < plain_bytes * 0.55, (sq8_bytes, plain_bytes)
+
+
+def test_sharded_sq8_insert_after_quantize(emb, spark):
+    """Insert into a quantized index: new rows encode with the FROZEN
+    affine params inside the touched shard's graph, and an inserted
+    duplicate is findable via the reranked probe."""
+    from bustub_vectordb_spark.similarity.quantize import dim_stats
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    stats = dim_stats(emb, "embedding").orderBy("dim").collect()
+    sq8 = routed.quantize([r["mn"] for r in stats], [r["mx"] for r in stats])
+    assert "sq8_mins" in sq8.params
+
+    target = emb.limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [(66666, list(target["embedding"]))], "vec_id long, embedding array<double>"
+    )
+    ext = sq8.insert(new)
+    src = emb.select("vec_id", "embedding").unionByName(new)
+    q = [float(x) for x in target["embedding"]]
+    ids = {r["vec_id"] for r in ext.probe(q, 3, n_probe=2, rerank=src).collect()}
+    assert 66666 in ids and target["vec_id"] in ids

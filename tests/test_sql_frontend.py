@@ -186,3 +186,26 @@ def test_create_index_ops_class_sets_registry_dist(spark):
     idx = {r["index"]: (r["method"], r["dist"]) for r in e.execute("\\di").collect()}
     assert idx["mc1"] == ("ivfflat", "cosine")
     assert idx["mc2"] == ("hnsw", "ip")
+
+
+def test_create_index_hnsw_routed_sq8(spark):
+    """CREATE INDEX ... USING hnsw WITH (shards=2, sq8=1): the routed build
+    quantizes its shard blobs (SQ8 codes), keeps default_n_probe, and the
+    registered index still probes correctly."""
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE mt3(v1 VECTOR(3), v2 integer)")
+    e.execute(
+        "INSERT INTO mt3 VALUES (ARRAY [1.0,2.0,3.0], 1),"
+        " (ARRAY [2.0,2.0,3.0], 2), (ARRAY [3.0,2.0,3.0], 3),"
+        " (ARRAY [9.0,9.0,9.0], 4)"
+    )
+    e.execute(
+        "CREATE INDEX ms1 ON mt3 USING hnsw (v1 vector_l2_ops)"
+        " WITH (m = 4, ef_construction = 8, ef_search = 8, shards = 2, sq8 = 1)"
+    )
+    idx = next(i for i in e.indexes.lookup("mt3", "v1") if i.name == "ms1").index
+    assert "sq8_mins" in idx.params and idx.default_n_probe == 2
+    hits = idx.probe([1.0, 2.0, 3.0], 2, rerank=e.catalog.tables["mt3"].df).collect()
+    assert len(hits) == 2
