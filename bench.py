@@ -24,6 +24,8 @@ probe) that define this engine's core capability:
                     serving over the n_probe nearest shards
   pipeline_prep     composed training-data prep (quality filter + PII
                     scrub + dedup + token count) end to end
+  dedup_components  connected-components dedup clustering (iterative
+                    label propagation — the most shuffle-sensitive op)
 
 Timing methodology: the reference's own harness runs every leaderboard
 query N times and reports per-run ms (`+timing:x10`,
@@ -208,6 +210,14 @@ def build_workloads(spark):
 
         force(QUERIES["pipeline_prep"](spark, SF_DIR))
 
+    def dedup_components_bench():
+        # connected-components dedup clustering (min-label propagation with
+        # star-contraction escalation) — the pipeline op most sensitive to
+        # scale regressions (iterative shuffles); tracked per VERDICT r4 #7
+        from bustub_vectordb_spark.queries import QUERIES
+
+        force(QUERIES["dedup_components"](spark, SF_DIR))
+
     return [
         ("q1_filter_scan", q1),
         ("q2_join_agg", q2),
@@ -224,6 +234,7 @@ def build_workloads(spark):
         ("hnsw_routed_build", hnsw_routed_build),
         ("hnsw_routed_batch_search", hnsw_routed_batch_search),
         ("pipeline_prep", pipeline_prep_bench),
+        ("dedup_components", dedup_components_bench),
     ]
 
 
