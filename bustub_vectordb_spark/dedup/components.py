@@ -60,10 +60,15 @@ def connected_components(
     if algorithm not in ("auto", "propagate", "star"):
         raise ValueError(f"unknown algorithm: {algorithm!r}")
     a, b = pair_cols
+    # materialize the symmetrized edge set ONCE: `pairs` is usually the
+    # output of an expensive near-dup pipeline (MinHash bands + verify), and
+    # without this every propagation round's join would re-execute that
+    # whole lineage — the dominant cost at any scale
     edges = (
         pairs.select(F.col(a).alias("__src"), F.col(b).alias("__dst"))
         .union(pairs.select(F.col(b).alias("__src"), F.col(a).alias("__dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     if algorithm == "star":
         return _star_components(nodes, edges, id_col)
@@ -76,6 +81,16 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    def label_sum(df: DataFrame):
+        # labels are elementwise NON-INCREASING across rounds (least(old,
+        # nb_min)), so an exact decimal sum is a complete convergence
+        # signature: equal sums ⟺ no label moved. One cheap agg over the
+        # freshly-checkpointed frame instead of a join of two label frames.
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         nb_min = (
             edges.join(labels, edges["__src"] == labels[id_col])
@@ -92,16 +107,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     if algorithm == "auto":
         # diameter exceeded the round budget: escalate to the alternating
         # algorithm, which is insensitive to diameter
