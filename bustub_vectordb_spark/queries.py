@@ -2749,6 +2749,68 @@ def q_training_export_shards(spark, sf_dir):
     return export_shards(d, "doc_id", 8).select("doc_id", "shard", "shard_pos")
 
 
+@_register(
+    "sequence_packing",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {X.token_count_sql('text')} AS n_tokens,
+             (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 + 8) % 8
+               AS shard,
+             substring(md5(doc_id::VARCHAR), 9, 8) AS ok
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, shard::INT AS shard,
+           row_number() OVER w ::INT AS pack_pos,
+           (shard::BIGINT * 4294967296
+            + coalesce(sum(n_tokens) OVER (
+                w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+           )::BIGINT AS pack_id
+    FROM s WINDOW w AS (PARTITION BY shard ORDER BY ok, doc_id)
+    """,
+)
+def q_sequence_packing(spark, sf_dir):
+    # Sequence packing for pre-training dataloaders (operators/packing.py):
+    # md5 pseudo-shuffle into shards, per-shard deterministic order, greedy
+    # cumulative-token pack assignment — one window shuffle, per-shard
+    # windows so no global-order bottleneck at scale. Oracle recomputes the
+    # identical digest + running-sum arithmetic.
+    from .operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", X.token_count("text"), budget=256, n_shards=8)
+
+
+@_register(
+    "boilerplate_removal",
+    f"""
+    WITH ch AS ({chunk_documents_sql('documents', 'doc_id', 'text', 4, 4)}),
+    common AS (
+      SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM common)),
+    reb AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS total_n FROM ch GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           (t.total_n - coalesce(r.kept_n, 0))::BIGINT AS removed_chunks
+    FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+    """,
+)
+def q_boilerplate_removal(spark, sf_dir):
+    # CCNet/RefinedWeb-style sub-document dedup (dedup/boilerplate.py):
+    # non-overlapping token spans shared verbatim by >= 2 documents are
+    # removed from ALL of them, documents reassembled from surviving spans.
+    # Frequency IS the predicate — no pairwise comparison anywhere, so the
+    # shape is two aggregations + one anti join at any scale.
+    from .dedup.boilerplate import remove_boilerplate
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_boilerplate(d, "doc_id", "text", window=4, min_docs=2)
+
+
 def _projection_oracle() -> str:
     from .similarity.lsh_ann import make_planes
     from .similarity.projection import project_sql
@@ -3630,14 +3692,16 @@ _GATE_WINDOW = [
     "knn_cosine",
     "knn_inner_product",
     "sql_knn_l2",
-    "knn_subquery_alias",
-    "sample_deterministic",
+    # (knn_subquery_alias / sample_deterministic already hold r1/r3 driver
+    # rows — their slots go to the two brand-new round-5 entries below)
     # --- r4 harness-err rows, now scalar-serialized ---
     "vector_centroid_per_label",
     "embedding_projection",
     "embedding_normalize",
     # --- new in round 5 ---
     "ann_hnsw_routed_sq8_rerank",
+    "sequence_packing",
+    "boilerplate_removal",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

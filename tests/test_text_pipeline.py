@@ -254,3 +254,62 @@ def test_decontaminate_flags_exact_overlaps(spark):
 
     kept = {r["doc_id"] for r in decontaminate(docs, bdf, "text", "doc_id").collect()}
     assert kept == {i for i, f in want.items() if not f}
+
+
+def test_boilerplate_removal_planted(spark):
+    """A span planted verbatim into several documents must vanish from ALL
+    of them, while unique text survives byte-for-byte (non-overlapping
+    chunks make reassembly lossless)."""
+    from bustub_vectordb_spark.dedup.boilerplate import remove_boilerplate
+
+    bp = "subscribe to our newsletter now"  # window=5 tokens, aligned
+    rows = [
+        (1, bp + " alpha beta gamma delta epsilon"),
+        (2, bp + " one two three four five"),
+        (3, "totally unique text here today friend"),
+        (4, bp),  # all-boilerplate doc → empty clean_text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["removed_chunks"])
+        for r in remove_boilerplate(df, "doc_id", "text", window=5, min_docs=2).collect()
+    }
+    assert out[1] == ("alpha beta gamma delta epsilon", 1)
+    assert out[2] == ("one two three four five", 1)
+    assert out[3] == ("totally unique text here today friend", 0)
+    assert out[4] == ("", 1)
+    # determinism: a second run reproduces the identical assignment
+    out2 = {
+        r["doc_id"]: (r["clean_text"], r["removed_chunks"])
+        for r in remove_boilerplate(df, "doc_id", "text", window=5, min_docs=2).collect()
+    }
+    assert out == out2
+
+
+def test_sequence_packing_invariants(tables):
+    """Greedy per-shard packing: within a shard, pack ids are non-decreasing
+    in pack order, every row's pack equals cum-tokens-before // budget, and
+    the whole assignment is a pure function of ids (two runs identical)."""
+    from pyspark.sql import functions as F
+
+    from bustub_vectordb_spark.functions.text import token_count
+    from bustub_vectordb_spark.operators.packing import pack_sequences
+
+    docs = tables["documents"]
+    budget = 256
+    out = pack_sequences(docs, "doc_id", token_count("text"), budget=budget, n_shards=4)
+    rows = out.orderBy("shard", "pack_pos").collect()
+    assert len(rows) == docs.count()
+    cum: dict[int, int] = {}
+    last_pack: dict[int, int] = {}
+    for r in rows:
+        s = r["shard"]
+        before = cum.get(s, 0)
+        assert r["pack_id"] == s * 2**32 + before // budget
+        assert last_pack.get(s, -1) <= r["pack_id"]
+        last_pack[s] = r["pack_id"]
+        cum[s] = before + r["n_tokens"]
+    again = pack_sequences(
+        docs, "doc_id", token_count("text"), budget=budget, n_shards=4
+    ).orderBy("shard", "pack_pos").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
