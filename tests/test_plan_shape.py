@@ -175,3 +175,28 @@ def test_mixture_upsample_is_narrow(spark, tables):
     p = plan_of(out)
     assert "Exchange" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_sequence_packing_single_exchange(spark, tables):
+    """Sequence packing pays exactly ONE shuffle (the per-shard window);
+    digest/shard assignment is a pure projection, everything JVM-side."""
+    from bustub_vectordb_spark.functions.text import token_count
+    from bustub_vectordb_spark.operators.packing import pack_sequences
+
+    out = pack_sequences(tables["documents"], "doc_id", token_count("text"))
+    p = plan_of(out)
+    assert p.count("Exchange (") == 1, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_boilerplate_removal_no_pairwise_join(spark, tables):
+    """Boilerplate removal must never go pairwise: no cartesian / broadcast
+    nested loop anywhere — frequency aggregation IS the dedup predicate —
+    and the whole pipeline stays JVM-side."""
+    from bustub_vectordb_spark.dedup.boilerplate import remove_boilerplate
+
+    out = remove_boilerplate(tables["documents"], "doc_id", "text")
+    p = plan_of(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
