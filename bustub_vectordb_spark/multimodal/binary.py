@@ -613,18 +613,29 @@ _MAGIC_DECODERS = [
 ]
 
 
-def _decode_one(payload: bytes, meta) -> list[float]:
-    """Decode kernel: real decoders for stdlib/numpy-decodable formats
-    (PCM WAV, 24-bit BMP, P6 PPM, 8-bit PNG, GIF — magic-sniffed), PIL
-    for everything else when available, else a deterministic fake.
+_DECODER_NAMES = {
+    id(_decode_wav): "wav",
+    id(_decode_bmp): "bmp",
+    id(_decode_ppm): "ppm",
+    id(_decode_png): "png",
+    id(_decode_gif): "gif",
+    id(_decode_jpeg): "jpeg",
+}
 
-    All paths emit 16 floats so the stage schema is decoder-independent.
+
+def _decode_one_tagged(payload: bytes, meta) -> tuple[list[float], str]:
+    """(features, decoder) — the decoder tag names the path that actually
+    produced the features ('wav'/'bmp'/'ppm'/'png'/'gif'/'jpeg' real
+    kernels, 'pil' library fallback, 'fake' deterministic md5 stub). This
+    is the EXPLICIT codec boundary: anything tagged 'fake' (today: MP3,
+    video containers, progressive JPEG, palette PNG, …) has no real kernel
+    in this container and downstream consumers can filter or audit on it.
     """
     payload = payload or b""
     for magic, dec in _MAGIC_DECODERS:
         if payload.startswith(magic):
             try:
-                return dec(payload)[:16]
+                return dec(payload)[:16], _DECODER_NAMES[id(dec)]
             except Exception:
                 break  # corrupt/unsupported variant → fake fallback
     try:  # pragma: no cover - PIL absent in this container
@@ -634,13 +645,24 @@ def _decode_one(payload: bytes, meta) -> list[float]:
 
         img = Image.open(BytesIO(payload))
         img = img.convert("L").resize((4, 4))
-        return [p / 255.0 for p in img.getdata()]
+        return [p / 255.0 for p in img.getdata()], "pil"
     except Exception:
         # deterministic fake: 16 floats from the md5 of the payload's HEX
         # form (hex, not raw bytes, so engines whose hash functions are
         # VARCHAR-only — DuckDB — can replicate it for the oracle gate)
         d = hashlib.md5(payload.hex().encode()).digest()
-        return [b / 255.0 for b in d[:16]]
+        return [b / 255.0 for b in d[:16]], "fake"
+
+
+def _decode_one(payload: bytes, meta) -> list[float]:
+    """Decode kernel: real decoders for stdlib/numpy-decodable formats
+    (PCM WAV, 24-bit BMP, P6 PPM, 8-bit PNG, GIF, baseline JPEG —
+    magic-sniffed), PIL for everything else when available, else a
+    deterministic fake.
+
+    All paths emit 16 floats so the stage schema is decoder-independent.
+    """
+    return _decode_one_tagged(payload, meta)[0]
 
 
 def decode_and_featurize(
@@ -648,30 +670,40 @@ def decode_and_featurize(
     media_col: str = "media",
     meta_col: str = "media_meta",
     feature_dim: int = 16,
+    provenance: bool = False,
 ) -> DataFrame:
     """Arrow-batched decode + feature-extraction stage.
 
-    Output adds ``features array<double>``. Batch shape: whole Arrow record
-    batches stream through a generator — constant memory per task, no
-    per-row Python dispatch.
+    Output adds ``features array<double>`` (and, with ``provenance=True``,
+    a ``decoder string`` column naming the path that produced each row's
+    features — the auditable codec boundary: filter ``decoder = 'fake'``
+    to find payloads no real kernel covered). Batch shape: whole Arrow
+    record batches stream through a generator — constant memory per task,
+    no per-row Python dispatch.
     """
     import pandas as pd
 
     out_fields = df.schema.fields + [
         T.StructField("features", T.ArrayType(T.DoubleType()))
     ]
+    if provenance:
+        out_fields = out_fields + [T.StructField("decoder", T.StringType())]
     out_schema = T.StructType(out_fields)
     cols = df.columns
 
     def run(batches):
         for pdf in batches:
-            feats = [
-                _decode_one(p, m)[:feature_dim]
+            tagged = [
+                _decode_one_tagged(p, m)
                 for p, m in zip(pdf[media_col], pdf[meta_col])
             ]
             pdf = pdf.copy()
-            pdf["features"] = feats
-            yield pdf[cols + ["features"]]
+            pdf["features"] = [t[0][:feature_dim] for t in tagged]
+            extra = ["features"]
+            if provenance:
+                pdf["decoder"] = [t[1] for t in tagged]
+                extra.append("decoder")
+            yield pdf[cols + extra]
 
     return df.mapInPandas(run, out_schema)
 

@@ -3300,6 +3300,62 @@ def q_multimodal_real_decode(spark, sf_dir):
     ).select("media_id", "dim", F.round("value", 8).alias("value"))
 
 
+def _provenance_media_rows() -> list[tuple]:
+    """The 24 synth rows plus payloads NO real kernel covers (an MP3-shaped
+    ID3 header, a truncated PNG, an empty blob) — the rows that must come
+    back tagged 'fake'."""
+    rows = list(_synth_media_rows())
+    rows.append((100, b"ID3\x04\x00" + bytes(64), "mp3"))
+    rows.append((101, b"\x89PNG\r\n\x1a\x0a" + bytes(8), "png-truncated"))
+    rows.append((102, b"", "empty"))
+    return rows
+
+
+def _multimodal_provenance_oracle() -> str:
+    from collections import Counter
+
+    from .multimodal.binary import _decode_one_tagged
+
+    c = Counter(
+        _decode_one_tagged(payload, None)[1]
+        for _i, payload, _k in _provenance_media_rows()
+    )
+    vals = sorted((k, int(v)) for k, v in c.items())
+    return (
+        "SELECT decoder, n::BIGINT AS n FROM "
+        f"{_hits_values_sql(vals, 'decoder, n')} ORDER BY decoder"
+    )
+
+
+@_register("multimodal_decode_provenance", _multimodal_provenance_oracle)
+def q_multimodal_decode_provenance(spark, sf_dir):
+    # The codec boundary as a QUERYABLE column: decode_and_featurize
+    # (provenance=True) tags every row with the kernel that actually
+    # produced its features — real kernels by format name, 'fake' for
+    # payloads outside kernel coverage (MP3/video/truncated media). A
+    # 100 TB pipeline audits its fake fraction with exactly this rollup.
+    from pyspark.sql import types as T
+
+    from .multimodal import decode_and_featurize
+    from .multimodal.binary import MEDIA_META_SCHEMA
+    from .shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    rows = [
+        (i, payload, ("image", 8, 8, 1, 0))
+        for i, payload, _k in _provenance_media_rows()
+    ]
+    out = decode_and_featurize(spark.createDataFrame(rows, schema), provenance=True)
+    return out.groupBy("decoder").agg(F.count("*").alias("n")).orderBy("decoder")
+
+
 # =========================================================================
 # Event-time windowed aggregation (batch form; streaming variant in
 # bustub_vectordb_spark.streaming)
