@@ -916,8 +916,16 @@ class ShardedHNSW:
         dist_col: str = "distance",
         n_probe: int | None = None,
         allowed=None,
+        rerank=None,
+        rerank_mult: int = 4,
     ):
         """Distributed batch ANN over the shards.
+
+        ``rerank`` (the source DataFrame) enables the SQ8 serving shape on
+        the batch path: walks gather k·rerank_mult ADC candidates per
+        probed shard, then the (qid, id) shortlist joins the full-precision
+        source AND the query vectors for exact distances and the true
+        per-query top-k — see probe(rerank=...).
 
         Shape (the one that scales): each query row is ROUTED to its
         ``n_probe`` nearest shards with a codegen'd centroid-scoring
@@ -1014,6 +1022,8 @@ class ShardedHNSW:
         qid_type = {f.name: f.dataType.simpleString() for f in queries.schema}[qid_col]
         out_schema = f"{qid_col} {qid_type}, {id_col} {id_type}, {dist_col} double"
 
+        k_walk = k * rerank_mult if rerank is not None else k
+
         def run(batches):
             bset = bc_allowed.value if bc_allowed is not None else None
             for pdf in batches:
@@ -1026,7 +1036,7 @@ class ShardedHNSW:
                     aset = set(local.iloc[i]) if local is not None else bset
                     for q in qs:
                         arr = np.asarray(q["__qv"], dtype=np.float64)
-                        for hid, d in g.search(arr, k, allowed_ids=aset):
+                        for hid, d in g.search(arr, k_walk, allowed_ids=aset):
                             recs_q.append(q[qid_col])
                             recs_i.append(hid)
                             recs_d.append(sign * d)
@@ -1039,6 +1049,27 @@ class ShardedHNSW:
         best = hits.groupBy(qid_col, id_col).agg(
             (F.min(dist_col) if asc else F.max(dist_col)).alias(dist_col)
         )
+        if rerank is not None:
+            # exact rerank: shortlist (qid, id) pairs join the full-precision
+            # vectors AND the query vectors; ADC distances are discarded
+            from ..functions.vector import cosine_similarity, inner_product, l2_dist
+
+            cand = best.select(qid_col, id_col)
+            src = rerank.select(
+                F.col(self.id_col), F.col(self.vec_col).cast("array<double>").alias("__rv")
+            )
+            qsrc = queries.select(F.col(qid_col), qv.alias("__qx"))
+            exact = {
+                "l2": lambda: l2_dist("__rv", "__qx"),
+                "ip": lambda: inner_product("__rv", "__qx"),
+                "cosine": lambda: cosine_similarity("__rv", "__qx"),
+            }[self.dist]()
+            best = (
+                F.broadcast(cand)
+                .join(src, id_col)
+                .join(qsrc, qid_col)
+                .select(qid_col, id_col, exact.alias(dist_col))
+            )
         order = [F.col(dist_col).asc() if asc else F.col(dist_col).desc(), F.col(id_col).asc()]
         w = Window.partitionBy(qid_col).orderBy(*order)
         return (
@@ -1463,6 +1494,48 @@ def offline_routed_sq8_probe(
     scored = [(hid, exact([float(x) for x in vectors_by_id[hid]])) for hid in cand]
     scored.sort(key=lambda t: (t[1] if asc else -t[1], t[0]))
     return scored[:k]
+
+
+def offline_routed_sq8_batch(
+    centroids: list[list[float]],
+    graphs: dict[int, _Graph],
+    vectors_by_id: dict,
+    queries: list[tuple],
+    k: int,
+    n_probe: int,
+    mins: list[float],
+    maxs: list[float],
+    rerank_mult: int = 4,
+) -> list[tuple]:
+    """Replay ``ShardedHNSW.quantize(...).search_batch(..., rerank=src)``
+    for l2 routed builds: same routing fold arithmetic as
+    offline_routed_batch, ADC walks for k·rerank_mult candidates, exact
+    left-fold l2 rerank, (d, id)-ordered top-k. Returns [(qid, id, d)]."""
+    for g in graphs.values():
+        g.quantize_sq8(mins, maxs)
+    out = []
+    for qid, qv in queries:
+        ranked = sorted((_l2_sq_fold(qv, c), b) for b, c in enumerate(centroids))
+        cand: set = set()
+        for _, b in ranked[:n_probe]:
+            g = graphs.get(b)
+            if g is None:
+                continue
+            for hid, _d in g.search(np.asarray(qv, dtype=np.float64), k * rerank_mult):
+                cand.add(hid)
+
+        def exact(v: list[float]) -> float:
+            s = 0.0
+            for x, y in zip(v, qv):
+                d = x - y
+                s = s + d * d
+            return math.sqrt(s)
+
+        scored = [(hid, exact([float(x) for x in vectors_by_id[hid]])) for hid in cand]
+        scored.sort(key=lambda t: (t[1], t[0]))
+        for hid, d in scored[:k]:
+            out.append((qid, hid, d))
+    return out
 
 
 def offline_routed_insert(

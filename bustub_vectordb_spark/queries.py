@@ -2139,6 +2139,67 @@ def _hnsw_routed_sq8_oracle() -> str:
     )
 
 
+def _hnsw_routed_sq8_batch_oracle() -> str:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed, offline_routed_sq8_batch
+
+    p = _routed_params()
+    path = f"{_oracle_sf()}/embeddings.parquet"
+    cents, graphs = offline_routed(
+        path, "embedding", "vec_id",
+        shards=p["shards"], m=p["m"],
+        ef_construction=p["ef_construction"], ef_search=p["ef_search"],
+    )
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    mat = np.asarray(vecs, dtype=np.float64)
+    qs = [(qid, qv) for qid, qv in zip(ids, vecs) if qid % 97 == 0]
+    rows = [
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_sq8_batch(
+            cents, graphs, dict(zip(ids, vecs)), qs, 5, 2,
+            mat.min(axis=0).tolist(), mat.max(axis=0).tolist(),
+        )
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_hnsw_routed_sq8_batch", _hnsw_routed_sq8_batch_oracle)
+def q_ann_hnsw_routed_sq8_batch(spark, sf_dir):
+    # Batch serving over SQ8-compressed shards — THE at-scale shape: ADC
+    # walks over codes (k·rerank_mult candidates), exact rerank joins the
+    # (qid, id) shortlist to the source vectors + query vectors, windowed
+    # per-query top-k. Exact offline replay (offline_routed_sq8_batch).
+    from .index.hnsw import HNSWIndex
+    from .similarity.quantize import dim_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "hnsw_routed_sq8")
+    if key not in _INDEX_CACHE:
+        rkey = (sf_dir, "hnsw_routed")
+        if rkey not in _INDEX_CACHE:
+            _INDEX_CACHE[rkey] = HNSWIndex.build_routed(
+                emb, "embedding", "vec_id", **_routed_params()
+            )
+        stats = dim_stats(emb, "embedding").orderBy("dim").collect()
+        _INDEX_CACHE[key] = _INDEX_CACHE[rkey].quantize(
+            [r["mn"] for r in stats], [r["mx"] for r in stats]
+        )
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = _INDEX_CACHE[key].search_batch(
+        queries, "embedding", "qid", k=5, n_probe=2, rerank=emb
+    )
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
 @_register("ann_hnsw_routed_sq8_rerank", _hnsw_routed_sq8_oracle)
 def q_ann_hnsw_routed_sq8_rerank(spark, sf_dir):
     # SQ8 codes INSIDE the routed shard graphs (ShardedHNSW.quantize): the

@@ -603,3 +603,34 @@ def test_sharded_sq8_insert_after_quantize(emb, spark):
     q = [float(x) for x in target["embedding"]]
     ids = {r["vec_id"] for r in ext.probe(q, 3, n_probe=2, rerank=src).collect()}
     assert 66666 in ids and target["vec_id"] in ids
+
+
+def test_sharded_sq8_batch_rerank(emb):
+    """Batch serving over SQ8 shards: reranked distances are exact (match
+    brute-force for the returned ids) and per-query self-recall holds."""
+    import numpy as np
+
+    from bustub_vectordb_spark.similarity.quantize import dim_stats
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    stats = dim_stats(emb, "embedding").orderBy("dim").collect()
+    sq8 = routed.quantize([r["mn"] for r in stats], [r["mx"] for r in stats])
+
+    queries = emb.limit(8).select(F.col("vec_id").alias("qid"), "embedding")
+    out = sq8.search_batch(queries, "embedding", "qid", k=3, n_probe=2, rerank=emb).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    assert len(by_q) == 8
+    for qid, hits in by_q.items():
+        hits.sort(key=lambda h: (h["distance"], h["vec_id"]))
+        assert len(hits) == 3
+        # distances are exact l2 against full-precision vectors
+        for h in hits:
+            want = float(np.linalg.norm(vecs[h["vec_id"]] - vecs[qid]))
+            assert h["distance"] == pytest.approx(want, abs=1e-9)
+        # the query's own vector must be its top hit (distance 0)
+        assert hits[0]["vec_id"] == qid or hits[0]["distance"] == pytest.approx(0.0)
