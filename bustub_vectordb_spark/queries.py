@@ -1911,18 +1911,37 @@ def _hnsw_probe_oracle() -> str:
     )
 
 
-def _hnsw_routed_probe_oracle() -> str:
-    from .index.hnsw import offline_routed, offline_routed_probe
+_OFFLINE_ROUTED_MEMO: dict = {}
 
-    cents, graphs = offline_routed(
-        f"{_oracle_sf()}/embeddings.parquet",
-        "embedding",
-        "vec_id",
-        shards=4,
-        m=8,
-        ef_construction=48,
-        ef_search=48,
-    )
+
+def _offline_routed_cached(mutable: bool = False):
+    """One offline routed build per (sf_dir, params) across ALL oracle
+    generators — the replay is a pure function, and the driver's
+    oracle_sql() collection otherwise rebuilds the identical graphs six+
+    times. ``mutable=True`` hands back a pickle-deep-copied graphs dict for
+    oracles that mutate (insert / SQ8 quantization)."""
+    import pickle
+
+    from .index.hnsw import offline_routed
+
+    p = _routed_params()
+    key = (_oracle_sf(), tuple(sorted(p.items())))
+    if key not in _OFFLINE_ROUTED_MEMO:
+        _OFFLINE_ROUTED_MEMO[key] = offline_routed(
+            f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+            shards=p["shards"], m=p["m"],
+            ef_construction=p["ef_construction"], ef_search=p["ef_search"],
+        )
+    cents, graphs = _OFFLINE_ROUTED_MEMO[key]
+    if mutable:
+        graphs = pickle.loads(pickle.dumps(graphs))
+    return cents, graphs
+
+
+def _hnsw_routed_probe_oracle() -> str:
+    from .index.hnsw import offline_routed_probe
+
+    cents, graphs = _offline_routed_cached()
     hits = offline_routed_probe(cents, graphs, QUERY_VEC, 10, n_probe=2)
     rows = [(int(i), float(d)) for i, d in hits]
     return (
@@ -1989,14 +2008,9 @@ def _routed_params():
 def _hnsw_routed_batch_oracle() -> str:
     import pyarrow.parquet as pq
 
-    from .index.hnsw import offline_routed, offline_routed_batch
+    from .index.hnsw import offline_routed_batch
 
-    p = _routed_params()
-    cents, graphs = offline_routed(
-        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
-        shards=p["shards"], m=p["m"],
-        ef_construction=p["ef_construction"], ef_search=p["ef_search"],
-    )
+    cents, graphs = _offline_routed_cached()
     t = pq.read_table(
         f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -2069,14 +2083,9 @@ def q_ann_hnsw_filtered_probe(spark, sf_dir):
 
 
 def _hnsw_routed_filtered_oracle() -> str:
-    from .index.hnsw import offline_routed, offline_routed_probe
+    from .index.hnsw import offline_routed_probe
 
-    p = _routed_params()
-    cents, graphs = offline_routed(
-        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
-        shards=p["shards"], m=p["m"],
-        ef_construction=p["ef_construction"], ef_search=p["ef_search"],
-    )
+    cents, graphs = _offline_routed_cached()
     allowed = _allowed_label2()
     hits = offline_routed_probe(cents, graphs, QUERY_VEC, 10, n_probe=2, allowed_ids=allowed)
     rows = [(int(i), float(d)) for i, d in hits]
@@ -2115,15 +2124,10 @@ def _hnsw_routed_sq8_oracle() -> str:
     import numpy as np
     import pyarrow.parquet as pq
 
-    from .index.hnsw import offline_routed, offline_routed_sq8_probe
+    from .index.hnsw import offline_routed_sq8_probe
 
-    p = _routed_params()
     path = f"{_oracle_sf()}/embeddings.parquet"
-    cents, graphs = offline_routed(
-        path, "embedding", "vec_id",
-        shards=p["shards"], m=p["m"],
-        ef_construction=p["ef_construction"], ef_search=p["ef_search"],
-    )
+    cents, graphs = _offline_routed_cached(mutable=True)
     t = pq.read_table(path, columns=["vec_id", "embedding"])
     ids = t["vec_id"].to_pylist()
     vecs = t["embedding"].to_pylist()
@@ -2143,15 +2147,10 @@ def _hnsw_routed_sq8_batch_oracle() -> str:
     import numpy as np
     import pyarrow.parquet as pq
 
-    from .index.hnsw import offline_routed, offline_routed_sq8_batch
+    from .index.hnsw import offline_routed_sq8_batch
 
-    p = _routed_params()
     path = f"{_oracle_sf()}/embeddings.parquet"
-    cents, graphs = offline_routed(
-        path, "embedding", "vec_id",
-        shards=p["shards"], m=p["m"],
-        ef_construction=p["ef_construction"], ef_search=p["ef_search"],
-    )
+    cents, graphs = _offline_routed_cached(mutable=True)
     t = pq.read_table(path, columns=["vec_id", "embedding"])
     ids = t["vec_id"].to_pylist()
     vecs = t["embedding"].to_pylist()
@@ -2353,14 +2352,9 @@ def q_ann_hnsw_batch_filtered(spark, sf_dir):
 def _hnsw_routed_batch_filtered_oracle() -> str:
     import pyarrow.parquet as pq
 
-    from .index.hnsw import offline_routed, offline_routed_batch
+    from .index.hnsw import offline_routed_batch
 
-    p = _routed_params()
-    cents, graphs = offline_routed(
-        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
-        shards=p["shards"], m=p["m"],
-        ef_construction=p["ef_construction"], ef_search=p["ef_search"],
-    )
+    cents, graphs = _offline_routed_cached()
     allowed = _allowed_label2()
     t = pq.read_table(
         f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -3806,19 +3800,20 @@ _GATE_WINDOW = [
     "cross_join",
     "index_scan_ordered",
     "window_running_agg",
-    "knn_cosine",
-    "knn_inner_product",
     "sql_knn_l2",
-    # (knn_subquery_alias / sample_deterministic already hold r1/r3 driver
-    # rows — their slots go to the two brand-new round-5 entries below)
+    # (knn_subquery_alias / sample_deterministic / knn_cosine /
+    # knn_inner_product already hold r1/r3 driver rows — their slots go to
+    # the brand-new round-5 entries below)
     # --- r4 harness-err rows, now scalar-serialized ---
     "vector_centroid_per_label",
     "embedding_projection",
     "embedding_normalize",
     # --- new in round 5 ---
     "ann_hnsw_routed_sq8_rerank",
+    "ann_hnsw_routed_sq8_batch",
     "sequence_packing",
     "boilerplate_removal",
+    "multimodal_decode_provenance",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",
