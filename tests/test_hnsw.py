@@ -634,3 +634,28 @@ def test_sharded_sq8_batch_rerank(emb):
             assert h["distance"] == pytest.approx(want, abs=1e-9)
         # the query's own vector must be its top hit (distance 0)
         assert hits[0]["vec_id"] == qid or hits[0]["distance"] == pytest.approx(0.0)
+
+
+def test_sharded_sq8_save_load_roundtrip(spark, emb, tmp_path):
+    """SQ8-quantized ShardedHNSW persists (params carry the frozen affine
+    mins/maxs) and the reloaded index probes identically."""
+    from bustub_vectordb_spark.index.hnsw import ShardedHNSW
+    from bustub_vectordb_spark.similarity.quantize import dim_stats
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    stats = dim_stats(emb, "embedding").orderBy("dim").collect()
+    sq8 = routed.quantize([r["mn"] for r in stats], [r["mx"] for r in stats])
+    before = [
+        (r["vec_id"], r["distance"])
+        for r in sq8.probe(QUERY, 5, n_probe=2, rerank=emb).collect()
+    ]
+    sq8.save(str(tmp_path / "sq8idx"))
+    loaded = ShardedHNSW.load(spark, str(tmp_path / "sq8idx"))
+    assert "sq8_mins" in loaded.params
+    after = [
+        (r["vec_id"], r["distance"])
+        for r in loaded.probe(QUERY, 5, n_probe=2, rerank=emb).collect()
+    ]
+    assert after == before
