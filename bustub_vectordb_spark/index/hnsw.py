@@ -132,12 +132,32 @@ class _Graph:
         qn = float(np.linalg.norm(q)) or 1e-300
         return -dots / (self._norms[idxs] * qn)
 
+    def _walk_dists(self, q: np.ndarray, idxs: list[int], qq: float) -> np.ndarray:
+        """WALK-ordering distances: for l2 this is the SQUARED distance
+        (strictly monotone in the true distance, so every heap comparison
+        and neighbor selection orders identically while the hot path skips
+        the sqrt + clamp passes and reuses the hoisted ``qq = q·q``); other
+        metrics are identical to _dist_many. True distances are only
+        computed once, on the final top-k, in search()."""
+        m = self._mat_rows(idxs) if self.vecs is None else self.vecs[idxs]
+        if self.dist == "l2":
+            ns = getattr(self, "_norms_sq", None)
+            if ns is None:  # graphs unpickled from pre-upgrade saves
+                ns = self._norms_sq = (self.vecs * self.vecs).sum(axis=1)
+            return ns[idxs] - 2.0 * (m @ q) + qq
+        dots = m @ q
+        if self.dist == "ip":
+            return -dots
+        qn = float(np.linalg.norm(q)) or 1e-300
+        return -dots / (self._norms[idxs] * qn)
+
     def _search_layer(self, q: np.ndarray, entries: list[int], ef: int, level: int) -> list[int]:
         edges = self.edges[level]
+        qq = float(q @ q) if self.dist == "l2" else 0.0
         visited = set(entries)
         cand: list[tuple[float, int]] = []
         result: list[tuple[float, int]] = []  # max-heap via negated dist
-        for e, d in zip(entries, self._dist_many(q, entries)):
+        for e, d in zip(entries, self._walk_dists(q, entries, qq)):
             heapq.heappush(cand, (d, e))
             heapq.heappush(result, (-d, e))
         while cand:
@@ -148,7 +168,7 @@ class _Graph:
             if not nbs:
                 continue
             visited.update(nbs)
-            for nb, dn in zip(nbs, self._dist_many(q, nbs)):
+            for nb, dn in zip(nbs, self._walk_dists(q, nbs, qq)):
                 if len(result) < ef or dn < -result[0][0]:
                     heapq.heappush(cand, (dn, nb))
                     heapq.heappush(result, (-dn, nb))
@@ -170,10 +190,11 @@ class _Graph:
         path (and every existing offline-replay oracle) stays bit-identical.
         """
         edges = self.edges[level]
+        qq = float(q @ q) if self.dist == "l2" else 0.0
         visited = set(entries)
         cand: list[tuple[float, int]] = []
         result: list[tuple[float, int]] = []  # max-heap via negated dist
-        for e, d in zip(entries, self._dist_many(q, entries)):
+        for e, d in zip(entries, self._walk_dists(q, entries, qq)):
             heapq.heappush(cand, (d, e))
             if e in allowed:
                 heapq.heappush(result, (-d, e))
@@ -188,7 +209,7 @@ class _Graph:
             if not nbs:
                 continue
             visited.update(nbs)
-            for nb, dn in zip(nbs, self._dist_many(q, nbs)):
+            for nb, dn in zip(nbs, self._walk_dists(q, nbs, qq)):
                 if len(result) < ef or dn < -result[0][0]:
                     heapq.heappush(cand, (dn, nb))
                     if nb in allowed:
@@ -199,8 +220,10 @@ class _Graph:
         return [v for _, v in out]
 
     def _select_neighbors(self, q: np.ndarray, cands: list[int], m: int) -> list[int]:
-        # simple m-nearest selection (the reference's SelectNeighbors)
-        scored = sorted(zip(self._dist_many(q, cands), cands))
+        # simple m-nearest selection (the reference's SelectNeighbors);
+        # walk metric — monotone ↔ true distance, identical selection
+        qq = float(q @ q) if self.dist == "l2" else 0.0
+        scored = sorted(zip(self._walk_dists(q, cands, qq), cands))
         return [c for _, c in scored[:m]]
 
     def _insert(self, idx: int) -> None:
