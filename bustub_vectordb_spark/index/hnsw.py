@@ -392,19 +392,26 @@ class HNSWIndex:
         the one scale-killer this index family has; use ``build_routed``.
         """
         limit = cls.DRIVER_BUILD_MAX_ROWS if max_rows is None else max_rows
-        # bounded guard scan (one narrow column, stops at limit+1 rows) —
-        # refuses BEFORE collecting anything, without a full count job
-        if df.select(id_col).limit(limit + 1).count() > limit:
+        # guarded collect in ONE job: pull at most limit+1 rows (bounded
+        # driver memory either way) and refuse on overflow — a separate
+        # narrow guard scan would cost a whole extra Spark job on every
+        # successful build just to make the refusal path slightly cheaper
+        rows = (
+            df.orderBy(order_by or id_col)
+            .select(id_col, vec_col)
+            .limit(limit + 1)
+            .collect()
+        )
+        if len(rows) > limit:
             raise ValueError(
                 f"HNSW driver-mode build refused: table exceeds "
                 f"max_rows={limit}. Use HNSWIndex.build_routed (IVF-routed "
                 "shards, distributed build/probe) for tables this size."
             )
-        rows = df.orderBy(order_by or id_col).select(id_col, vec_col).collect()
         ids = [r[id_col] for r in rows]
         g = _Graph(m, ef_construction, ef_search, dist, seed)
         if ids:  # empty heap builds fine in the reference (vector.03)
-            mat = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+            mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
             # deterministic "shuffle" of insert order (ref BuildIndex shuffles)
             order = list(range(len(ids)))
             random.Random(seed).shuffle(order)
