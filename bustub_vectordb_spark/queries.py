@@ -2143,6 +2143,94 @@ def _hnsw_routed_sq8_oracle() -> str:
     )
 
 
+_PQ_MEMO: dict = {}
+
+
+def _offline_pq_cached():
+    from .similarity.pq import offline_pq
+
+    key = _oracle_sf()
+    if key not in _PQ_MEMO:
+        _PQ_MEMO[key] = offline_pq(
+            f"{key}/embeddings.parquet", "embedding", "vec_id", m=16, k=32
+        )
+    return _PQ_MEMO[key]
+
+
+def _pq_adc_oracle() -> str:
+    from .similarity.pq import offline_pq_adc
+
+    model, ids, codes = _offline_pq_cached()
+    rows = [(int(i), float(d)) for i, d in offline_pq_adc(model, ids, codes, QUERY_VEC, 10)]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+def _pq_rerank_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .similarity.pq import offline_pq_rerank
+
+    model, ids, codes = _offline_pq_cached()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    rows = [
+        (int(i), float(d))
+        for i, d in offline_pq_rerank(model, ids, codes, vecs, QUERY_VEC, 10)
+    ]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+def _pq_for(spark, sf_dir):
+    """(model, codes_df) — trained + encoded once per sf_dir."""
+    key = (sf_dir, "pq")
+    if key not in _INDEX_CACHE:
+        from .similarity.pq import PQModel
+
+        emb = _t(spark, sf_dir, "embeddings")
+        model = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+        codes = model.encode(emb, "embedding", "vec_id").cache()
+        codes.count()
+        _INDEX_CACHE[key] = (model, codes)
+    return _INDEX_CACHE[key]
+
+
+@_register("ann_pq_adc", _pq_adc_oracle)
+def q_ann_pq_adc(spark, sf_dir):
+    # Product quantization ADC (Jégou et al. 2011; FAISS IndexPQ): vectors
+    # compress to m=16 small codes (32× under float64), the per-query
+    # m×k lookup table inlines as a LITERAL array-of-arrays, and the
+    # distance is a pure codegen fold of table lookups — no UDF on the
+    # scan. Deterministic train/encode → exact offline-replay oracle.
+    model, codes = _pq_for(spark, sf_dir)
+    top = model.adc_topk(codes, "vec_id", QUERY_VEC, 10)
+    return top.select("vec_id", F.round("distance", 8).alias("distance")).orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+
+
+@_register("ann_pq_rerank", _pq_rerank_oracle)
+def q_ann_pq_rerank(spark, sf_dir):
+    # PQ serving shape: ADC shortlist (4×k) over the codes, exact l2
+    # rerank against the full-precision table (broadcast candidate ids) —
+    # compression for the scan, exactness for the answer.
+    from .similarity.pq import pq_rerank_topk
+
+    model, codes = _pq_for(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    top = pq_rerank_topk(model, codes, emb, "embedding", "vec_id", QUERY_VEC, 10)
+    return top.select("vec_id", F.round("distance", 8).alias("distance")).orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+
+
 def _hnsw_routed_sq8_batch_oracle() -> str:
     import numpy as np
     import pyarrow.parquet as pq

@@ -1,0 +1,278 @@
+"""Product quantization (PQ) — the deepest vector-compression tier.
+
+SQ8 (similarity/quantize.py) stores one byte per DIMENSION (8× smaller
+than float64). PQ stores one byte-sized code per SUBSPACE: the vector
+splits into ``m`` contiguous sub-vectors, each quantized to its nearest
+of ``k`` per-subspace centroids, so a 64-dim float64 vector (512 B)
+becomes ``m`` small ints (8 B at m=8) — 64×. This is the FAISS IndexPQ /
+IVFPQ storage model (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011) — the standard way a 100 TB embedding
+corpus becomes RAM-resident.
+
+Pipeline (mirrors the SQ8 module's contracts):
+
+  train    per-subspace Lloyd's k-means on a bounded, id-sorted driver
+           sample (same recipe and determinism contract as IVF centroid
+           training — the model is a pure function of table contents);
+  encode   one Arrow-batched mapInPandas pass: per-subspace argmin over
+           the k centroids (vectorized; first-min ties like np.argmin);
+  probe    asymmetric distance (ADC): per query, an m×k lookup table of
+           partial squared distances ||q_sub − centroid||² is inlined as
+           a LITERAL array-of-arrays column, and the distance is a pure
+           whole-stage-codegen fold over the code array — table lookups,
+           zero Python on the scan, zero UDF in the hot path. An exact
+           rerank of the shortlist (broadcast candidate ids back to the
+           raw vectors) recovers full-precision ordering.
+
+Correctness: training, encoding, and ADC are deterministic, so a
+numpy-only offline replay reproduces codes and top-k bit-exactly and the
+DuckDB oracle inlines the replayed hits as VALUES
+(queries.py `ann_pq_adc` / `ann_pq_rerank`).
+
+The reference stores raw doubles in all of its indexes
+(src/storage/index/*.cpp); north-star scale extension beside SQ8.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..index.ivfflat import _lloyds_numpy
+
+
+def _split(dim: int, m: int) -> list[tuple[int, int]]:
+    """Contiguous subspace [start, end) bounds; dim need not divide m."""
+    if not (0 < m <= dim):
+        raise ValueError(f"need 0 < m <= dim, got m={m} dim={dim}")
+    base, extra = divmod(dim, m)
+    bounds, s = [], 0
+    for i in range(m):
+        e = s + base + (1 if i < extra else 0)
+        bounds.append((s, e))
+        s = e
+    return bounds
+
+
+@dataclass
+class PQModel:
+    """Trained per-subspace codebooks: centroids[i] is (k, dsub_i)."""
+
+    centroids: list[np.ndarray]
+    bounds: list[tuple[int, int]]
+
+    @property
+    def m(self) -> int:
+        return len(self.centroids)
+
+    @property
+    def k(self) -> int:
+        return len(self.centroids[0])
+
+    @classmethod
+    def train_rows(
+        cls, mat: np.ndarray, m: int = 8, k: int = 16, max_iter: int = 5
+    ) -> "PQModel":
+        """Train from an in-memory (n, dim) matrix — the numpy core shared
+        by the Spark path and the offline-replay oracle. Init: the first k
+        sample rows' sub-vectors (the IVF seeding recipe, deterministic)."""
+        if len(mat) < k:
+            raise ValueError(f"need at least k={k} training rows, got {len(mat)}")
+        bounds = _split(mat.shape[1], m)
+        cents = []
+        for s, e in bounds:
+            sub = mat[:, s:e]
+            cents.append(
+                np.asarray(
+                    _lloyds_numpy(sub.tolist(), sub[:k].tolist(), max_iter),
+                    dtype=np.float64,
+                )
+            )
+        return cls(cents, bounds)
+
+    @classmethod
+    def train(
+        cls,
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        m: int = 8,
+        k: int = 16,
+        max_iter: int = 5,
+        max_cells: int = 32_000_000,
+    ) -> "PQModel":
+        """Driver-side training over a bounded, id-SORTED sample (pure
+        function of table contents — offline replays reproduce it)."""
+        vec = F.col(vec_col).cast("array<double>")
+        n = df.count()
+        first = df.select(vec.alias("v")).first()
+        dim = len(first["v"])
+        frac = min(1.0, max_cells / max(n * dim, 1))
+        sample = (
+            df if frac >= 1.0 else df.sample(fraction=frac, seed=42)
+        ).select(F.col(id_col).alias("__id"), vec.alias("v"))
+        rows = sorted(sample.collect(), key=lambda r: r["__id"])
+        mat = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+        return cls.train_rows(mat, m=m, k=k, max_iter=max_iter)
+
+    # -- encode ------------------------------------------------------------
+    def encode_rows(self, mat: np.ndarray) -> np.ndarray:
+        """(n, m) int codes — per-subspace argmin (first-min ties)."""
+        out = np.empty((len(mat), self.m), dtype=np.int64)
+        for i, (s, e) in enumerate(self.bounds):
+            sub = mat[:, s:e]
+            c = self.centroids[i]
+            d = -2.0 * (sub @ c.T) + (c * c).sum(axis=1)
+            out[:, i] = np.argmin(d, axis=1)
+        return out
+
+    def encode(
+        self, df: DataFrame, vec_col: str, id_col: str, codes_col: str = "codes"
+    ) -> DataFrame:
+        """(id, codes array<int>) — one Arrow-batched mapInPandas pass."""
+        import pandas as pd
+
+        model = self
+
+        def run(batches):
+            for pdf in batches:
+                mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                codes = model.encode_rows(mat) if len(mat) else np.empty((0, model.m))
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], codes_col: [list(map(int, c)) for c in codes]}
+                )
+
+        id_type = {f.name: f.dataType.simpleString() for f in df.schema}[id_col]
+        src = df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        )
+        return src.mapInPandas(run, f"{id_col} {id_type}, {codes_col} array<int>")
+
+    # -- ADC probe ---------------------------------------------------------
+    def lut(self, query: list[float]) -> list[list[float]]:
+        """m×k partial squared distances ||q_sub − centroid||² — the
+        per-query lookup table (O(m·k·dsub) driver floats)."""
+        q = np.asarray(query, dtype=np.float64)
+        out = []
+        for i, (s, e) in enumerate(self.bounds):
+            diff = self.centroids[i] - q[s:e]
+            out.append([float(x) for x in (diff * diff).sum(axis=1)])
+        return out
+
+    def adc_dist(self, codes_col: Column | str, query: list[float]) -> Column:
+        """sqrt(Σ_i lut[i][code_i]) as a PURE native expression: the lookup
+        table is a literal array<array<double>>, the fold is
+        whole-stage-codegen — table lookups on the scan, no UDF."""
+        codes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+        lut_lit = F.array(
+            *[F.array(*[F.lit(v) for v in row]) for row in self.lut(query)]
+        )
+        partial = F.zip_with(
+            lut_lit, codes, lambda row, c: F.element_at(row, c + 1)
+        )
+        return F.sqrt(F.aggregate(partial, F.lit(0.0), lambda a, v: a + v))
+
+    def adc_topk(
+        self,
+        codes_df: DataFrame,
+        id_col: str,
+        query: list[float],
+        n: int,
+        codes_col: str = "codes",
+        dist_col: str = "distance",
+    ) -> DataFrame:
+        return (
+            codes_df.select(
+                F.col(id_col), self.adc_dist(codes_col, query).alias(dist_col)
+            )
+            .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+            .limit(n)
+        )
+
+
+def pq_rerank_topk(
+    model: PQModel,
+    codes_df: DataFrame,
+    source_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int,
+    rerank_mult: int = 4,
+    dist_col: str = "distance",
+) -> DataFrame:
+    """ADC shortlist of k·rerank_mult over the codes, exact l2 rerank
+    against the full-precision source (broadcast candidate ids — the
+    corpus never shuffles), true top-k."""
+    from ..functions.vector import l2_dist
+
+    short = model.adc_topk(codes_df, id_col, query, k * rerank_mult).select(id_col)
+    return (
+        source_df.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(short), id_col)
+        .select(F.col(id_col), l2_dist(vec_col, query).alias(dist_col))
+        .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# -- offline replay (oracle) ----------------------------------------------
+
+
+def offline_pq(
+    parquet_path: str, vec_col: str, id_col: str, m: int = 8, k: int = 16
+) -> tuple[PQModel, list, np.ndarray]:
+    """Replay train + encode without Spark: (model, ids, codes), a pure
+    function of the parquet contents (id-sorted, same init, same argmin)."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(parquet_path, columns=[id_col, vec_col])
+    pairs = sorted(zip(t[id_col].to_pylist(), t[vec_col].to_pylist()))
+    ids = [p[0] for p in pairs]
+    mat = np.asarray([p[1] for p in pairs], dtype=np.float64)
+    model = PQModel.train_rows(mat, m=m, k=k)
+    return model, ids, model.encode_rows(mat)
+
+
+def offline_pq_adc(
+    model: PQModel, ids: list, codes: np.ndarray, query: list[float], n: int
+) -> list[tuple]:
+    """Replay adc_topk with the same left-fold arithmetic as the codegen
+    expression (sequential adds over subspaces, then sqrt)."""
+    import math
+
+    lut = model.lut(query)
+    out = []
+    for rid, row in zip(ids, codes):
+        s = 0.0
+        for i, c in enumerate(row):
+            s = s + lut[i][int(c)]
+        out.append((rid, math.sqrt(s)))
+    out.sort(key=lambda t: (t[1], t[0]))
+    return out[:n]
+
+
+def offline_pq_rerank(
+    model: PQModel,
+    ids: list,
+    codes: np.ndarray,
+    vectors_by_id: dict,
+    query: list[float],
+    k: int,
+    rerank_mult: int = 4,
+) -> list[tuple]:
+    """Replay pq_rerank_topk: ADC shortlist, exact left-fold l2 rerank."""
+    import math
+
+    short = [rid for rid, _ in offline_pq_adc(model, ids, codes, query, k * rerank_mult)]
+    out = []
+    for rid in short:
+        s = 0.0
+        for x, y in zip(vectors_by_id[rid], query):
+            d = float(x) - y
+            s = s + d * d
+        out.append((rid, math.sqrt(s)))
+    out.sort(key=lambda t: (t[1], t[0]))
+    return out[:k]

@@ -1,0 +1,103 @@
+"""Product quantization (similarity/pq.py): compression factor, recall,
+ADC plan purity, offline-replay determinism. Model: FAISS IndexPQ
+(Jégou et al. 2011); the reference stores raw doubles (src/storage/
+index/*.cpp) — PQ is the north-star scale extension beside SQ8."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bustub_vectordb_spark.similarity.brute import knn
+from bustub_vectordb_spark.similarity.pq import (
+    PQModel,
+    offline_pq,
+    offline_pq_adc,
+    pq_rerank_topk,
+)
+
+QUERY = [0.1 * ((i % 7) - 3) for i in range(64)]
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def pq(emb):
+    model = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+    codes = model.encode(emb, "embedding", "vec_id").cache()
+    codes.count()
+    return model, codes
+
+
+def test_pq_codes_shape_and_compression(emb, pq):
+    model, codes = pq
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["codes"]) == 16 for r in rows)
+    assert all(0 <= c < 32 for r in rows for c in r["codes"])
+    # 64 dims × 8 B -> 16 codes: 32× fewer value slots than float64 storage
+
+
+def test_pq_adc_recall_and_rerank(emb, pq):
+    model, codes = pq
+    exact = {r["vec_id"] for r in knn(emb, "embedding", QUERY, 10).collect()}
+
+    adc = model.adc_topk(codes, "vec_id", QUERY, 10).collect()
+    assert len(adc) == 10
+    ds = [r["distance"] for r in adc]
+    assert ds == sorted(ds)
+    adc_recall = len({r["vec_id"] for r in adc} & exact) / 10
+
+    rr = pq_rerank_topk(model, codes, emb, "embedding", "vec_id", QUERY, 10).collect()
+    assert len(rr) == 10
+    # reranked distances are exact l2
+    truth = {
+        r["vec_id"]: r["distance"]
+        for r in knn(emb, "embedding", QUERY, emb.count()).collect()
+    }
+    for r in rr:
+        assert r["distance"] == pytest.approx(truth[r["vec_id"]], abs=1e-9)
+    rr_recall = len({r["vec_id"] for r in rr} & exact) / 10
+    assert rr_recall >= adc_recall
+    assert rr_recall >= 0.8  # m=16/k=32 with 4x rerank on 500 random vectors
+
+
+def test_pq_adc_is_pure_codegen(pq):
+    """The ADC scan must stay JVM-side: the lookup table is a literal and
+    the fold is native — no Python evaluation nodes in the plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    model, codes = pq
+    df = model.adc_topk(codes, "vec_id", QUERY, 10)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_pq_offline_replay_matches_spark(emb, pq, sf_dir):
+    """Train + encode + ADC replayed numpy-only must equal the distributed
+    result — the oracle contract."""
+    model, codes = pq
+    omodel, ids, ocodes = offline_pq(
+        f"{sf_dir}/embeddings.parquet", "embedding", "vec_id", m=16, k=32
+    )
+    for a, b in zip(model.centroids, omodel.centroids):
+        assert np.array_equal(a, b)
+    spark_codes = {
+        r["vec_id"]: list(r["codes"]) for r in codes.collect()
+    }
+    for rid, row in zip(ids, ocodes):
+        assert spark_codes[rid] == [int(c) for c in row]
+    want = [
+        (i, round(d, 8)) for i, d in offline_pq_adc(omodel, ids, ocodes, QUERY, 10)
+    ]
+    got = [
+        (r["vec_id"], round(r["distance"], 8))
+        for r in model.adc_topk(codes, "vec_id", QUERY, 10).collect()
+    ]
+    assert got == want
