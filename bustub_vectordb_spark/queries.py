@@ -2231,6 +2231,53 @@ def q_ann_pq_rerank(spark, sf_dir):
     )
 
 
+def _ivfpq_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.ivfflat import offline_centroids
+    from .similarity.pq import offline_ivfpq_probe
+
+    # the PQ model trains on the id-sorted full corpus either way, so the
+    # flat-PQ replay cache supplies (model, ids, codes) verbatim
+    model, ids, codes = _offline_pq_cached()
+    cents = offline_centroids(
+        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id", 8, 5
+    )
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    rows = [
+        (int(i), float(d))
+        for i, d in offline_ivfpq_probe(
+            cents, model, ids, codes, vecs, QUERY_VEC, 10, probe_lists=4, rerank=40
+        )
+    ]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_ivfpq_rerank", _ivfpq_oracle)
+def q_ann_ivfpq_rerank(spark, sf_dir):
+    # FAISS IVFPQ realized: coarse centroids prune to 4/8 buckets, the
+    # probed buckets' MATERIALIZED PQ codes (m=16, 32× compression) are
+    # ADC-scanned via the literal-LUT codegen fold, raw vectors touched
+    # only for the exact re-rank of the top-40. One tier deeper than
+    # ann_ivf_sq8_rerank; deterministic end to end → offline-replay oracle.
+    from .similarity.pq import IVFPQIndex
+
+    key = (sf_dir, "ivfpq")
+    if key not in _INDEX_CACHE:
+        idx = _ivfflat_for(spark, sf_dir)
+        _INDEX_CACHE[key] = IVFPQIndex.build(idx, "embedding", "vec_id", m=16, k=32)
+    top = _INDEX_CACHE[key].probe(QUERY_VEC, 10, rerank=40, probe_lists=4)
+    return top.select("vec_id", F.round("distance", 8).alias("distance")).orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+
+
 def _hnsw_routed_sq8_batch_oracle() -> str:
     import numpy as np
     import pyarrow.parquet as pq

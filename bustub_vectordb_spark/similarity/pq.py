@@ -129,26 +129,35 @@ class PQModel:
         return out
 
     def encode(
-        self, df: DataFrame, vec_col: str, id_col: str, codes_col: str = "codes"
+        self,
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        codes_col: str = "codes",
+        keep: tuple = (),
     ) -> DataFrame:
-        """(id, codes array<int>) — one Arrow-batched mapInPandas pass."""
+        """(id, *keep, codes array<int>) — one Arrow-batched mapInPandas
+        pass; ``keep`` columns (e.g. an IVF bucket id) pass through."""
         import pandas as pd
 
         model = self
+        passthrough = [id_col, *keep]
 
         def run(batches):
             for pdf in batches:
                 mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
                 codes = model.encode_rows(mat) if len(mat) else np.empty((0, model.m))
-                yield pd.DataFrame(
-                    {id_col: pdf[id_col], codes_col: [list(map(int, c)) for c in codes]}
-                )
+                out = pdf[passthrough].copy()
+                out[codes_col] = [list(map(int, c)) for c in codes]
+                yield out
 
-        id_type = {f.name: f.dataType.simpleString() for f in df.schema}[id_col]
+        types = {f.name: f.dataType.simpleString() for f in df.schema}
+        schema = ", ".join(f"{c} {types[c]}" for c in passthrough)
         src = df.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+            *[F.col(c) for c in passthrough],
+            F.col(vec_col).cast("array<double>").alias(vec_col),
         )
-        return src.mapInPandas(run, f"{id_col} {id_type}, {codes_col} array<int>")
+        return src.mapInPandas(run, f"{schema}, {codes_col} array<int>")
 
     # -- ADC probe ---------------------------------------------------------
     def lut(self, query: list[float]) -> list[list[float]]:
@@ -218,6 +227,74 @@ def pq_rerank_topk(
     )
 
 
+@dataclass
+class IVFPQIndex:
+    """IVF routing over PQ codes — the FAISS IVFPQ layout (Jégou 2011 §V):
+    coarse centroids prune to ``probe_lists`` buckets, the probed buckets'
+    MATERIALIZED codes are ADC-scanned (m bytes/vector — at 100 TB the
+    codes sweep is RAM-resident where a float scan spills), and the raw
+    vectors are touched only for the exact re-rank of the shortlist.
+    Mirrors similarity/quantize.IVFSQ8Index one compression tier deeper
+    (l2 ops class; deterministic end to end → offline-replay oracle,
+    queries.py `ann_ivfpq_rerank`)."""
+
+    ivf: object  # IVFFlatIndex (l2)
+    model: PQModel
+    codes: DataFrame  # (id_col, BUCKET_COL, codes) — no raw vectors
+    vec_col: str
+    id_col: str
+
+    @classmethod
+    def build(
+        cls, ivf_index, vec_col: str, id_col: str, m: int = 16, k: int = 32
+    ) -> "IVFPQIndex":
+        from ..index.ivfflat import BUCKET_COL
+
+        if ivf_index.dist != "l2":
+            raise ValueError("IVFPQIndex supports l2 indexes (ADC LUT is l2)")
+        model = PQModel.train(ivf_index.assignments, vec_col, id_col, m=m, k=k)
+        codes = model.encode(
+            ivf_index.assignments, vec_col, id_col, keep=(BUCKET_COL,)
+        ).persist()
+        return cls(ivf_index, model, codes, vec_col, id_col)
+
+    def probe(
+        self,
+        query: list[float],
+        k: int,
+        rerank: int | None = None,
+        probe_lists: int | None = None,
+        dist_col: str = "distance",
+    ) -> DataFrame:
+        """route → ADC fold over probed buckets' codes → exact re-rank."""
+        from ..functions.vector import l2_dist
+        from ..index.ivfflat import BUCKET_COL
+
+        rerank = rerank or 4 * k
+        buckets = self.ivf.rank_buckets(query)[
+            : (probe_lists or self.ivf.probe_lists)
+        ]
+        cand = self.codes.filter(F.col(BUCKET_COL).isin(buckets))
+        shortlist = (
+            cand.select(
+                F.col(self.id_col), self.model.adc_dist("codes", query).alias("__adc")
+            )
+            .orderBy(F.col("__adc").asc(), F.col(self.id_col).asc())
+            .limit(rerank)
+        )
+        raw = self.ivf.assignments.filter(F.col(BUCKET_COL).isin(buckets)).select(
+            F.col(self.id_col), F.col(self.vec_col)
+        )
+        return (
+            raw.join(F.broadcast(shortlist.select(self.id_col)), self.id_col)
+            .select(
+                F.col(self.id_col), l2_dist(self.vec_col, query).alias(dist_col)
+            )
+            .orderBy(F.col(dist_col).asc(), F.col(self.id_col).asc())
+            .limit(k)
+        )
+
+
 # -- offline replay (oracle) ----------------------------------------------
 
 
@@ -252,6 +329,59 @@ def offline_pq_adc(
         out.append((rid, math.sqrt(s)))
     out.sort(key=lambda t: (t[1], t[0]))
     return out[:n]
+
+
+def offline_ivfpq_probe(
+    centroids: list[list[float]],
+    model: PQModel,
+    ids: list,
+    codes: np.ndarray,
+    vectors_by_id: dict,
+    query: list[float],
+    k: int,
+    probe_lists: int,
+    rerank: int,
+) -> list[tuple]:
+    """Replay ``IVFPQIndex.probe``: bucket assignment by the same left-fold
+    argmin the codegen expression evaluates (first-min ties), driver-style
+    bucket ranking (math.dist), ADC over probed buckets, exact left-fold
+    l2 re-rank of the shortlist."""
+    import math
+
+    def fold_l2_sq(v, c):
+        s = 0.0
+        for x, y in zip(v, c):
+            d = x - y
+            s = s + d * d
+        return s
+
+    assign = {}
+    for rid in ids:
+        v = [float(x) for x in vectors_by_id[rid]]
+        dists = [fold_l2_sq(v, c) for c in centroids]
+        assign[rid] = dists.index(min(dists))
+    ranked = sorted(range(len(centroids)), key=lambda i: math.dist(centroids[i], query))
+    probed = set(ranked[:probe_lists])
+
+    lut = model.lut(query)
+    adc = []
+    for rid, row in zip(ids, codes):
+        if assign[rid] not in probed:
+            continue
+        s = 0.0
+        for i, c in enumerate(row):
+            s = s + lut[i][int(c)]
+        adc.append((rid, math.sqrt(s)))
+    adc.sort(key=lambda t: (t[1], t[0]))
+    out = []
+    for rid, _ in adc[:rerank]:
+        s = 0.0
+        for x, y in zip(vectors_by_id[rid], query):
+            d = float(x) - y
+            s = s + d * d
+        out.append((rid, math.sqrt(s)))
+    out.sort(key=lambda t: (t[1], t[0]))
+    return out[:k]
 
 
 def offline_pq_rerank(

@@ -101,3 +101,36 @@ def test_pq_offline_replay_matches_spark(emb, pq, sf_dir):
         for r in model.adc_topk(codes, "vec_id", QUERY, 10).collect()
     ]
     assert got == want
+
+
+def test_ivfpq_probe_recall_and_plan(emb, spark, sf_dir):
+    """IVFPQ: bucket pruning composes with PQ ADC + exact rerank — recall
+    holds vs exact KNN, distances are exact, and the ADC shortlist plan
+    stays JVM-side (no Python eval over the codes scan)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+    from bustub_vectordb_spark.similarity.pq import IVFPQIndex
+
+    ivf = IVFFlatIndex.build(
+        emb, "embedding", lists=8, probe_lists=2, max_iter=5, init_order="vec_id"
+    )
+    idx = IVFPQIndex.build(ivf, "embedding", "vec_id", m=16, k=32)
+    got = idx.probe(QUERY, 10, rerank=40, probe_lists=4).collect()
+    assert len(got) == 10
+    exact_rows = knn(emb, "embedding", QUERY, 10).collect()
+    exact = {r["vec_id"]: r["distance"] for r in exact_rows}
+    hits = {r["vec_id"] for r in got}
+    assert len(hits & set(exact)) / 10 >= 0.7  # 4/8 buckets probed
+    for r in got:
+        if r["vec_id"] in exact:
+            assert r["distance"] == pytest.approx(exact[r["vec_id"]], abs=1e-9)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        idx.probe(QUERY, 10).explain("formatted")
+    # the codes scan (ADC shortlist side) must not re-evaluate Python; the
+    # only allowed Python stage is the one-time encode that built `codes`
+    plan = buf.getvalue()
+    assert plan.count("BatchEvalPython") == 0
