@@ -258,6 +258,12 @@ class IVFPQIndex:
         ).persist()
         return cls(ivf_index, model, codes, vec_col, id_col)
 
+    @property
+    def assignments(self) -> DataFrame:
+        """Underlying IVF assignments — routes the planner's filtered-search
+        dispatch (index/selection.py) to the ``where`` path here."""
+        return self.ivf.assignments
+
     def probe(
         self,
         query: list[float],
@@ -265,8 +271,11 @@ class IVFPQIndex:
         rerank: int | None = None,
         probe_lists: int | None = None,
         dist_col: str = "distance",
+        where=None,
     ) -> DataFrame:
-        """route → ADC fold over probed buckets' codes → exact re-rank."""
+        """route → ADC fold over probed buckets' codes → exact re-rank.
+        ``where`` semi-joins matching ids into the codes scan BEFORE the
+        shortlist, so top-k is among matching rows (filtered search)."""
         from ..functions.vector import l2_dist
         from ..index.ivfflat import BUCKET_COL
 
@@ -275,6 +284,9 @@ class IVFPQIndex:
             : (probe_lists or self.ivf.probe_lists)
         ]
         cand = self.codes.filter(F.col(BUCKET_COL).isin(buckets))
+        if where is not None:
+            allowed = self.ivf.assignments.filter(where).select(self.id_col)
+            cand = cand.join(allowed, self.id_col, "left_semi")
         shortlist = (
             cand.select(
                 F.col(self.id_col), self.model.adc_dist("codes", query).alias("__adc")

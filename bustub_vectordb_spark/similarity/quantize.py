@@ -269,6 +269,13 @@ class IVFSQ8Index:
         ).persist()
         return cls(ivf_index, model, codes, vec_col, id_col)
 
+    @property
+    def assignments(self) -> DataFrame:
+        """The underlying IVF assignment relation — lets the planner's
+        filtered-search dispatch (index/selection.py) route a ``where``
+        predicate here instead of the HNSW allowed-set path."""
+        return self.ivf.assignments
+
     def probe(
         self,
         query: list[float],
@@ -276,8 +283,13 @@ class IVFSQ8Index:
         rerank: int | None = None,
         probe_lists: int | None = None,
         dist_col: str = "distance",
+        where=None,
     ) -> DataFrame:
         """route → ADC over codes → exact re-rank of the shortlist.
+
+        ``where`` (Column predicate over the base table) plans FILTERED
+        search: matching ids semi-join into the codes scan BEFORE the ADC
+        shortlist, so the top-k is taken among matching rows.
 
         1. nearest ``probe_lists`` IVF buckets (driver-side, O(lists));
         2. ADC distance over the probed buckets' CODES (columnar-pruned
@@ -300,6 +312,9 @@ class IVFSQ8Index:
             rerank = self.default_rerank or 4 * k  # shortlist 4× the ask
         buckets = self.ivf.rank_buckets(query)[: (probe_lists or self.ivf.probe_lists)]
         cand = self.codes.filter(F.col(BUCKET_COL).isin(buckets))
+        if where is not None:
+            allowed = self.ivf.assignments.filter(where).select(self.id_col)
+            cand = cand.join(allowed, self.id_col, "left_semi")
         # ADC rounded to 9 decimals before ordering: Spark folds the dim sum
         # left-to-right, DuckDB's list_sum may differ in the last bits — the
         # rounding makes the shortlist boundary engine-independent

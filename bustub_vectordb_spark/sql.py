@@ -470,6 +470,18 @@ class SqlEngine:
                     sq = IVFSQ8Index.build(idx, col, id_col)
                     sq.default_rerank = opts.get("rerank")
                     idx = sq
+                elif opts.get("pq"):
+                    # WITH (pq=1[, pq_m=M, pq_k=K]): product-quantized
+                    # codes per bucket (m small ints per vector — the
+                    # deepest compression tier); l2 ops class only
+                    from .similarity.pq import IVFPQIndex
+
+                    names = self.catalog.tables[table].schema.names
+                    id_col = next((c for c in names if c != col), names[0])
+                    idx = IVFPQIndex.build(
+                        idx, col, id_col,
+                        m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
+                    )
             else:
                 from .index.hnsw import HNSWIndex
 

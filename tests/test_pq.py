@@ -134,3 +134,29 @@ def test_ivfpq_probe_recall_and_plan(emb, spark, sf_dir):
     # only allowed Python stage is the one-time encode that built `codes`
     plan = buf.getvalue()
     assert plan.count("BatchEvalPython") == 0
+
+
+def test_ivfpq_filtered_plan_knn(emb):
+    """plan_knn(where=...) over a PQ-wrapped IVF index must route the
+    predicate into the codes scan (assignments passthrough) and return
+    only matching rows — filtered search, not a post-filter."""
+    from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+    from bustub_vectordb_spark.index.registry import VectorIndexRegistry
+    from bustub_vectordb_spark.index.selection import plan_knn
+    from bustub_vectordb_spark.similarity.pq import IVFPQIndex
+
+    ivf = IVFFlatIndex.build(
+        emb, "embedding", lists=8, probe_lists=8, max_iter=5, init_order="vec_id"
+    )
+    idx = IVFPQIndex.build(ivf, "embedding", "vec_id", m=16, k=32)
+    reg = VectorIndexRegistry()
+    reg.create("emb_pq", "embeddings", "embedding", "ivfflat", idx)
+    allowed = {r["vec_id"] for r in emb.filter(F.col("label") == 2).collect()}
+
+    plan = plan_knn(
+        reg, "embeddings", emb, "embedding", QUERY, 10, where=F.col("label") == 2
+    )
+    assert plan.strategy == "vector_index_scan(ivfflat)"
+    got = plan.df.collect()
+    assert len(got) == 10
+    assert {r["vec_id"] for r in got} <= allowed

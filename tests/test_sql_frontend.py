@@ -209,3 +209,26 @@ def test_create_index_hnsw_routed_sq8(spark):
     assert "sq8_mins" in idx.params and idx.default_n_probe == 2
     hits = idx.probe([1.0, 2.0, 3.0], 2, rerank=e.catalog.tables["mt3"].df).collect()
     assert len(hits) == 2
+
+
+def test_create_index_ivfpq(spark):
+    """CREATE INDEX ... USING ivfflat WITH (pq=1): registers an IVFPQIndex
+    whose probe serves exact reranked results from PQ-coded buckets."""
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE mt4(v1 VECTOR(4), v2 integer)")
+    rows = ", ".join(
+        f"(ARRAY [{i}.0, {i % 3}.0, {i % 5}.0, {i % 7}.0], {i})" for i in range(40)
+    )
+    e.execute(f"INSERT INTO mt4 VALUES {rows}")
+    e.execute(
+        "CREATE INDEX mp1 ON mt4 USING ivfflat (v1 vector_l2_ops)"
+        " WITH (lists = 2, probe_lists = 2, pq = 1, pq_m = 2, pq_k = 4)"
+    )
+    idx = next(i for i in e.indexes.lookup("mt4", "v1") if i.name == "mp1").index
+    from bustub_vectordb_spark.similarity.pq import IVFPQIndex
+
+    assert isinstance(idx, IVFPQIndex) and idx.model.m == 2 and idx.model.k == 4
+    hits = idx.probe([1.0, 1.0, 1.0, 1.0], 3).collect()
+    assert len(hits) == 3
