@@ -50,7 +50,12 @@ def remove_boilerplate(
     empty ``clean_text`` (they are candidates for dropping downstream, but
     that is the caller's policy decision, not this operator's).
     """
-    chunks = chunk_documents(df, id_col, text_col, window=window, stride=window)
+    # the exploded chunk relation feeds THREE consumers (frequency, the
+    # anti join, per-doc totals) — without persist the narrow chunking
+    # subtree re-executes three times inside the one final plan
+    chunks = chunk_documents(
+        df, id_col, text_col, window=window, stride=window
+    ).persist()
     common = (
         chunks.groupBy("chunk")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))

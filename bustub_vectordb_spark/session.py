@@ -46,7 +46,12 @@ def get_spark(
         # Deterministic timestamps regardless of host TZ (oracle comparisons).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver == executor JVM: long sessions accumulate cached
+        # index blobs + localCheckpoint blocks across workloads, and an 8g
+        # heap measurably GC-throttles the LAST workloads of a 16-key bench
+        # (observed 2-3x on the iterative dedup key); 16g removes that
+        # artifact on the 128 GiB box. Cluster deploys override per-node.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

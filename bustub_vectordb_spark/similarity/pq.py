@@ -321,6 +321,13 @@ def offline_pq(
     pairs = sorted(zip(t[id_col].to_pylist(), t[vec_col].to_pylist()))
     ids = [p[0] for p in pairs]
     mat = np.asarray([p[1] for p in pairs], dtype=np.float64)
+    if mat.size > 32_000_000:
+        # PQModel.train switches to a sampled collect past this budget;
+        # the full-table replay would silently train a DIFFERENT model
+        raise ValueError(
+            "offline_pq only replicates the full-table training path "
+            f"({mat.shape[0]}×{mat.shape[1]} cells exceeds the budget)"
+        )
     model = PQModel.train_rows(mat, m=m, k=k)
     return model, ids, model.encode_rows(mat)
 
