@@ -3084,6 +3084,36 @@ def q_pipeline_prep(spark, sf_dir):
 
 
 @_register(
+    "quality_percentile_filter",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {X.quality_sql('text')['stopword_ratio']} AS q
+      FROM documents
+    )
+    SELECT doc_id, q FROM s
+    WHERE q >= (SELECT quantile_cont(q, 0.25) FROM s)
+    """,
+)
+def q_quality_percentile_filter(spark, sf_dir):
+    # CORPUS-RELATIVE quality calibration: production filters set their
+    # thresholds from the corpus distribution (drop the bottom quartile),
+    # not from absolute constants. The threshold is a one-row broadcast
+    # scalar subquery (exact percentile; at 100 TB swap in
+    # approx_percentile's t-digest, same plan shape — cf.
+    # tests/test_approx_sketches.py), the filter itself stays a codegen
+    # scan. Metric and interpolation arithmetic match DuckDB's
+    # quantile_cont exactly (both linear at (n-1)p; scores pre-rounded).
+    d = _t(spark, sf_dir, "documents")
+    s = d.select("doc_id", X.quality_exprs("text")["stopword_ratio"].alias("q"))
+    thr = s.agg(F.percentile("q", 0.25).alias("__t"))
+    return (
+        s.join(F.broadcast(thr))
+        .filter(F.col("q") >= F.col("__t"))
+        .select("doc_id", "q")
+    )
+
+
+@_register(
     "sample_train_test_split",
     """
     SELECT doc_id,
