@@ -2216,6 +2216,33 @@ def q_ann_pq_adc(spark, sf_dir):
     )
 
 
+def _pq_adc_ip_oracle() -> str:
+    from .similarity.pq import offline_pq_adc
+
+    model, ids, codes = _offline_pq_cached()
+    rows = [
+        (int(i), float(d))
+        for i, d in offline_pq_adc(model, ids, codes, QUERY_VEC, 10, metric="ip")
+    ]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS score "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d DESC, vec_id ASC"
+    )
+
+
+@_register("ann_pq_adc_ip", _pq_adc_ip_oracle)
+def q_ann_pq_adc_ip(spark, sf_dir):
+    # inner-product PQ ADC: ⟨q, decoded(x)⟩ decomposes exactly over
+    # subspaces, so the same literal-LUT codegen fold serves MIPS ordering
+    # (descending). Cosine = normalize-at-encode + this path, the same
+    # recipe as SQ8's asymmetric cosine.
+    model, codes = _pq_for(spark, sf_dir)
+    top = model.adc_topk(codes, "vec_id", QUERY_VEC, 10, metric="ip", dist_col="score")
+    return top.select("vec_id", F.round("score", 8).alias("score")).orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+
+
 @_register("ann_pq_rerank", _pq_rerank_oracle)
 def q_ann_pq_rerank(spark, sf_dir):
     # PQ serving shape: ADC shortlist (4×k) over the codes, exact l2

@@ -160,28 +160,41 @@ class PQModel:
         return src.mapInPandas(run, f"{schema}, {codes_col} array<int>")
 
     # -- ADC probe ---------------------------------------------------------
-    def lut(self, query: list[float]) -> list[list[float]]:
-        """m×k partial squared distances ||q_sub − centroid||² — the
-        per-query lookup table (O(m·k·dsub) driver floats)."""
+    def lut(self, query: list[float], metric: str = "l2") -> list[list[float]]:
+        """m×k per-subspace partials — the per-query lookup table
+        (O(m·k·dsub) driver floats). l2: ||q_sub − centroid||²; ip:
+        ⟨q_sub, centroid⟩ (the distance/similarity decomposes exactly over
+        subspaces in both cases). Cosine does NOT decompose (norms are
+        global) — the standard recipe is normalize-at-encode + ip, exactly
+        as with SQ8 (similarity/projection.normalize)."""
         q = np.asarray(query, dtype=np.float64)
         out = []
         for i, (s, e) in enumerate(self.bounds):
-            diff = self.centroids[i] - q[s:e]
-            out.append([float(x) for x in (diff * diff).sum(axis=1)])
+            if metric == "l2":
+                diff = self.centroids[i] - q[s:e]
+                out.append([float(x) for x in (diff * diff).sum(axis=1)])
+            elif metric == "ip":
+                out.append([float(x) for x in self.centroids[i] @ q[s:e]])
+            else:
+                raise ValueError(f"unsupported PQ ADC metric {metric!r}")
         return out
 
-    def adc_dist(self, codes_col: Column | str, query: list[float]) -> Column:
-        """sqrt(Σ_i lut[i][code_i]) as a PURE native expression: the lookup
-        table is a literal array<array<double>>, the fold is
-        whole-stage-codegen — table lookups on the scan, no UDF."""
+    def adc_dist(
+        self, codes_col: Column | str, query: list[float], metric: str = "l2"
+    ) -> Column:
+        """Σ_i lut[i][code_i] (sqrt'd for l2) as a PURE native expression:
+        the lookup table is a literal array<array<double>>, the fold is
+        whole-stage-codegen — table lookups on the scan, no UDF. l2 orders
+        ascending; ip is a similarity, order it descending."""
         codes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
         lut_lit = F.array(
-            *[F.array(*[F.lit(v) for v in row]) for row in self.lut(query)]
+            *[F.array(*[F.lit(v) for v in row]) for row in self.lut(query, metric)]
         )
         partial = F.zip_with(
             lut_lit, codes, lambda row, c: F.element_at(row, c + 1)
         )
-        return F.sqrt(F.aggregate(partial, F.lit(0.0), lambda a, v: a + v))
+        total = F.aggregate(partial, F.lit(0.0), lambda a, v: a + v)
+        return F.sqrt(total) if metric == "l2" else total
 
     def adc_topk(
         self,
@@ -191,12 +204,15 @@ class PQModel:
         n: int,
         codes_col: str = "codes",
         dist_col: str = "distance",
+        metric: str = "l2",
     ) -> DataFrame:
+        order = F.col(dist_col).asc() if metric == "l2" else F.col(dist_col).desc()
         return (
             codes_df.select(
-                F.col(id_col), self.adc_dist(codes_col, query).alias(dist_col)
+                F.col(id_col),
+                self.adc_dist(codes_col, query, metric).alias(dist_col),
             )
-            .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+            .orderBy(order, F.col(id_col).asc())
             .limit(n)
         )
 
@@ -333,20 +349,26 @@ def offline_pq(
 
 
 def offline_pq_adc(
-    model: PQModel, ids: list, codes: np.ndarray, query: list[float], n: int
+    model: PQModel,
+    ids: list,
+    codes: np.ndarray,
+    query: list[float],
+    n: int,
+    metric: str = "l2",
 ) -> list[tuple]:
     """Replay adc_topk with the same left-fold arithmetic as the codegen
-    expression (sequential adds over subspaces, then sqrt)."""
+    expression (sequential adds over subspaces; sqrt for l2)."""
     import math
 
-    lut = model.lut(query)
+    lut = model.lut(query, metric)
     out = []
     for rid, row in zip(ids, codes):
         s = 0.0
         for i, c in enumerate(row):
             s = s + lut[i][int(c)]
-        out.append((rid, math.sqrt(s)))
-    out.sort(key=lambda t: (t[1], t[0]))
+        out.append((rid, math.sqrt(s) if metric == "l2" else s))
+    asc = metric == "l2"
+    out.sort(key=lambda t: (t[1] if asc else -t[1], t[0]))
     return out[:n]
 
 
