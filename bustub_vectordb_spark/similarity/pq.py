@@ -322,6 +322,50 @@ class IVFPQIndex:
             .limit(k)
         )
 
+    # -- persistence -------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Codes partitioned by bucket (probe = partition pruning on disk),
+        the per-subspace codebooks as one small parquet, and the IVF
+        index's own layout beside them."""
+        from ..index.ivfflat import BUCKET_COL
+
+        self.codes.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
+            f"{path}/codes"
+        )
+        spark = self.codes.sparkSession
+        rows = [
+            (i, j, [float(x) for x in self.model.centroids[i][j]])
+            for i in range(self.model.m)
+            for j in range(self.model.k)
+        ]
+        spark.createDataFrame(
+            rows, "subspace int, code int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        spark.createDataFrame(
+            [(self.vec_col, self.id_col, int(self.ivf.probe_lists))],
+            "vec_col string, id_col string, probe_lists int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        self.ivf.save(f"{path}/ivf")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFPQIndex":
+        from ..index.ivfflat import IVFFlatIndex
+
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        cb = spark.read.parquet(f"{path}/codebooks").collect()
+        m = max(r["subspace"] for r in cb) + 1
+        cents = []
+        for i in range(m):
+            sub = sorted((r for r in cb if r["subspace"] == i), key=lambda r: r["code"])
+            cents.append(np.asarray([list(r["centroid"]) for r in sub], dtype=np.float64))
+        dim = sum(c.shape[1] for c in cents)
+        model = PQModel(cents, _split(dim, m))
+        ivf = IVFFlatIndex.load(
+            spark, f"{path}/ivf", meta["vec_col"], meta["probe_lists"]
+        )
+        codes = spark.read.parquet(f"{path}/codes").persist()
+        return cls(ivf, model, codes, meta["vec_col"], meta["id_col"])
+
 
 # -- offline replay (oracle) ----------------------------------------------
 

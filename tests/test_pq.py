@@ -160,3 +160,30 @@ def test_ivfpq_filtered_plan_knn(emb):
     got = plan.df.collect()
     assert len(got) == 10
     assert {r["vec_id"] for r in got} <= allowed
+
+
+def test_ivfpq_save_load_roundtrip(emb, spark, tmp_path):
+    """IVFPQ persists (bucket-partitioned codes + codebooks + IVF layout)
+    and the reloaded index probes identically."""
+    from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+    from bustub_vectordb_spark.similarity.pq import IVFPQIndex
+
+    ivf = IVFFlatIndex.build(
+        emb, "embedding", lists=8, probe_lists=4, max_iter=5, init_order="vec_id"
+    )
+    idx = IVFPQIndex.build(ivf, "embedding", "vec_id", m=16, k=32)
+    before = [
+        (r["vec_id"], round(r["distance"], 9))
+        for r in idx.probe(QUERY, 10, rerank=40).collect()
+    ]
+    idx.save(str(tmp_path / "ivfpq"))
+    loaded = IVFPQIndex.load(spark, str(tmp_path / "ivfpq"))
+    assert loaded.model.m == 16 and loaded.model.k == 32
+    assert loaded.ivf.probe_lists == 4
+    for a, b in zip(loaded.model.centroids, idx.model.centroids):
+        assert np.array_equal(a, b)
+    after = [
+        (r["vec_id"], round(r["distance"], 9))
+        for r in loaded.probe(QUERY, 10, rerank=40).collect()
+    ]
+    assert after == before
