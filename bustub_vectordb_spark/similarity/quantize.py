@@ -346,13 +346,46 @@ class IVFSQ8Index:
 
     def save(self, path: str) -> None:
         """Codes partitioned by bucket (probe = partition pruning) next to
-        the IVF index's own layout."""
+        the IVF index's own layout, plus the quantizer stats + meta so
+        ``load`` restores a probe-identical index."""
         from ..index.ivfflat import BUCKET_COL
 
         self.codes.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
             f"{path}/codes"
         )
+        spark = self.codes.sparkSession
+        spark.createDataFrame(
+            [(i, float(mn), float(mx)) for i, (mn, mx) in enumerate(zip(self.model.mins, self.model.maxs))],
+            "dim int, mn double, mx double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+        spark.createDataFrame(
+            [
+                (
+                    self.vec_col,
+                    self.id_col,
+                    int(self.ivf.probe_lists),
+                    self.ivf.dist,
+                    self.default_rerank,
+                )
+            ],
+            "vec_col string, id_col string, probe_lists int, dist string, default_rerank int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
         self.ivf.save(f"{path}/ivf")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFSQ8Index":
+        from ..index.ivfflat import IVFFlatIndex
+
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        stats = spark.read.parquet(f"{path}/stats").orderBy("dim").collect()
+        model = SQ8Model([r["mn"] for r in stats], [r["mx"] for r in stats])
+        ivf = IVFFlatIndex.load(
+            spark, f"{path}/ivf", meta["vec_col"], meta["probe_lists"], meta["dist"]
+        )
+        codes = spark.read.parquet(f"{path}/codes").persist()
+        out = cls(ivf, model, codes, meta["vec_col"], meta["id_col"])
+        out.default_rerank = meta["default_rerank"]
+        return out
 
 
 def ivf_sq8_rerank_topk(

@@ -218,3 +218,27 @@ def test_sql_create_index_sq8(spark, emb):
     # probe_lists = lists → all buckets probed; rerank ≥ k → exact top-k
     exact = [r["vec_id"] for r in knn(emb, "embedding", QUERY_VEC, 10).collect()]
     assert got == exact
+
+
+def test_ivf_sq8_save_load_roundtrip(tables, spark, tmp_path):
+    """IVFSQ8 persists (bucket-partitioned codes + quantizer stats + IVF
+    layout) and the reloaded index probes identically."""
+    from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+    from bustub_vectordb_spark.similarity.quantize import IVFSQ8Index, SQ8Model
+
+    emb = tables["embeddings"]
+    ivf = IVFFlatIndex.build(
+        emb, "embedding", lists=8, probe_lists=4, max_iter=5, init_order="vec_id"
+    )
+    idx = IVFSQ8Index.build(ivf, "embedding", "vec_id", model=SQ8Model.train(emb, "embedding"))
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    before = [
+        (r["vec_id"], r["distance"]) for r in idx.probe(q, 10, rerank=40).collect()
+    ]
+    idx.save(str(tmp_path / "ivfsq8"))
+    loaded = IVFSQ8Index.load(spark, str(tmp_path / "ivfsq8"))
+    assert loaded.model.mins == idx.model.mins and loaded.model.maxs == idx.model.maxs
+    after = [
+        (r["vec_id"], r["distance"]) for r in loaded.probe(q, 10, rerank=40).collect()
+    ]
+    assert after == before
