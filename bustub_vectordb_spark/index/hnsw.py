@@ -579,7 +579,7 @@ class HNSWIndex:
             vec_col, id_col, dist, blobs.cache(), df.sparkSession,
             id_type=_id_type(df, id_col),
             params=dict(m=m, ef_construction=ef_construction,
-                        ef_search=ef_search, seed=seed),
+                        ef_search=ef_search, seed=seed, replicated=False),
         )
 
     @classmethod
@@ -699,7 +699,8 @@ class HNSWIndex:
             vec_col, id_col, dist, blobs.cache(), df.sparkSession,
             centroids=centroids, id_type=_id_type(df, id_col),
             params=dict(m=m, ef_construction=ef_construction,
-                        ef_search=ef_search, seed=seed),
+                        ef_search=ef_search, seed=seed,
+                        replicated=replicate_eps > 0),
         )
 
     # -- persistence: graph as DataFrames ---------------------------------
@@ -878,6 +879,15 @@ class ShardedHNSW:
             centroids=centroids, id_type=meta["id_type"],
             params=json.loads(raw) if raw else None,
         )
+
+    @property
+    def _maybe_replicated(self) -> bool:
+        """True unless the build provably assigned every id to exactly ONE
+        shard (hash-sharded, or routed with replicate_eps=0) — then probe
+        results are already id-unique and the post-walk dedupe shuffle is
+        skipped. Pre-upgrade saves lack the flag and default to True (safe
+        dedupe)."""
+        return (self.params or {}).get("replicated", True)
 
     def quantize(self, mins, maxs) -> "ShardedHNSW":
         """SQ8-compress every shard graph: one distributed pass unpickles
@@ -1076,9 +1086,16 @@ class ShardedHNSW:
 
         hits = joined.select(*sel).mapInPandas(run, out_schema)
         asc = self.dist == "l2"
-        best = hits.groupBy(qid_col, id_col).agg(
-            (F.min(dist_col) if asc else F.max(dist_col)).alias(dist_col)
-        )
+        if self._maybe_replicated:
+            # replicated builds: the same id can arrive from several shards
+            # with identical distances — per-(qid, id) reduce before top-k
+            best = hits.groupBy(qid_col, id_col).agg(
+                (F.min(dist_col) if asc else F.max(dist_col)).alias(dist_col)
+            )
+        else:
+            # one shard per id by construction → already (qid, id)-unique;
+            # the window top-k below is the only post-walk shuffle
+            best = hits
         if rerank is not None:
             # exact rerank: shortlist (qid, id) pairs join the full-precision
             # vectors AND the query vectors; ADC distances are discarded
@@ -1295,14 +1312,21 @@ class ShardedHNSW:
         asc = self.dist == "l2"
         order = F.col(dist_col).asc() if asc else F.col(dist_col).desc()
         # boundary-replicated builds can surface the same id from several
-        # shards — dedupe (identical distances) before the global top-k
+        # shards — dedupe (identical distances) before the global top-k;
+        # non-replicated builds are id-unique by construction, skip the
+        # dedupe shuffle entirely
         if rerank is None:
-            return per_shard.dropDuplicates([id_col]).orderBy(order).limit(k)
+            out = per_shard
+            if self._maybe_replicated:
+                out = out.dropDuplicates([id_col])
+            return out.orderBy(order).limit(k)
         # exact rerank: the ADC shortlist's ids (broadcast-sized) join back
         # to the full-precision source; distances recompute exactly there
         from ..functions.vector import cosine_similarity, inner_product, l2_dist
 
-        cand = per_shard.select(id_col).dropDuplicates([id_col])
+        cand = per_shard.select(id_col)
+        if self._maybe_replicated:
+            cand = cand.dropDuplicates([id_col])
         exact = {
             "l2": lambda: l2_dist(self.vec_col, q),
             "ip": lambda: inner_product(self.vec_col, q),

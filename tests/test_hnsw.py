@@ -659,3 +659,40 @@ def test_sharded_sq8_save_load_roundtrip(spark, emb, tmp_path):
         for r in loaded.probe(QUERY, 5, n_probe=2, rerank=emb).collect()
     ]
     assert after == before
+
+
+def test_routed_batch_skips_dedupe_when_not_replicated(emb):
+    """A routed build with replicate_eps=0 assigns each id to exactly one
+    shard, so the batch path must skip the per-(qid,id) dedupe shuffle —
+    one fewer Exchange than the boundary-replicated variant — with
+    identical results."""
+    import io
+    from contextlib import redirect_stdout
+
+    def n_exchanges(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue().count("Exchange (")
+
+    queries = emb.limit(6).select(F.col("vec_id").alias("qid"), "embedding")
+    plain = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    assert plain._maybe_replicated is False
+    repl = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48,
+        ef_search=48, replicate_eps=0.3,
+    )
+    assert repl._maybe_replicated is True
+    out_plain = plain.search_batch(queries, "embedding", "qid", k=3, n_probe=2)
+    out_repl = repl.search_batch(queries, "embedding", "qid", k=3, n_probe=2)
+    assert n_exchanges(out_plain) == n_exchanges(out_repl) - 1
+    # results still correct and unique per (qid, id)
+    rows = out_plain.collect()
+    seen = {(r["qid"], r["vec_id"]) for r in rows}
+    assert len(seen) == len(rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert all(len(v) == 3 for v in by_q.values())
