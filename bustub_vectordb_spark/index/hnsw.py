@@ -73,13 +73,23 @@ class _Graph:
         self.codes: np.ndarray | None = None
         self.qmn: np.ndarray | None = None  # per-dim minimum
         self.qscale: np.ndarray | None = None  # per-dim (max-min)/255
+        # PQ storage (quantize_pq): (n, m) uint8 codes + m codebooks
+        self.pq_codes: np.ndarray | None = None
+        self.pq_books: list | None = None  # m arrays of (k, dsub_i)
+        self.pq_bounds: list | None = None  # m (start, end) subspace bounds
 
-    # -- SQ8 compressed storage -------------------------------------------
+    # -- compressed storage (SQ8 / PQ) ------------------------------------
     def _mat_rows(self, idxs) -> np.ndarray:
-        """Rows of the vector matrix; decodes SQ8 codes on the fly when the
-        graph is quantized (ADC: queries stay full-precision)."""
+        """Rows of the vector matrix; decodes SQ8 or PQ codes on the fly
+        when the graph is quantized (ADC: queries stay full-precision)."""
         if self.vecs is not None:
             return self.vecs[idxs]
+        if getattr(self, "pq_codes", None) is not None:
+            c = self.pq_codes[idxs]
+            return np.concatenate(
+                [self.pq_books[s][c[:, s]] for s in range(len(self.pq_books))],
+                axis=1,
+            )
         return self.qmn + self.codes[idxs].astype(np.float64) * self.qscale
 
     def _encode_sq8(self, mat: np.ndarray) -> np.ndarray:
@@ -105,6 +115,47 @@ class _Graph:
             self.codes = np.zeros((0, len(mn)), dtype=np.uint8)
         else:
             self.codes = self._encode_sq8(self.vecs)
+        self.vecs = None
+        dec = self._mat_rows(slice(None))
+        self._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
+        self._norms_sq = (dec * dec).sum(axis=1)
+
+    def _encode_pq(self, mat: np.ndarray) -> np.ndarray:
+        """Per-subspace nearest-codebook-centroid codes (first-min ties) —
+        the same argmin arithmetic as similarity/pq.PQModel.encode_rows, so
+        a graph quantized with a PQModel's codebooks assigns codes
+        identically to that model."""
+        out = np.empty((len(mat), len(self.pq_books)), dtype=np.uint8)
+        for i, (s, e) in enumerate(self.pq_bounds):
+            sub = mat[:, s:e]
+            c = self.pq_books[i]
+            d = -2.0 * (sub @ c.T) + (c * c).sum(axis=1)
+            out[:, i] = np.argmin(d, axis=1)
+        return out
+
+    def quantize_pq(self, books, bounds) -> None:
+        """Swap the float64 matrix for product-quantization codes: with
+        m=16 subspaces one stored vector is 16 bytes instead of 8·dim —
+        denser than SQ8 (1 byte/dim) whenever dim > m. ``books`` is a list
+        of m (k, dsub) codebooks, ``bounds`` the matching subspace [s, e)
+        bounds (similarity/pq.PQModel.centroids/.bounds — FAISS IndexPQ /
+        Jégou et al. 2011 layout). Walks decode rows from the codebooks on
+        demand, so every distance is the reconstruction (ADC) distance;
+        norms recompute from the DECODED values for internally-consistent
+        cosine/ip orientation. Pair with an exact rerank
+        (ShardedHNSW.probe(rerank=...)) for serving, exactly like SQ8."""
+        self.pq_books = [np.asarray(b, dtype=np.float64) for b in books]
+        self.pq_bounds = [(int(s), int(e)) for s, e in bounds]
+        if max(len(b) for b in self.pq_books) > 256:
+            raise ValueError("quantize_pq stores uint8 codes: need k <= 256")
+        if getattr(self, "codes", None) is not None:
+            # already SQ8-quantized: re-encoding the lossy decode would
+            # silently compound two quantizers' errors
+            raise ValueError("graph is SQ8-quantized; PQ must start from floats")
+        if self.vecs is None:
+            self.pq_codes = np.zeros((0, len(self.pq_books)), dtype=np.uint8)
+        else:
+            self.pq_codes = self._encode_pq(self.vecs)
         self.vecs = None
         dec = self._mat_rows(slice(None))
         self._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
@@ -267,9 +318,17 @@ class _Graph:
 
     def add_all(self, ids, mat: np.ndarray) -> None:
         base = len(self.ids)
-        if getattr(self, "codes", None) is not None:
-            # quantized graph: encode new rows with the FROZEN affine params
+        if getattr(self, "pq_codes", None) is not None:
+            # quantized graph: encode new rows with the FROZEN codebooks
             # (same frozen-quantizer contract as IVF's frozen centroids)
+            self.pq_codes = np.vstack(
+                [self.pq_codes, self._encode_pq(np.asarray(mat, dtype=np.float64))]
+            )
+            dec = self._mat_rows(slice(None))
+            self._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
+            self._norms_sq = (dec * dec).sum(axis=1)
+        elif getattr(self, "codes", None) is not None:
+            # quantized graph: encode new rows with the FROZEN affine params
             self.codes = np.vstack([self.codes, self._encode_sq8(np.asarray(mat, dtype=np.float64))])
             dec = self._mat_rows(slice(None))
             self._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
@@ -929,6 +988,48 @@ class ShardedHNSW:
             default_n_probe=self.default_n_probe, params=params,
         )
 
+    def quantize_pq(self, model) -> "ShardedHNSW":
+        """PQ-compress every shard graph (the PQ twin of :meth:`quantize`):
+        one distributed pass swaps each shard's float64 matrix for (n, m)
+        uint8 codes against ``model``'s codebooks (_Graph.quantize_pq) —
+        with m=16 on dim-64 vectors that is 16 bytes/vector vs 64 for SQ8
+        and 512 for float64, a further 4×/32× serving-density step.
+        ``model`` is a similarity/pq.PQModel (or anything with
+        ``centroids``/``bounds``); the codebooks are frozen into params
+        (JSON, O(m·k·dim) driver state — same order as the routing
+        centroids) so save/load and insert-into-empty-shard encode
+        consistently. Walk distances become codebook-reconstruction (ADC)
+        approximations — serve with probe(rerank=source_df)."""
+        import pickle
+
+        import pandas as pd
+
+        from ..shipping import ensure_package_on_workers
+
+        ensure_package_on_workers(self._spark)
+        books = [[[float(x) for x in row] for row in b] for b in model.centroids]
+        bounds = [[int(s), int(e)] for s, e in model.bounds]
+
+        def run(batches):
+            for pdf in batches:
+                out_s, out_b = [], []
+                for shard, blob in zip(pdf["shard"], pdf["blob"]):
+                    g = pickle.loads(blob)
+                    g.quantize_pq(books, bounds)
+                    out_s.append(shard)
+                    out_b.append(pickle.dumps(g))
+                yield pd.DataFrame({"shard": out_s, "blob": out_b})
+
+        blobs = self.blobs.mapInPandas(run, "shard long, blob binary").localCheckpoint(
+            eager=True
+        )
+        params = dict(self.params or {}, pq_books=books, pq_bounds=bounds)
+        return ShardedHNSW(
+            self.vec_col, self.id_col, self.dist, blobs, self._spark,
+            centroids=self.centroids, id_type=self.id_type,
+            default_n_probe=self.default_n_probe, params=params,
+        )
+
     def rank_shards(self, query: list[float]) -> list[int]:
         """Nearest-centroid shard order (driver-side, |shards| entries) —
         same scoring orientation as IVFFlat.rank_buckets."""
@@ -1198,11 +1299,12 @@ class ShardedHNSW:
                     if blob is not None:
                         g = pickle.loads(blob)
                     else:
-                        # shard was empty at build time: fresh graph, SQ8-
-                        # encoded with the frozen params if the index is
-                        # quantized
+                        # shard was empty at build time: fresh graph,
+                        # quantized with the frozen params if the index is
                         g = _Graph(m, efc, efs, dist, seed)
-                        if "sq8_mins" in p:
+                        if "pq_books" in p:
+                            g.quantize_pq(p["pq_books"], p["pq_bounds"])
+                        elif "sq8_mins" in p:
                             g.quantize_sq8(p["sq8_mins"], p["sq8_maxs"])
                     recs = sorted(
                         ((r["__nid"], r["__nv"]) for r in new), key=lambda t: t[0]
@@ -1590,6 +1692,70 @@ def offline_routed_sq8_batch(
         for hid, d in scored[:k]:
             out.append((qid, hid, d))
     return out
+
+
+def offline_routed_pq_probe(
+    centroids: list[list[float]],
+    graphs: dict[int, _Graph],
+    vectors_by_id: dict,
+    query: list[float],
+    k: int,
+    n_probe: int,
+    model,
+    dist: str = "l2",
+    rerank_mult: int = 4,
+) -> list[tuple]:
+    """Replay ``ShardedHNSW.quantize_pq(model).probe(..., rerank=src)`` —
+    the PQ twin of :func:`offline_routed_sq8_probe`: quantize the replayed
+    graphs with the same codebooks, walk each probed shard for
+    k·rerank_mult reconstruction-distance candidates, rerank the candidate
+    ids with the exact left-fold arithmetic Spark's functions.vector
+    expressions evaluate. Returns [(id, exact_distance)]."""
+    books = [[[float(x) for x in row] for row in b] for b in model.centroids]
+    bounds = [[int(s), int(e)] for s, e in model.bounds]
+    for g in graphs.values():
+        g.quantize_pq(books, bounds)
+
+    def score(c: list[float]) -> float:
+        if dist == "l2":
+            return math.dist(c, query)
+        dot = sum(x * y for x, y in zip(c, query))
+        if dist == "ip":
+            return -dot
+        na = math.sqrt(sum(x * x for x in c)) or 1e-300
+        nb = math.sqrt(sum(y * y for y in query)) or 1e-300
+        return -(dot / (na * nb))
+
+    ranked = sorted(range(len(centroids)), key=lambda i: score(centroids[i]))
+    q = np.asarray(query, dtype=np.float64)
+    cand: set = set()
+    for b in ranked[:n_probe]:
+        g = graphs.get(b)
+        if g is None:
+            continue
+        for hid, _d in g.search(q, k * rerank_mult):
+            cand.add(hid)
+
+    def fold(vals) -> float:
+        s = 0.0
+        for v in vals:
+            s = s + v
+        return s
+
+    def exact(v: list[float]) -> float:
+        if dist == "l2":
+            return math.sqrt(fold((x - y) * (x - y) for x, y in zip(v, query)))
+        dot = fold(x * y for x, y in zip(v, query))
+        if dist == "ip":
+            return dot
+        na = math.sqrt(fold(x * x for x in v))
+        nb = math.sqrt(fold(y * y for y in query))
+        return dot / (na * nb)
+
+    asc = dist == "l2"
+    scored = [(hid, exact([float(x) for x in vectors_by_id[hid]])) for hid in cand]
+    scored.sort(key=lambda t: (t[1] if asc else -t[1], t[0]))
+    return scored[:k]
 
 
 def offline_routed_insert(

@@ -2392,6 +2392,54 @@ def q_ann_hnsw_routed_sq8_rerank(spark, sf_dir):
     )
 
 
+def _hnsw_routed_pq_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed_pq_probe
+
+    cents, graphs = _offline_routed_cached(mutable=True)
+    model, _ids, _codes = _offline_pq_cached()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    hits = offline_routed_pq_probe(cents, graphs, vecs, QUERY_VEC, 10, 2, model)
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_hnsw_routed_pq_rerank", _hnsw_routed_pq_oracle)
+def q_ann_hnsw_routed_pq_rerank(spark, sf_dir):
+    # PQ codes INSIDE the routed shard graphs (ShardedHNSW.quantize_pq):
+    # the per-shard vector matrix drops to m=16 bytes/vector (4× denser
+    # than SQ8 on dim-64, 32× vs float64), walks run over codebook
+    # reconstructions (ADC), and the shortlist reranks with exact
+    # distances against the source table — the FAISS IVF+PQ serving
+    # density brought to the sharded-HNSW layout. Exact offline-replay
+    # oracle (offline_routed_pq_probe — same codebooks, walk, and
+    # fold-order rerank arithmetic).
+    from .index.hnsw import HNSWIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "hnsw_routed_pq")
+    if key not in _INDEX_CACHE:
+        rkey = (sf_dir, "hnsw_routed")
+        if rkey not in _INDEX_CACHE:
+            _INDEX_CACHE[rkey] = HNSWIndex.build_routed(
+                emb, "embedding", "vec_id", **_routed_params()
+            )
+        model, _codes = _pq_for(spark, sf_dir)
+        _INDEX_CACHE[key] = _INDEX_CACHE[rkey].quantize_pq(model)
+    probe = _INDEX_CACHE[key].probe(QUERY_VEC, 10, n_probe=2, rerank=emb)
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
 def _hnsw_routed_insert_oracle() -> str:
     import pyarrow.parquet as pq
 

@@ -518,6 +518,19 @@ class SqlEngine:
                             [r["mn"] for r in stats], [r["mx"] for r in stats]
                         )
                         idx.default_n_probe = n_probe
+                    elif opts.get("pq"):
+                        # WITH (pq=1[, pq_m=M, pq_k=K]) on a routed build:
+                        # shard graphs store product-quantization codes
+                        # (m bytes/vector); serve via probe(rerank=source)
+                        from .similarity.pq import PQModel
+
+                        model = PQModel.train(
+                            df, col, id_col,
+                            m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
+                        )
+                        n_probe = idx.default_n_probe
+                        idx = idx.quantize_pq(model)
+                        idx.default_n_probe = n_probe
                 else:
                     idx = HNSWIndex.build(df, col, id_col, **common)
             self.indexes.create(

@@ -696,3 +696,112 @@ def test_routed_batch_skips_dedupe_when_not_replicated(emb):
     for r in rows:
         by_q.setdefault(r["qid"], []).append(r)
     assert all(len(v) == 3 for v in by_q.values())
+
+
+def test_sharded_pq_quantize_rerank_and_size(emb):
+    """PQ codes inside the shard blobs (ShardedHNSW.quantize_pq — the PQ
+    twin of the SQ8 path): probe with exact rerank must (a) return EXACT
+    distances, (b) keep recall vs exact KNN high, and (c) shrink the blobs
+    (m=16 bytes/vector vs 512 for float64; the per-graph codebook copy is
+    O(m·k·dim) and amortizes with corpus size)."""
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    model = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+    pq = routed.quantize_pq(model)
+    assert "pq_books" in pq.params and "pq_bounds" in pq.params
+
+    exact_rows = knn(emb, "embedding", QUERY, 10).collect()
+    exact = {r["vec_id"]: r["distance"] for r in exact_rows}
+    got = pq.probe(QUERY, 10, n_probe=2, rerank=emb).collect()
+    assert len(got) == 10
+    # reranked distances are exact, not reconstruction approximations
+    for r in got:
+        if r["vec_id"] in exact:
+            assert r["distance"] == pytest.approx(exact[r["vec_id"]], abs=1e-9)
+    pq_recall = len({r["vec_id"] for r in got} & set(exact)) / 10
+    assert pq_recall >= 0.7, pq_recall
+
+    plain_bytes = sum(len(r["blob"]) for r in routed.blobs.collect())
+    pq_bytes = sum(len(r["blob"]) for r in pq.blobs.collect())
+    assert pq_bytes < plain_bytes * 0.7, (pq_bytes, plain_bytes)
+
+
+def test_sharded_pq_insert_after_quantize(emb, spark):
+    """Insert into a PQ-quantized index: new rows encode with the FROZEN
+    codebooks inside the touched shard's graph, and an inserted duplicate
+    is findable via the reranked probe."""
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    model = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+    pq = routed.quantize_pq(model)
+
+    target = emb.limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [(77777, list(target["embedding"]))], "vec_id long, embedding array<double>"
+    )
+    ext = pq.insert(new)
+    src = emb.select("vec_id", "embedding").unionByName(new)
+    q = [float(x) for x in target["embedding"]]
+    ids = {r["vec_id"] for r in ext.probe(q, 3, n_probe=2, rerank=src).collect()}
+    assert 77777 in ids and target["vec_id"] in ids
+
+
+def test_sharded_pq_save_load_roundtrip(spark, emb, tmp_path):
+    """PQ-quantized ShardedHNSW persists (params carry the frozen
+    codebooks) and the reloaded index probes identically."""
+    from bustub_vectordb_spark.index.hnsw import ShardedHNSW
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    model = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+    pq = routed.quantize_pq(model)
+    before = [
+        (r["vec_id"], r["distance"])
+        for r in pq.probe(QUERY, 5, n_probe=2, rerank=emb).collect()
+    ]
+    pq.save(str(tmp_path / "pqidx"))
+    loaded = ShardedHNSW.load(spark, str(tmp_path / "pqidx"))
+    assert "pq_books" in loaded.params
+    after = [
+        (r["vec_id"], r["distance"])
+        for r in loaded.probe(QUERY, 5, n_probe=2, rerank=emb).collect()
+    ]
+    assert after == before
+
+
+def test_graph_pq_decode_matches_model_and_refuses_double_quantize():
+    """_Graph.quantize_pq codes + decode must equal PQModel.encode_rows +
+    codebook reconstruction (same argmin, same gather), and quantizing an
+    SQ8 graph with PQ must raise instead of compounding two quantizers."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.hnsw import _Graph
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    rng = np.random.RandomState(7)
+    mat = rng.rand(80, 12)
+    model = PQModel.train_rows(mat, m=4, k=8)
+
+    g = _Graph(4, 16, 16, "l2", seed=1)
+    g.add_all(list(range(80)), mat.copy())
+    g.quantize_pq(model.centroids, model.bounds)
+    assert np.array_equal(g.pq_codes, model.encode_rows(mat).astype(np.uint8))
+    want = np.concatenate(
+        [model.centroids[s][model.encode_rows(mat)[:, s]] for s in range(model.m)],
+        axis=1,
+    )
+    assert np.allclose(g._mat_rows(slice(None)), want)
+
+    g2 = _Graph(4, 16, 16, "l2", seed=1)
+    g2.add_all(list(range(80)), mat.copy())
+    g2.quantize_sq8(mat.min(axis=0).tolist(), mat.max(axis=0).tolist())
+    with pytest.raises(ValueError, match="SQ8-quantized"):
+        g2.quantize_pq(model.centroids, model.bounds)

@@ -232,3 +232,27 @@ def test_create_index_ivfpq(spark):
     assert isinstance(idx, IVFPQIndex) and idx.model.m == 2 and idx.model.k == 4
     hits = idx.probe([1.0, 1.0, 1.0, 1.0], 3).collect()
     assert len(hits) == 3
+
+
+def test_create_index_hnsw_routed_pq(spark):
+    """CREATE INDEX ... USING hnsw WITH (shards=2, pq=1): the routed build
+    PQ-quantizes its shard blobs (frozen codebooks in params), keeps
+    default_n_probe, and the registered index still probes correctly."""
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE mtpq(v1 VECTOR(3), v2 integer)")
+    e.execute(
+        "INSERT INTO mtpq VALUES (ARRAY [1.0,2.0,3.0], 1),"
+        " (ARRAY [2.0,2.0,3.0], 2), (ARRAY [3.0,2.0,3.0], 3),"
+        " (ARRAY [9.0,9.0,9.0], 4)"
+    )
+    e.execute(
+        "CREATE INDEX mpq1 ON mtpq USING hnsw (v1 vector_l2_ops)"
+        " WITH (m = 4, ef_construction = 8, ef_search = 8, shards = 2,"
+        " pq = 1, pq_m = 3, pq_k = 4)"
+    )
+    idx = next(i for i in e.indexes.lookup("mtpq", "v1") if i.name == "mpq1").index
+    assert "pq_books" in idx.params and idx.default_n_probe == 2
+    hits = idx.probe([1.0, 2.0, 3.0], 2, rerank=e.catalog.tables["mtpq"].df).collect()
+    assert len(hits) == 2
