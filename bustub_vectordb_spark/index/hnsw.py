@@ -1758,6 +1758,50 @@ def offline_routed_pq_probe(
     return scored[:k]
 
 
+def offline_routed_pq_batch(
+    centroids: list[list[float]],
+    graphs: dict[int, _Graph],
+    vectors_by_id: dict,
+    queries: list[tuple],
+    k: int,
+    n_probe: int,
+    model,
+    rerank_mult: int = 4,
+) -> list[tuple]:
+    """Replay ``ShardedHNSW.quantize_pq(model).search_batch(..., rerank=src)``
+    for l2 routed builds — the PQ twin of :func:`offline_routed_sq8_batch`:
+    same routing fold arithmetic, reconstruction-distance walks for
+    k·rerank_mult candidates, exact left-fold l2 rerank, (d, id)-ordered
+    top-k. Returns [(qid, id, d)]."""
+    books = [[[float(x) for x in row] for row in b] for b in model.centroids]
+    bounds = [[int(s), int(e)] for s, e in model.bounds]
+    for g in graphs.values():
+        g.quantize_pq(books, bounds)
+    out = []
+    for qid, qv in queries:
+        ranked = sorted((_l2_sq_fold(qv, c), b) for b, c in enumerate(centroids))
+        cand: set = set()
+        for _, b in ranked[:n_probe]:
+            g = graphs.get(b)
+            if g is None:
+                continue
+            for hid, _d in g.search(np.asarray(qv, dtype=np.float64), k * rerank_mult):
+                cand.add(hid)
+
+        def exact(v: list[float]) -> float:
+            s = 0.0
+            for x, y in zip(v, qv):
+                d = x - y
+                s = s + d * d
+            return math.sqrt(s)
+
+        scored = [(hid, exact([float(x) for x in vectors_by_id[hid]])) for hid in cand]
+        scored.sort(key=lambda t: (t[1], t[0]))
+        for hid, d in scored[:k]:
+            out.append((qid, hid, d))
+    return out
+
+
 def offline_routed_insert(
     centroids: list[list[float]],
     graphs: dict[int, _Graph],

@@ -2392,6 +2392,58 @@ def q_ann_hnsw_routed_sq8_rerank(spark, sf_dir):
     )
 
 
+def _hnsw_routed_pq_batch_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed_pq_batch
+
+    cents, graphs = _offline_routed_cached(mutable=True)
+    model, _ids, _codes = _offline_pq_cached()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    qs = [(qid, qv) for qid, qv in zip(ids, vecs) if qid % 97 == 0]
+    rows = [
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_pq_batch(
+            cents, graphs, dict(zip(ids, vecs)), qs, 5, 2, model
+        )
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_hnsw_routed_pq_batch", _hnsw_routed_pq_batch_oracle)
+def q_ann_hnsw_routed_pq_batch(spark, sf_dir):
+    # Batch serving over PQ-compressed shards: reconstruction-distance
+    # walks gather k·rerank_mult candidates per probed shard, exact rerank
+    # joins the (qid, id) shortlist to the source + query vectors, windowed
+    # per-query top-k. Exact offline replay (offline_routed_pq_batch).
+    from .index.hnsw import HNSWIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "hnsw_routed_pq")
+    if key not in _INDEX_CACHE:
+        rkey = (sf_dir, "hnsw_routed")
+        if rkey not in _INDEX_CACHE:
+            _INDEX_CACHE[rkey] = HNSWIndex.build_routed(
+                emb, "embedding", "vec_id", **_routed_params()
+            )
+        model, _codes = _pq_for(spark, sf_dir)
+        _INDEX_CACHE[key] = _INDEX_CACHE[rkey].quantize_pq(model)
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = _INDEX_CACHE[key].search_batch(
+        queries, "embedding", "qid", k=5, n_probe=2, rerank=emb
+    )
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
 def _hnsw_routed_pq_oracle() -> str:
     import pyarrow.parquet as pq
 

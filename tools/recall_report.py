@@ -61,6 +61,7 @@ def main():
                                     m=8, ef_construction=48, ef_search=48)
     stats = dim_stats(emb, "embedding").orderBy("dim").collect()
     routed_sq8 = routed.quantize([r["mn"] for r in stats], [r["mx"] for r in stats])
+    routed_pq = routed.quantize_pq(pqm)
 
     tiers = [
         ("exact scan", f"{dim * 8} B/vec",
@@ -79,6 +80,8 @@ def main():
          lambda q: {r["vec_id"] for r in routed.probe(list(q), K, n_probe=2).collect()}),
         ("hnsw routed sq8+rerank", f"{dim} B/vec in-graph",
          lambda q: {r["vec_id"] for r in routed_sq8.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
+        ("hnsw routed pq+rerank", "16 B/vec in-graph",
+         lambda q: {r["vec_id"] for r in routed_pq.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
     ]
     print(f"# recall@{K} over {len(qidx)} queries, {n} vectors x {dim} dims ({SF_DIR})")
     print(f"{'tier':<26} {'vector storage':<18} recall@10")
