@@ -1,0 +1,392 @@
+"""Vamana-style distributed SINGLE-graph ANN build (DiskANN merge recipe).
+
+The routed ShardedHNSW (hnsw.py) is the serving-oriented 100 TB design:
+independent graphs per spatial shard, probes pruned to n_probe shards. What
+it deliberately does NOT produce is ONE navigable graph over the whole
+corpus — the artifact DiskANN-class systems build for single-node SSD/RAM
+serving. This module closes that gap with the published DiskANN merge
+construction (Subramanya et al., NeurIPS 2019 §4: build overlapping
+cluster sub-indexes, union their edge lists, prune per vertex), expressed
+Spark-first:
+
+  1. coarse k-means centroids (the exact recipe/determinism contract of
+     HNSWIndex.build_routed — id-ordered seeds + bounded id-sorted sample);
+  2. every vector is routed to ALL centroids within (1+eps) of its nearest
+     (SPANN/DiskANN overlapping clusters) — the overlap is what stitches
+     the final graph together: a vector living in two clusters carries
+     edges into both neighborhoods;
+  3. one sub-graph per cluster via ``applyInPandas`` (the tested _Graph
+     HNSW build; its layer-0 adjacency — up to m² candidates per vertex —
+     is the shard's edge proposal set);
+  4. the proposals are UNIONed and symmetrized as a plain DataFrame of
+     (src, dst) pairs, exact distances attach via the codegen'd l2 fold
+     (functions.vector.l2_dist — JVM, no UDF), and a per-src window keeps
+     the R nearest (DiskANN's degree bound) — one shuffle each;
+  5. the entry point is the corpus pseudo-medoid: the row nearest to the
+     centroid mean (a deterministic TopN with literal query, id tie-break).
+
+The BUILD is fully distributed (nothing corpus-sized ever reaches the
+driver); the finished graph is a pair of DataFrames (vertices + pruned
+adjacency) persisted with save()/load(). SERVING a single pointer-chase
+graph is inherently a one-node concern (DiskANN serves from one machine's
+SSD) — probe() materializes the graph into the driver once, guarded by
+``SERVE_MAX_ROWS``, and walks it with the tested greedy beam search
+(_Graph.search over a single layer, beam width L).
+
+Determinism: centroids, routing, per-shard insert order (id-sorted),
+edge-set union (set semantics), prune ranking ((dist, dst) ties), and the
+medoid TopN are all pure functions of the table contents, so
+``offline_vamana`` replays the whole build bit-exactly for the correctness
+oracle — same contract as offline_routed.
+
+Reference surface: vector index build/scan (src/storage/index/
+hnsw_index.cpp, src/optimizer/vector_index_scan.cpp) — this is an
+additional build strategy for the same probe semantics, not a reference
+port; the merge algorithm is the published DiskANN construction.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .hnsw import _Graph, _id_type, _l2_sq_fold
+
+
+def _centroid_mean(centroids: list[list[float]]) -> list[float]:
+    """Pseudo-medoid query point: numpy mean over the (driver-resident)
+    centroid list — computed identically by build and offline replay."""
+    return [float(x) for x in np.asarray(centroids, dtype=np.float64).mean(axis=0)]
+
+
+@dataclass
+class VamanaIndex:
+    """One flat navigable graph over the whole corpus, built distributed.
+
+    ``vertices``: (id, vec) DataFrame; ``edges``: (id, neighbors array —
+    R nearest, prune-rank order) DataFrame; ``entry``: external id of the
+    pseudo-medoid; ``params``: build parameters (frozen for save/load).
+    """
+
+    vec_col: str
+    id_col: str
+    dist: str
+    vertices: "object"  # DataFrame
+    edges: "object"  # DataFrame
+    entry: object
+    _spark: "object"
+    id_type: str = "bigint"
+    params: dict | None = None
+    _driver_graph: _Graph | None = field(default=None, repr=False)
+
+    SERVE_MAX_ROWS = 2_000_000
+
+    @classmethod
+    def build(
+        cls,
+        df,
+        vec_col: str,
+        id_col: str,
+        shards: int = 4,
+        m: int = 8,
+        ef_construction: int = 48,
+        ef_search: int = 48,
+        overlap_eps: float = 0.2,
+        r: int = 16,
+        dist: str = "l2",
+        seed: int = 42,
+        max_iter: int = 5,
+    ) -> "VamanaIndex":
+        if dist != "l2":
+            raise ValueError("vamana merge build currently supports l2 only")
+        import pickle
+
+        import pandas as pd
+        from pyspark.sql import Window, functions as F
+
+        from ..functions.vector import l2_dist, vec_lit
+        from ..shipping import ensure_package_on_workers
+        from .ivfflat import IVFFlatIndex, _centroid_literal, _l2_sq, _lloyds_numpy
+
+        ensure_package_on_workers(df.sparkSession)
+        vec = F.col(vec_col).cast("array<double>")
+        seeds = df.orderBy(id_col).limit(shards).select(vec.alias("v")).collect()
+        init = [list(row["v"]) for row in seeds]
+        if len(init) < shards:
+            raise ValueError(f"table has fewer than shards={shards} rows")
+        n = df.count()
+        dim = len(init[0])
+        frac = min(1.0, IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS / max(n * dim, 1))
+        sample = (
+            df.select(F.col(id_col).alias("__id"), vec.alias("v"))
+            if frac >= 1.0
+            else df.sample(fraction=frac, seed=seed).select(
+                F.col(id_col).alias("__id"), vec.alias("v")
+            )
+        )
+        srows = sorted(sample.collect(), key=lambda row: row["__id"])
+        centroids = _lloyds_numpy([list(row["v"]) for row in srows], init, max_iter)
+
+        # overlapping-cluster routing: every centroid within (1+eps)x of the
+        # nearest (same expression shape as build_routed's replicate branch)
+        base = df.select(F.col(id_col), vec.alias("__v"))
+        scored = F.transform(
+            _centroid_literal(centroids),
+            lambda c, i: F.struct(_l2_sq(F.col("__v"), c).alias("d"), i.alias("b")),
+        )
+        thr = (1.0 + overlap_eps) ** 2
+        routed = (
+            base.withColumn("__sc", scored)
+            .withColumn(
+                "__thr",
+                F.array_min(F.transform(F.col("__sc"), lambda s: s["d"])) * thr,
+            )
+            .select(
+                id_col,
+                "__v",
+                F.explode(
+                    F.filter(F.col("__sc"), lambda s: s["d"] <= F.col("__thr"))
+                ).alias("__e"),
+            )
+            .select(id_col, "__v", F.col("__e.b").cast("int").alias("__shard"))
+        )
+
+        idt = _id_type(df, id_col)
+
+        def propose(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            # id-sorted insert pins the sub-graph (see build_routed); the
+            # layer-0 adjacency (<= m^2 per vertex) is this cluster's edge
+            # proposal set, emitted as external-id pairs
+            pdf = pdf.sort_values(id_col)
+            g = _Graph(m, ef_construction, ef_search, dist, seed)
+            g.add_all(
+                pdf[id_col].tolist(),
+                np.asarray(pdf["__v"].tolist(), dtype=np.float64),
+            )
+            src, dst = [], []
+            for v, nbs in g.edges[0].items():
+                for nb in nbs:
+                    src.append(g.ids[v])
+                    dst.append(g.ids[nb])
+            return pd.DataFrame({"src": src, "dst": dst})
+
+        pairs = routed.groupBy("__shard").applyInPandas(
+            propose, f"src {idt}, dst {idt}"
+        )
+        # union across clusters + symmetrize (Vamana keeps reciprocal
+        # edges), dedupe replicas — set semantics, one shuffle
+        sym = pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+        # exact-distance prune to the R nearest per vertex: two co-
+        # partitioned joins attach the endpoint vectors, the distance is
+        # the codegen'd l2 fold, and a per-src window ranks (dist, dst)
+        vtx = df.select(F.col(id_col).alias("__vid"), vec.alias("__vv"))
+        scored_pairs = (
+            sym.join(vtx, sym["src"] == vtx["__vid"])
+            .select("src", "dst", F.col("__vv").alias("__sv"))
+            .join(vtx, F.col("dst") == vtx["__vid"])
+            .select(
+                "src", "dst",
+                l2_dist(F.col("__sv"), F.col("__vv")).alias("__d"),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(F.col("__d").asc(), F.col("dst").asc())
+        pruned = (
+            scored_pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= r)
+            .groupBy("src")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__rn", "dst"))),
+                    lambda s: s["dst"],
+                ).alias("neighbors")
+            )
+            .select(F.col("src").alias(id_col), "neighbors")
+        )
+
+        # entry point: corpus pseudo-medoid — nearest row to the centroid
+        # mean, deterministic (dist, id) TopN with a literal query vector
+        pm = _centroid_mean(centroids)
+        entry_row = (
+            base.select(id_col, l2_dist(F.col("__v"), vec_lit(pm)).alias("__d"))
+            .orderBy(F.col("__d").asc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+
+        vertices = df.select(F.col(id_col), vec.alias("vec"))
+        params = dict(
+            shards=shards, m=m, ef_construction=ef_construction,
+            ef_search=ef_search, overlap_eps=overlap_eps, r=r, seed=seed,
+        )
+        return cls(
+            vec_col, id_col, dist, vertices, pruned, entry_row[id_col],
+            df.sparkSession, id_type=idt, params=params,
+        )
+
+    # -- serving -----------------------------------------------------------
+    def _graph(self) -> _Graph:
+        """Materialize the flat graph into the driver once (guarded) as a
+        single-layer _Graph shell, so probes reuse the tested greedy
+        beam-search walk. The cap mirrors the HNSW driver-build guard: a
+        corpus past SERVE_MAX_ROWS belongs on a dedicated search node
+        loading the save()d parquet artifact, not in this driver."""
+        if self._driver_graph is not None:
+            return self._driver_graph
+        over = self.vertices.limit(self.SERVE_MAX_ROWS + 1).count()
+        if over > self.SERVE_MAX_ROWS:
+            raise ValueError(
+                f"vamana serving materializes the graph: > {self.SERVE_MAX_ROWS} "
+                "rows; load the saved artifact on a dedicated search node"
+            )
+        verts = sorted(
+            self.vertices.collect(), key=lambda row: row[self.id_col]
+        )
+        p = self.params or {}
+        g = _Graph(
+            p.get("r", 16), p.get("ef_construction", 48),
+            p.get("ef_search", 48), self.dist, p.get("seed", 42),
+        )
+        g.ids = [row[self.id_col] for row in verts]
+        g.vecs = np.asarray([list(row["vec"]) for row in verts], dtype=np.float64)
+        g._norms = np.maximum(np.linalg.norm(g.vecs, axis=1), 1e-300)
+        g._norms_sq = (g.vecs * g.vecs).sum(axis=1)
+        idmap = {ext: i for i, ext in enumerate(g.ids)}
+        layer0: dict[int, list[int]] = {i: [] for i in range(len(g.ids))}
+        for row in self.edges.collect():
+            layer0[idmap[row[self.id_col]]] = [
+                idmap[d] for d in row["neighbors"]
+            ]
+        g.edges = [layer0]
+        g.entry = idmap[self.entry]
+        self._driver_graph = g
+        return g
+
+    def probe(self, query: list[float], k: int, ef: int | None = None):
+        """Top-k beam search over the merged graph → small DataFrame
+        (id, distance), same output contract as HNSWIndex.probe."""
+        g = self._graph()
+        hits = g.search(np.asarray(query, dtype=np.float64), k, ef=ef)
+        return self._spark.createDataFrame(
+            [(h, float(d)) for h, d in hits],
+            f"{self.id_col} {self.id_type}, distance double",
+        )
+
+    # -- persistence -------------------------------------------------------
+    def save(self, path: str) -> None:
+        import json
+
+        self.vertices.write.mode("overwrite").parquet(f"{path}/vertices")
+        self.edges.write.mode("overwrite").parquet(f"{path}/edges")
+        meta = self._spark.createDataFrame(
+            [(self.vec_col, self.id_col, self.dist, str(self.entry),
+              self.id_type, json.dumps(self.params or {}))],
+            "vec_col string, id_col string, dist string, entry string, "
+            "id_type string, params string",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "VamanaIndex":
+        import json
+
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        entry: object = meta["entry"]
+        if meta["id_type"] in ("bigint", "int", "long", "smallint", "tinyint"):
+            entry = int(entry)
+        return cls(
+            meta["vec_col"], meta["id_col"], meta["dist"],
+            spark.read.parquet(f"{path}/vertices"),
+            spark.read.parquet(f"{path}/edges"),
+            entry, spark, id_type=meta["id_type"],
+            params=json.loads(meta["params"]),
+        )
+
+
+def offline_vamana(
+    parquet_path: str,
+    vec_col: str,
+    id_col: str,
+    shards: int = 4,
+    m: int = 8,
+    ef_construction: int = 48,
+    ef_search: int = 48,
+    overlap_eps: float = 0.2,
+    r: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> _Graph:
+    """Replay ``VamanaIndex.build`` without Spark: same centroids, same
+    overlap routing fold arithmetic, same id-sorted sub-graph builds, same
+    symmetrized union, same (dist, dst)-ranked prune with the l2 left-fold
+    Spark's codegen evaluates, same pseudo-medoid entry. Returns the
+    driver-serving _Graph shell — probes on it match probe() bit-exactly.
+    Valid only on inputs small enough for the full-table training path."""
+    from .hnsw import _read_sorted
+    from .ivfflat import IVFFlatIndex, _lloyds_numpy
+
+    ids, vecs = _read_sorted(parquet_path, vec_col, id_col)
+    n, dim = len(vecs), len(vecs[0]) if vecs else 0
+    if n * dim > IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS:
+        raise ValueError("offline_vamana only replicates the full-table training path")
+    if n < shards:
+        raise ValueError(f"table has fewer than shards={shards} rows")
+    centroids = _lloyds_numpy(vecs, [list(v) for v in vecs[:shards]], max_iter)
+
+    thr_mult = (1.0 + overlap_eps) ** 2
+    members: dict[int, tuple[list, list]] = {}
+    for i, v in zip(ids, vecs):
+        dists = [_l2_sq_fold(v, c) for c in centroids]
+        thr = min(dists) * thr_mult
+        for b, d in enumerate(dists):
+            if d <= thr:
+                members.setdefault(b, ([], []))[0].append(i)
+                members[b][1].append(v)
+
+    pairs: set = set()
+    for b, (mids, mvecs) in sorted(members.items()):
+        g = _Graph(m, ef_construction, ef_search, "l2", seed)
+        g.add_all(mids, np.asarray(mvecs, dtype=np.float64))
+        for v, nbs in g.edges[0].items():
+            for nb in nbs:
+                pairs.add((g.ids[v], g.ids[nb]))
+    sym = pairs | {(d, s) for s, d in pairs}
+
+    by_id = dict(zip(ids, vecs))
+
+    def fold_l2(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            s = s + d * d
+        return math.sqrt(s)
+
+    adj_ext: dict = {}
+    cand_by_src: dict = {}
+    for s, d in sym:
+        cand_by_src.setdefault(s, []).append(d)
+    for s, cands in cand_by_src.items():
+        sv = by_id[s]
+        ranked = sorted((fold_l2(sv, by_id[d]), d) for d in cands)
+        adj_ext[s] = [d for _, d in ranked[:r]]
+
+    pm = _centroid_mean(centroids)
+    entry_ext = min(ids, key=lambda i: (fold_l2(by_id[i], pm), i))
+
+    g = _Graph(r, ef_construction, ef_search, "l2", seed)
+    order = sorted(ids)
+    g.ids = list(order)
+    g.vecs = np.asarray([by_id[i] for i in order], dtype=np.float64)
+    g._norms = np.maximum(np.linalg.norm(g.vecs, axis=1), 1e-300)
+    g._norms_sq = (g.vecs * g.vecs).sum(axis=1)
+    idmap = {ext: i for i, ext in enumerate(order)}
+    layer0: dict[int, list[int]] = {i: [] for i in range(len(order))}
+    for s, nbs in adj_ext.items():
+        layer0[idmap[s]] = [idmap[d] for d in nbs]
+    g.edges = [layer0]
+    g.entry = idmap[entry_ext]
+    return g

@@ -2392,6 +2392,49 @@ def q_ann_hnsw_routed_sq8_rerank(spark, sf_dir):
     )
 
 
+def _vamana_merged_oracle() -> str:
+    import numpy as np
+
+    from .index.vamana import offline_vamana
+
+    g = offline_vamana(
+        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+        shards=4, overlap_eps=0.2, r=16,
+    )
+    hits = g.search(np.asarray(QUERY_VEC, dtype=np.float64), 10)
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_vamana_merged", _vamana_merged_oracle)
+def q_ann_vamana_merged(spark, sf_dir):
+    # Distributed SINGLE-graph build (DiskANN merge, Subramanya et al.
+    # 2019 §4): overlapping k-means clusters route each vector to every
+    # centroid within (1+eps) of its nearest, one sub-graph per cluster
+    # builds in parallel (applyInPandas), edge proposals union+symmetrize
+    # as a plain DataFrame, and a codegen'd-l2 window prune keeps the R
+    # nearest per vertex — nothing corpus-sized touches the driver during
+    # the BUILD. Probe = guarded driver materialization + greedy beam
+    # search. Exact offline-replay oracle (offline_vamana — same
+    # centroids, routing fold, sub-builds, prune ranking, and walk).
+    from .index.vamana import VamanaIndex
+
+    key = (sf_dir, "vamana")
+    if key not in _INDEX_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _INDEX_CACHE[key] = VamanaIndex.build(
+            emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+        )
+    probe = _INDEX_CACHE[key].probe(QUERY_VEC, 10)
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
 def _hnsw_routed_pq_batch_oracle() -> str:
     import pyarrow.parquet as pq
 

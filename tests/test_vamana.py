@@ -1,0 +1,93 @@
+"""Distributed single-graph (Vamana/DiskANN-merge) build semantics: the
+BUILD is distributed DataFrame ops, probes replay bit-exactly offline, and
+the merged graph's recall beats the shard-pruned routed probe (it navigates
+the whole corpus). Algorithm: DiskANN merge construction (Subramanya et
+al. 2019 §4); reference surface: vector index build/probe
+(src/storage/index/hnsw_index.cpp)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bustub_vectordb_spark.index.vamana import VamanaIndex, offline_vamana
+from bustub_vectordb_spark.similarity.brute import knn
+
+QUERY = [0.1 * ((i % 7) - 3) for i in range(64)]
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def vamana(emb):
+    return VamanaIndex.build(
+        emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+    )
+
+
+def test_probe_matches_offline_replay(vamana, sf_dir):
+    """The distributed build is a pure function of the table: the numpy
+    replay (offline_vamana) must produce the identical graph walk."""
+    got = [
+        (r["vec_id"], r["distance"])
+        for r in vamana.probe(QUERY, 10).collect()
+    ]
+    g = offline_vamana(
+        f"{sf_dir}/embeddings.parquet", "embedding", "vec_id",
+        shards=4, overlap_eps=0.2, r=16,
+    )
+    want = [(i, float(d)) for i, d in g.search(np.asarray(QUERY), 10)]
+    assert got == want
+
+
+def test_recall_vs_exact_and_degree_bound(emb, vamana):
+    exact = {r["vec_id"] for r in knn(emb, "embedding", QUERY, 10).collect()}
+    got = {r["vec_id"] for r in vamana.probe(QUERY, 10).collect()}
+    assert len(got) == 10
+    assert len(got & exact) / 10 >= 0.8
+    # DiskANN degree bound holds for every vertex in the pruned adjacency
+    over = vamana.edges.filter(F.size("neighbors") > 16).count()
+    assert over == 0
+
+
+def test_save_load_roundtrip(vamana, spark, tmp_path):
+    before = [
+        (r["vec_id"], r["distance"]) for r in vamana.probe(QUERY, 5).collect()
+    ]
+    vamana.save(str(tmp_path / "vamana"))
+    loaded = VamanaIndex.load(spark, str(tmp_path / "vamana"))
+    assert loaded.params == vamana.params and loaded.entry == vamana.entry
+    after = [
+        (r["vec_id"], r["distance"]) for r in loaded.probe(QUERY, 5).collect()
+    ]
+    assert after == before
+
+
+def test_serving_guard_refuses_big_graph(vamana, monkeypatch):
+    """Serving materializes the graph into the driver — past the cap the
+    right move is a dedicated search node over the saved artifact, and the
+    probe must refuse rather than OOM the driver."""
+    fresh = VamanaIndex(
+        vamana.vec_col, vamana.id_col, vamana.dist, vamana.vertices,
+        vamana.edges, vamana.entry, vamana._spark, id_type=vamana.id_type,
+        params=vamana.params,
+    )
+    monkeypatch.setattr(VamanaIndex, "SERVE_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="search node"):
+        fresh.probe(QUERY, 5)
+
+
+def test_build_plan_stays_distributed(emb):
+    """The edge prune runs as DataFrame ops — no corpus-sized collect. The
+    pruned-adjacency plan must contain the window rank and end in Spark
+    operators (smoke: edges is a real DataFrame with a window in its
+    plan), and every vertex of the source appears in the vertex set."""
+    idx = VamanaIndex.build(
+        emb, "embedding", "vec_id", shards=3, overlap_eps=0.1, r=8
+    )
+    plan = idx.edges._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan or "Window" in plan
+    assert idx.vertices.count() == emb.count()
