@@ -62,6 +62,10 @@ def main():
     stats = dim_stats(emb, "embedding").orderBy("dim").collect()
     routed_sq8 = routed.quantize([r["mn"] for r in stats], [r["mx"] for r in stats])
     routed_pq = routed.quantize_pq(pqm)
+    from bustub_vectordb_spark.index.vamana import VamanaIndex
+
+    vamana = VamanaIndex.build(emb, "embedding", "vec_id", shards=4,
+                               overlap_eps=0.2, r=16)
 
     tiers = [
         ("exact scan", f"{dim * 8} B/vec",
@@ -82,6 +86,8 @@ def main():
          lambda q: {r["vec_id"] for r in routed_sq8.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
         ("hnsw routed pq+rerank", "16 B/vec in-graph",
          lambda q: {r["vec_id"] for r in routed_pq.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
+        ("vamana merged graph", f"{dim * 8} B/vec",
+         lambda q: {r["vec_id"] for r in vamana.probe(list(q), K).collect()}),
     ]
     print(f"# recall@{K} over {len(qidx)} queries, {n} vectors x {dim} dims ({SF_DIR})")
     print(f"{'tier':<26} {'vector storage':<18} recall@10")
