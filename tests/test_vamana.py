@@ -91,3 +91,27 @@ def test_build_plan_stays_distributed(emb):
     plan = idx.edges._jdf.queryExecution().optimizedPlan().toString()
     assert "row_number" in plan or "Window" in plan
     assert idx.vertices.count() == emb.count()
+
+
+def test_vamana_recall_at_scale_sf01(spark):
+    """Merged-graph recall at the bench scale factor (sf0.1, 2000
+    vectors): one distributed DiskANN-merge build must hold recall@10 ≥
+    0.9 averaged over 20 table queries — the merged graph navigates the
+    WHOLE corpus, so it should match or beat the shard-pruned routed
+    probe at the same scale."""
+    from bustub_vectordb_spark.catalog import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.1", "embeddings")
+    idx = VamanaIndex.build(
+        emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 3).limit(20).collect()
+    assert len(queries) == 20
+    recalls = []
+    for r in queries:
+        q = [float(x) for x in r["embedding"]]
+        exact = {x["vec_id"] for x in knn(emb, "embedding", q, 10).collect()}
+        got = {x["vec_id"] for x in idx.probe(q, 10).collect()}
+        recalls.append(len(got & exact) / 10)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.9, f"vamana recall@10 at sf0.1: avg={avg} recalls={recalls}"
