@@ -228,6 +228,26 @@ class VamanaIndex:
             df.sparkSession, id_type=idt, params=params,
         )
 
+    def quantize_pq(self, model) -> "VamanaIndex":
+        """PQ-compress the SERVING side of the merged graph: the search
+        node collects (id, codes) — m bytes/vector instead of 8·dim — so
+        one node holds a ~32× larger corpus under the same memory (the
+        DiskANN trade: PQ codes in RAM, full vectors stay on disk/parquet
+        for rerank). Encoding runs distributed (Arrow-batched mapInPandas,
+        similarity/pq.PQModel.encode); the driver never sees a float
+        matrix. probe() walks ADC reconstructions and reranks the
+        shortlist EXACTLY via a distributed join against the parquet
+        vertices (codegen l2 fold) — output distances are exact.
+        ``model`` is a similarity/pq.PQModel; its codebooks freeze into
+        params so save/load round-trips."""
+        books = [[[float(x) for x in row] for row in b] for b in model.centroids]
+        bounds = [[int(s), int(e)] for s, e in model.bounds]
+        params = dict(self.params or {}, pq_books=books, pq_bounds=bounds)
+        return VamanaIndex(
+            self.vec_col, self.id_col, self.dist, self.vertices, self.edges,
+            self.entry, self._spark, id_type=self.id_type, params=params,
+        )
+
     # -- serving -----------------------------------------------------------
     def _graph(self) -> _Graph:
         """Materialize the flat graph into the driver once (guarded) as a
@@ -243,18 +263,43 @@ class VamanaIndex:
                 f"vamana serving materializes the graph: > {self.SERVE_MAX_ROWS} "
                 "rows; load the saved artifact on a dedicated search node"
             )
-        verts = sorted(
-            self.vertices.collect(), key=lambda row: row[self.id_col]
-        )
         p = self.params or {}
         g = _Graph(
             p.get("r", 16), p.get("ef_construction", 48),
             p.get("ef_search", 48), self.dist, p.get("seed", 42),
         )
-        g.ids = [row[self.id_col] for row in verts]
-        g.vecs = np.asarray([list(row["vec"]) for row in verts], dtype=np.float64)
-        g._norms = np.maximum(np.linalg.norm(g.vecs, axis=1), 1e-300)
-        g._norms_sq = (g.vecs * g.vecs).sum(axis=1)
+        if "pq_books" in p:
+            # PQ serving: encode distributed (Arrow batches), collect only
+            # (id, codes) — m bytes/vector on the search node, never floats
+            from ..similarity.pq import PQModel
+
+            model = PQModel(
+                [np.asarray(b, dtype=np.float64) for b in p["pq_books"]],
+                [(int(s), int(e)) for s, e in p["pq_bounds"]],
+            )
+            rows = sorted(
+                model.encode(self.vertices, "vec", self.id_col).collect(),
+                key=lambda row: row[self.id_col],
+            )
+            g.ids = [row[self.id_col] for row in rows]
+            g.pq_books = model.centroids
+            g.pq_bounds = model.bounds
+            g.pq_codes = np.asarray(
+                [list(row["codes"]) for row in rows], dtype=np.uint8
+            )
+            dec = g._mat_rows(slice(None))
+            g._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
+            g._norms_sq = (dec * dec).sum(axis=1)
+        else:
+            verts = sorted(
+                self.vertices.collect(), key=lambda row: row[self.id_col]
+            )
+            g.ids = [row[self.id_col] for row in verts]
+            g.vecs = np.asarray(
+                [list(row["vec"]) for row in verts], dtype=np.float64
+            )
+            g._norms = np.maximum(np.linalg.norm(g.vecs, axis=1), 1e-300)
+            g._norms_sq = (g.vecs * g.vecs).sum(axis=1)
         idmap = {ext: i for i, ext in enumerate(g.ids)}
         layer0: dict[int, list[int]] = {i: [] for i in range(len(g.ids))}
         for row in self.edges.collect():
@@ -287,12 +332,34 @@ class VamanaIndex:
                 allowed_ids = {row[0] for row in allowed.collect()}
             else:
                 allowed_ids = set(allowed)
+        quantized = "pq_books" in (self.params or {})
+        n_walk = k * 4 if quantized else k
         hits = g.search(
-            np.asarray(query, dtype=np.float64), k, ef=ef, allowed_ids=allowed_ids
+            np.asarray(query, dtype=np.float64), n_walk, ef=ef,
+            allowed_ids=allowed_ids,
         )
-        return self._spark.createDataFrame(
-            [(h, float(d)) for h, d in hits],
-            f"{self.id_col} {self.id_type}, {dist_col} double",
+        if not quantized:
+            return self._spark.createDataFrame(
+                [(h, float(d)) for h, d in hits],
+                f"{self.id_col} {self.id_type}, {dist_col} double",
+            )
+        # ADC shortlist -> EXACT rerank: tiny id list joins the parquet
+        # vertices, distance is the codegen'd l2 fold, (d, id)-ordered
+        from pyspark.sql import functions as F
+
+        from ..functions.vector import l2_dist
+
+        short = self._spark.createDataFrame(
+            [(h,) for h, _ in hits], f"{self.id_col} {self.id_type}"
+        )
+        return (
+            self.vertices.join(F.broadcast(short), self.id_col)
+            .select(
+                F.col(self.id_col),
+                l2_dist(F.col("vec"), [float(x) for x in query]).alias(dist_col),
+            )
+            .orderBy(F.col(dist_col).asc(), F.col(self.id_col).asc())
+            .limit(k)
         )
 
     # -- persistence -------------------------------------------------------
@@ -409,3 +476,37 @@ def offline_vamana(
     g.edges = [layer0]
     g.entry = idmap[entry_ext]
     return g
+
+
+def offline_vamana_pq_probe(
+    g: _Graph,
+    vectors_by_id: dict,
+    query: list[float],
+    k: int,
+    model,
+    rerank_mult: int = 4,
+) -> list[tuple]:
+    """Replay ``VamanaIndex.quantize_pq(model).probe(query, k)`` on an
+    offline_vamana graph: quantize with the same codebooks (same argmin as
+    the distributed PQModel.encode), walk for k·rerank_mult ADC
+    candidates, and rerank the ids with the exact left-fold l2 Spark's
+    codegen evaluates, (d, id)-ordered. Returns [(id, exact_distance)].
+    Mutates ``g`` (quantizes it) — pass a fresh replay."""
+    books = [[[float(x) for x in row] for row in b] for b in model.centroids]
+    bounds = [[int(s), int(e)] for s, e in model.bounds]
+    g.quantize_pq(books, bounds)
+    hits = g.search(np.asarray(query, dtype=np.float64), k * rerank_mult)
+
+    def fold_l2(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            s = s + d * d
+        return math.sqrt(s)
+
+    scored = [
+        (hid, fold_l2([float(x) for x in vectors_by_id[hid]], query))
+        for hid, _d in hits
+    ]
+    scored.sort(key=lambda t: (t[1], t[0]))
+    return scored[:k]

@@ -2435,6 +2435,55 @@ def q_ann_vamana_merged(spark, sf_dir):
     )
 
 
+def _vamana_pq_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.vamana import offline_vamana, offline_vamana_pq_probe
+
+    g = offline_vamana(
+        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+        shards=4, overlap_eps=0.2, r=16,
+    )
+    model, _ids, _codes = _offline_pq_cached()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    hits = offline_vamana_pq_probe(g, vecs, QUERY_VEC, 10, model)
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_vamana_pq_rerank", _vamana_pq_oracle)
+def q_ann_vamana_pq_rerank(spark, sf_dir):
+    # PQ-compressed SERVING of the merged graph (the DiskANN RAM/disk
+    # split): codes encode distributed and the search node collects only
+    # (id, 16-byte codes) — a ~32x larger corpus per node — while probes
+    # walk ADC reconstructions and rerank the shortlist EXACTLY via a
+    # broadcast join against the parquet vertices. Exact offline replay
+    # (offline_vamana_pq_probe).
+    from .index.vamana import VamanaIndex
+
+    key = (sf_dir, "vamana_pq")
+    if key not in _INDEX_CACHE:
+        vkey = (sf_dir, "vamana")
+        if vkey not in _INDEX_CACHE:
+            emb = _t(spark, sf_dir, "embeddings")
+            _INDEX_CACHE[vkey] = VamanaIndex.build(
+                emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+            )
+        model, _codes = _pq_for(spark, sf_dir)
+        _INDEX_CACHE[key] = _INDEX_CACHE[vkey].quantize_pq(model)
+    probe = _INDEX_CACHE[key].probe(QUERY_VEC, 10)
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
 def _hnsw_routed_pq_batch_oracle() -> str:
     import pyarrow.parquet as pq
 

@@ -115,3 +115,53 @@ def test_vamana_recall_at_scale_sf01(spark):
         recalls.append(len(got & exact) / 10)
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.9, f"vamana recall@10 at sf0.1: avg={avg} recalls={recalls}"
+
+
+def test_pq_serving_exact_rerank_and_codes_only(emb, vamana, spark, sf_dir, tmp_path):
+    """PQ-compressed serving (quantize_pq): the driver graph holds ONLY
+    uint8 codes (never a float matrix — the DiskANN RAM/disk split),
+    probes rerank exactly (distances match brute force for returned ids),
+    the walk replays offline bit-exactly, and save/load keeps the frozen
+    codebooks."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.vamana import (
+        offline_vamana,
+        offline_vamana_pq_probe,
+    )
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    model = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+    pq = vamana.quantize_pq(model)
+    g = pq._graph()
+    assert g.vecs is None and g.pq_codes is not None
+    assert g.pq_codes.dtype.itemsize == 1
+
+    exact = {r["vec_id"]: r["distance"] for r in knn(emb, "embedding", QUERY, 10).collect()}
+    got = pq.probe(QUERY, 10).collect()
+    assert len(got) == 10
+    for r in got:
+        if r["vec_id"] in exact:
+            assert r["distance"] == pytest.approx(exact[r["vec_id"]], abs=1e-9)
+    recall = len({r["vec_id"] for r in got} & set(exact)) / 10
+    assert recall >= 0.7, recall
+
+    # offline replay parity
+    og = offline_vamana(
+        f"{sf_dir}/embeddings.parquet", "embedding", "vec_id",
+        shards=4, overlap_eps=0.2, r=16,
+    )
+    by_id = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    want = offline_vamana_pq_probe(og, by_id, QUERY, 10, model)
+    assert [(r["vec_id"], r["distance"]) for r in got] == [
+        (i, float(d)) for i, d in want
+    ]
+
+    # save/load keeps codebooks and probes identically
+    pq.save(str(tmp_path / "vpq"))
+    from bustub_vectordb_spark.index.vamana import VamanaIndex
+
+    loaded = VamanaIndex.load(spark, str(tmp_path / "vpq"))
+    assert "pq_books" in loaded.params
+    after = [(r["vec_id"], r["distance"]) for r in loaded.probe(QUERY, 10).collect()]
+    assert after == [(r["vec_id"], r["distance"]) for r in got]
