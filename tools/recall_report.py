@@ -66,6 +66,7 @@ def main():
 
     vamana = VamanaIndex.build(emb, "embedding", "vec_id", shards=4,
                                overlap_eps=0.2, r=16)
+    vamana_pq = vamana.quantize_pq(pqm)
 
     tiers = [
         ("exact scan", f"{dim * 8} B/vec",
@@ -88,6 +89,8 @@ def main():
          lambda q: {r["vec_id"] for r in routed_pq.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
         ("vamana merged graph", f"{dim * 8} B/vec",
          lambda q: {r["vec_id"] for r in vamana.probe(list(q), K).collect()}),
+        ("vamana pq+rerank", "16 B/vec in-graph",
+         lambda q: {r["vec_id"] for r in vamana_pq.probe(list(q), K).collect()}),
     ]
     print(f"# recall@{K} over {len(qidx)} queries, {n} vectors x {dim} dims ({SF_DIR})")
     print(f"{'tier':<26} {'vector storage':<18} recall@10")
