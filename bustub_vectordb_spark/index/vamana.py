@@ -362,6 +362,80 @@ class VamanaIndex:
             .limit(k)
         )
 
+    def search_batch(
+        self,
+        queries,
+        query_vec: str,
+        qid_col: str,
+        k: int,
+        dist_col: str = "distance",
+        rerank_mult: int = 4,
+    ):
+        """Distributed batch serving over the merged graph: the (guarded)
+        driver graph broadcasts ONCE — with PQ serving that broadcast is
+        16 B/vec codes, small enough to sit on every executor — and the
+        query DataFrame streams through mapInPandas (Arrow batches), one
+        beam walk per query. Unquantized graphs emit exact walk distances
+        directly; PQ graphs emit a k·rerank_mult ADC shortlist that joins
+        the parquet vertices + query vectors for EXACT distances and a
+        per-query windowed top-k (the same serving shape as
+        ShardedHNSW.search_batch(rerank=...))."""
+        import pandas as pd
+        from pyspark.sql import Window, functions as F
+
+        from ..functions.vector import l2_dist
+        from ..shipping import ensure_package_on_workers
+
+        spark = queries.sparkSession
+        ensure_package_on_workers(spark)
+        g = self._graph()
+        bc = spark.sparkContext.broadcast(g)
+        quantized = "pq_books" in (self.params or {})
+        n_walk = k * rerank_mult if quantized else k
+        id_col, idt = self.id_col, self.id_type
+        qschema = {f.name: f.dataType.simpleString() for f in queries.schema}
+        schema = f"{qid_col} {qschema[qid_col]}, {id_col} {idt}, __wd double"
+
+        def run(batches):
+            graph = bc.value
+            for pdf in batches:
+                hit_ids: list = []
+                hit_dists: list = []
+                rep_idx: list = []
+                for i, qv in enumerate(pdf[query_vec].tolist()):
+                    hits = graph.search(np.asarray(qv, dtype=np.float64), n_walk)
+                    hit_ids.extend(h[0] for h in hits)
+                    hit_dists.extend(h[1] for h in hits)
+                    rep_idx.extend([i] * len(hits))
+                out = pdf.iloc[rep_idx][[qid_col]].reset_index(drop=True)
+                out[id_col] = hit_ids
+                out["__wd"] = np.asarray(hit_dists, dtype=np.float64)
+                yield out
+
+        walked = queries.select(qid_col, query_vec).mapInPandas(run, schema)
+        if not quantized:
+            return walked.select(
+                qid_col, id_col, F.col("__wd").alias(dist_col)
+            )
+        qv = queries.select(
+            F.col(qid_col), F.col(query_vec).cast("array<double>").alias("__qv")
+        )
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col(dist_col).asc(), F.col(id_col).asc()
+        )
+        return (
+            walked.select(qid_col, id_col)
+            .join(self.vertices, id_col)
+            .join(qv, qid_col)
+            .select(
+                qid_col, id_col,
+                l2_dist(F.col("vec"), F.col("__qv")).alias(dist_col),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     # -- persistence -------------------------------------------------------
     def save(self, path: str) -> None:
         import json
@@ -510,3 +584,49 @@ def offline_vamana_pq_probe(
     ]
     scored.sort(key=lambda t: (t[1], t[0]))
     return scored[:k]
+
+
+def offline_vamana_batch(g: _Graph, queries: list[tuple], k: int) -> list[tuple]:
+    """Replay ``VamanaIndex.search_batch`` (unquantized): one walk per
+    (qid, vec) query, exact walk distances. Returns [(qid, id, d)]."""
+    out = []
+    for qid, qv in queries:
+        for hid, d in g.search(np.asarray(qv, dtype=np.float64), k):
+            out.append((qid, hid, float(d)))
+    return out
+
+
+def offline_vamana_pq_batch(
+    g: _Graph,
+    vectors_by_id: dict,
+    queries: list[tuple],
+    k: int,
+    model,
+    rerank_mult: int = 4,
+) -> list[tuple]:
+    """Replay ``VamanaIndex.quantize_pq(model).search_batch(...)``:
+    quantize once, per-query ADC walk for k·rerank_mult candidates, exact
+    left-fold l2 rerank, (d, id)-ordered per-query top-k. Returns
+    [(qid, id, d)]. Mutates ``g`` — pass a fresh replay."""
+    books = [[[float(x) for x in row] for row in b] for b in model.centroids]
+    bounds = [[int(s), int(e)] for s, e in model.bounds]
+    g.quantize_pq(books, bounds)
+
+    def fold_l2(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            s = s + d * d
+        return math.sqrt(s)
+
+    out = []
+    for qid, qv in queries:
+        hits = g.search(np.asarray(qv, dtype=np.float64), k * rerank_mult)
+        scored = [
+            (hid, fold_l2([float(x) for x in vectors_by_id[hid]], qv))
+            for hid, _d in hits
+        ]
+        scored.sort(key=lambda t: (t[1], t[0]))
+        for hid, d in scored[:k]:
+            out.append((qid, hid, d))
+    return out

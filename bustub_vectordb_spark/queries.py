@@ -2484,6 +2484,105 @@ def q_ann_vamana_pq_rerank(spark, sf_dir):
     )
 
 
+def _vamana_batch_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.vamana import offline_vamana, offline_vamana_batch
+
+    g = offline_vamana(
+        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+        shards=4, overlap_eps=0.2, r=16,
+    )
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    qs = [(qid, qv) for qid, qv in zip(ids, vecs) if qid % 97 == 0]
+    rows = [
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_vamana_batch(g, qs, 5)
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_vamana_batch", _vamana_batch_oracle)
+def q_ann_vamana_batch(spark, sf_dir):
+    # Distributed batch serving over the merged graph: the guarded driver
+    # graph broadcasts once, queries stream through mapInPandas (Arrow
+    # batches), one beam walk per query with exact walk distances. Exact
+    # offline replay (offline_vamana_batch).
+    from .index.vamana import VamanaIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "vamana")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = VamanaIndex.build(
+            emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+        )
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = _INDEX_CACHE[key].search_batch(queries, "embedding", "qid", k=5)
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
+def _vamana_pq_batch_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.vamana import offline_vamana, offline_vamana_pq_batch
+
+    g = offline_vamana(
+        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+        shards=4, overlap_eps=0.2, r=16,
+    )
+    model, _ids, _codes = _offline_pq_cached()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    qs = [(qid, qv) for qid, qv in zip(ids, vecs) if qid % 97 == 0]
+    rows = [
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_vamana_pq_batch(
+            g, dict(zip(ids, vecs)), qs, 5, model
+        )
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_vamana_pq_batch", _vamana_pq_batch_oracle)
+def q_ann_vamana_pq_batch(spark, sf_dir):
+    # Batch serving over the PQ-compressed merged graph: the broadcast is
+    # 16 B/vec codes, walks emit a k·rerank_mult ADC shortlist, and the
+    # exact rerank joins parquet vertices + query vectors with a per-query
+    # windowed top-k. Exact offline replay (offline_vamana_pq_batch).
+    from .index.vamana import VamanaIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "vamana_pq")
+    if key not in _INDEX_CACHE:
+        vkey = (sf_dir, "vamana")
+        if vkey not in _INDEX_CACHE:
+            _INDEX_CACHE[vkey] = VamanaIndex.build(
+                emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+            )
+        model, _codes = _pq_for(spark, sf_dir)
+        _INDEX_CACHE[key] = _INDEX_CACHE[vkey].quantize_pq(model)
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = _INDEX_CACHE[key].search_batch(queries, "embedding", "qid", k=5)
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
 def _hnsw_routed_pq_batch_oracle() -> str:
     import pyarrow.parquet as pq
 

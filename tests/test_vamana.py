@@ -165,3 +165,37 @@ def test_pq_serving_exact_rerank_and_codes_only(emb, vamana, spark, sf_dir, tmp_
     assert "pq_books" in loaded.params
     after = [(r["vec_id"], r["distance"]) for r in loaded.probe(QUERY, 10).collect()]
     assert after == [(r["vec_id"], r["distance"]) for r in got]
+
+
+def test_search_batch_matches_single_probes(emb, vamana):
+    """Batch serving (broadcast graph + mapInPandas) must agree with
+    per-query probe() on both the plain and the PQ-compressed graph."""
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    queries = emb.limit(6).select(F.col("vec_id").alias("qid"), "embedding")
+    qrows = queries.collect()
+
+    out = vamana.search_batch(queries, "embedding", "qid", k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["vec_id"], r["distance"]))
+    assert len(by_q) == 6
+    for r in qrows:
+        single = [
+            (h["vec_id"], h["distance"])
+            for h in vamana.probe([float(x) for x in r["embedding"]], 3).collect()
+        ]
+        assert sorted(by_q[r["qid"]]) == sorted(single)
+
+    model = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+    pq = vamana.quantize_pq(model)
+    out = pq.search_batch(queries, "embedding", "qid", k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["vec_id"], r["distance"]))
+    for r in qrows:
+        single = [
+            (h["vec_id"], h["distance"])
+            for h in pq.probe([float(x) for x in r["embedding"]], 3).collect()
+        ]
+        assert sorted(by_q[r["qid"]]) == sorted(single)
