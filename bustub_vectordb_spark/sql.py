@@ -502,6 +502,18 @@ class SqlEngine:
                     overlap_eps=opts.get("overlap_eps", 0.2),
                     r=opts.get("r", 16),
                 )
+                if opts.get("pq"):
+                    # WITH (pq=1[, pq_m=M, pq_k=K]): PQ-compressed serving
+                    # — the search node collects only m-byte codes; probes
+                    # rerank exactly against the parquet vertices
+                    from .similarity.pq import PQModel
+
+                    idx = idx.quantize_pq(
+                        PQModel.train(
+                            df, col, id_col,
+                            m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
+                        )
+                    )
             else:
                 from .index.hnsw import HNSWIndex
 

@@ -294,3 +294,33 @@ def test_create_index_vamana(spark):
     )
     assert filt.strategy == "vector_index_scan(vamana)"
     assert all(r["v2"] % 2 == 0 for r in filt.df.join(df, on="v2").collect())
+
+
+def test_create_index_vamana_pq(spark):
+    """CREATE INDEX ... USING vamana WITH (pq=1): PQ-compressed serving —
+    the registered index's driver graph holds only codes, and probes
+    still serve exact-distance KNN through the planner."""
+    from bustub_vectordb_spark.index.selection import plan_knn
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE mtvq(v1 VECTOR(4), v2 integer)")
+    rows = ", ".join(
+        f"(ARRAY [{i}.0, {(i * 3) % 7}.0, {(i * 5) % 11}.0, {i % 2}.0], {i})"
+        for i in range(24)
+    )
+    e.execute(f"INSERT INTO mtvq VALUES {rows}")
+    e.execute(
+        "CREATE INDEX mvq1 ON mtvq USING vamana (v1 vector_l2_ops)"
+        " WITH (shards = 2, m = 4, ef_construction = 16, ef_search = 16,"
+        " r = 6, overlap_eps = 0.3, pq = 1, pq_m = 4, pq_k = 8)"
+    )
+    idx = next(i for i in e.indexes.lookup("mtvq", "v1") if i.name == "mvq1").index
+    assert "pq_books" in idx.params
+    g = idx._graph()
+    assert g.vecs is None and g.pq_codes is not None
+    df = e.catalog.tables["mtvq"].df
+    plan = plan_knn(e.indexes, "mtvq", df, "v1", [0.0, 0.0, 0.0, 0.0], 3)
+    assert plan.strategy == "vector_index_scan(vamana)"
+    got = plan.df.collect()
+    assert len(got) == 3 and got[0]["v2"] == 0  # exact reranked distances
