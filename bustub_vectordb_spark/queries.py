@@ -2435,6 +2435,48 @@ def q_ann_vamana_merged(spark, sf_dir):
     )
 
 
+def _vamana_filtered_oracle() -> str:
+    import numpy as np
+
+    from .index.vamana import offline_vamana
+
+    g = offline_vamana(
+        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+        shards=4, overlap_eps=0.2, r=16,
+    )
+    hits = g.search(
+        np.asarray(QUERY_VEC, dtype=np.float64), 10, allowed_ids=_allowed_label2()
+    )
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_vamana_filtered", _vamana_filtered_oracle)
+def q_ann_vamana_filtered(spark, sf_dir):
+    # Filtered search on the merged graph: the metadata predicate
+    # (label = 2) becomes an allowed-id set enforced DURING the beam walk
+    # (_search_layer_filtered — disallowed vertices still navigate) —
+    # top-k among matching rows, not a post-filter. Exact offline replay.
+    from .index.vamana import VamanaIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "vamana")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = VamanaIndex.build(
+            emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+        )
+    probe = _INDEX_CACHE[key].probe(
+        QUERY_VEC, 10, allowed=emb.filter(F.col("label") == 2).select("vec_id")
+    )
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
 def _vamana_pq_oracle() -> str:
     import pyarrow.parquet as pq
 
