@@ -53,8 +53,11 @@ def main():
 
     spark = (
         SparkSession.builder.appName("oracle-check")
-        .master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .master(os.environ.get("ORACLE_CHECK_MASTER", "local[8]"))
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("ORACLE_CHECK_SHUFFLE_PARTITIONS", "8"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
