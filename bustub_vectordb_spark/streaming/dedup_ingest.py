@@ -1,0 +1,186 @@
+"""Streaming near-duplicate document ingestion — the online dedup filter.
+
+A training-data pipeline at 100 TB does not re-run corpus-wide dedup per
+crawl: new documents arrive continuously and must be admitted or rejected
+against the already-admitted corpus within a micro-batch. This module is
+the streaming twin of ``dedup.minhash`` (whose batch semantics are
+driver-gated: `dedup_minhash_neardup`, `minhash_dedup` entries), using the
+same ``foreachBatch`` + checkpointed-relation discipline as
+``streaming/ann_ingest.py`` (the state IS a pair of DataFrames, not a
+stateful-operator store, because it must also serve batch joins):
+
+  * state = two distributed relations over ADMITTED docs, localCheckpointed
+    per batch so lineage stays bounded: the LSH band relation
+    (id, band_idx, band_hash) and the shingle-set relation (id, shingles);
+  * each micro-batch is first deduped WITHIN itself (single-pass
+    lower-id-wins, exactly ``minhash_dedup``'s policy), then its band
+    relation joins the state's on (band_idx, band_hash) — candidate pairs
+    only, never a cross join — and candidates are verified with exact
+    shingle Jaccard ≥ threshold (same verify as ``near_dup_pairs``);
+  * verified near-dups of the corpus are rejected; survivors append to
+    both state relations and to the admitted output.
+
+Per-batch cost: O(batch) signature work + a band-key equi-join against the
+state (shuffle on band hash, the state side can be bucketed at scale) + a
+verify join proportional to candidate count. Nothing is ever collected to
+the driver.
+
+Delivery semantics: foreachBatch is at-least-once; already-admitted ids
+drop via an anti-join first, and rejection is a deterministic function of
+(batch, state), so replays are idempotent.
+
+Ordering note: admission is sequential by arrival (a doc is checked
+against docs admitted BEFORE it). Micro-batch boundaries therefore do not
+change results for docs in different batches, and within a batch the
+single-pass lower-id-wins policy applies — the same order-dependence the
+batch ``minhash_dedup`` documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..dedup.minhash import minhash_dedup, minhash_signatures, shingles
+
+
+class NearDupIngest:
+    """foreachBatch sink admitting only documents that are not near-dups
+    of the already-admitted corpus."""
+
+    def __init__(
+        self,
+        spark,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+        n: int = 3,
+        k: int = 32,
+        bands: int = 16,
+        seed_df: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.n, self.k, self.bands = n, k, bands
+        self.batches = 0
+        empty_docs = spark.createDataFrame(
+            [], f"{id_col} long, {text_col} string"
+        )
+        seed = seed_df.select(id_col, text_col) if seed_df is not None else empty_docs
+        self.admitted = seed.localCheckpoint(eager=True)
+        self._bands = self._band_rel(self.admitted).localCheckpoint(eager=True)
+        self._shingles = self._shingle_rel(self.admitted).localCheckpoint(eager=True)
+
+    # -- state relations ---------------------------------------------------
+    def _band_rel(self, df: DataFrame) -> DataFrame:
+        """(id, __b, __h): one row per LSH band — the same band hashing as
+        minhash_lsh_candidates, exposed as a joinable relation."""
+        rows = self.k // self.bands
+        sig = minhash_signatures(df, self.text_col, self.id_col, self.n, self.k)
+        arr = F.array(
+            *[
+                F.xxhash64(*[F.col(f"__m{j * rows + i}") for i in range(rows)])
+                for j in range(self.bands)
+            ]
+        )
+        return sig.select(
+            F.col(self.id_col), F.posexplode(arr).alias("__b", "__h")
+        )
+
+    def _shingle_rel(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(self.id_col), shingles(self.text_col, self.n).alias("__sh")
+        )
+
+    # -- the sink ----------------------------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(self.id_col, self.text_col).dropDuplicates(
+            [self.id_col]
+        )
+        # idempotence under at-least-once replay: admitted ids drop; their
+        # rejected batch-mates then re-reject deterministically
+        rows = rows.join(
+            self.admitted.select(self.id_col), self.id_col, "left_anti"
+        )
+        if rows.isEmpty():
+            return
+        # 1) within-batch single-pass dedup (lower id wins — the batch
+        #    minhash_dedup policy, driver-gated)
+        rows = minhash_dedup(
+            rows, self.text_col, self.id_col, self.threshold,
+            n=self.n, k=self.k, bands=self.bands,
+        )
+        # 2) LSH candidates vs the admitted corpus: band-key equi-join
+        cand = (
+            self._band_rel(rows)
+            .select(F.col(self.id_col).alias("__new"), "__b", "__h")
+            .join(
+                self._bands.select(
+                    F.col(self.id_col).alias("__old"), "__b", "__h"
+                ),
+                ["__b", "__h"],
+            )
+            .select("__new", "__old")
+            .distinct()
+        )
+        # 3) exact shingle-Jaccard verify (same arithmetic as
+        #    near_dup_pairs) — only verified near-dups reject
+        verified = (
+            cand.join(
+                self._shingle_rel(rows).select(
+                    F.col(self.id_col).alias("__new"), F.col("__sh").alias("__sh1")
+                ),
+                "__new",
+            )
+            .join(
+                self._shingles.select(
+                    F.col(self.id_col).alias("__old"), F.col("__sh").alias("__sh2")
+                ),
+                "__old",
+            )
+            .withColumn(
+                "__j",
+                F.size(F.array_intersect("__sh1", "__sh2"))
+                / F.size(F.array_union("__sh1", "__sh2")),
+            )
+            .filter(F.col("__j") >= self.threshold)
+            .select(F.col("__new").alias(self.id_col))
+            .distinct()
+        )
+        survivors = rows.join(verified, self.id_col, "left_anti")
+        # 4) append to state + output, checkpoint (bounded lineage), drop
+        #    predecessors' cache
+        new_admitted = self.admitted.unionByName(survivors).localCheckpoint(
+            eager=True
+        )
+        new_bands = self._bands.unionByName(
+            self._band_rel(survivors)
+        ).localCheckpoint(eager=True)
+        new_shingles = self._shingles.unionByName(
+            self._shingle_rel(survivors)
+        ).localCheckpoint(eager=True)
+        self.admitted, self._bands, self._shingles = (
+            new_admitted, new_bands, new_shingles,
+        )
+        self.batches += 1
+
+
+def ingest_dedup_stream(
+    stream_df: DataFrame,
+    spark,
+    checkpoint_dir: str,
+    **kw,
+) -> tuple:
+    """Attach the near-dup ingest sink to a streaming DataFrame;
+    availableNow drains the staged input and stops. Returns
+    (query, ingest) — read ``ingest.admitted`` after
+    ``query.awaitTermination()``."""
+    ingest = NearDupIngest(spark, **kw)
+    q = (
+        stream_df.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, ingest
