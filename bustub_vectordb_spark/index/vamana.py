@@ -436,6 +436,19 @@ class VamanaIndex:
             .drop("__rn")
         )
 
+    def insert(self, df) -> "VamanaIndex":
+        """Refused by design: the merged graph is a BATCH artifact — its
+        edge set is a global prune over all clusters, and splicing rows in
+        afterward would silently degrade the degree-bound/recall contract.
+        For continuous ingestion use the routed ShardedHNSW (its insert is
+        driver-gated and has a streaming foreachBatch twin), and rebuild
+        the merged artifact on the pipeline's cadence."""
+        raise ValueError(
+            "vamana is a batch-build artifact; use ShardedHNSW.insert / "
+            "streaming.ann_ingest for continuous ingestion and rebuild the "
+            "merged graph on schedule"
+        )
+
     # -- persistence -------------------------------------------------------
     def save(self, path: str) -> None:
         import json

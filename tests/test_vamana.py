@@ -199,3 +199,11 @@ def test_search_batch_matches_single_probes(emb, vamana):
             for h in pq.probe([float(x) for x in r["embedding"]], 3).collect()
         ]
         assert sorted(by_q[r["qid"]]) == sorted(single)
+
+
+def test_insert_refused_by_design(vamana, spark):
+    new = spark.createDataFrame(
+        [(99999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="batch-build artifact"):
+        vamana.insert(new)
