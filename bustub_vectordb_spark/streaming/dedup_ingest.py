@@ -57,6 +57,7 @@ class NearDupIngest:
         k: int = 32,
         bands: int = 16,
         seed_df: DataFrame | None = None,
+        id_type: str = "bigint",
     ):
         self.spark = spark
         self.text_col = text_col
@@ -64,8 +65,12 @@ class NearDupIngest:
         self.threshold = threshold
         self.n, self.k, self.bands = n, k, bands
         self.batches = 0
+        if seed_df is not None:  # derive the id type from the real schema
+            id_type = {f.name: f.dataType.simpleString() for f in seed_df.schema}[
+                id_col
+            ]
         empty_docs = spark.createDataFrame(
-            [], f"{id_col} long, {text_col} string"
+            [], f"{id_col} {id_type}, {text_col} string"
         )
         seed = seed_df.select(id_col, text_col) if seed_df is not None else empty_docs
         self.admitted = seed.localCheckpoint(eager=True)
