@@ -171,6 +171,26 @@ class NearDupIngest:
         self.batches += 1
 
 
+    # -- persistence across stream restarts --------------------------------
+    def save(self, path: str) -> None:
+        """Persist the admitted corpus (the whole state — bands and
+        shingles are pure functions of it). On restart, seed a fresh sink
+        with :meth:`load`'s DataFrame: both relations rebuild in one
+        distributed pass, and the source's own checkpoint dir resumes the
+        offsets, so the restarted stream continues admission exactly where
+        it stopped."""
+        self.admitted.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(
+        cls, spark, path: str, text_col: str = "text", id_col: str = "doc_id", **kw
+    ) -> "NearDupIngest":
+        return cls(
+            spark, text_col=text_col, id_col=id_col,
+            seed_df=spark.read.parquet(path), **kw,
+        )
+
+
 def ingest_dedup_stream(
     stream_df: DataFrame,
     spark,

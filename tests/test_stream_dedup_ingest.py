@@ -88,3 +88,26 @@ def test_within_batch_single_pass_policy(spark):
     ingest(batch, 0)
     admitted = {r["doc_id"] for r in ingest.admitted.collect()}
     assert admitted == {21, 23}
+
+
+def test_state_survives_restart(spark, tmp_path):
+    """save() persists the admitted corpus; load() reseeds a fresh sink
+    whose state relations rebuild distributed — post-restart admission
+    decisions match an uninterrupted run."""
+    seed = _docs(spark, BASE)
+    a = NearDupIngest(spark, seed_df=seed, threshold=0.5)
+    a(_docs(spark, ARRIVALS[0:2]), 0)  # 11 rejected (≈1), 12 rejected (=2)
+    a.save(str(tmp_path / "state"))
+
+    b = NearDupIngest.load(spark, str(tmp_path / "state"), threshold=0.5)
+    b(_docs(spark, ARRIVALS[2:4]), 1)
+    b(_docs(spark, ARRIVALS[4:5]), 2)  # 15 rejected vs restarted-state 13
+
+    # uninterrupted twin
+    c = NearDupIngest(spark, seed_df=seed, threshold=0.5)
+    for i, chunk in enumerate([ARRIVALS[0:2], ARRIVALS[2:4], ARRIVALS[4:5]]):
+        c(_docs(spark, chunk), i)
+
+    got = {r["doc_id"] for r in b.admitted.collect()}
+    want = {r["doc_id"] for r in c.admitted.collect()}
+    assert got == want == {1, 2, 3, 13, 14}
