@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame, functions as F
 class IndexIngest:
     """foreachBatch sink folding micro-batches into a routed ShardedHNSW."""
 
+    COMPACT_EVERY = 64  # fold the union-of-deltas seen set into one checkpoint
+
     def __init__(self, index, vec_col: str | None = None, id_col: str | None = None):
         self.index = index
         self.vec_col = vec_col or index.vec_col
@@ -60,10 +62,16 @@ class IndexIngest:
         if rows.isEmpty():
             return
         self.index = self.index.insert(rows)
+        # append the batch's ids as a CHECKPOINTED DELTA (O(batch) write);
+        # re-checkpointing the whole seen relation would copy O(corpus)
+        # per micro-batch. The union view compacts every COMPACT_EVERY
+        # batches so the plan stays shallow (amortized O(corpus/C)/batch).
         self._seen = self._seen.unionByName(
-            rows.select(self.index.id_col)
-        ).localCheckpoint(eager=True)
+            rows.select(self.index.id_col).localCheckpoint(eager=True)
+        )
         self.batches += 1
+        if self.batches % self.COMPACT_EVERY == 0:
+            self._seen = self._seen.localCheckpoint(eager=True)
 
 
 def ingest_stream(

@@ -47,6 +47,8 @@ class NearDupIngest:
     """foreachBatch sink admitting only documents that are not near-dups
     of the already-admitted corpus."""
 
+    COMPACT_EVERY = 64  # fold the union-of-deltas state into one checkpoint
+
     def __init__(
         self,
         spark,
@@ -154,21 +156,28 @@ class NearDupIngest:
             .distinct()
         )
         survivors = rows.join(verified, self.id_col, "left_anti")
-        # 4) append to state + output, checkpoint (bounded lineage), drop
-        #    predecessors' cache
-        new_admitted = self.admitted.unionByName(survivors).localCheckpoint(
-            eager=True
+        # 4) append as a CHECKPOINTED DELTA: only the batch's survivors
+        #    materialize (O(batch) write), the state stays a union view of
+        #    checkpointed leaves — re-checkpointing the whole state per
+        #    batch would be an O(corpus) copy every micro-batch. The union
+        #    plan grows one leaf per batch; COMPACT_EVERY batches it folds
+        #    back into a single checkpoint (amortized O(corpus/C)/batch).
+        delta = survivors.localCheckpoint(eager=True)
+        self.admitted = self.admitted.unionByName(delta)
+        # band/shingle deltas checkpoint too (each O(batch)) so later
+        # joins scan materialized leaves instead of recomputing every old
+        # delta's signatures per batch
+        self._bands = self._bands.unionByName(
+            self._band_rel(delta).localCheckpoint(eager=True)
         )
-        new_bands = self._bands.unionByName(
-            self._band_rel(survivors)
-        ).localCheckpoint(eager=True)
-        new_shingles = self._shingles.unionByName(
-            self._shingle_rel(survivors)
-        ).localCheckpoint(eager=True)
-        self.admitted, self._bands, self._shingles = (
-            new_admitted, new_bands, new_shingles,
+        self._shingles = self._shingles.unionByName(
+            self._shingle_rel(delta).localCheckpoint(eager=True)
         )
         self.batches += 1
+        if self.batches % self.COMPACT_EVERY == 0:
+            self.admitted = self.admitted.localCheckpoint(eager=True)
+            self._bands = self._bands.localCheckpoint(eager=True)
+            self._shingles = self._shingles.localCheckpoint(eager=True)
 
 
     # -- persistence across stream restarts --------------------------------
