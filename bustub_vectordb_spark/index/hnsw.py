@@ -840,6 +840,11 @@ class ShardedHNSW:
     params: dict | None = None
     # lazy cache for members() (shard-membership DataFrame)
     _members_df: object = None
+    # union-of-deltas depth since the blobs were last fully checkpointed
+    # (insert() appends touched-shard deltas; compacts at COMPACT_EVERY)
+    _delta_depth: int = 0
+
+    COMPACT_EVERY = 64
 
     def members(self):
         """DataFrame[shard, id]: shard membership, extracted from the blobs
@@ -1261,10 +1266,17 @@ class ShardedHNSW:
         per_shard = routed.groupBy("__shard").agg(
             F.collect_list(F.struct("__nid", "__nv")).alias("__new")
         )
-        joined = self.blobs.join(
-            per_shard, self.blobs["shard"] == per_shard["__shard"], "full_outer"
+        # only TOUCHED shards enter the upsert pass: the shard-id list is
+        # bounded driver state (like the centroid table), untouched blob
+        # bytes are never deserialized, shuffled, or re-checkpointed
+        tids = [r["__shard"] for r in per_shard.select("__shard").collect()]
+        if not tids:  # empty insert: nothing routes anywhere
+            return self
+        touched = self.blobs.filter(F.col("shard").isin(tids))
+        joined = touched.join(
+            per_shard, touched["shard"] == per_shard["__shard"], "full_outer"
         ).select(
-            F.coalesce(self.blobs["shard"], per_shard["__shard"]).alias("shard"),
+            F.coalesce(touched["shard"], per_shard["__shard"]).alias("shard"),
             "blob",
             "__new",
         )
@@ -1317,18 +1329,29 @@ class ShardedHNSW:
                     out_b.append(pickle.dumps(g))
                 yield pd.DataFrame({"shard": out_s, "blob": out_b})
 
-        # localCheckpoint truncates the lineage (repeated inserts would
-        # otherwise chain full_outer+mapInPandas plans forever — the same
-        # iterative-plan trap dedup/components.py checkpoints against) and
-        # the predecessor's cache is dropped once the new blobs materialize
-        blobs = joined.mapInPandas(upsert, "shard long, blob binary").localCheckpoint(
+        # DELTA upsert: only the touched shards' new blobs materialize
+        # (localCheckpoint truncates their mapInPandas lineage — the
+        # iterative-plan trap dedup/components.py checkpoints against);
+        # the untouched shards stay as a lazy view over the PREDECESSOR's
+        # checkpointed data — which is why the predecessor must NOT be
+        # unpersisted: its storage IS the untouched view. Per-insert cost
+        # is O(touched shards), not an O(all blobs) rewrite; the union
+        # view compacts into one checkpoint every COMPACT_EVERY inserts so
+        # plan depth stays bounded (amortized O(corpus/C) per insert).
+        delta = joined.mapInPandas(upsert, "shard long, blob binary").localCheckpoint(
             eager=True
         )
-        self.blobs.unpersist()
+        untouched = self.blobs.filter(~F.col("shard").isin(tids))
+        blobs = untouched.unionByName(delta)
+        depth = self._delta_depth + 1
+        if depth >= self.COMPACT_EVERY:
+            blobs = blobs.localCheckpoint(eager=True)
+            depth = 0
         return ShardedHNSW(
             self.vec_col, self.id_col, self.dist, blobs, self._spark,
             centroids=self.centroids, id_type=self.id_type,
             default_n_probe=self.default_n_probe, params=self.params,
+            _delta_depth=depth,
         )
 
     def probe(
