@@ -805,3 +805,36 @@ def test_graph_pq_decode_matches_model_and_refuses_double_quantize():
     g2.quantize_sq8(mat.min(axis=0).tolist(), mat.max(axis=0).tolist())
     with pytest.raises(ValueError, match="SQ8-quantized"):
         g2.quantize_pq(model.centroids, model.bounds)
+
+
+def test_sharded_insert_delta_and_compaction(emb, spark, monkeypatch):
+    """insert() materializes only touched shards (delta + lazy untouched
+    view) and compacts the union view every COMPACT_EVERY inserts; results
+    stay identical through the compaction boundary, and an empty insert is
+    a no-op returning the same index."""
+    from bustub_vectordb_spark.index.hnsw import ShardedHNSW
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    n_shards = routed.blobs.count()
+    monkeypatch.setattr(ShardedHNSW, "COMPACT_EVERY", 2)
+
+    target = emb.limit(1).collect()[0]
+    base_vec = [float(x) for x in target["embedding"]]
+    idx = routed
+    for i, nid in enumerate([91001, 91002, 91003]):
+        new = spark.createDataFrame(
+            [(nid, base_vec)], "vec_id long, embedding array<double>"
+        )
+        idx = idx.insert(new)
+        # depth resets to 0 at the compaction boundary (insert #2)
+        assert idx._delta_depth == (i + 1) % 2
+        # the blobs view never duplicates shards
+        assert idx.blobs.count() == n_shards
+
+    hits = {r["vec_id"] for r in idx.probe(base_vec, 5, n_probe=2).collect()}
+    assert {91001, 91002, 91003} <= hits
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert idx.insert(empty) is idx
