@@ -207,3 +207,46 @@ def test_filtered_hnsw_recall_sweep(filtered_graph, sel, seed):
     got = {hid for hid, _ in g.search(q, 10, ef=128, allowed_ids=allowed)}
     assert len(got) == 10
     assert len(got & exact) / 10 >= 0.9
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),   # m subspaces
+    st.integers(min_value=2, max_value=16),  # k codebook size
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_graph_pq_quantize_invariants(m, k, seed):
+    """_Graph PQ state invariants under random codebooks/data: codes are
+    uint8 in [0, k); every decoded row is the concatenation of codebook
+    rows selected by its codes; add_all after quantization encodes with
+    the FROZEN codebooks (codes of old rows unchanged); decoded matrix
+    shape always (n, dim)."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.hnsw import _Graph
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    rng = np.random.RandomState(seed % (2**31))
+    dim = max(m, rng.randint(m, m * 4 + 1))
+    n = k + rng.randint(1, 20)
+    mat = rng.rand(n, dim)
+    model = PQModel.train_rows(mat, m=m, k=min(k, n), max_iter=2)
+
+    g = _Graph(4, 8, 8, "l2", seed=1)
+    g.add_all(list(range(n)), mat.copy())
+    g.quantize_pq(model.centroids, model.bounds)
+    assert g.pq_codes.dtype == np.uint8
+    assert g.pq_codes.shape == (n, model.m)
+    assert int(g.pq_codes.max(initial=0)) < model.k
+    dec = g._mat_rows(slice(None))
+    assert dec.shape == (n, dim)
+    for s, (lo, hi) in enumerate(model.bounds):
+        sub = dec[:, lo:hi]
+        book = np.asarray(model.centroids[s])
+        assert np.allclose(sub, book[g.pq_codes[:, s]])
+
+    before = g.pq_codes.copy()
+    extra = rng.rand(3, dim)
+    g.add_all([n, n + 1, n + 2], extra)
+    assert np.array_equal(g.pq_codes[:n], before)  # frozen codebooks
+    assert g.pq_codes.shape == (n + 3, model.m)
