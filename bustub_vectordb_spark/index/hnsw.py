@@ -843,8 +843,20 @@ class ShardedHNSW:
     # union-of-deltas depth since the blobs were last fully checkpointed
     # (insert() appends touched-shard deltas; compacts at COMPACT_EVERY)
     _delta_depth: int = 0
+    # the checkpointed leaves backing the current union view (base + one
+    # delta per insert since the last fold). Tracked so compaction can
+    # RELEASE them: their storage backs predecessor generations' lazy
+    # views, so they must stay alive between folds, but once a compaction
+    # checkpoint materializes they are unreachable from the new view and
+    # would otherwise pin executor storage forever (~1 stale generation
+    # per COMPACT_EVERY inserts on a long-running ingest stream)
+    _leaves: tuple = ()
 
     COMPACT_EVERY = 64
+    # search_batch: max queries grouped into one (shard, chunk) row — bounds
+    # row/Arrow-batch size and keeps task parallelism proportional to the
+    # query batch, not capped at shard count
+    QUERY_CHUNK = 1024
 
     def members(self):
         """DataFrame[shard, id]: shard membership, extracted from the blobs
@@ -1053,6 +1065,33 @@ class ShardedHNSW:
 
         return sorted(range(len(self.centroids)), key=lambda i: score(self.centroids[i]))
 
+    def _chunked_queries(self, routed, qid_col: str):
+        """Group routed queries per shard in BOUNDED chunks: collect_list
+        rows hold at most ``QUERY_CHUNK`` queries each. One row per shard
+        (the pre-r6 shape) meant a single giant struct array per shard — a
+        2 GB row/ArrowRecordBatch hazard for a 100×-scale query batch — and
+        task parallelism capped at shard count (one straggler per hot
+        shard). The (shard, chunk) salt bounds every row and scales task
+        count with the batch; the price is the blob joining once per chunk
+        of its shard (bounded duplication, never corpus-sized). The chunk
+        id comes from a per-shard row_number so the bound is EXACT (a hash
+        salt could only bound it in expectation)."""
+        from pyspark.sql import Window, functions as F
+
+        wq = Window.partitionBy("__shard").orderBy(qid_col)
+        chunk = int(self.QUERY_CHUNK)
+        return (
+            routed.withColumn(
+                "__chunk", ((F.row_number().over(wq) - 1) / chunk).cast("long")
+            )
+            .groupBy("__shard", "__chunk")
+            .agg(
+                F.collect_list(F.struct(F.col(qid_col), F.col("__qv"))).alias(
+                    "__qs"
+                )
+            )
+        )
+
     def search_batch(
         self,
         queries,
@@ -1152,9 +1191,7 @@ class ShardedHNSW:
                 F.col(qid_col), qv.alias("__qv")
             ).crossJoin(self.blobs.select(F.col("shard").alias("__shard")))
 
-        per_shard = routed.groupBy("__shard").agg(
-            F.collect_list(F.struct(F.col(qid_col), F.col("__qv"))).alias("__qs")
-        )
+        per_shard = self._chunked_queries(routed, qid_col)
         blobs_src = self.blobs
         sel = ["__qs", "blob"]
         if allowed_df is not None:
@@ -1263,22 +1300,26 @@ class ShardedHNSW:
         ).withColumn(
             "__shard", _nearest_centroid(F.col("__nv"), self.centroids).cast("long")
         )
-        per_shard = routed.groupBy("__shard").agg(
-            F.collect_list(F.struct("__nid", "__nv")).alias("__new")
-        )
+        # PIN the routing before anything reads it twice: the assignment is
+        # collected below (tids) AND re-evaluated when the delta upsert
+        # runs; with a non-deterministic rows plan (sample/rand, or shuffle
+        # recomputation after executor loss) the two evaluations could
+        # disagree — a row routing to a shard not in tids would create a
+        # duplicate shard row next to the untouched view's old blob. The
+        # eager checkpoint materializes the assignment ONCE (O(batch), the
+        # rows were about to shuffle anyway); both reads see the same rows.
+        routed = routed.localCheckpoint(eager=True)
         # only TOUCHED shards enter the upsert pass: the shard-id list is
         # bounded driver state (like the centroid table), untouched blob
         # bytes are never deserialized, shuffled, or re-checkpointed
-        tids = [r["__shard"] for r in per_shard.select("__shard").collect()]
+        from ..shipping import release_checkpoint
+
+        tids = [r["__shard"] for r in routed.select("__shard").distinct().collect()]
         if not tids:  # empty insert: nothing routes anywhere
+            release_checkpoint(routed)
             return self
-        touched = self.blobs.filter(F.col("shard").isin(tids))
-        joined = touched.join(
-            per_shard, touched["shard"] == per_shard["__shard"], "full_outer"
-        ).select(
-            F.coalesce(touched["shard"], per_shard["__shard"]).alias("shard"),
-            "blob",
-            "__new",
+        touched = self.blobs.filter(F.col("shard").isin(tids)).withColumnRenamed(
+            "shard", "__shard"
         )
         has_params = self.params is not None
         p = self.params or {}
@@ -1288,70 +1329,81 @@ class ShardedHNSW:
         seed = p.get("seed", 42)
         dist = self.dist
 
-        def upsert(batches):
-            for pdf in batches:
-                out_s, out_b = [], []
-                for shard, blob, new in zip(pdf["shard"], pdf["blob"], pdf["__new"]):
-                    if new is None or len(new) == 0:
-                        out_s.append(shard)
-                        out_b.append(blob)
-                        continue
-                    if blob is None and not has_params:
-                        # pre-upgrade save without build params: refusing
-                        # beats silently building the fresh shard graph with
-                        # defaults that may differ from the original build
-                        # (would break the determinism/offline-replay
-                        # contract for this index)
-                        raise ValueError(
-                            f"insert routed rows to shard {shard}, empty at "
-                            "build time, but this index carries no build "
-                            "params (loaded from a pre-upgrade save) — "
-                            "rebuild the index or set .params explicitly"
-                        )
-                    if blob is not None:
-                        g = pickle.loads(blob)
-                    else:
-                        # shard was empty at build time: fresh graph,
-                        # quantized with the frozen params if the index is
-                        g = _Graph(m, efc, efs, dist, seed)
-                        if "pq_books" in p:
-                            g.quantize_pq(p["pq_books"], p["pq_bounds"])
-                        elif "sq8_mins" in p:
-                            g.quantize_sq8(p["sq8_mins"], p["sq8_maxs"])
-                    recs = sorted(
-                        ((r["__nid"], r["__nv"]) for r in new), key=lambda t: t[0]
-                    )
-                    g.add_all(
-                        [r[0] for r in recs],
-                        np.asarray([r[1] for r in recs], dtype=np.float64),
-                    )
-                    out_s.append(shard)
-                    out_b.append(pickle.dumps(g))
-                yield pd.DataFrame({"shard": out_s, "blob": out_b})
+        def upsert(key, new_pdf, blob_pdf):
+            shard = key[0]
+            blob = blob_pdf["blob"].iloc[0] if len(blob_pdf) else None
+            if blob is None and not has_params:
+                # pre-upgrade save without build params: refusing
+                # beats silently building the fresh shard graph with
+                # defaults that may differ from the original build
+                # (would break the determinism/offline-replay
+                # contract for this index)
+                raise ValueError(
+                    f"insert routed rows to shard {shard}, empty at "
+                    "build time, but this index carries no build "
+                    "params (loaded from a pre-upgrade save) — "
+                    "rebuild the index or set .params explicitly"
+                )
+            if blob is not None:
+                g = pickle.loads(blob)
+            else:
+                # shard was empty at build time: fresh graph,
+                # quantized with the frozen params if the index is
+                g = _Graph(m, efc, efs, dist, seed)
+                if "pq_books" in p:
+                    g.quantize_pq(p["pq_books"], p["pq_bounds"])
+                elif "sq8_mins" in p:
+                    g.quantize_sq8(p["sq8_mins"], p["sq8_maxs"])
+            new_pdf = new_pdf.sort_values("__nid")  # id-sorted: deterministic
+            g.add_all(
+                new_pdf["__nid"].tolist(),
+                np.asarray(new_pdf["__nv"].tolist(), dtype=np.float64),
+            )
+            return pd.DataFrame({"shard": [shard], "blob": [pickle.dumps(g)]})
 
-        # DELTA upsert: only the touched shards' new blobs materialize
-        # (localCheckpoint truncates their mapInPandas lineage — the
-        # iterative-plan trap dedup/components.py checkpoints against);
-        # the untouched shards stay as a lazy view over the PREDECESSOR's
-        # checkpointed data — which is why the predecessor must NOT be
-        # unpersisted: its storage IS the untouched view. Per-insert cost
-        # is O(touched shards), not an O(all blobs) rewrite; the union
-        # view compacts into one checkpoint every COMPACT_EVERY inserts so
-        # plan depth stays bounded (amortized O(corpus/C) per insert).
-        delta = joined.mapInPandas(upsert, "shard long, blob binary").localCheckpoint(
-            eager=True
+        # DELTA upsert via COGROUP: each touched shard's new rows arrive as
+        # a pandas group (Arrow-sliced record batches — no collect_list, so
+        # no single giant struct row regardless of batch size) next to its
+        # 0-or-1-row blob group; shards empty at build time simply cogroup
+        # with an empty blob side. Only the touched shards' new blobs
+        # materialize (localCheckpoint truncates the applyInPandas lineage
+        # — the iterative-plan trap dedup/components.py checkpoints
+        # against); the untouched shards stay as a lazy view over the
+        # PREDECESSOR's checkpointed data — which is why predecessor leaves
+        # must NOT be unpersisted between folds: their storage IS the
+        # untouched view. Per-insert cost is O(touched shards), not an
+        # O(all blobs) rewrite; the union view compacts into one checkpoint
+        # every COMPACT_EVERY inserts so plan depth stays bounded
+        # (amortized O(corpus/C) per insert).
+        delta = (
+            routed.groupBy("__shard")
+            .cogroup(touched.groupBy("__shard"))
+            .applyInPandas(upsert, "shard long, blob binary")
+            .localCheckpoint(eager=True)
         )
+        release_checkpoint(routed)  # the pinned routing is folded into the delta
         untouched = self.blobs.filter(~F.col("shard").isin(tids))
         blobs = untouched.unionByName(delta)
+        # leaves backing the new view: the pre-insert leaves (base view if
+        # this is the first delta) plus this insert's delta
+        leaves = (self._leaves or (self.blobs,)) + (delta,)
         depth = self._delta_depth + 1
         if depth >= self.COMPACT_EVERY:
             blobs = blobs.localCheckpoint(eager=True)
+            # the fold materialized: the superseded leaves are unreachable
+            # from the new view — release their executor storage. (This
+            # retires PREDECESSOR generations of the index, exactly like
+            # the pre-delta code's per-insert unpersist: a caller holding a
+            # pre-compaction ShardedHNSW must not probe it afterwards.)
+            for leaf in leaves:
+                release_checkpoint(leaf)
+            leaves = ()
             depth = 0
         return ShardedHNSW(
             self.vec_col, self.id_col, self.dist, blobs, self._spark,
             centroids=self.centroids, id_type=self.id_type,
             default_n_probe=self.default_n_probe, params=self.params,
-            _delta_depth=depth,
+            _delta_depth=depth, _leaves=leaves,
         )
 
     def probe(

@@ -240,6 +240,11 @@ class VamanaIndex:
         vertices (codegen l2 fold) — output distances are exact.
         ``model`` is a similarity/pq.PQModel; its codebooks freeze into
         params so save/load round-trips."""
+        if max(len(b) for b in model.centroids) > 256:
+            # same guard as _Graph.quantize_pq: codes are uint8, and serving
+            # assigns them directly — without this a pq_k>512 model would
+            # corrupt codes at serve time instead of failing here
+            raise ValueError("quantize_pq stores uint8 codes: need k <= 256")
         books = [[[float(x) for x in row] for row in b] for b in model.centroids]
         bounds = [[int(s), int(e)] for s, e in model.bounds]
         params = dict(self.params or {}, pq_books=books, pq_bounds=bounds)

@@ -35,3 +35,21 @@ def ensure_package_on_workers(spark) -> None:
                     zf.write(full, rel)
     sc.addPyFile(zip_path)
     _SHIPPED.add(key)
+
+
+def release_checkpoint(df) -> None:
+    """Release the executor storage behind a ``localCheckpoint``ed
+    DataFrame. ``DataFrame.unpersist()`` only touches the cache manager —
+    a local checkpoint lives as a persisted RDD under a LogicalRDD leaf,
+    so long-running delta/compaction schemes (ShardedHNSW.insert, the
+    streaming ingest sinks) must unpersist THAT RDD or every superseded
+    generation stays pinned in block-manager storage until the context
+    dies. No-op for plans that are not a checkpoint leaf (best-effort:
+    storage reclaim must never fail a query)."""
+    try:
+        df.unpersist()  # covers .cache()d frames (e.g. a load()ed base)
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass

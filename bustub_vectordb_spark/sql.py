@@ -198,6 +198,7 @@ _INSERT_ANY_RE = re.compile(
 _EXPLAIN_RE = re.compile(
     r"^\s*EXPLAIN\s*(\([a-z,]+\))?\s*(.*)$", re.IGNORECASE | re.DOTALL
 )
+_TXN_RE = re.compile(r"^\s*(BEGIN|COMMIT|ABORT|ROLLBACK)\s*;?\s*$", re.IGNORECASE)
 _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(\S+?);?\s*$", re.IGNORECASE)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(\w+);?\s*$", re.IGNORECASE)
 _STRING_FN_RE = re.compile(r"\b(lower|upper)\s*\(([^()]*)\)", re.IGNORECASE)
@@ -341,6 +342,21 @@ class SqlEngine:
         if sql.lstrip().startswith("\\"):
             return self._meta_command(sql.strip())
         _check_string_fn_args(sql)
+        m = _TXN_RE.match(sql)
+        if m:
+            # courtesy txn statements (bustub_ddl.cpp:207-259): the reference
+            # shell ACCEPTS begin/commit/abort and answers with a one-cell
+            # message (MVCC itself is out of scope — SURVEY §2.4; the
+            # reference's own ReconstructTuple is unimplemented). Matching
+            # the unmanaged-mode replies beats a parse error.
+            word = m.group(1).lower()
+            msg = (
+                "begin statement is only supported in managed txn mode, "
+                "please use bustub-shell"
+                if word == "begin"
+                else "commit / rollback can only be used with txn"
+            )
+            return self.spark.createDataFrame([(msg,)], "message string")
         m = _SET_RE.match(sql)
         if m:
             self.session_vars[m.group(1)] = m.group(2).strip("'\"")

@@ -51,6 +51,9 @@ class IndexIngest:
         self._seen = (
             index.members().select(index.id_col).localCheckpoint(eager=True)
         )
+        # checkpoint leaves backing the seen view, released at compaction
+        # (their storage would otherwise pin ~1 stale generation per fold)
+        self._seen_leaves = [self._seen]
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.select(
@@ -66,12 +69,19 @@ class IndexIngest:
         # re-checkpointing the whole seen relation would copy O(corpus)
         # per micro-batch. The union view compacts every COMPACT_EVERY
         # batches so the plan stays shallow (amortized O(corpus/C)/batch).
-        self._seen = self._seen.unionByName(
-            rows.select(self.index.id_col).localCheckpoint(eager=True)
-        )
+        delta = rows.select(self.index.id_col).localCheckpoint(eager=True)
+        self._seen = self._seen.unionByName(delta)
+        self._seen_leaves.append(delta)
         self.batches += 1
         if self.batches % self.COMPACT_EVERY == 0:
+            from ..shipping import release_checkpoint
+
             self._seen = self._seen.localCheckpoint(eager=True)
+            # the fold materialized — release the superseded leaves so a
+            # long-running stream holds exactly one seen-set generation
+            for leaf in self._seen_leaves:
+                release_checkpoint(leaf)
+            self._seen_leaves = [self._seen]
 
 
 def ingest_stream(

@@ -78,6 +78,9 @@ class NearDupIngest:
         self.admitted = seed.localCheckpoint(eager=True)
         self._bands = self._band_rel(self.admitted).localCheckpoint(eager=True)
         self._shingles = self._shingle_rel(self.admitted).localCheckpoint(eager=True)
+        # checkpoint leaves backing each state view, released at compaction
+        # (their storage would otherwise pin ~1 stale generation per fold)
+        self._leaves = [self.admitted, self._bands, self._shingles]
 
     # -- state relations ---------------------------------------------------
     def _band_rel(self, df: DataFrame) -> DataFrame:
@@ -148,8 +151,15 @@ class NearDupIngest:
             )
             .withColumn(
                 "__j",
-                F.size(F.array_intersect("__sh1", "__sh2"))
-                / F.size(F.array_union("__sh1", "__sh2")),
+                # round-6 BEFORE the threshold compare — near_dup_pairs (and
+                # therefore the within-batch step above) rounds, so a raw
+                # compare here could admit/reject borderline docs differently
+                # from the batch twin
+                F.round(
+                    F.size(F.array_intersect("__sh1", "__sh2"))
+                    / F.size(F.array_union("__sh1", "__sh2")),
+                    6,
+                ),
             )
             .filter(F.col("__j") >= self.threshold)
             .select(F.col("__new").alias(self.id_col))
@@ -167,17 +177,23 @@ class NearDupIngest:
         # band/shingle deltas checkpoint too (each O(batch)) so later
         # joins scan materialized leaves instead of recomputing every old
         # delta's signatures per batch
-        self._bands = self._bands.unionByName(
-            self._band_rel(delta).localCheckpoint(eager=True)
-        )
-        self._shingles = self._shingles.unionByName(
-            self._shingle_rel(delta).localCheckpoint(eager=True)
-        )
+        band_delta = self._band_rel(delta).localCheckpoint(eager=True)
+        self._bands = self._bands.unionByName(band_delta)
+        shingle_delta = self._shingle_rel(delta).localCheckpoint(eager=True)
+        self._shingles = self._shingles.unionByName(shingle_delta)
+        self._leaves += [delta, band_delta, shingle_delta]
         self.batches += 1
         if self.batches % self.COMPACT_EVERY == 0:
+            from ..shipping import release_checkpoint
+
             self.admitted = self.admitted.localCheckpoint(eager=True)
             self._bands = self._bands.localCheckpoint(eager=True)
             self._shingles = self._shingles.localCheckpoint(eager=True)
+            # the folds materialized — release the superseded leaves so a
+            # long-running stream holds exactly one state generation
+            for leaf in self._leaves:
+                release_checkpoint(leaf)
+            self._leaves = [self.admitted, self._bands, self._shingles]
 
 
     # -- persistence across stream restarts --------------------------------

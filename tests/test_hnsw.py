@@ -838,3 +838,88 @@ def test_sharded_insert_delta_and_compaction(emb, spark, monkeypatch):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert idx.insert(empty) is idx
+
+
+def test_search_batch_chunked_rows_bounded_and_identical(emb, spark):
+    """r6 scale fix: search_batch groups a shard's queries into BOUNDED
+    (shard, chunk) collect_list rows instead of one row per shard (which
+    caps parallelism at shard count and risks the 2 GB row/Arrow limit on
+    a 100×-scale query batch). With the chunk size forced below the batch
+    size, results must be bit-identical to the default (single-chunk)
+    path, and every grouped row must hold <= QUERY_CHUNK queries."""
+    from bustub_vectordb_spark.index.hnsw import ShardedHNSW
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    queries = emb.filter(F.col("vec_id") % 71 == 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    nq = queries.count()
+    assert nq >= 5
+    baseline = sorted(
+        (r["qid"], r["vec_id"], r["distance"])
+        for r in routed.search_batch(queries, "embedding", "qid", k=5, n_probe=2).collect()
+    )
+    old = ShardedHNSW.QUERY_CHUNK
+    ShardedHNSW.QUERY_CHUNK = 2
+    try:
+        chunked = sorted(
+            (r["qid"], r["vec_id"], r["distance"])
+            for r in routed.search_batch(
+                queries, "embedding", "qid", k=5, n_probe=2
+            ).collect()
+        )
+        # row bound: every grouped row holds <= 2 queries, all queries kept
+        fake = spark.createDataFrame(
+            [(i, [0.0], i % 2) for i in range(10)],
+            "qid long, __qv array<double>, __shard long",
+        )
+        sizes = [r[0] for r in routed._chunked_queries(fake, "qid").select(
+            F.size("__qs")
+        ).collect()]
+        assert max(sizes) <= 2 and sum(sizes) == 10 and len(sizes) == 6
+    finally:
+        ShardedHNSW.QUERY_CHUNK = old
+    assert chunked == baseline  # bit-identical serving
+
+
+def test_insert_compaction_releases_superseded_leaves(emb, spark):
+    """r6 storage fix: after a COMPACT_EVERY fold the pre-compaction
+    checkpoint leaves are unreachable from the new view and must be
+    unpersisted — a week-long ingest stream otherwise accumulates one
+    stale generation per fold. Probes stay bit-identical to a
+    never-compacting chain over the same inserts."""
+    from bustub_vectordb_spark.index.hnsw import ShardedHNSW
+
+    def run_chain(compact_every):
+        old = ShardedHNSW.COMPACT_EVERY
+        ShardedHNSW.COMPACT_EVERY = compact_every
+        try:
+            idx = HNSWIndex.build_routed(
+                emb, "embedding", "vec_id", shards=4, m=8,
+                ef_construction=48, ef_search=48,
+            )
+            for i in range(7):  # >= 2 * compact_every for the small chain
+                new = spark.createDataFrame(
+                    [(90000 + i, [0.01 * i] * 64)],
+                    "vec_id long, embedding array<double>",
+                )
+                idx = idx.insert(new)
+        finally:
+            ShardedHNSW.COMPACT_EVERY = old
+        return idx
+
+    jsc = spark.sparkContext._jsc.sc()
+    base_rdds = jsc.getPersistentRDDs().size()
+    compacting = run_chain(3)  # folds after inserts 3 and 6
+    after_rdds = jsc.getPersistentRDDs().size()
+    # bounded: base view + <= compact_every outstanding deltas + the fold —
+    # NOT one leaf per insert (9+ without the release)
+    assert after_rdds - base_rdds <= 6, (base_rdds, after_rdds)
+
+    plain = run_chain(100)  # never compacts
+    q = [0.01 * 5] * 64
+    a = [(r["vec_id"], r["distance"]) for r in compacting.probe(q, 5, n_probe=2).collect()]
+    b = [(r["vec_id"], r["distance"]) for r in plain.probe(q, 5, n_probe=2).collect()]
+    assert a == b and 90005 in {i for i, _ in a}

@@ -324,3 +324,17 @@ def test_create_index_vamana_pq(spark):
     assert plan.strategy == "vector_index_scan(vamana)"
     got = plan.df.collect()
     assert len(got) == 3 and got[0]["v2"] == 0  # exact reranked distances
+
+
+def test_txn_statements_are_courtesy_noops(engine):
+    """BEGIN/COMMIT/ABORT/ROLLBACK answer with the reference shell's
+    unmanaged-mode one-cell messages (bustub_ddl.cpp:207-259) instead of a
+    parse error; they change no state."""
+    engine.execute("CREATE TABLE txt1 (x integer)")
+    engine.execute("INSERT INTO txt1 VALUES (1)")
+    out = engine.execute("BEGIN;")
+    assert "managed txn mode" in out.collect()[0]["message"]
+    for stmt in ("COMMIT", "abort;", "ROLLBACK"):
+        out = engine.execute(stmt)
+        assert "can only be used with txn" in out.collect()[0]["message"]
+    assert engine.execute("SELECT * FROM txt1").count() == 1

@@ -82,3 +82,42 @@ def test_stream_ingest_parity_and_idempotence(spark, emb, tmp_path):
     before = ingest.batches
     IndexIngest.__call__(ingest, replay, 999)
     assert ingest.batches == before  # nothing inserted
+
+
+def test_long_ingest_releases_superseded_state(spark, tables):
+    """r6 storage fix: a long-running ingest stream must not accumulate
+    one stale checkpoint generation per compaction fold — after
+    >= 2 * COMPACT_EVERY batches the persistent-RDD count stays bounded
+    and probes still see every inserted id."""
+    from bustub_vectordb_spark.index.hnsw import HNSWIndex, ShardedHNSW
+    from bustub_vectordb_spark.streaming.ann_ingest import IndexIngest
+
+    emb = tables["embeddings"]
+    jsc = spark.sparkContext._jsc.sc()
+    old = ShardedHNSW.COMPACT_EVERY
+    ShardedHNSW.COMPACT_EVERY = 3
+    try:
+        idx = HNSWIndex.build_routed(
+            emb, "embedding", "vec_id", shards=4, m=8,
+            ef_construction=48, ef_search=48,
+        )
+        ingest = IndexIngest(idx)
+        ingest.COMPACT_EVERY = 3  # instance attr: sink mutates itself
+        base = jsc.getPersistentRDDs().size()
+        for i in range(8):  # >= 2 folds of both the index and the seen set
+            batch = spark.createDataFrame(
+                [(70000 + i, [0.02 * i] * 64)],
+                "vec_id long, embedding array<double>",
+            )
+            ingest(batch, i)
+        grown = jsc.getPersistentRDDs().size() - base
+        # bound: <= one outstanding generation per state (index leaves +
+        # seen leaves + members cache), NOT one per batch
+        assert grown <= 10, grown
+        got = {
+            r["vec_id"]
+            for r in ingest.index.probe([0.02 * 7] * 64, 3, n_probe=2).collect()
+        }
+        assert 70007 in got
+    finally:
+        ShardedHNSW.COMPACT_EVERY = old

@@ -111,3 +111,49 @@ def test_state_survives_restart(spark, tmp_path):
     got = {r["doc_id"] for r in b.admitted.collect()}
     want = {r["doc_id"] for r in c.admitted.collect()}
     assert got == want == {1, 2, 3, 13, 14}
+
+
+def test_verify_rounds_jaccard_like_batch_twin(spark):
+    """The cross-corpus verify must round jaccard to 6 decimals BEFORE the
+    threshold compare, exactly like near_dup_pairs — a borderline doc
+    (jaccard 1/3 vs threshold 0.3333331) is admitted by the batch twin
+    (round(1/3, 6) = 0.333333 < t) and must be admitted here too; a raw
+    compare would reject it (0.3333... >= t)."""
+    from bustub_vectordb_spark.dedup.minhash import near_dup_pairs
+
+    a = (1, "a b c d")  # shingles {"a b c", "b c d"}
+    b = (2, "a b c e")  # shingles {"a b c", "b c e"} -> jaccard = 1/3
+    both = _docs(spark, [a, b])
+    # precondition: the pair IS an LSH candidate (collides in some band) —
+    # otherwise both code paths admit trivially and the test is vacuous
+    assert near_dup_pairs(both, "text", "doc_id", threshold=0.3).count() == 1
+
+    t = 0.3333331
+    ingest = NearDupIngest(spark, threshold=t, seed_df=_docs(spark, [a]))
+    ingest(_docs(spark, [b]), 0)
+    admitted = {r["doc_id"] for r in ingest.admitted.collect()}
+    assert admitted == {1, 2}, admitted
+
+
+def test_long_ingest_releases_superseded_state(spark):
+    """r6 storage fix: the dedup sink's per-fold state compaction must
+    release the superseded checkpoint leaves; admissions stay identical to
+    a never-compacting twin over the same arrival order."""
+    jsc = spark.sparkContext._jsc.sc()
+
+    def run(compact_every):
+        ingest = NearDupIngest(spark, threshold=0.5, seed_df=_docs(spark, BASE))
+        ingest.COMPACT_EVERY = compact_every
+        for i, doc in enumerate(ARRIVALS):
+            ingest(_docs(spark, [doc]), i)
+        for i in range(3):  # pad past 2 folds with novel docs
+            ingest(_docs(spark, [(50 + i, f"unique padding document number {i} about topic {i}")]), 10 + i)
+        return {r["doc_id"] for r in ingest.admitted.collect()}
+
+    base = jsc.getPersistentRDDs().size()
+    compacting = run(3)
+    grown = jsc.getPersistentRDDs().size() - base
+    # bound: <= one outstanding generation of (admitted, bands, shingles)
+    # plus <= COMPACT_EVERY deltas of each — NOT one leaf per batch
+    assert grown <= 12, grown
+    assert compacting == run(100)  # admissions invariant under compaction

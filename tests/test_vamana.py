@@ -207,3 +207,15 @@ def test_insert_refused_by_design(vamana, spark):
     )
     with pytest.raises(ValueError, match="batch-build artifact"):
         vamana.insert(new)
+
+
+def test_quantize_pq_refuses_oversize_codebook(emb, vamana):
+    """uint8 codes cap the codebook at k=256; quantize_pq must refuse a
+    larger PQModel up front (mirroring _Graph.quantize_pq) rather than
+    corrupt codes at serve time."""
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    model = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+    model.centroids[0] = np.vstack([model.centroids[0]] * 9)  # 288 > 256
+    with pytest.raises(ValueError, match="k <= 256"):
+        vamana.quantize_pq(model)
