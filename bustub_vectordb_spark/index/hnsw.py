@@ -49,6 +49,57 @@ def _one_dist(dist: str, a, b) -> float:
     return -dot / (na * nb)
 
 
+class _PackedAdj:
+    """Read-only adjacency layer as (offsets, flat) int32/int64 arrays —
+    the serving-memory form of an edge dict (see _Graph.pack). Implements
+    exactly the read API the walks use: ``get(v)`` returns the neighbor
+    slice (an int32 view iterating in the original list order, so walks
+    over packed and dict layers visit identical sequences) and ``items()``
+    yields (vertex, neighbor-list) for vertices with >= 1 neighbor."""
+
+    __slots__ = ("offs", "flat")
+
+    def __init__(self, offs: np.ndarray, flat: np.ndarray):
+        self.offs = offs
+        self.flat = flat
+
+    @classmethod
+    def from_dict(cls, layer: dict, n: int) -> "_PackedAdj":
+        counts = np.zeros(n, dtype=np.int64)
+        for v, nbs in layer.items():
+            counts[v] = len(nbs)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        flat = np.empty(int(offs[-1]), dtype=np.int32)
+        for v, nbs in layer.items():
+            flat[offs[v] : offs[v] + len(nbs)] = nbs
+        if offs[-1] < 2**31:  # always true for per-shard/serving graphs
+            offs = offs.astype(np.int32)
+        return cls(offs, flat)
+
+    def get(self, v, default=()):
+        if v < 0 or v >= len(self.offs) - 1:
+            return default
+        return self.flat[self.offs[v] : self.offs[v + 1]]
+
+    def to_dict(self) -> dict:
+        # vertices that existed with an EMPTY list are indistinguishable
+        # from absent ones here — harmless for walks/inserts (both read
+        # via .get(v, ()) / setdefault), noted for save() round-trips
+        out = {}
+        offs, flat = self.offs, self.flat
+        for v in range(len(offs) - 1):
+            if offs[v + 1] > offs[v]:
+                out[v] = flat[offs[v] : offs[v + 1]].tolist()
+        return out
+
+    def items(self):
+        return self.to_dict().items()
+
+    def __len__(self) -> int:
+        return int((self.offs[1:] > self.offs[:-1]).sum())
+
+
 class _Graph:
     """In-memory HNSW graph over a vector matrix (clean-room, NumPy)."""
 
@@ -77,6 +128,46 @@ class _Graph:
         self.pq_codes: np.ndarray | None = None
         self.pq_books: list | None = None  # m arrays of (k, dsub_i)
         self.pq_bounds: list | None = None  # m (start, end) subspace bounds
+
+    # -- serialization / packed adjacency ---------------------------------
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_id_map"] = None  # lazy caches rebuild on demand
+        state["_allowed_cache"] = None
+        return state
+
+    def pack(self) -> "_Graph":
+        """Convert edge layers to the read-only packed form (_PackedAdj):
+        a dict{int: list[int]} costs ~50-100 resident bytes per edge on a
+        deserializing executor, while offsets+flat int32 arrays cost ~4 —
+        at R≈16-32 neighbors per vertex the edge lists, not the vectors or
+        codes, dominate a serving broadcast's executor footprint. Walks
+        read packed layers directly (edges.get(v) returns an int32 view
+        with identical iteration order, so results stay bit-identical);
+        ``add_all`` unpacks automatically if a packed graph is extended.
+        Returns self for chaining."""
+        n = len(self.ids)
+        self.edges = [
+            lay if isinstance(lay, _PackedAdj) else _PackedAdj.from_dict(lay, n)
+            for lay in self.edges
+        ]
+        if (
+            n
+            and not isinstance(self.ids, np.ndarray)
+            and all(isinstance(i, int) for i in self.ids)
+        ):
+            # int external ids: ~28 resident bytes each as a Python list,
+            # 8 as an int64 array; lookups/returns stay value-equal
+            self.ids = np.asarray(self.ids, dtype=np.int64)
+        return self
+
+    def _unpack(self) -> None:
+        self.edges = [
+            lay.to_dict() if isinstance(lay, _PackedAdj) else lay
+            for lay in self.edges
+        ]
+        if isinstance(self.ids, np.ndarray):
+            self.ids = self.ids.tolist()
 
     # -- compressed storage (SQ8 / PQ) ------------------------------------
     def _mat_rows(self, idxs) -> np.ndarray:
@@ -317,6 +408,7 @@ class _Graph:
             self.entry = idx
 
     def add_all(self, ids, mat: np.ndarray) -> None:
+        self._unpack()  # packed (serving-form) layers are read-only
         base = len(self.ids)
         if getattr(self, "pq_codes", None) is not None:
             # quantized graph: encode new rows with the FROZEN codebooks
@@ -382,8 +474,12 @@ class _Graph:
         else:
             allowed = self._internal_allowed(allowed_ids)
             found = self._search_layer_filtered(q, ep, ef, 0, allowed)[:k]
+        ids = self.ids
         return [
-            (self.ids[v], float(d)) for v, d in zip(found, self._dist_many(q, found))
+            # .item(): packed graphs hold ids as an int64 array — hits must
+            # surface native Python values (createDataFrame rejects np types)
+            (ids[v].item() if isinstance(ids[v], np.generic) else ids[v], float(d))
+            for v, d in zip(found, self._dist_many(q, found))
         ]
 
 

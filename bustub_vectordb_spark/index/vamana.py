@@ -81,7 +81,13 @@ class VamanaIndex:
     params: dict | None = None
     _driver_graph: _Graph | None = field(default=None, repr=False)
 
-    SERVE_MAX_ROWS = 2_000_000
+    # one-node serving ceiling. With PQ codes (16 B/vec) + packed edge
+    # lists (4 B/edge int32 — _Graph.pack) 8M rows is ~0.7 GB resident
+    # (codes 128 MB + edges R=16 512 MB + ids 64 MB), comfortably one
+    # search node. Past this, serve via to_partitioned() — cell-sharded
+    # beam serving with NO full-graph materialization anywhere — or the
+    # routed ShardedHNSW tier (sql.py auto-routes builds the same way).
+    SERVE_MAX_ROWS = 8_000_000
 
     @classmethod
     def build(
@@ -253,6 +259,141 @@ class VamanaIndex:
             self.entry, self._spark, id_type=self.id_type, params=params,
         )
 
+    def to_partitioned(
+        self,
+        cells: int = 8,
+        n_probe: int | None = 2,
+        max_iter: int = 5,
+    ) -> "object":
+        """Cell-partitioned serving of the merged graph — the scale path
+        PAST ``SERVE_MAX_ROWS``: nothing corpus-sized ever materializes on
+        any single node, driver included.
+
+        The merged Vamana artifact (vertices + pruned adjacency) is cut
+        into ``cells`` spatial cells: k-means centroids train with the
+        exact build_routed recipe (id-ordered seeds, bounded id-sorted
+        sample), every vertex routes to its SINGLE nearest centroid
+        (codegen argmin — cells are disjoint), and each cell becomes one
+        single-layer _Graph shell over its members with the merged
+        adjacency RESTRICTED to in-cell edges (cross-cell edges cannot be
+        followed inside a cell walk, so they are dropped rather than left
+        dangling). Each shell's entry point is the member nearest its cell
+        centroid ((distance, id) ties). The result is a routed
+        ``ShardedHNSW`` — probe/search_batch/filtered/rerank serving,
+        n_probe cell pruning, and bounded per-task memory all come from
+        the tested serving machinery; per-cell blobs are pickled in packed
+        form (_Graph.pack).
+
+        Semantics: this is SPANN-style cell serving over Vamana edges —
+        results can differ from the full-graph walk near cell boundaries
+        (recall governed by cells/n_probe, threshold-tested), and the
+        whole construction is deterministic, replayed bit-exactly by
+        ``offline_vamana_partitioned``. A PQ-quantized index carries its
+        frozen codebooks into every cell shell (serve with
+        ``probe(rerank=...)`` for exact distances)."""
+        import pickle
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from ..shipping import ensure_package_on_workers
+        from .hnsw import ShardedHNSW
+        from .ivfflat import IVFFlatIndex, _lloyds_numpy, _nearest_centroid
+
+        spark = self._spark
+        ensure_package_on_workers(spark)
+        id_col = self.id_col
+        seeds = (
+            self.vertices.orderBy(id_col).limit(cells).select("vec").collect()
+        )
+        init = [list(r["vec"]) for r in seeds]
+        if len(init) < cells:
+            raise ValueError(f"index has fewer than cells={cells} vertices")
+        n = self.vertices.count()
+        dim = len(init[0])
+        frac = min(1.0, IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS / max(n * dim, 1))
+        sample = (
+            self.vertices.select(F.col(id_col).alias("__id"), F.col("vec").alias("v"))
+            if frac >= 1.0
+            else self.vertices.sample(fraction=frac, seed=self.params.get("seed", 42) if self.params else 42).select(
+                F.col(id_col).alias("__id"), F.col("vec").alias("v")
+            )
+        )
+        srows = sorted(sample.collect(), key=lambda row: row["__id"])
+        centroids = _lloyds_numpy([list(row["v"]) for row in srows], init, max_iter)
+
+        cellmap = self.vertices.withColumn(
+            "__cell", _nearest_centroid(F.col("vec"), centroids).cast("long")
+        )
+        # merged adjacency restricted to in-cell edges, original rank order
+        src_cell = cellmap.select(F.col(id_col), "__cell")
+        ex = self.edges.select(
+            F.col(id_col), F.posexplode("neighbors").alias("__pos", "__dst")
+        )
+        dst_cell = src_cell.select(
+            F.col(id_col).alias("__dst"), F.col("__cell").alias("__dcell")
+        )
+        kept = (
+            ex.join(src_cell, id_col)
+            .join(dst_cell, "__dst")
+            .filter(F.col("__cell") == F.col("__dcell"))
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__dst"))),
+                    lambda s: s["__dst"],
+                ).alias("__nbs")
+            )
+        )
+        grp = cellmap.join(kept, id_col, "left")
+
+        p = self.params or {}
+        r_deg = p.get("r", 16)
+        efc = p.get("ef_construction", 48)
+        efs = p.get("ef_search", 48)
+        seed = p.get("seed", 42)
+        books, bounds = p.get("pq_books"), p.get("pq_bounds")
+
+        def build_shell(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(id_col)
+            ids = pdf[id_col].tolist()
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            g = _Graph(r_deg, efc, efs, "l2", seed)
+            g.ids = list(ids)
+            g.vecs = mat
+            g._norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
+            g._norms_sq = (mat * mat).sum(axis=1)
+            idmap = {e: i for i, e in enumerate(ids)}
+            layer0: dict[int, list[int]] = {i: [] for i in range(len(ids))}
+            for i, nbs in enumerate(pdf["__nbs"].tolist()):
+                if nbs is not None and len(nbs):
+                    layer0[i] = [idmap[d] for d in nbs]
+            g.edges = [layer0]
+            c = np.asarray(centroids[int(key[0])], dtype=np.float64)
+            d = np.linalg.norm(mat - c, axis=1)
+            g.entry = min(range(len(ids)), key=lambda i: (d[i], ids[i]))
+            if books is not None:
+                g.quantize_pq(books, bounds)
+            g.pack()
+            return pd.DataFrame(
+                {"shard": [int(key[0])], "blob": [pickle.dumps(g)]}
+            )
+
+        blobs = grp.groupBy("__cell").applyInPandas(
+            build_shell, "shard long, blob binary"
+        )
+        params = dict(
+            m=r_deg, ef_construction=efc, ef_search=efs, seed=seed,
+            replicated=False,
+        )
+        if books is not None:
+            params.update(pq_books=books, pq_bounds=bounds)
+        return ShardedHNSW(
+            self.vec_col, id_col, "l2", blobs.cache(), spark,
+            centroids=centroids, id_type=self.id_type,
+            default_n_probe=n_probe, params=params,
+        )
+
     # -- serving -----------------------------------------------------------
     def _graph(self) -> _Graph:
         """Materialize the flat graph into the driver once (guarded) as a
@@ -313,6 +454,11 @@ class VamanaIndex:
             ]
         g.edges = [layer0]
         g.entry = idmap[self.entry]
+        # packed serving form: edge lists as offsets+flat int32 (and int
+        # ids as an int64 array) — the R×n edge dicts, not the PQ codes,
+        # would otherwise dominate the search node / broadcast footprint
+        # (~50-100 resident bytes per edge vs 4). Walks are bit-identical.
+        g.pack()
         self._driver_graph = g
         return g
 
@@ -568,6 +714,80 @@ def offline_vamana(
     g.edges = [layer0]
     g.entry = idmap[entry_ext]
     return g
+
+
+def offline_vamana_partitioned(
+    parquet_path: str,
+    vec_col: str,
+    id_col: str,
+    cells: int = 8,
+    cells_max_iter: int = 5,
+    model=None,
+    **build_kw,
+) -> tuple[list, dict]:
+    """Replay ``VamanaIndex.build(...).to_partitioned(cells=...)`` without
+    Spark: same merged adjacency (offline_vamana), same cell-centroid
+    training recipe (id-ordered seeds + full-table id-sorted training),
+    same first-min fold routing as the codegen argmin, same in-cell edge
+    restriction in prune-rank order, same numpy entry selection
+    ((distance, id) ties), optional same frozen-codebook PQ quantization.
+    Returns (cell_centroids, {cell: _Graph shell}) — probes replay with
+    ``offline_routed_probe`` / ``offline_routed_batch``, matching the
+    returned ShardedHNSW bit-exactly. Valid only on inputs small enough
+    for the full-table training path."""
+    from .hnsw import _read_sorted
+    from .ivfflat import IVFFlatIndex, _lloyds_numpy
+
+    g = offline_vamana(parquet_path, vec_col, id_col, **build_kw)
+    ids, vecs = _read_sorted(parquet_path, vec_col, id_col)
+    n, dim = len(vecs), len(vecs[0]) if vecs else 0
+    if n * dim > IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS:
+        raise ValueError(
+            "offline_vamana_partitioned only replicates the full-table "
+            "training path"
+        )
+    if n < cells:
+        raise ValueError(f"index has fewer than cells={cells} vertices")
+    centroids = _lloyds_numpy(vecs, [list(v) for v in vecs[:cells]], cells_max_iter)
+
+    members: dict[int, list] = {}
+    for i, v in zip(ids, vecs):
+        dists = [_l2_sq_fold(v, c) for c in centroids]
+        members.setdefault(dists.index(min(dists)), []).append(i)
+
+    adj_ext = {
+        g.ids[v]: [g.ids[d] for d in nbs] for v, nbs in g.edges[0].items()
+    }
+    by_vec = dict(zip(ids, vecs))
+    r_deg = build_kw.get("r", 16)
+    efc = build_kw.get("ef_construction", 48)
+    efs = build_kw.get("ef_search", 48)
+    seed = build_kw.get("seed", 42)
+    if model is not None:
+        books = [[[float(x) for x in row] for row in b] for b in model.centroids]
+        bnds = [[int(s), int(e)] for s, e in model.bounds]
+    graphs: dict[int, _Graph] = {}
+    for b, mids in sorted(members.items()):
+        mids = sorted(mids)
+        cellset = set(mids)
+        mat = np.asarray([by_vec[i] for i in mids], dtype=np.float64)
+        sg = _Graph(r_deg, efc, efs, "l2", seed)
+        sg.ids = list(mids)
+        sg.vecs = mat
+        sg._norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
+        sg._norms_sq = (mat * mat).sum(axis=1)
+        idmap = {e: k for k, e in enumerate(mids)}
+        layer0: dict[int, list[int]] = {}
+        for k, e in enumerate(mids):
+            layer0[k] = [idmap[d] for d in adj_ext.get(e, []) if d in cellset]
+        sg.edges = [layer0]
+        c = np.asarray(centroids[b], dtype=np.float64)
+        d = np.linalg.norm(mat - c, axis=1)
+        sg.entry = min(range(len(mids)), key=lambda k: (d[k], mids[k]))
+        if model is not None:
+            sg.quantize_pq(books, bnds)
+        graphs[b] = sg
+    return centroids, graphs
 
 
 def offline_vamana_pq_probe(

@@ -2625,6 +2625,140 @@ def q_ann_vamana_pq_batch(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
 
 
+_OFFLINE_VAMANA_PART_MEMO: dict = {}
+
+
+def _offline_vamana_part_cached(mutable: bool = False):
+    """One offline partitioned-vamana replay per sf_dir across the oracle
+    generators (same memo discipline as _offline_routed_cached);
+    ``mutable=True`` deep-copies the shells for oracles that quantize."""
+    import pickle
+
+    from .index.vamana import offline_vamana_partitioned
+
+    key = _oracle_sf()
+    if key not in _OFFLINE_VAMANA_PART_MEMO:
+        _OFFLINE_VAMANA_PART_MEMO[key] = offline_vamana_partitioned(
+            f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+            cells=4, shards=4, overlap_eps=0.2, r=16,
+        )
+    cents, graphs = _OFFLINE_VAMANA_PART_MEMO[key]
+    if mutable:
+        graphs = pickle.loads(pickle.dumps(graphs))
+    return cents, graphs
+
+
+def _vamana_partitioned_batch_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed_batch
+
+    cents, graphs = _offline_vamana_part_cached()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    qs = [(qid, qv) for qid, qv in zip(ids, vecs) if qid % 97 == 0]
+    rows = [
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_batch(cents, graphs, qs, 5, 2)
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_vamana_partitioned_batch", _vamana_partitioned_batch_oracle)
+def q_ann_vamana_partitioned_batch(spark, sf_dir):
+    # Cell-partitioned serving of the merged Vamana graph — the serving
+    # tier PAST the one-node SERVE_MAX_ROWS ceiling: the artifact is cut
+    # into disjoint k-means cells, each cell becomes a single-layer graph
+    # shell over the in-cell edges, and batch probes run through the
+    # routed ShardedHNSW machinery (n_probe cell pruning, bounded chunked
+    # rows, NO full-graph materialization anywhere — driver included).
+    # Exact offline replay (offline_vamana_partitioned +
+    # offline_routed_batch).
+    from .index.vamana import VamanaIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "vamana_part")
+    if key not in _INDEX_CACHE:
+        vkey = (sf_dir, "vamana")
+        if vkey not in _INDEX_CACHE:
+            _INDEX_CACHE[vkey] = VamanaIndex.build(
+                emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+            )
+        _INDEX_CACHE[key] = _INDEX_CACHE[vkey].to_partitioned(
+            cells=4, n_probe=2
+        )
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = _INDEX_CACHE[key].search_batch(queries, "embedding", "qid", k=5, n_probe=2)
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
+def _vamana_partitioned_pq_batch_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed_pq_batch
+
+    cents, graphs = _offline_vamana_part_cached(mutable=True)
+    model, _ids, _codes = _offline_pq_cached()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    qs = [(qid, qv) for qid, qv in zip(ids, vecs) if qid % 97 == 0]
+    rows = [
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_pq_batch(
+            cents, graphs, dict(zip(ids, vecs)), qs, 5, 2, model
+        )
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_vamana_partitioned_pq_batch", _vamana_partitioned_pq_batch_oracle)
+def q_ann_vamana_partitioned_pq_batch(spark, sf_dir):
+    # The FULL scale path for the single-graph tier: PQ codes (16 B/vec)
+    # inside cell-partitioned shells — per-cell blobs hold codes only,
+    # walks are ADC, the exact rerank joins the (qid, id) shortlist to the
+    # source + query vectors. Any corpus size, no node ever holds the
+    # graph. Exact offline replay (offline_routed_pq_batch over
+    # offline_vamana_partitioned shells).
+    from .index.vamana import VamanaIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "vamana_part_pq")
+    if key not in _INDEX_CACHE:
+        vkey = (sf_dir, "vamana_pq")
+        if vkey not in _INDEX_CACHE:
+            bkey = (sf_dir, "vamana")
+            if bkey not in _INDEX_CACHE:
+                _INDEX_CACHE[bkey] = VamanaIndex.build(
+                    emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+                )
+            model, _codes = _pq_for(spark, sf_dir)
+            _INDEX_CACHE[vkey] = _INDEX_CACHE[bkey].quantize_pq(model)
+        _INDEX_CACHE[key] = _INDEX_CACHE[vkey].to_partitioned(
+            cells=4, n_probe=2
+        )
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = _INDEX_CACHE[key].search_batch(
+        queries, "embedding", "qid", k=5, n_probe=2, rerank=emb
+    )
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
 def _hnsw_routed_pq_batch_oracle() -> str:
     import pyarrow.parquet as pq
 

@@ -23,16 +23,27 @@ def ensure_package_on_workers(spark) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
-    zip_path = os.path.join("/tmp", f"{pkg_name}_shipped.zip")
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    sources.sort()
+    # content-keyed zip name: a fixed path would keep shipping a STALE
+    # snapshot across sessions after the package changes on disk — workers
+    # would then unpickle current driver objects against old class code
+    import hashlib
+
+    h = hashlib.sha256()
+    for full in sources:
+        st = os.stat(full)
+        h.update(f"{os.path.relpath(full, pkg_dir)}:{st.st_mtime_ns}:{st.st_size};".encode())
+    zip_path = os.path.join("/tmp", f"{pkg_name}_shipped_{h.hexdigest()[:16]}.zip")
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if not f.endswith(".py"):
-                        continue
-                    full = os.path.join(root, f)
-                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
-                    zf.write(full, rel)
+            for full in sources:
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
     sc.addPyFile(zip_path)
     _SHIPPED.add(key)
 

@@ -530,6 +530,23 @@ class SqlEngine:
                             m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
                         )
                     )
+                n_rows = df.count()
+                if n_rows > VamanaIndex.SERVE_MAX_ROWS or "cells" in opts:
+                    # EXPLICIT serving hand-off above the one-node ceiling:
+                    # the merged artifact is cut into disjoint k-means cell
+                    # shells served through the routed ShardedHNSW
+                    # machinery (to_partitioned) — same build quality tier,
+                    # no node ever materializes the whole graph. WITH
+                    # (cells=N[, n_probe=P]) opts in at any size.
+                    import math as _math
+
+                    idx = idx.to_partitioned(
+                        cells=opts.get(
+                            "cells",
+                            max(2, _math.ceil(n_rows / self.HNSW_SHARD_TARGET_ROWS)),
+                        ),
+                        n_probe=opts.get("n_probe", 2),
+                    )
             else:
                 from .index.hnsw import HNSWIndex
 

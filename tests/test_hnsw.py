@@ -923,3 +923,50 @@ def test_insert_compaction_releases_superseded_leaves(emb, spark):
     a = [(r["vec_id"], r["distance"]) for r in compacting.probe(q, 5, n_probe=2).collect()]
     b = [(r["vec_id"], r["distance"]) for r in plain.probe(q, 5, n_probe=2).collect()]
     assert a == b and 90005 in {i for i, _ in a}
+
+
+def test_packed_graph_bit_identical_and_smaller(emb):
+    """_Graph.pack: packed adjacency (offsets+flat int32) must search
+    bit-identically (plain + filtered), survive pickling, auto-unpack for
+    add_all, and cut the resident edge-list footprint."""
+    import pickle
+    import sys as _sys
+
+    import numpy as np
+
+    from bustub_vectordb_spark.index.hnsw import _Graph, _PackedAdj
+
+    rows = emb.limit(400).collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    g = _Graph(8, 48, 48, "l2", 42)
+    g.add_all(ids, mat)
+    q = np.asarray(QUERY, dtype=np.float64)
+    base = g.search(q, 10)
+    basef = g.search(q, 10, allowed_ids=set(ids[::3]))
+
+    p = pickle.loads(pickle.dumps(g))
+    p.pack()
+    assert isinstance(p.edges[0], _PackedAdj)
+    assert p.search(q, 10) == base
+    assert p.search(q, 10, allowed_ids=set(ids[::3])) == basef
+    # packed graphs pickle/unpickle and stay packed
+    p2 = pickle.loads(pickle.dumps(p))
+    assert p2.search(q, 10) == base
+    # native Python ids surface from packed searches
+    assert all(isinstance(h, int) for h, _ in p2.search(q, 5))
+    # add_all auto-unpacks and extends
+    p.add_all([777777], np.zeros((1, 64)))
+    assert 777777 in {h for h, _ in p.search(np.zeros(64), 3)}
+
+    def resident(layer):
+        if isinstance(layer, _PackedAdj):
+            return layer.offs.nbytes + layer.flat.nbytes
+        return sum(
+            _sys.getsizeof(k) + _sys.getsizeof(v) + len(v) * 32
+            for k, v in layer.items()
+        )
+
+    dict_sz = sum(resident(l) for l in g.edges)
+    packed_sz = sum(resident(l) for l in p2.edges)
+    assert packed_sz < dict_sz / 2, (dict_sz, packed_sz)

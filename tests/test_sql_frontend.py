@@ -338,3 +338,30 @@ def test_txn_statements_are_courtesy_noops(engine):
         out = engine.execute(stmt)
         assert "can only be used with txn" in out.collect()[0]["message"]
     assert engine.execute("SELECT * FROM txt1").count() == 1
+
+
+def test_create_index_vamana_cells_partitioned_serving(spark):
+    """CREATE INDEX ... USING vamana WITH (cells=N): explicit hand-off to
+    cell-partitioned serving — the registered index is a routed sharded
+    graph over the merged artifact and still answers KNN via the planner."""
+    from bustub_vectordb_spark.index.hnsw import ShardedHNSW
+    from bustub_vectordb_spark.index.selection import plan_knn
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE mtvc(v1 VECTOR(3), v2 integer)")
+    rows = ", ".join(
+        f"(ARRAY [{i}.0, {(i * 3) % 7}.0, {(i * 5) % 11}.0], {i})" for i in range(24)
+    )
+    e.execute(f"INSERT INTO mtvc VALUES {rows}")
+    e.execute(
+        "CREATE INDEX mvc1 ON mtvc USING vamana (v1 vector_l2_ops)"
+        " WITH (shards = 2, m = 4, ef_construction = 16, ef_search = 16,"
+        " r = 6, overlap_eps = 0.3, cells = 2, n_probe = 2)"
+    )
+    idx = next(i for i in e.indexes.lookup("mtvc", "v1") if i.name == "mvc1").index
+    assert isinstance(idx, ShardedHNSW) and idx.default_n_probe == 2
+    df = e.catalog.tables["mtvc"].df
+    plan = plan_knn(e.indexes, "mtvc", df, "v1", [0.0, 0.0, 0.0], 3)
+    assert plan.strategy == "vector_index_scan(vamana)"
+    assert len(plan.df.collect()) == 3

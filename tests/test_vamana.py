@@ -219,3 +219,85 @@ def test_quantize_pq_refuses_oversize_codebook(emb, vamana):
     model.centroids[0] = np.vstack([model.centroids[0]] * 9)  # 288 > 256
     with pytest.raises(ValueError, match="k <= 256"):
         vamana.quantize_pq(model)
+
+
+def test_partitioned_serving_matches_offline_replay(emb, vamana, sf_dir):
+    """to_partitioned: cell-sharded serving of the merged graph replays
+    bit-exactly (same centroid training, routing fold, in-cell edge
+    restriction, entry selection, walks, merge ordering)."""
+    from bustub_vectordb_spark.index.hnsw import (
+        offline_routed_batch,
+        offline_routed_probe,
+    )
+    from bustub_vectordb_spark.index.vamana import offline_vamana_partitioned
+
+    part = vamana.to_partitioned(cells=4, n_probe=2)
+    cents, graphs = offline_vamana_partitioned(
+        f"{sf_dir}/embeddings.parquet", "embedding", "vec_id",
+        cells=4, shards=4, overlap_eps=0.2, r=16,
+    )
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    got = [(r["vec_id"], r["distance"]) for r in part.probe(q, 10, n_probe=2).collect()]
+    exp = [(int(i), float(d)) for i, d in offline_routed_probe(cents, graphs, q, 10, 2)]
+    assert got == exp
+
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    bt = sorted(
+        (r["qid"], r["vec_id"], r["distance"])
+        for r in part.search_batch(queries, "embedding", "qid", k=5, n_probe=2).collect()
+    )
+    qs = [(r["qid"], list(r["embedding"])) for r in queries.collect()]
+    ebt = sorted(
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_batch(cents, graphs, qs, 5, 2)
+    )
+    assert bt == ebt
+
+
+def test_partitioned_serving_past_cap_recall(emb, vamana, monkeypatch):
+    """The single-graph tier now serves corpora PAST the one-node cap:
+    with SERVE_MAX_ROWS forced below the corpus, driver serving refuses
+    but to_partitioned serves with recall@10 >= 0.9 — and no node (driver
+    included) ever materializes the full graph."""
+    from bustub_vectordb_spark.index.vamana import VamanaIndex
+    from bustub_vectordb_spark.similarity.brute import knn
+
+    monkeypatch.setattr(VamanaIndex, "SERVE_MAX_ROWS", 10)
+    fresh = VamanaIndex(
+        vamana.vec_col, vamana.id_col, vamana.dist, vamana.vertices,
+        vamana.edges, vamana.entry, vamana._spark,
+        id_type=vamana.id_type, params=vamana.params,
+    )
+    with pytest.raises(ValueError, match="dedicated search node"):
+        fresh.probe([0.0] * 64, 5)
+
+    part = fresh.to_partitioned(cells=4, n_probe=3)
+    recalls = []
+    for row in emb.filter(F.col("vec_id") % 50 == 7).limit(10).collect():
+        q = list(row["embedding"])
+        got = {r["vec_id"] for r in part.probe(q, 10).collect()}
+        exact = {r["vec_id"] for r in knn(emb, "embedding", q, 10).collect()}
+        recalls.append(len(got & exact) / 10)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.9, recalls
+
+
+def test_partitioned_pq_serving_exact_rerank(emb, vamana, spark):
+    """PQ codes inside cell-partitioned shells: blobs hold codes only,
+    the exact rerank returns true distances — output distances must equal
+    the brute-force values for the returned ids."""
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    model = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+    part = vamana.quantize_pq(model).to_partitioned(cells=4, n_probe=3)
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    hits = part.probe(q, 5, rerank=emb).collect()
+    assert len(hits) == 5
+    import numpy as np
+
+    by_id = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+    for r in hits:
+        true = float(np.linalg.norm(by_id[r["vec_id"]] - np.asarray(q)))
+        assert r["distance"] == pytest.approx(true, abs=1e-9)
