@@ -211,6 +211,38 @@ def build_workloads(spark):
             )
         )
 
+    def vamana_build():
+        # distributed single-graph merge build (DiskANN recipe) — the r5
+        # flagship had no perf signal until r6 (VERDICT r5 task 4). The
+        # build IS the edges pipeline, so forcing it times the whole
+        # cluster-build + union + prune chain; nothing is cached between
+        # runs (fresh DataFrames → fresh shuffles each run).
+        from bustub_vectordb_spark.index.vamana import VamanaIndex
+
+        idx = VamanaIndex.build(
+            emb, "embedding", "vec_id", shards=8, overlap_eps=0.2, r=16
+        )
+        force(idx.edges)
+        state["vamana"] = idx
+
+    def vamana_pq_batch():
+        # PQ-compressed batch serving over the merged graph: first run pays
+        # the one-time quantize + driver-graph materialization (min-of-N
+        # reports the warm serving throughput, the steady-state quantity)
+        from bustub_vectordb_spark.similarity.pq import PQModel
+
+        if "vamana_pq" not in state:
+            model = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+            pq = state["vamana"].quantize_pq(model)
+            pq.edges = pq.edges.localCheckpoint(eager=True)  # pin the build
+            state["vamana_pq"] = pq
+        queries = emb.filter(F.col("vec_id") % 7 == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        force(
+            state["vamana_pq"].search_batch(queries, "embedding", "qid", k=10)
+        )
+
     def pipeline_prep_bench():
         # the composed training-data prep pipeline (quality filter + PII
         # scrub + exact dedup + token count) — tracked so the end-to-end
@@ -242,6 +274,8 @@ def build_workloads(spark):
         ("hnsw_probe", hnsw_probe),
         ("hnsw_routed_build", hnsw_routed_build),
         ("hnsw_routed_batch_search", hnsw_routed_batch_search),
+        ("vamana_build", vamana_build),
+        ("vamana_pq_batch", vamana_pq_batch),
         ("pipeline_prep", pipeline_prep_bench),
         ("dedup_components", dedup_components_bench),
     ]
@@ -251,6 +285,10 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     work = build_workloads(spark)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:  # comma-separated key subset — same-box A/B runs (NOTES.md)
+        keep = {k.strip() for k in only.split(",")}
+        work = [(n, f) for n, f in work if n in keep]
 
     t: dict[str, float] = {}
     for run in range(max(1, RUNS)):

@@ -3247,6 +3247,86 @@ def q_dedup_minhash_neardup(spark, sf_dir):
     return near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
 
 
+def _stream_admission_sql() -> str:
+    """Unrolled sequential-admission oracle for the streaming near-dup
+    sink: seed = doc_id%3==0 docs, then two arrival batches (%3==1,2)
+    processed in order. Each step replicates the sink exactly — (w) reject
+    the HIGHER id of any within-batch pair with jaccard >= 0.5 (the
+    single-pass lower-id-wins policy), (r) reject survivors with jaccard
+    >= 0.5 against anything admitted BEFORE the batch, (a) admit the rest.
+    Pairwise-exact jaccard (round 6, like the engine's verify) stands in
+    for MinHash-LSH candidates — the same superset argument as the gated
+    batch entry dedup_minhash_neardup."""
+    step = """
+    w{b} AS (SELECT DISTINCT y AS doc_id FROM jac
+             WHERE x % 3 = {b} AND y % 3 = {b} AND x < y AND j >= 0.5),
+    s{b} AS (SELECT doc_id FROM documents WHERE doc_id < 250 AND doc_id % 3 = {b}
+             AND doc_id NOT IN (SELECT doc_id FROM w{b})),
+    r{b} AS (SELECT DISTINCT x AS doc_id FROM jac
+             WHERE x IN (SELECT doc_id FROM s{b})
+               AND y IN (SELECT doc_id FROM a{p}) AND j >= 0.5),
+    a{b} AS (SELECT doc_id FROM a{p} UNION ALL
+             SELECT doc_id FROM s{b}
+             WHERE doc_id NOT IN (SELECT doc_id FROM r{b}))"""
+    steps = ",".join(step.format(b=b, p=b - 1) for b in (1, 2))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS __ts
+      FROM documents WHERE doc_id < 250
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(__ts) >= 3 THEN {_TRIGRAM_SQL}
+                  ELSE [] END AS sg
+      FROM toks
+    ), jac AS (
+      SELECT a.doc_id AS x, b.doc_id AS y,
+             round(len(list_intersect(a.sg, b.sg))::DOUBLE
+                   / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS j
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    ),
+    a0 AS (SELECT doc_id FROM documents WHERE doc_id < 250 AND doc_id % 3 = 0),{steps}
+    SELECT doc_id FROM a2 ORDER BY doc_id
+    """
+
+
+@_register("stream_neardup_admission", _stream_admission_sql)
+def q_stream_neardup_admission(spark, sf_dir):
+    # STREAMING near-dup admission, end to end through Structured
+    # Streaming: the corpus seeds the sink, three staged arrival batches
+    # drain through a real availableNow file stream (maxFilesPerTrigger=1
+    # -> one micro-batch per staged file, name order), and the admitted
+    # relation is the answer. Per-batch cost is O(batch) signatures + a
+    # band-key join against the state — never a corpus rescan
+    # (streaming/dedup_ingest.py). The oracle unrolls the same sequential
+    # admission in SQL.
+    import tempfile
+
+    from .streaming.dedup_ingest import ingest_dedup_stream
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 250)  # gate-budget subset (fixed, not sf-scaled)
+    )
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    stage = tempfile.mkdtemp(prefix="neardup_stage_")
+    for i, b in enumerate((1, 2)):
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/part{i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/part*")
+    )
+    q, ingest = ingest_dedup_stream(
+        stream, spark, tempfile.mkdtemp(prefix="neardup_ckpt_"),
+        seed_df=seed, threshold=0.5,
+    )
+    q.awaitTermination()
+    return ingest.admitted.select("doc_id")
+
+
 _BIGRAM_SQL = (
     "list_distinct(list_transform(generate_series(1, len(__ts)-1), "
     "i -> __ts[i] || ' ' || __ts[i+1]))"
@@ -4442,37 +4522,35 @@ def q_layout_bucketed_join(spark, sf_dir):
 # check_oracle.py (full registry) in tests/CI — see COVERAGE.md.
 
 _GATE_WINDOW = [
-    # --- never driver-gated before r5 ---
-    "ann_hnsw_batch_filtered",
-    "ann_hnsw_routed_batch_filtered",
-    "ann_ivf_sq8_rerank_cosine",
-    "decontaminate",
-    "dedup_components_star",
-    "sample_mixture_upsample",
-    "sample_train_test_split",
-    "training_export_shards",
-    "multimodal_real_decode",
-    # --- family duplicates last gated r1–r2 ---
-    "agg_simple",
-    "join_left",
-    "join_right",
-    "cross_join",
-    "index_scan_ordered",
-    "window_running_agg",
-    "sql_knn_l2",
-    # (knn_subquery_alias / sample_deterministic / knn_cosine /
-    # knn_inner_product already hold r1/r3 driver rows — their slots go to
-    # the brand-new round-5 entries below)
-    # --- r4 harness-err rows, now scalar-serialized ---
-    "vector_centroid_per_label",
-    "embedding_projection",
-    "embedding_normalize",
-    # --- new in round 5 ---
-    "ann_hnsw_routed_sq8_rerank",
-    "ann_hnsw_routed_sq8_batch",
-    "sequence_packing",
-    "boilerplate_removal",
-    "multimodal_decode_provenance",
+    # --- r6 rotation: the 12 entries that had NEVER been driver-gated
+    # (the whole round-5 PQ/vamana flagship tier + quality filter) —
+    # VERDICT r5 task 1 ---
+    "ann_pq_adc",
+    "ann_pq_adc_ip",
+    "ann_pq_rerank",
+    "ann_ivfpq_rerank",
+    "ann_vamana_merged",
+    "ann_vamana_filtered",
+    "ann_vamana_batch",
+    "ann_vamana_pq_rerank",
+    "ann_vamana_pq_batch",
+    "ann_hnsw_routed_pq_rerank",
+    "ann_hnsw_routed_pq_batch",
+    "quality_percentile_filter",
+    # --- new in round 6 ---
+    "ann_vamana_partitioned_batch",
+    "ann_vamana_partitioned_pq_batch",
+    "stream_neardup_admission",
+    # --- stalest driver rows rotate back in (last gated r1/r3) ---
+    "knn_cosine",
+    "knn_inner_product",
+    "knn_subquery_alias",
+    "sample_deterministic",
+    "agg_having",
+    "distinct",
+    "string_lower_upper",
+    "events_sessionize",
+    "layout_bucketed_join",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

@@ -301,3 +301,44 @@ def test_partitioned_pq_serving_exact_rerank(emb, vamana, spark):
     for r in hits:
         true = float(np.linalg.norm(by_id[r["vec_id"]] - np.asarray(q)))
         assert r["distance"] == pytest.approx(true, abs=1e-9)
+
+
+def test_compressed_tier_recall_holds_at_sf01(spark):
+    """VERDICT r5 task 8 — quantizer-saturation check at the bench scale
+    factor: the PQ-compressed serving tiers must hold their recall@10 at
+    the 4x-larger sf0.1 corpus (2000 vectors), not just at sf0.01 where
+    they were first measured. Thresholds sit under the deterministic
+    measured values (vamana pq+rerank 0.835, flat pq rerank 0.790,
+    partitioned pq+rerank 0.730 — tools/recall_report.py at sf0.1)."""
+    from bustub_vectordb_spark.catalog import read_table
+    from bustub_vectordb_spark.similarity.pq import PQModel, pq_rerank_topk
+
+    emb = read_table(spark, "/root/testdata/sf0.1", "embeddings").cache()
+    model = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+    codes = model.encode(emb, "embedding", "vec_id").cache()
+    idx = VamanaIndex.build(
+        emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+    ).quantize_pq(model)
+    part = idx.to_partitioned(cells=4, n_probe=3)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 3).limit(20).collect()
+    assert len(queries) == 20
+    rec = {"vamana_pq": [], "flat_pq": [], "part_pq": []}
+    for row in queries:
+        q = [float(x) for x in row["embedding"]]
+        exact = {x["vec_id"] for x in knn(emb, "embedding", q, 10).collect()}
+        rec["vamana_pq"].append(
+            len({x["vec_id"] for x in idx.probe(q, 10).collect()} & exact) / 10
+        )
+        rec["flat_pq"].append(
+            len({x["vec_id"] for x in pq_rerank_topk(
+                model, codes, emb, "embedding", "vec_id", q, 10
+            ).collect()} & exact) / 10
+        )
+        rec["part_pq"].append(
+            len({x["vec_id"] for x in part.probe(q, 10, rerank=emb).collect()} & exact) / 10
+        )
+    avgs = {k: sum(v) / len(v) for k, v in rec.items()}
+    assert avgs["vamana_pq"] >= 0.80, avgs
+    assert avgs["flat_pq"] >= 0.75, avgs
+    assert avgs["part_pq"] >= 0.65, avgs

@@ -67,6 +67,8 @@ def main():
     vamana = VamanaIndex.build(emb, "embedding", "vec_id", shards=4,
                                overlap_eps=0.2, r=16)
     vamana_pq = vamana.quantize_pq(pqm)
+    vamana_part = vamana.to_partitioned(cells=4, n_probe=3)
+    vamana_part_pq = vamana_pq.to_partitioned(cells=4, n_probe=3)
 
     tiers = [
         ("exact scan", f"{dim * 8} B/vec",
@@ -91,6 +93,10 @@ def main():
          lambda q: {r["vec_id"] for r in vamana.probe(list(q), K).collect()}),
         ("vamana pq+rerank", "16 B/vec in-graph",
          lambda q: {r["vec_id"] for r in vamana_pq.probe(list(q), K).collect()}),
+        ("vamana partitioned 3/4", f"{dim * 8} B/vec",
+         lambda q: {r["vec_id"] for r in vamana_part.probe(list(q), K).collect()}),
+        ("vamana part pq+rerank", "16 B/vec in-cell",
+         lambda q: {r["vec_id"] for r in vamana_part_pq.probe(list(q), K, rerank=emb).collect()}),
     ]
     print(f"# recall@{K} over {len(qidx)} queries, {n} vectors x {dim} dims ({SF_DIR})")
     print(f"{'tier':<26} {'vector storage':<18} recall@10")
