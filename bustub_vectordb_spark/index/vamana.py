@@ -181,6 +181,13 @@ class VamanaIndex:
         pairs = routed.groupBy("__shard").applyInPandas(
             propose, f"src {idt}, dst {idt}"
         )
+        # materialize the proposals ONCE before the self-union: Spark does
+        # not share an unmaterialized subplan between the two sides of a
+        # union, so without this every cluster sub-graph BUILD (the
+        # expensive applyInPandas stage) runs twice — the same
+        # recompute-twice trap NOTES documents for LSH self-joins. The
+        # checkpointed relation is O(corpus·m) small edge pairs.
+        pairs = pairs.localCheckpoint(eager=True)
         # union across clusters + symmetrize (Vamana keeps reciprocal
         # edges), dedupe replicas — set semantics, one shuffle
         sym = pairs.union(

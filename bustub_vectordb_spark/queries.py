@@ -2759,6 +2759,125 @@ def q_ann_vamana_partitioned_pq_batch(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
 
 
+def _vamana_partitioned_filtered_oracle() -> str:
+    from .index.hnsw import offline_routed_probe
+
+    cents, graphs = _offline_vamana_part_cached()
+    hits = offline_routed_probe(
+        cents, graphs, QUERY_VEC, 10, 3, allowed_ids=_allowed_label2()
+    )
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_vamana_partitioned_filtered", _vamana_partitioned_filtered_oracle)
+def q_ann_vamana_partitioned_filtered(spark, sf_dir):
+    # Filtered search on the cell-partitioned vamana tier: the metadata
+    # predicate becomes a shard-locally semi-joined allowed set enforced
+    # DURING each probed cell's walk (never driver-collected) — top-k
+    # among matching rows composed with n_probe cell pruning. Exact
+    # offline replay (offline_routed_probe with allowed_ids).
+    from .index.vamana import VamanaIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "vamana_part")
+    if key not in _INDEX_CACHE:
+        vkey = (sf_dir, "vamana")
+        if vkey not in _INDEX_CACHE:
+            _INDEX_CACHE[vkey] = VamanaIndex.build(
+                emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+            )
+        _INDEX_CACHE[key] = _INDEX_CACHE[vkey].to_partitioned(
+            cells=4, n_probe=2
+        )
+    probe = _INDEX_CACHE[key].probe(
+        QUERY_VEC, 10, n_probe=3,
+        allowed=emb.filter(F.col("label") == 2).select("vec_id"),
+    )
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
+def _stream_ann_admission_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import (
+        offline_routed,
+        offline_routed_insert,
+        offline_routed_probe,
+    )
+
+    path = f"{_oracle_sf()}/embeddings.parquet"
+    cents, graphs = offline_routed(
+        path, "embedding", "vec_id", shards=4, m=8,
+        ef_construction=48, ef_search=48, keep=lambda i: i % 3 == 0,
+    )
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    for b in (1, 2):  # one offline insert per micro-batch, arrival order
+        offline_routed_insert(
+            cents, graphs,
+            [(i, v) for i, v in zip(ids, vecs) if i % 3 == b],
+            m=8, ef_construction=48, ef_search=48,
+        )
+    hits = offline_routed_probe(cents, graphs, QUERY_VEC, 10, n_probe=2)
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("stream_ann_admission", _stream_ann_admission_oracle)
+def q_stream_ann_admission(spark, sf_dir):
+    # STREAMING ANN index maintenance end to end through Structured
+    # Streaming: a routed index built on a third of the corpus, then two
+    # staged arrival batches drain through a real availableNow file
+    # stream (one micro-batch per file, name order) into the foreachBatch
+    # ingest sink — each micro-batch is one delta insert (touched shards
+    # only). The oracle replays the SEQUENTIAL inserts offline, so the
+    # per-batch ordering (not just the final membership) is verified:
+    # merging the batches would add rows in a different id order and
+    # hash-mismatch.
+    import tempfile
+
+    from .index.hnsw import HNSWIndex
+    from .streaming.ann_ingest import ingest_stream
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = HNSWIndex.build_routed(
+        seed, "embedding", "vec_id", shards=4, m=8,
+        ef_construction=48, ef_search=48,
+    )
+    stage = tempfile.mkdtemp(prefix="annstream_stage_")
+    for i, b in enumerate((1, 2)):
+        emb.filter(F.col("vec_id") % 3 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/part{i}")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/part*")
+    )
+    q, ingest = ingest_stream(
+        stream, idx, "embedding", "vec_id",
+        tempfile.mkdtemp(prefix="annstream_ckpt_"),
+    )
+    q.awaitTermination()
+    probe = ingest.index.probe(QUERY_VEC, 10, n_probe=2)
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
 def _hnsw_routed_pq_batch_oracle() -> str:
     import pyarrow.parquet as pq
 
@@ -4540,14 +4659,16 @@ _GATE_WINDOW = [
     # --- new in round 6 ---
     "ann_vamana_partitioned_batch",
     "ann_vamana_partitioned_pq_batch",
+    "ann_vamana_partitioned_filtered",
     "stream_neardup_admission",
-    # --- stalest driver rows rotate back in (last gated r1/r3) ---
+    "stream_ann_admission",
+    # --- stalest driver rows rotate back in (last gated r1/r3; the agg
+    # family duplicates distinct/agg_having stay r3-covered — their slots
+    # went to the two entries above) ---
     "knn_cosine",
     "knn_inner_product",
     "knn_subquery_alias",
     "sample_deterministic",
-    "agg_having",
-    "distinct",
     "string_lower_upper",
     "events_sessionize",
     "layout_bucketed_join",

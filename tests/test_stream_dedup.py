@@ -70,13 +70,25 @@ def test_dedup_suppresses_within_horizon_only(spark, tmp_path):
     import pyarrow.parquet as pq
 
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    for fname, batch in (
-        ("a.parquet", batch1),
-        ("b.parquet", batch2),
-        ("c.parquet", batch3),
+    import time as _time
+
+    now = _time.time()
+    for i, (fname, batch) in enumerate(
+        (
+            ("a.parquet", batch1),
+            ("b.parquet", batch2),
+            ("c.parquet", batch3),
+        )
     ):
         tbl = pa.table({c: [row[i] for row in batch] for i, c in enumerate(cols)})
-        pq.write_table(tbl, os.path.join(src, fname))
+        path = os.path.join(src, fname)
+        pq.write_table(tbl, path)
+        # the file-stream source orders candidate files by modification
+        # time — three quick writes can land in the same mtime tick (seen
+        # flaky under box load), collapsing the micro-batch sequence the
+        # watermark-eviction contract depends on. Pin strictly increasing
+        # mtimes seconds apart.
+        os.utime(path, (now + i * 10, now + i * 10))
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
