@@ -1384,6 +1384,18 @@ class ShardedHNSW:
         from ..shipping import ensure_package_on_workers
         from .ivfflat import _nearest_centroid
 
+        if (self.params or {}).get("frozen"):
+            # cell-partitioned vamana serving artifacts: the shells are
+            # single-layer PRUNE graphs, not HNSW graphs — extending them
+            # with HNSW inserts would silently corrupt the degree-bound/
+            # entry-point contract. Same refusal rationale as
+            # VamanaIndex.insert.
+            raise ValueError(
+                f"this index is a frozen serving artifact "
+                f"({(self.params or {}).get('frozen')}); use a routed "
+                "ShardedHNSW / streaming.ann_ingest for continuous "
+                "ingestion and rebuild the artifact on schedule"
+            )
         if self.centroids is None:
             raise ValueError(
                 "insert requires a routed build (frozen-centroid routing); "

@@ -391,7 +391,7 @@ class VamanaIndex:
         )
         params = dict(
             m=r_deg, ef_construction=efc, ef_search=efs, seed=seed,
-            replicated=False,
+            replicated=False, frozen="vamana-partitioned",
         )
         if books is not None:
             params.update(pq_books=books, pq_bounds=bounds)

@@ -342,3 +342,15 @@ def test_compressed_tier_recall_holds_at_sf01(spark):
     assert avgs["vamana_pq"] >= 0.80, avgs
     assert avgs["flat_pq"] >= 0.75, avgs
     assert avgs["part_pq"] >= 0.65, avgs
+
+
+def test_partitioned_serving_is_frozen(emb, vamana, spark):
+    """The cell-partitioned artifact refuses insert (the shells are prune
+    graphs, not HNSW graphs — extending them would silently corrupt the
+    degree-bound contract), mirroring VamanaIndex.insert's refusal."""
+    part = vamana.to_partitioned(cells=4, n_probe=2)
+    new = spark.createDataFrame(
+        [(999999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="frozen serving artifact"):
+        part.insert(new)
