@@ -805,35 +805,18 @@ class HNSWIndex:
 
         base = df.select(F.col(id_col), vec.alias("__v"))
         if replicate_eps > 0:
-            from .ivfflat import _centroid_literal, _l2_sq
+            # (1+eps) on distance = (1+eps)² on the squared distance; the
+            # helper switches to broadcast-matmul routing past the
+            # plan-literal cell budget (large shard counts at 100 TB)
+            from .ivfflat import route_overlap
 
-            scored = F.transform(
-                _centroid_literal(centroids),
-                lambda c, i: F.struct(
-                    _l2_sq(F.col("__v"), c).alias("d"), i.alias("b")
-                ),
-            )
-            # (1+eps) on distance = (1+eps)² on the squared distance
-            thr = (1.0 + replicate_eps) ** 2
-            routed = (
-                base.withColumn("__sc", scored)
-                .withColumn(
-                    "__thr",
-                    F.array_min(F.transform(F.col("__sc"), lambda s: s["d"])) * thr,
-                )
-                .select(
-                    id_col,
-                    "__v",
-                    F.explode(
-                        F.filter(F.col("__sc"), lambda s: s["d"] <= F.col("__thr"))
-                    ).alias("__e"),
-                )
-                .select(id_col, "__v", F.col("__e.b").cast("int").alias("__shard"))
+            routed = route_overlap(
+                base, id_col, "__v", centroids, (1.0 + replicate_eps) ** 2
             )
         else:
-            routed = base.withColumn(
-                "__shard", _nearest_centroid(F.col("__v"), centroids)
-            )
+            from .ivfflat import assign_nearest
+
+            routed = assign_nearest(base, "__v", centroids, "__shard")
 
         def build_one(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
             # insert in id order: group-row order after a shuffle is not
@@ -1382,7 +1365,7 @@ class ShardedHNSW:
         from pyspark.sql import functions as F
 
         from ..shipping import ensure_package_on_workers
-        from .ivfflat import _nearest_centroid
+        from .ivfflat import assign_nearest
 
         if (self.params or {}).get("frozen"):
             # cell-partitioned vamana serving artifacts: the shells are
@@ -1403,11 +1386,10 @@ class ShardedHNSW:
             )
         ensure_package_on_workers(self._spark)
         vec = F.col(self.vec_col).cast("array<double>")
-        routed = rows.select(
-            F.col(self.id_col).alias("__nid"), vec.alias("__nv")
-        ).withColumn(
-            "__shard", _nearest_centroid(F.col("__nv"), self.centroids).cast("long")
-        )
+        routed = assign_nearest(
+            rows.select(F.col(self.id_col).alias("__nid"), vec.alias("__nv")),
+            "__nv", self.centroids, "__shard",
+        ).withColumn("__shard", F.col("__shard").cast("long"))
         # PIN the routing before anything reads it twice: the assignment is
         # collected below (tids) AND re-evaluated when the delta upsert
         # runs; with a non-deterministic rows plan (sample/rand, or shuffle

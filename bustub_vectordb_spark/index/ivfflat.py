@@ -96,7 +96,7 @@ _LITERAL_ASSIGN_MAX_CELLS = 1_000_000
 
 
 def _assign_via_broadcast(
-    df: DataFrame, vec_col: str, centroids: list[list[float]]
+    df: DataFrame, vec_col: str, centroids: list[list[float]], out_col=None
 ) -> DataFrame:
     """Bucket assignment for LARGE centroid sets (lists ≈ √N at 100 TB can
     be 10k × 768 dims ≈ 60 MB — too big to inline as a plan literal, and a
@@ -111,6 +111,7 @@ def _assign_via_broadcast(
 
     from ..shipping import ensure_package_on_workers
 
+    out_col = out_col or BUCKET_COL
     spark = df.sparkSession
     ensure_package_on_workers(spark)
     bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
@@ -121,7 +122,7 @@ def _assign_via_broadcast(
     # mapInPandas resolves the phantom column against the input) — build a
     # fresh StructType instead
     schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(BUCKET_COL, T.IntegerType())]
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
     )
 
     def run(batches):
@@ -131,10 +132,94 @@ def _assign_via_broadcast(
             x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             d = -2.0 * (x @ cents.T) + c_sq
             out = pdf[cols].copy()
-            out[BUCKET_COL] = np.argmin(d, axis=1).astype("int32")
+            out[out_col] = np.argmin(d, axis=1).astype("int32")
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+def assign_nearest(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment with the scale switch every routing
+    consumer shares (IVF assignment, routed-HNSW builds and inserts,
+    partitioned-vamana cells): literal codegen argmin below
+    ``_LITERAL_ASSIGN_MAX_CELLS`` plan-literal cells, broadcast numpy
+    argmin past it. ``vec_col`` must already be array<double>."""
+    if len(centroids) * len(centroids[0]) <= _LITERAL_ASSIGN_MAX_CELLS:
+        return df.withColumn(
+            out_col, _nearest_centroid(F.col(vec_col), centroids)
+        )
+    return _assign_via_broadcast(df, vec_col, centroids, out_col=out_col)
+
+
+def route_overlap(
+    base: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    thr_mult: float,
+    out_col: str = "__shard",
+) -> DataFrame:
+    """(id, vec, shard) rows where EVERY centroid whose squared distance is
+    within ``thr_mult``× of the row's minimum receives the row — the
+    SPANN/DiskANN overlapping-cluster routing, with the same scale switch
+    as :func:`assign_nearest`: below the literal-cell budget the scoring
+    is the codegen (1+eps) expression (bit-replayed by the offline
+    oracles); past it the centroid matrix broadcasts once and each Arrow
+    batch expands its memberships with one matmul — zero shuffle, no
+    ×lists row blowup before the filter."""
+    dim = len(centroids[0])
+    if len(centroids) * dim <= _LITERAL_ASSIGN_MAX_CELLS:
+        scored = F.transform(
+            _centroid_literal(centroids),
+            lambda c, i: F.struct(
+                _l2_sq(F.col(vec_col), c).alias("d"), i.alias("b")
+            ),
+        )
+        return (
+            base.withColumn("__sc", scored)
+            .withColumn(
+                "__thr",
+                F.array_min(F.transform(F.col("__sc"), lambda s: s["d"]))
+                * thr_mult,
+            )
+            .select(
+                id_col,
+                vec_col,
+                F.explode(
+                    F.filter(F.col("__sc"), lambda s: s["d"] <= F.col("__thr"))
+                ).alias("__e"),
+            )
+            .select(id_col, vec_col, F.col("__e.b").cast("int").alias(out_col))
+        )
+    import numpy as np
+    import pandas as pd
+
+    from ..shipping import ensure_package_on_workers
+
+    spark = base.sparkSession
+    ensure_package_on_workers(spark)
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    idt = {f.name: f.dataType.simpleString() for f in base.schema}[id_col]
+    schema = f"{id_col} {idt}, {vec_col} array<double>, {out_col} int"
+
+    def run(batches):
+        cents = bc.value
+        c_sq = (cents * cents).sum(axis=1)
+        for pdf in batches:
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            # FULL squared distance: unlike argmin, the (1+eps)× threshold
+            # is not invariant under the per-row ‖x‖² shift, so it can't be
+            # dropped here
+            d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cents.T) + c_sq
+            thr = d.min(axis=1) * thr_mult
+            rows_idx, shard_idx = np.nonzero(d <= thr[:, None])
+            out = pdf.iloc[rows_idx][[id_col, vec_col]].reset_index(drop=True)
+            out[out_col] = shard_idx.astype("int32")
+            yield out
+
+    return base.mapInPandas(run, schema)
 
 
 @dataclass

@@ -114,7 +114,7 @@ class VamanaIndex:
 
         from ..functions.vector import l2_dist, vec_lit
         from ..shipping import ensure_package_on_workers
-        from .ivfflat import IVFFlatIndex, _centroid_literal, _l2_sq, _lloyds_numpy
+        from .ivfflat import IVFFlatIndex, _lloyds_numpy
 
         ensure_package_on_workers(df.sparkSession)
         vec = F.col(vec_col).cast("array<double>")
@@ -136,27 +136,15 @@ class VamanaIndex:
         centroids = _lloyds_numpy([list(row["v"]) for row in srows], init, max_iter)
 
         # overlapping-cluster routing: every centroid within (1+eps)x of the
-        # nearest (same expression shape as build_routed's replicate branch)
+        # nearest — literal codegen expression at dimension-table cluster
+        # counts, broadcast numpy matmul past the plan-literal cell budget
+        # (shards × dim at 100 TB can exceed what a plan literal should
+        # hold — see ivfflat.route_overlap)
+        from .ivfflat import route_overlap
+
         base = df.select(F.col(id_col), vec.alias("__v"))
-        scored = F.transform(
-            _centroid_literal(centroids),
-            lambda c, i: F.struct(_l2_sq(F.col("__v"), c).alias("d"), i.alias("b")),
-        )
-        thr = (1.0 + overlap_eps) ** 2
-        routed = (
-            base.withColumn("__sc", scored)
-            .withColumn(
-                "__thr",
-                F.array_min(F.transform(F.col("__sc"), lambda s: s["d"])) * thr,
-            )
-            .select(
-                id_col,
-                "__v",
-                F.explode(
-                    F.filter(F.col("__sc"), lambda s: s["d"] <= F.col("__thr"))
-                ).alias("__e"),
-            )
-            .select(id_col, "__v", F.col("__e.b").cast("int").alias("__shard"))
+        routed = route_overlap(
+            base, id_col, "__v", centroids, (1.0 + overlap_eps) ** 2
         )
 
         idt = _id_type(df, id_col)
@@ -305,7 +293,7 @@ class VamanaIndex:
 
         from ..shipping import ensure_package_on_workers
         from .hnsw import ShardedHNSW
-        from .ivfflat import IVFFlatIndex, _lloyds_numpy, _nearest_centroid
+        from .ivfflat import IVFFlatIndex, _lloyds_numpy
 
         spark = self._spark
         ensure_package_on_workers(spark)
@@ -329,9 +317,11 @@ class VamanaIndex:
         srows = sorted(sample.collect(), key=lambda row: row["__id"])
         centroids = _lloyds_numpy([list(row["v"]) for row in srows], init, max_iter)
 
-        cellmap = self.vertices.withColumn(
-            "__cell", _nearest_centroid(F.col("vec"), centroids).cast("long")
-        )
+        from .ivfflat import assign_nearest
+
+        cellmap = assign_nearest(
+            self.vertices, "vec", centroids, "__cell"
+        ).withColumn("__cell", F.col("__cell").cast("long"))
         # merged adjacency restricted to in-cell edges, original rank order
         src_cell = cellmap.select(F.col(id_col), "__cell")
         ex = self.edges.select(

@@ -208,3 +208,38 @@ def test_filtered_batch_probe(ivf, emb):
     for qr in queries.collect():
         exact = [r["vec_id"] for r in knn(sub, "embedding", list(qr["embedding"]), 5).collect()]
         assert by_q[qr["vec_id"]] == exact
+
+
+def test_route_overlap_broadcast_matches_literal(spark, tables):
+    """The large-centroid-set OVERLAP routing path (broadcast numpy
+    matmul, zero shuffle) must produce membership-identical (id, shard)
+    rows to the literal (1+eps) codegen expression — same threshold, same
+    full squared distance (the per-row ||x||^2 term cannot be dropped for
+    a multiplicative threshold)."""
+    import bustub_vectordb_spark.index.ivfflat as ivf
+
+    emb = tables["embeddings"]
+    idx = ivf.IVFFlatIndex.build(
+        emb, "embedding", lists=8, probe_lists=2, max_iter=3, init_order="vec_id"
+    )
+    from pyspark.sql import functions as F
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    )
+    lit = {
+        (r["vec_id"], r["__shard"])
+        for r in ivf.route_overlap(base, "vec_id", "__v", idx.centroids, 1.44).collect()
+    }
+    old = ivf._LITERAL_ASSIGN_MAX_CELLS
+    ivf._LITERAL_ASSIGN_MAX_CELLS = 1  # force the broadcast path
+    try:
+        bc = {
+            (r["vec_id"], r["__shard"])
+            for r in ivf.route_overlap(
+                base, "vec_id", "__v", idx.centroids, 1.44
+            ).collect()
+        }
+    finally:
+        ivf._LITERAL_ASSIGN_MAX_CELLS = old
+    assert lit == bc and len(lit) > emb.count()  # overlap replicates rows
