@@ -1370,6 +1370,121 @@ def _ivfflat_oracle_cents() -> tuple[str, list[list[float]]]:
     return values, cents
 
 
+def _cluster_balanced_sample_oracle() -> str:
+    values, _ = _ivfflat_oracle_cents()
+    return f"""
+    WITH cents(b, c) AS (VALUES {values}),
+    a AS (
+      SELECT e.vec_id, c.b,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.b) AS arn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    asg AS (SELECT vec_id, b AS cluster FROM a WHERE arn = 1),
+    r AS (
+      SELECT vec_id, cluster,
+             row_number() OVER (
+               PARTITION BY cluster ORDER BY md5(vec_id::VARCHAR), vec_id
+             ) AS rn
+      FROM asg
+    )
+    SELECT vec_id, cluster FROM r WHERE rn <= 25
+    """
+
+
+@_register("cluster_balanced_sample", _cluster_balanced_sample_oracle)
+def q_cluster_balanced_sample(spark, sf_dir):
+    # Cluster-balanced corpus sampling — the diversity sampler a training
+    # pipeline uses to cap dominant content clusters: k-means cells come
+    # from the frozen deterministic IVF assignment (one distributed pass,
+    # already computed for the index), the per-cluster quota is drawn in a
+    # deterministic engine-independent md5 order (the same pseudo-shuffle
+    # discipline as sample_deterministic / training_export_shards). One
+    # window shuffle on the cluster key; no collect.
+    from .index.ivfflat import BUCKET_COL
+
+    idx = _ivfflat_for(spark, sf_dir)
+    a = idx.assignments.select(
+        "vec_id", F.col(BUCKET_COL).cast("int").alias("cluster")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        a.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 25)
+        .select("vec_id", "cluster")
+    )
+
+
+_CSV_JSON_STAGE: dict = {}
+
+
+@_register(
+    "source_csv_roundtrip",
+    """
+    SELECT n_regionkey, count(*) AS n_nations,
+           min(n_name) AS first_name, max(n_nationkey) AS max_key
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_source_csv_roundtrip(spark, sf_dir):
+    # CSV source connector, end to end: the nation table round-trips
+    # through a quoted header CSV copy (written once per sf_dir) and is
+    # read back with an explicit schema before aggregating. The oracle
+    # computes from the canonical parquet, so ANY csv write/read drift —
+    # quoting, type coercion, header handling — hash-fails the entry.
+    import tempfile
+
+    nation = _t(spark, sf_dir, "nation")
+    key = (sf_dir, "csv")
+    if key not in _CSV_JSON_STAGE:
+        path = tempfile.mkdtemp(prefix="csv_src_")
+        nation.write.mode("overwrite").option("header", True).csv(path)
+        _CSV_JSON_STAGE[key] = path
+    back = (
+        spark.read.schema(nation.schema)
+        .option("header", True)
+        .csv(_CSV_JSON_STAGE[key])
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_nationkey").alias("max_key"),
+    )
+
+
+@_register(
+    "source_jsonl_roundtrip",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars, min(doc_id) AS first_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def q_source_jsonl_roundtrip(spark, sf_dir):
+    # JSON-lines source connector: the documents table (free text with
+    # whatever characters the generator produced) round-trips through a
+    # JSONL copy and is read back with an explicit schema — the standard
+    # interchange format for crawled-corpus drops. Oracle from the
+    # canonical parquet; escaping/type drift hash-fails.
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    key = (sf_dir, "jsonl")
+    if key not in _CSV_JSON_STAGE:
+        path = tempfile.mkdtemp(prefix="jsonl_src_")
+        docs.write.mode("overwrite").json(path)
+        _CSV_JSON_STAGE[key] = path
+    back = spark.read.schema(docs.schema).json(_CSV_JSON_STAGE[key])
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def _ivfflat_probe_oracle() -> str:
     import math
 
@@ -4662,12 +4777,13 @@ _GATE_WINDOW = [
     "ann_vamana_partitioned_filtered",
     "stream_neardup_admission",
     "stream_ann_admission",
-    # --- stalest driver rows rotate back in (last gated r1/r3; the agg
-    # family duplicates distinct/agg_having stay r3-covered — their slots
-    # went to the two entries above) ---
-    "knn_cosine",
-    "knn_inner_product",
-    "knn_subquery_alias",
+    "cluster_balanced_sample",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    # --- stalest driver rows rotate back in (last gated r1/r3; the
+    # remaining r1/r3 rows — knn_cosine/knn_inner_product/
+    # knn_subquery_alias, distinct/agg_having and friends — already hold
+    # driver rows and rotate in r7; never-gated entries outrank them) ---
     "sample_deterministic",
     "string_lower_upper",
     "events_sessionize",
