@@ -206,13 +206,20 @@ def route_overlap(
 
     def run(batches):
         cents = bc.value
-        c_sq = (cents * cents).sum(axis=1)
         for pdf in batches:
             x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            # FULL squared distance: unlike argmin, the (1+eps)× threshold
-            # is not invariant under the per-row ‖x‖² shift, so it can't be
-            # dropped here
-            d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cents.T) + c_sq
+            # FOLD-EXACT distances: accumulate (x_d - c_d)² sequentially
+            # over dims, vectorized across rows — the same float64 op
+            # order as Spark's aggregate(zip_with) left fold (_l2_sq), so
+            # the (1+eps)× threshold fires bit-identically to the literal
+            # expression AND to the offline replay's _l2_sq_fold. A plain
+            # matmul decomposition computes different last-ulp floats and
+            # could flip boundary memberships — unlike argmin, a threshold
+            # compare has no tie rule to hide behind.
+            d = np.zeros((len(x), len(cents)), dtype=np.float64)
+            for j in range(x.shape[1]):
+                diff = x[:, j : j + 1] - cents[None, :, j]
+                d += diff * diff
             thr = d.min(axis=1) * thr_mult
             rows_idx, shard_idx = np.nonzero(d <= thr[:, None])
             out = pdf.iloc[rows_idx][[id_col, vec_col]].reset_index(drop=True)

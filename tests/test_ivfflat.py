@@ -211,11 +211,12 @@ def test_filtered_batch_probe(ivf, emb):
 
 
 def test_route_overlap_broadcast_matches_literal(spark, tables):
-    """The large-centroid-set OVERLAP routing path (broadcast numpy
-    matmul, zero shuffle) must produce membership-identical (id, shard)
-    rows to the literal (1+eps) codegen expression — same threshold, same
-    full squared distance (the per-row ||x||^2 term cannot be dropped for
-    a multiplicative threshold)."""
+    """The large-centroid-set OVERLAP routing path (broadcast numpy,
+    zero shuffle) must produce membership-identical (id, shard) rows to
+    the literal (1+eps) codegen expression. The kernel is FOLD-EXACT
+    (per-dim sequential accumulation) so the threshold compare fires
+    bit-identically — a threshold, unlike argmin, has no tie rule to
+    absorb last-ulp drift."""
     import bustub_vectordb_spark.index.ivfflat as ivf
 
     emb = tables["embeddings"]
