@@ -670,7 +670,11 @@ class HNSWIndex:
                 hit_dists: list = []
                 rep_idx: list = []
                 for i, qv in enumerate(pdf[query_vec].tolist()):
-                    hits = g.search(np.asarray(qv, dtype=np.float64), k, allowed_ids=aset)
+                    # np.array (COPY): a float64 Arrow slice fed zero-copy
+                    # into the walk's BLAS matmul can sum in a different
+                    # SIMD order than a fresh aligned buffer (1-ulp drift
+                    # against the offline replay — see vamana.search_batch)
+                    hits = g.search(np.array(qv, dtype=np.float64), k, allowed_ids=aset)
                     hit_ids.extend(h[0] for h in hits)
                     hit_dists.extend(h[1] for h in hits)
                     rep_idx.extend([i] * len(hits))

@@ -61,6 +61,62 @@ def _centroid_mean(centroids: list[list[float]]) -> list[float]:
     return [float(x) for x in np.asarray(centroids, dtype=np.float64).mean(axis=0)]
 
 
+def _normalize_expr(vec):
+    """Unit-normalize an array<double> column with REPLAYABLE arithmetic:
+    sequential square fold → sqrt → 1e-300-guarded divide, mirrored
+    element-for-element by :func:`_normalize_row` (zero vectors pass
+    through unchanged instead of dividing by zero)."""
+    from pyspark.sql import functions as F
+
+    nrm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.transform(vec, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        F.lit(1e-300),
+    )
+    return F.transform(vec, lambda x: x / nrm)
+
+
+def _sims_for_ids(g: "_Graph", hit_ids: list, q: list[float]) -> list:
+    """Exact similarities dot(stored unit row, unit query) for walk hits,
+    looked up by external id over the shell's id-sorted arrays (no
+    corpus-sized dict per probe). The dot is a FOLD-EXACT per-dim
+    sequential accumulation (vectorized across hits) — np.dot's BLAS
+    kernel is alignment-sensitive (an Arrow-backed query slice on a
+    worker can sum in a different SIMD order than a driver array, 1-ulp
+    drift), while elementwise accumulate has no reduction order to vary.
+    It also matches the JVM inner-product fold the PQ rerank paths
+    evaluate. Offline replays call this same function."""
+    qn = np.asarray(q, dtype=np.float64)
+    ids = g.ids
+    if isinstance(ids, np.ndarray):
+        idx = np.searchsorted(ids, np.asarray(hit_ids, dtype=ids.dtype))
+    else:
+        import bisect
+
+        idx = np.asarray([bisect.bisect_left(ids, h) for h in hit_ids], dtype=np.int64)
+    mat = g.vecs[idx]
+    s = np.zeros(len(mat), dtype=np.float64)
+    for j in range(mat.shape[1] if len(mat) else 0):
+        s = s + mat[:, j] * qn[j]
+    return [float(x) for x in s]
+
+
+def _normalize_row(v: list) -> list[float]:
+    """Python twin of :func:`_normalize_expr` — same fold order, same
+    guard, same per-element divide, so offline replays normalize to the
+    exact floats Spark stores."""
+    s = 0.0
+    for x in v:
+        s = s + x * x
+    n = max(math.sqrt(s), 1e-300)
+    return [x / n for x in v]
+
+
 @dataclass
 class VamanaIndex:
     """One flat navigable graph over the whole corpus, built distributed.
@@ -105,8 +161,12 @@ class VamanaIndex:
         seed: int = 42,
         max_iter: int = 5,
     ) -> "VamanaIndex":
-        if dist != "l2":
-            raise ValueError("vamana merge build currently supports l2 only")
+        if dist not in ("l2", "cosine"):
+            raise ValueError(
+                "vamana merge build supports l2 and cosine (cosine = the "
+                "normalize-then-l2 recipe; use the routed ShardedHNSW for "
+                "native ip graphs)"
+            )
         import pickle
 
         import pandas as pd
@@ -118,6 +178,14 @@ class VamanaIndex:
 
         ensure_package_on_workers(df.sparkSession)
         vec = F.col(vec_col).cast("array<double>")
+        if dist == "cosine":
+            # cosine = l2 over UNIT vectors (the FAISS/ScaNN recipe): the
+            # whole build — training, overlap routing, sub-graphs, prune,
+            # medoid — runs on fold-exactly normalized copies, and serving
+            # reports exact similarities from the stored unit vectors.
+            # Normalization arithmetic (sequential square fold → sqrt →
+            # guarded divide) is replayed bit-exactly by offline_vamana.
+            vec = _normalize_expr(vec)
         seeds = df.orderBy(id_col).limit(shards).select(vec.alias("v")).collect()
         init = [list(row["v"]) for row in seeds]
         if len(init) < shards:
@@ -154,7 +222,9 @@ class VamanaIndex:
             # layer-0 adjacency (<= m^2 per vertex) is this cluster's edge
             # proposal set, emitted as external-id pairs
             pdf = pdf.sort_values(id_col)
-            g = _Graph(m, ef_construction, ef_search, dist, seed)
+            # sub-graphs always build in l2: cosine inputs are already
+            # unit vectors, where l2 order == cosine order
+            g = _Graph(m, ef_construction, ef_search, "l2", seed)
             g.add_all(
                 pdf[id_col].tolist(),
                 np.asarray(pdf["__v"].tolist(), dtype=np.float64),
@@ -407,9 +477,11 @@ class VamanaIndex:
                 "rows; load the saved artifact on a dedicated search node"
             )
         p = self.params or {}
+        # walks are ALWAYS l2: a cosine index stores unit vectors, where
+        # l2 order == cosine order (build normalized them)
         g = _Graph(
             p.get("r", 16), p.get("ef_construction", 48),
-            p.get("ef_search", 48), self.dist, p.get("seed", 42),
+            p.get("ef_search", 48), "l2", p.get("seed", 42),
         )
         if "pq_books" in p:
             # PQ serving: encode distributed (Arrow batches), collect only
@@ -481,32 +553,52 @@ class VamanaIndex:
             else:
                 allowed_ids = set(allowed)
         quantized = "pq_books" in (self.params or {})
+        cosine = self.dist == "cosine"
+        q = [float(x) for x in query]
+        if cosine:
+            q = _normalize_row(q)  # unit query: walk l2 == cosine order
         n_walk = k * 4 if quantized else k
         hits = g.search(
-            np.asarray(query, dtype=np.float64), n_walk, ef=ef,
+            np.asarray(q, dtype=np.float64), n_walk, ef=ef,
             allowed_ids=allowed_ids,
         )
         if not quantized:
+            if cosine:
+                # output = EXACT similarities (np.dot against the stored
+                # unit vectors — replayed identically offline), (sim desc,
+                # id asc); walk membership is decided by the l2 walk
+                sims = _sims_for_ids(g, [h for h, _ in hits], q)
+                rows = sorted(zip((h for h, _ in hits), sims),
+                              key=lambda t: (-t[1], t[0]))[:k]
+                return self._spark.createDataFrame(
+                    [(h, float(s)) for h, s in rows],
+                    f"{self.id_col} {self.id_type}, {dist_col} double",
+                )
             return self._spark.createDataFrame(
                 [(h, float(d)) for h, d in hits],
                 f"{self.id_col} {self.id_type}, {dist_col} double",
             )
         # ADC shortlist -> EXACT rerank: tiny id list joins the parquet
-        # vertices, distance is the codegen'd l2 fold, (d, id)-ordered
+        # vertices; l2 indexes rank by the codegen'd l2 fold asc, cosine
+        # indexes by the inner-product fold against the unit query desc
+        # (vertices are unit vectors, so dot == cosine similarity)
         from pyspark.sql import functions as F
 
-        from ..functions.vector import l2_dist
+        from ..functions.vector import inner_product, l2_dist
 
         short = self._spark.createDataFrame(
             [(h,) for h, _ in hits], f"{self.id_col} {self.id_type}"
         )
+        if cosine:
+            exact = inner_product(F.col("vec"), q).alias(dist_col)
+            order = [F.col(dist_col).desc(), F.col(self.id_col).asc()]
+        else:
+            exact = l2_dist(F.col("vec"), q).alias(dist_col)
+            order = [F.col(dist_col).asc(), F.col(self.id_col).asc()]
         return (
             self.vertices.join(F.broadcast(short), self.id_col)
-            .select(
-                F.col(self.id_col),
-                l2_dist(F.col("vec"), [float(x) for x in query]).alias(dist_col),
-            )
-            .orderBy(F.col(dist_col).asc(), F.col(self.id_col).asc())
+            .select(F.col(self.id_col), exact)
+            .orderBy(*order)
             .limit(k)
         )
 
@@ -539,10 +631,19 @@ class VamanaIndex:
         g = self._graph()
         bc = spark.sparkContext.broadcast(g)
         quantized = "pq_books" in (self.params or {})
+        cosine = self.dist == "cosine"
         n_walk = k * rerank_mult if quantized else k
         id_col, idt = self.id_col, self.id_type
         qschema = {f.name: f.dataType.simpleString() for f in queries.schema}
         schema = f"{qid_col} {qschema[qid_col]}, {id_col} {idt}, __wd double"
+        qsel = queries.select(
+            F.col(qid_col),
+            (
+                _normalize_expr(F.col(query_vec).cast("array<double>"))
+                if cosine
+                else F.col(query_vec).cast("array<double>")
+            ).alias("__qv"),
+        )
 
         def run(batches):
             graph = bc.value
@@ -550,35 +651,52 @@ class VamanaIndex:
                 hit_ids: list = []
                 hit_dists: list = []
                 rep_idx: list = []
-                for i, qv in enumerate(pdf[query_vec].tolist()):
-                    hits = graph.search(np.asarray(qv, dtype=np.float64), n_walk)
-                    hit_ids.extend(h[0] for h in hits)
-                    hit_dists.extend(h[1] for h in hits)
+                for i, qv in enumerate(pdf["__qv"].tolist()):
+                    # np.array (COPY): a float64 Arrow slice fed zero-copy
+                    # into the walk's BLAS matmul can sum in a different
+                    # SIMD order than the driver/offline's fresh aligned
+                    # buffers — observed 1-ulp distance drift flipping
+                    # round-8 oracle digits. A fresh allocation pins the
+                    # same kernel everywhere.
+                    hits = graph.search(np.array(qv, dtype=np.float64), n_walk)
+                    ids_only = [h[0] for h in hits]
+                    if cosine and not quantized:
+                        # exact similarities from the stored unit vectors
+                        # (same np.dot as probe / the offline replay)
+                        hit_dists.extend(_sims_for_ids(graph, ids_only, qv))
+                    else:
+                        hit_dists.extend(h[1] for h in hits)
+                    hit_ids.extend(ids_only)
                     rep_idx.extend([i] * len(hits))
                 out = pdf.iloc[rep_idx][[qid_col]].reset_index(drop=True)
                 out[id_col] = hit_ids
                 out["__wd"] = np.asarray(hit_dists, dtype=np.float64)
                 yield out
 
-        walked = queries.select(qid_col, query_vec).mapInPandas(run, schema)
+        walked = qsel.mapInPandas(run, schema)
         if not quantized:
+            # cosine: __wd already holds the exact similarities for the
+            # walk's k hits (membership decided by the l2 walk — no extra
+            # shuffle needed to re-rank k rows per query)
             return walked.select(
                 qid_col, id_col, F.col("__wd").alias(dist_col)
             )
-        qv = queries.select(
-            F.col(qid_col), F.col(query_vec).cast("array<double>").alias("__qv")
-        )
+        from ..functions.vector import inner_product
+
+        exact = (
+            inner_product(F.col("vec"), F.col("__qv"))
+            if cosine
+            else l2_dist(F.col("vec"), F.col("__qv"))
+        ).alias(dist_col)
         w = Window.partitionBy(qid_col).orderBy(
-            F.col(dist_col).asc(), F.col(id_col).asc()
+            F.col(dist_col).desc() if cosine else F.col(dist_col).asc(),
+            F.col(id_col).asc(),
         )
         return (
             walked.select(qid_col, id_col)
             .join(self.vertices, id_col)
-            .join(qv, qid_col)
-            .select(
-                qid_col, id_col,
-                l2_dist(F.col("vec"), F.col("__qv")).alias(dist_col),
-            )
+            .join(qsel, qid_col)
+            .select(qid_col, id_col, exact)
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .drop("__rn")
@@ -640,17 +758,24 @@ def offline_vamana(
     r: int = 16,
     seed: int = 42,
     max_iter: int = 5,
+    dist: str = "l2",
 ) -> _Graph:
     """Replay ``VamanaIndex.build`` without Spark: same centroids, same
     overlap routing fold arithmetic, same id-sorted sub-graph builds, same
     symmetrized union, same (dist, dst)-ranked prune with the l2 left-fold
-    Spark's codegen evaluates, same pseudo-medoid entry. Returns the
-    driver-serving _Graph shell — probes on it match probe() bit-exactly.
-    Valid only on inputs small enough for the full-table training path."""
+    Spark's codegen evaluates, same pseudo-medoid entry. ``dist="cosine"``
+    replays the normalize-then-l2 build (same _normalize_row floats the
+    Spark expression stores). Returns the driver-serving _Graph shell —
+    probes on it match probe() bit-exactly. Valid only on inputs small
+    enough for the full-table training path."""
     from .hnsw import _read_sorted
     from .ivfflat import IVFFlatIndex, _lloyds_numpy
 
     ids, vecs = _read_sorted(parquet_path, vec_col, id_col)
+    if dist == "cosine":
+        vecs = [_normalize_row([float(x) for x in v]) for v in vecs]
+    elif dist != "l2":
+        raise ValueError("offline_vamana replays l2 and cosine builds")
     n, dim = len(vecs), len(vecs[0]) if vecs else 0
     if n * dim > IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS:
         raise ValueError("offline_vamana only replicates the full-table training path")
@@ -864,4 +989,34 @@ def offline_vamana_pq_batch(
         scored.sort(key=lambda t: (t[1], t[0]))
         for hid, d in scored[:k]:
             out.append((qid, hid, d))
+    return out
+
+
+def offline_vamana_cosine_probe(g: _Graph, query: list[float], k: int) -> list[tuple]:
+    """Replay ``VamanaIndex.probe`` on a cosine (normalize-then-l2) index:
+    unit query via the same _normalize_row floats, l2 walk for k hits,
+    EXACT similarities via the same np.dot over the stored unit rows
+    (_sims_for_ids), (sim desc, id asc). Returns [(id, similarity)]."""
+    qn = _normalize_row([float(x) for x in query])
+    hits = g.search(np.asarray(qn, dtype=np.float64), k)
+    sims = _sims_for_ids(g, [h for h, _ in hits], qn)
+    return sorted(
+        ((h, float(s)) for (h, _), s in zip(hits, sims)),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+
+
+def offline_vamana_cosine_batch(
+    g: _Graph, queries: list[tuple], k: int
+) -> list[tuple]:
+    """Replay ``VamanaIndex.search_batch`` (cosine, unquantized): one l2
+    walk per unit query, exact np.dot similarities. Returns
+    [(qid, id, similarity)]."""
+    out = []
+    for qid, qv in queries:
+        qn = _normalize_row([float(x) for x in qv])
+        hits = g.search(np.asarray(qn, dtype=np.float64), k)
+        sims = _sims_for_ids(g, [h for h, _ in hits], qn)
+        for (h, _), s in zip(hits, sims):
+            out.append((qid, h, float(s)))
     return out

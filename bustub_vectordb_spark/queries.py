@@ -2874,6 +2874,102 @@ def q_ann_vamana_partitioned_pq_batch(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
 
 
+_OFFLINE_VAMANA_COS_MEMO: dict = {}
+
+
+def _offline_vamana_cos_cached():
+    from .index.vamana import offline_vamana
+
+    key = _oracle_sf()
+    if key not in _OFFLINE_VAMANA_COS_MEMO:
+        _OFFLINE_VAMANA_COS_MEMO[key] = offline_vamana(
+            f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+            shards=4, overlap_eps=0.2, r=16, dist="cosine",
+        )
+    return _OFFLINE_VAMANA_COS_MEMO[key]
+
+
+def _vamana_cosine_oracle() -> str:
+    from .index.vamana import offline_vamana_cosine_probe
+
+    hits = offline_vamana_cosine_probe(_offline_vamana_cos_cached(), QUERY_VEC, 10)
+    rows = [(int(i), float(s)) for i, s in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d DESC, vec_id ASC"
+    )
+
+
+@_register("ann_vamana_cosine", _vamana_cosine_oracle)
+def q_ann_vamana_cosine(spark, sf_dir):
+    # Cosine ops class for the merged-graph tier: the whole build runs on
+    # fold-exactly unit-normalized copies (l2 order == cosine order on the
+    # unit sphere — the FAISS/ScaNN recipe), walks stay l2, and serving
+    # reports EXACT similarities from the stored unit vectors. Exact
+    # offline replay (offline_vamana(dist=cosine) +
+    # offline_vamana_cosine_probe).
+    from .index.vamana import VamanaIndex
+
+    key = (sf_dir, "vamana_cos")
+    if key not in _INDEX_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _INDEX_CACHE[key] = VamanaIndex.build(
+            emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16,
+            dist="cosine",
+        )
+    probe = _INDEX_CACHE[key].probe(QUERY_VEC, 10)
+    return (
+        probe.orderBy(F.col("distance").desc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
+def _vamana_cosine_batch_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.vamana import offline_vamana_cosine_batch
+
+    g = _offline_vamana_cos_cached()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qs = [
+        (qid, qv)
+        for qid, qv in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if qid % 97 == 0
+    ]
+    rows = [
+        (int(qid), int(hid), float(s))
+        for qid, hid, s in offline_vamana_cosine_batch(g, qs, 5)
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_vamana_cosine_batch", _vamana_cosine_batch_oracle)
+def q_ann_vamana_cosine_batch(spark, sf_dir):
+    # Batch cosine serving over the merged graph: queries unit-normalize
+    # with the same Spark fold the build used, each walk is l2 over the
+    # broadcast unit-vector shell, similarities come from the same np.dot
+    # the offline replay computes. Exact oracle.
+    from .index.vamana import VamanaIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "vamana_cos")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = VamanaIndex.build(
+            emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16,
+            dist="cosine",
+        )
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = _INDEX_CACHE[key].search_batch(queries, "embedding", "qid", k=5)
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
 def _vamana_partitioned_filtered_oracle() -> str:
     from .index.hnsw import offline_routed_probe
 
@@ -4780,13 +4876,13 @@ _GATE_WINDOW = [
     "cluster_balanced_sample",
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",
+    "ann_vamana_cosine",
+    "ann_vamana_cosine_batch",
     # --- stalest driver rows rotate back in (last gated r1/r3; the
     # remaining r1/r3 rows — knn_cosine/knn_inner_product/
     # knn_subquery_alias, distinct/agg_having and friends — already hold
     # driver rows and rotate in r7; never-gated entries outrank them) ---
     "sample_deterministic",
-    "string_lower_upper",
-    "events_sessionize",
     "layout_bucketed_join",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",

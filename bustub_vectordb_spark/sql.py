@@ -504,7 +504,8 @@ class SqlEngine:
             elif method == "vamana":
                 # engine extension (no reference analogue): distributed
                 # SINGLE-graph build — DiskANN merge over overlapping
-                # clusters (index/vamana.py); l2 ops class only
+                # clusters (index/vamana.py); l2 + cosine ops classes
+                # (cosine = normalize-then-l2; ip stays on routed hnsw)
                 from .index.vamana import VamanaIndex
 
                 names = self.catalog.tables[table].schema.names
@@ -517,6 +518,7 @@ class SqlEngine:
                     ef_search=opts.get("ef_search", 48),
                     overlap_eps=opts.get("overlap_eps", 0.2),
                     r=opts.get("r", 16),
+                    dist=OPS_TO_DIST.get(ops, "l2"),
                 )
                 if opts.get("pq"):
                     # WITH (pq=1[, pq_m=M, pq_k=K]): PQ-compressed serving

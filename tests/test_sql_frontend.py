@@ -365,3 +365,29 @@ def test_create_index_vamana_cells_partitioned_serving(spark):
     plan = plan_knn(e.indexes, "mtvc", df, "v1", [0.0, 0.0, 0.0], 3)
     assert plan.strategy == "vector_index_scan(vamana)"
     assert len(plan.df.collect()) == 3
+
+
+def test_create_index_vamana_cosine(spark):
+    """CREATE INDEX ... USING vamana (col vector_cosine_ops): the merged
+    graph builds over normalized copies and the registered index carries
+    the cosine distance class for the planner."""
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE mtvcos(v1 VECTOR(3), v2 integer)")
+    rows = ", ".join(
+        f"(ARRAY [{i + 1}.0, {(i * 3) % 7}.0, {(i * 5) % 11}.0], {i})"
+        for i in range(24)
+    )
+    e.execute(f"INSERT INTO mtvcos VALUES {rows}")
+    e.execute(
+        "CREATE INDEX mvcos1 ON mtvcos USING vamana (v1 vector_cosine_ops)"
+        " WITH (shards = 2, m = 4, ef_construction = 16, ef_search = 16,"
+        " r = 6, overlap_eps = 0.3)"
+    )
+    info = next(i for i in e.indexes.lookup("mtvcos", "v1") if i.name == "mvcos1")
+    assert info.dist == "cosine" and info.index.dist == "cosine"
+    hits = info.index.probe([1.0, 1.0, 1.0], 3).collect()
+    assert len(hits) == 3
+    sims = [r["distance"] for r in hits]
+    assert sims == sorted(sims, reverse=True)  # similarity, descending

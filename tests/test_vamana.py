@@ -354,3 +354,56 @@ def test_partitioned_serving_is_frozen(emb, vamana, spark):
     )
     with pytest.raises(ValueError, match="frozen serving artifact"):
         part.insert(new)
+
+
+def test_cosine_build_serves_exact_similarities(emb, spark, sf_dir):
+    """dist="cosine": the merged graph builds over fold-exactly normalized
+    copies (l2 == cosine order on the unit sphere), probe/search_batch
+    report EXACT cosine similarities (vs brute-force values), and the
+    offline replay matches bit-for-bit."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.vamana import (
+        offline_vamana,
+        offline_vamana_cosine_batch,
+        offline_vamana_cosine_probe,
+    )
+
+    v = VamanaIndex.build(
+        emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16,
+        dist="cosine",
+    )
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    got = [(r["vec_id"], r["distance"]) for r in v.probe(q, 10).collect()]
+    g = offline_vamana(
+        f"{sf_dir}/embeddings.parquet", "embedding", "vec_id",
+        shards=4, overlap_eps=0.2, r=16, dist="cosine",
+    )
+    assert got == [(int(i), float(s)) for i, s in offline_vamana_cosine_probe(g, q, 10)]
+
+    # similarities are the TRUE cosine values for the returned ids
+    rows = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+    qn = np.asarray(q)
+    for hid, sim in got:
+        true = float(rows[hid] @ qn / (np.linalg.norm(rows[hid]) * np.linalg.norm(qn)))
+        assert sim == pytest.approx(true, abs=1e-9)
+    # recall vs exact cosine KNN
+    exact = {r["vec_id"] for r in knn(emb, "embedding", q, 10, dist="cosine").collect()}
+    assert len({i for i, _ in got} & exact) / 10 >= 0.9
+
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    bt = sorted(
+        (r["qid"], r["vec_id"], r["distance"])
+        for r in v.search_batch(queries, "embedding", "qid", k=5).collect()
+    )
+    qs = [(r["qid"], list(r["embedding"])) for r in queries.collect()]
+    ebt = sorted(
+        (int(qid), int(hid), float(s))
+        for qid, hid, s in offline_vamana_cosine_batch(g, qs, 5)
+    )
+    assert bt == ebt
+
+    with pytest.raises(ValueError, match="l2 and cosine"):
+        VamanaIndex.build(emb, "embedding", "vec_id", dist="ip")
