@@ -862,6 +862,10 @@ def offline_vamana_partitioned(
 
     g = offline_vamana(parquet_path, vec_col, id_col, **build_kw)
     ids, vecs = _read_sorted(parquet_path, vec_col, id_col)
+    if build_kw.get("dist") == "cosine":
+        # cosine tier: cells train/route over the same unit vectors the
+        # Spark to_partitioned sees (its vertices are stored normalized)
+        vecs = [_normalize_row([float(x) for x in v]) for v in vecs]
     n, dim = len(vecs), len(vecs[0]) if vecs else 0
     if n * dim > IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS:
         raise ValueError(

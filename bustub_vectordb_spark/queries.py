@@ -2970,6 +2970,67 @@ def q_ann_vamana_cosine_batch(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
 
 
+def _vamana_cosine_partitioned_oracle() -> str:
+    from .index.vamana import offline_vamana_partitioned
+    from .index.hnsw import offline_routed_probe
+
+    key = (_oracle_sf(), "cos")
+    if key not in _OFFLINE_VAMANA_PART_MEMO:
+        _OFFLINE_VAMANA_PART_MEMO[key] = offline_vamana_partitioned(
+            f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+            cells=4, shards=4, overlap_eps=0.2, r=16, dist="cosine",
+        )
+    cents, graphs = _OFFLINE_VAMANA_PART_MEMO[key]
+    hits = offline_routed_probe(cents, graphs, _normalize_q(), 10, 3)
+    # angular -> similarity on unit vectors: sim = 1 - d^2/2, the same
+    # float expression the Spark entry computes
+    rows = [(int(i), float(1.0 - d * d / 2.0)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d DESC, vec_id ASC"
+    )
+
+
+def _normalize_q() -> list[float]:
+    from .index.vamana import _normalize_row
+
+    return _normalize_row([float(x) for x in QUERY_VEC])
+
+
+@_register("ann_vamana_cosine_partitioned", _vamana_cosine_partitioned_oracle)
+def q_ann_vamana_cosine_partitioned(spark, sf_dir):
+    # Cosine serving on the PARTITIONED tier: the cosine-built merged
+    # graph (unit vectors) cuts into cells exactly like the l2 tier, the
+    # unit query probes n_probe cells over l2 walks, and the angular
+    # distances convert to similarities with the exact unit-sphere
+    # identity sim = 1 - d^2/2 (same float expression both sides). The
+    # cosine matrix is complete: driver, batch, and any-scale partitioned
+    # serving. Exact offline replay.
+    from .index.vamana import VamanaIndex, _normalize_row
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "vamana_cos_part")
+    if key not in _INDEX_CACHE:
+        ckey = (sf_dir, "vamana_cos")
+        if ckey not in _INDEX_CACHE:
+            _INDEX_CACHE[ckey] = VamanaIndex.build(
+                emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16,
+                dist="cosine",
+            )
+        _INDEX_CACHE[key] = _INDEX_CACHE[ckey].to_partitioned(
+            cells=4, n_probe=3
+        )
+    qn = _normalize_row([float(x) for x in QUERY_VEC])
+    probe = _INDEX_CACHE[key].probe(qn, 10, n_probe=3)
+    return (
+        probe.withColumn(
+            "distance", F.lit(1.0) - F.col("distance") * F.col("distance") / F.lit(2.0)
+        )
+        .orderBy(F.col("distance").desc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
 def _vamana_partitioned_filtered_oracle() -> str:
     from .index.hnsw import offline_routed_probe
 

@@ -94,3 +94,28 @@ def test_normalize_and_projection(spark, tables):
         map(tuple, ((r["vec_id"], tuple(r["proj"])) for r in p2))
     )
     assert all(len(r["proj"]) == 8 for r in p1)
+
+
+def test_normalize_expr_matches_python_twin_elementwise(spark):
+    """vamana's cosine tier depends on _normalize_expr (JVM fold) and
+    _normalize_row (python) producing IDENTICAL floats — sweep random,
+    tiny, huge, and zero vectors and compare raw doubles elementwise."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bustub_vectordb_spark.index.vamana import _normalize_expr, _normalize_row
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        scale = [1.0, 1e-150, 1e150, 1e-300][i % 4]
+        rows.append((i, [rng.uniform(-1, 1) * scale for _ in range(16)]))
+    rows.append((1000, [0.0] * 16))  # zero vector: guarded divide
+    df = spark.createDataFrame(rows, "i long, v array<double>")
+    got = {
+        r["i"]: list(r["n"])
+        for r in df.select("i", _normalize_expr(F.col("v")).alias("n")).collect()
+    }
+    for i, v in rows:
+        assert got[i] == _normalize_row(v), i
