@@ -151,3 +151,63 @@ def bm25_search_sql(
     ORDER BY score DESC, {id_col} ASC
     LIMIT {k}
     """
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    id_col: str,
+    text_col: str,
+    emb_id_col: str,
+    vec_col: str,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    depth: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval via Reciprocal Rank Fusion
+    (Cormack et al., SIGIR'09): BM25 top-``depth`` over the text corpus
+    and exact-cosine top-``depth`` over the embedding table fuse as
+    rrf = Σ 1/(c + rank); top-``k`` by (rrf desc, id) — the standard
+    first-stage retriever shape for RAG pipelines, where neither signal
+    alone is robust.
+
+    Scale: both branches are the already-scale-shaped components (BM25 =
+    broadcast df-side joins over one tf shuffle; vector = TakeOrdered
+    scan, swappable for an ANN index probe at corpus scale); the fusion
+    itself joins two ``depth``-row relations — broadcast-trivial. Ranks
+    tie-break on id on both engines, so fused scores are deterministic.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+
+    lex = bm25_search(docs, id_col, text_col, query_terms, k=depth)
+    wl = Window.orderBy(F.desc("score"), F.asc(id_col))
+    lexr = lex.select(F.col(id_col).alias("__id"), F.row_number().over(wl).alias("__lr"))
+    vec = (
+        emb.select(
+            F.col(emb_id_col).alias("__id"),
+            cosine_similarity(vec_col, list(query_vec)).alias("__sim"),
+        )
+        .orderBy(F.desc("__sim"), F.asc("__id"))
+        .limit(depth)
+    )
+    wv = Window.orderBy(F.desc("__sim"), F.asc("__id"))
+    vecr = vec.select("__id", F.row_number().over(wv).alias("__vr"))
+    fused = (
+        lexr.join(vecr, "__id", "full_outer")
+        .select(
+            F.col("__id").alias(id_col),
+            (
+                F.coalesce(1.0 / (F.lit(float(c)) + F.col("__lr")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(float(c)) + F.col("__vr")), F.lit(0.0))
+            ).alias("__rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("__rrf"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("__rrf", 6).alias("rrf_score"))
+    )

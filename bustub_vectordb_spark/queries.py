@@ -3607,6 +3607,47 @@ _TRIGRAM_SQL = (
 )
 
 
+def _hybrid_rrf_oracle() -> str:
+    from .functions.ranking import bm25_search_sql
+
+    lex = bm25_search_sql("documents", "doc_id", "text", ["spark", "table", "join"], 20)
+    q = _vec_sql_literal(QUERY_VEC)
+    return f"""
+    WITH lex AS ({lex}),
+    lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lr
+             FROM lex),
+    vec AS (SELECT vec_id AS doc_id,
+                   list_cosine_similarity(embedding::DOUBLE[], {q}) AS sim
+            FROM embeddings ORDER BY sim DESC, doc_id ASC LIMIT 20),
+    vecr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS vr
+             FROM vec),
+    f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                 coalesce(1.0 / (60.0 + l.lr), 0.0)
+                 + coalesce(1.0 / (60.0 + v.vr), 0.0) AS rrf
+          FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+    SELECT doc_id, round(rrf, 6) AS rrf_score FROM f
+    ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """
+
+
+@_register("hybrid_search_rrf", _hybrid_rrf_oracle)
+def q_hybrid_search_rrf(spark, sf_dir):
+    # Hybrid first-stage retrieval (the RAG-pipeline shape): BM25 lexical
+    # top-20 and exact-cosine vector top-20 fuse by Reciprocal Rank
+    # Fusion (Cormack et al., SIGIR'09) — rrf = sum 1/(60 + rank), ranks
+    # tie-broken on id on both engines. Both branches are the gated
+    # components (bm25_search, knn_cosine); the fusion join is
+    # 20-row-broadcast trivial at any corpus size.
+    from .functions.ranking import hybrid_search_rrf
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return hybrid_search_rrf(
+        docs, emb, "doc_id", "text", "vec_id", "embedding",
+        ["spark", "table", "join"], QUERY_VEC, k=10, depth=20,
+    )
+
+
 @_register(
     "dedup_minhash_neardup",
     f"""
@@ -4939,11 +4980,11 @@ _GATE_WINDOW = [
     "source_jsonl_roundtrip",
     "ann_vamana_cosine",
     "ann_vamana_cosine_batch",
-    # --- stalest driver rows rotate back in (last gated r1/r3; the
-    # remaining r1/r3 rows — knn_cosine/knn_inner_product/
-    # knn_subquery_alias, distinct/agg_having and friends — already hold
-    # driver rows and rotate in r7; never-gated entries outrank them) ---
-    "sample_deterministic",
+    "hybrid_search_rrf",
+    # --- stalest driver row rotates back in (the remaining r1/r3 rows —
+    # knn_cosine/knn_inner_product/knn_subquery_alias/sample_deterministic,
+    # distinct/agg_having and friends — already hold driver rows and
+    # rotate in r7; never-gated entries outrank them) ---
     "layout_bucketed_join",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",

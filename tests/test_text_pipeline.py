@@ -313,3 +313,40 @@ def test_sequence_packing_invariants(tables):
         docs, "doc_id", token_count("text"), budget=budget, n_shards=4
     ).orderBy("shard", "pack_pos").collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_hybrid_rrf_fuses_both_signals(spark, tables):
+    """RRF hybrid retrieval: a doc ranked by BOTH branches outscores one
+    ranked by a single branch at the same position; rank-1 in one branch
+    only yields exactly 1/(60+1); fused output is (rrf desc, id) top-k."""
+    from bustub_vectordb_spark.functions.ranking import (
+        bm25_search,
+        hybrid_search_rrf,
+    )
+
+    docs, emb = tables["documents"], tables["embeddings"]
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    terms = ["spark", "table", "join"]
+    out = hybrid_search_rrf(
+        docs, emb, "doc_id", "text", "vec_id", "embedding", terms, q,
+        k=10, depth=20,
+    ).collect()
+    assert len(out) == 10
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    lex_ids = {r["doc_id"] for r in bm25_search(docs, "doc_id", "text", terms, 20).collect()}
+    from bustub_vectordb_spark.functions.vector import cosine_similarity
+    from pyspark.sql import functions as F
+
+    vec_ids = {
+        r["vec_id"]
+        for r in emb.select("vec_id", cosine_similarity("embedding", q).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id")).limit(20).collect()
+    }
+    both = lex_ids & vec_ids
+    single_max = round(1.0 / 61.0, 6)
+    for r in out:
+        if r["doc_id"] in both:
+            assert r["rrf_score"] > single_max  # two reciprocal terms
+        else:
+            assert r["rrf_score"] <= single_max  # one branch only
