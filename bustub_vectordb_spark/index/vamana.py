@@ -106,6 +106,18 @@ def _sims_for_ids(g: "_Graph", hit_ids: list, q: list[float]) -> list:
     return [float(x) for x in s]
 
 
+def _prep_query(dist: str, q: list[float]) -> list[float]:
+    """Driver/offline query prep per ops class: cosine -> unit query
+    (same floats as the build's normalize), ip -> augmented [q, 0.0]
+    (the fold's final +x_aug*0.0 keeps the dot EXACTLY x.q), l2 -> as
+    is."""
+    if dist == "cosine":
+        return _normalize_row(q)
+    if dist == "ip":
+        return list(q) + [0.0]
+    return list(q)
+
+
 def _normalize_row(v: list) -> list[float]:
     """Python twin of :func:`_normalize_expr` — same fold order, same
     guard, same per-element divide, so offline replays normalize to the
@@ -161,11 +173,10 @@ class VamanaIndex:
         seed: int = 42,
         max_iter: int = 5,
     ) -> "VamanaIndex":
-        if dist not in ("l2", "cosine"):
+        if dist not in ("l2", "cosine", "ip"):
             raise ValueError(
-                "vamana merge build supports l2 and cosine (cosine = the "
-                "normalize-then-l2 recipe; use the routed ShardedHNSW for "
-                "native ip graphs)"
+                "vamana merge build supports l2, cosine (normalize-then-l2) "
+                "and ip (MIPS via the augmentation reduction)"
             )
         import pickle
 
@@ -178,6 +189,7 @@ class VamanaIndex:
 
         ensure_package_on_workers(df.sparkSession)
         vec = F.col(vec_col).cast("array<double>")
+        extra_params = {}
         if dist == "cosine":
             # cosine = l2 over UNIT vectors (the FAISS/ScaNN recipe): the
             # whole build — training, overlap routing, sub-graphs, prune,
@@ -186,6 +198,26 @@ class VamanaIndex:
             # Normalization arithmetic (sequential square fold → sqrt →
             # guarded divide) is replayed bit-exactly by offline_vamana.
             vec = _normalize_expr(vec)
+        elif dist == "ip":
+            # MIPS via the l2 reduction (Bachrach et al., RecSys 2014):
+            # append sqrt(M² − ‖x‖²) so ‖x'−q'‖² = M² + ‖q‖² − 2·x·q —
+            # l2 order on augmented vectors == inner-product order. The
+            # augmented dot against q' = [q, 0] recovers x·q EXACTLY
+            # (the fold's final +x_aug·0 adds 0.0), so serving reports
+            # exact inner products. M² = max row-norm fold, collected
+            # once and inlined as a literal (exact double round-trip);
+            # replayed bit-exactly by offline_vamana.
+            sq = F.aggregate(
+                F.transform(vec, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            m2 = float(df.select(F.max(sq).alias("m")).collect()[0]["m"])
+            extra_params["ip_m2"] = m2
+            vec = F.concat(
+                vec,
+                F.array(F.sqrt(F.greatest(F.lit(m2) - sq, F.lit(0.0)))),
+            )
         seeds = df.orderBy(id_col).limit(shards).select(vec.alias("v")).collect()
         init = [list(row["v"]) for row in seeds]
         if len(init) < shards:
@@ -293,6 +325,7 @@ class VamanaIndex:
         params = dict(
             shards=shards, m=m, ef_construction=ef_construction,
             ef_search=ef_search, overlap_eps=overlap_eps, r=r, seed=seed,
+            **extra_params,
         )
         return cls(
             vec_col, id_col, dist, vertices, pruned, entry_row[id_col],
@@ -553,20 +586,19 @@ class VamanaIndex:
             else:
                 allowed_ids = set(allowed)
         quantized = "pq_books" in (self.params or {})
-        cosine = self.dist == "cosine"
-        q = [float(x) for x in query]
-        if cosine:
-            q = _normalize_row(q)  # unit query: walk l2 == cosine order
+        by_sim = self.dist in ("cosine", "ip")  # similarity ops classes
+        q = _prep_query(self.dist, [float(x) for x in query])
         n_walk = k * 4 if quantized else k
         hits = g.search(
             np.asarray(q, dtype=np.float64), n_walk, ef=ef,
             allowed_ids=allowed_ids,
         )
         if not quantized:
-            if cosine:
-                # output = EXACT similarities (np.dot against the stored
-                # unit vectors — replayed identically offline), (sim desc,
-                # id asc); walk membership is decided by the l2 walk
+            if by_sim:
+                # output = EXACT similarities (fold-exact dot against the
+                # stored unit/augmented vectors — replayed identically
+                # offline), (sim desc, id asc); walk membership is decided
+                # by the l2 walk
                 sims = _sims_for_ids(g, [h for h, _ in hits], q)
                 rows = sorted(zip((h for h, _ in hits), sims),
                               key=lambda t: (-t[1], t[0]))[:k]
@@ -579,9 +611,10 @@ class VamanaIndex:
                 f"{self.id_col} {self.id_type}, {dist_col} double",
             )
         # ADC shortlist -> EXACT rerank: tiny id list joins the parquet
-        # vertices; l2 indexes rank by the codegen'd l2 fold asc, cosine
-        # indexes by the inner-product fold against the unit query desc
-        # (vertices are unit vectors, so dot == cosine similarity)
+        # vertices; l2 indexes rank by the codegen'd l2 fold asc,
+        # cosine/ip indexes by the inner-product fold against the
+        # unit/augmented query desc (unit vertices: dot == cosine;
+        # augmented vertices vs [q, 0]: dot == exact x.q)
         from pyspark.sql import functions as F
 
         from ..functions.vector import inner_product, l2_dist
@@ -589,7 +622,7 @@ class VamanaIndex:
         short = self._spark.createDataFrame(
             [(h,) for h, _ in hits], f"{self.id_col} {self.id_type}"
         )
-        if cosine:
+        if by_sim:
             exact = inner_product(F.col("vec"), q).alias(dist_col)
             order = [F.col(dist_col).desc(), F.col(self.id_col).asc()]
         else:
@@ -631,19 +664,19 @@ class VamanaIndex:
         g = self._graph()
         bc = spark.sparkContext.broadcast(g)
         quantized = "pq_books" in (self.params or {})
-        cosine = self.dist == "cosine"
+        by_sim = self.dist in ("cosine", "ip")
         n_walk = k * rerank_mult if quantized else k
         id_col, idt = self.id_col, self.id_type
         qschema = {f.name: f.dataType.simpleString() for f in queries.schema}
         schema = f"{qid_col} {qschema[qid_col]}, {id_col} {idt}, __wd double"
-        qsel = queries.select(
-            F.col(qid_col),
-            (
-                _normalize_expr(F.col(query_vec).cast("array<double>"))
-                if cosine
-                else F.col(query_vec).cast("array<double>")
-            ).alias("__qv"),
-        )
+        qcast = F.col(query_vec).cast("array<double>")
+        if self.dist == "cosine":
+            qprep = _normalize_expr(qcast)
+        elif self.dist == "ip":
+            qprep = F.concat(qcast, F.array(F.lit(0.0)))  # [q, 0]
+        else:
+            qprep = qcast
+        qsel = queries.select(F.col(qid_col), qprep.alias("__qv"))
 
         def run(batches):
             graph = bc.value
@@ -660,9 +693,9 @@ class VamanaIndex:
                     # same kernel everywhere.
                     hits = graph.search(np.array(qv, dtype=np.float64), n_walk)
                     ids_only = [h[0] for h in hits]
-                    if cosine and not quantized:
-                        # exact similarities from the stored unit vectors
-                        # (same np.dot as probe / the offline replay)
+                    if by_sim and not quantized:
+                        # exact similarities from the stored unit/augmented
+                        # vectors (same fold-exact dot as probe / offline)
                         hit_dists.extend(_sims_for_ids(graph, ids_only, qv))
                     else:
                         hit_dists.extend(h[1] for h in hits)
@@ -675,7 +708,7 @@ class VamanaIndex:
 
         walked = qsel.mapInPandas(run, schema)
         if not quantized:
-            # cosine: __wd already holds the exact similarities for the
+            # cosine/ip: __wd already holds the exact similarities for the
             # walk's k hits (membership decided by the l2 walk — no extra
             # shuffle needed to re-rank k rows per query)
             return walked.select(
@@ -685,11 +718,11 @@ class VamanaIndex:
 
         exact = (
             inner_product(F.col("vec"), F.col("__qv"))
-            if cosine
+            if by_sim
             else l2_dist(F.col("vec"), F.col("__qv"))
         ).alias(dist_col)
         w = Window.partitionBy(qid_col).orderBy(
-            F.col(dist_col).desc() if cosine else F.col(dist_col).asc(),
+            F.col(dist_col).desc() if by_sim else F.col(dist_col).asc(),
             F.col(id_col).asc(),
         )
         return (
@@ -774,8 +807,22 @@ def offline_vamana(
     ids, vecs = _read_sorted(parquet_path, vec_col, id_col)
     if dist == "cosine":
         vecs = [_normalize_row([float(x) for x in v]) for v in vecs]
+    elif dist == "ip":
+        # same fold norms, same exact max, same augmentation floats as
+        # the Spark expressions (sqrt/greatest == math.sqrt/max)
+        sqs = []
+        for v in vecs:
+            s = 0.0
+            for x in v:
+                s = s + float(x) * float(x)
+            sqs.append(s)
+        m2 = max(sqs)
+        vecs = [
+            [float(x) for x in v] + [math.sqrt(max(m2 - s, 0.0))]
+            for v, s in zip(vecs, sqs)
+        ]
     elif dist != "l2":
-        raise ValueError("offline_vamana replays l2 and cosine builds")
+        raise ValueError("offline_vamana replays l2, cosine and ip builds")
     n, dim = len(vecs), len(vecs[0]) if vecs else 0
     if n * dim > IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS:
         raise ValueError("offline_vamana only replicates the full-table training path")
@@ -1019,6 +1066,35 @@ def offline_vamana_cosine_batch(
     out = []
     for qid, qv in queries:
         qn = _normalize_row([float(x) for x in qv])
+        hits = g.search(np.asarray(qn, dtype=np.float64), k)
+        sims = _sims_for_ids(g, [h for h, _ in hits], qn)
+        for (h, _), s in zip(hits, sims):
+            out.append((qid, h, float(s)))
+    return out
+
+
+def offline_vamana_ip_probe(g: _Graph, query: list[float], k: int) -> list[tuple]:
+    """Replay ``VamanaIndex.probe`` on an ip (MIPS-augmented) index:
+    augmented query [q, 0], l2 walk, EXACT inner products via the same
+    fold-exact dot (_sims_for_ids) over the stored augmented rows,
+    (ip desc, id asc). Returns [(id, inner_product)]."""
+    qn = _prep_query("ip", [float(x) for x in query])
+    hits = g.search(np.asarray(qn, dtype=np.float64), k)
+    sims = _sims_for_ids(g, [h for h, _ in hits], qn)
+    return sorted(
+        ((h, float(s)) for (h, _), s in zip(hits, sims)),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+
+
+def offline_vamana_ip_batch(
+    g: _Graph, queries: list[tuple], k: int
+) -> list[tuple]:
+    """Replay ``VamanaIndex.search_batch`` (ip, unquantized). Returns
+    [(qid, id, inner_product)]."""
+    out = []
+    for qid, qv in queries:
+        qn = _prep_query("ip", [float(x) for x in qv])
         hits = g.search(np.asarray(qn, dtype=np.float64), k)
         sims = _sims_for_ids(g, [h for h, _ in hits], qn)
         for (h, _), s in zip(hits, sims):

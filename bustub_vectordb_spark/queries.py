@@ -2970,6 +2970,103 @@ def q_ann_vamana_cosine_batch(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
 
 
+_OFFLINE_VAMANA_IP_MEMO: dict = {}
+
+
+def _offline_vamana_ip_cached():
+    from .index.vamana import offline_vamana
+
+    key = _oracle_sf()
+    if key not in _OFFLINE_VAMANA_IP_MEMO:
+        _OFFLINE_VAMANA_IP_MEMO[key] = offline_vamana(
+            f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+            shards=4, overlap_eps=0.2, r=16, dist="ip",
+        )
+    return _OFFLINE_VAMANA_IP_MEMO[key]
+
+
+def _vamana_ip_oracle() -> str:
+    from .index.vamana import offline_vamana_ip_probe
+
+    hits = offline_vamana_ip_probe(_offline_vamana_ip_cached(), QUERY_VEC, 10)
+    rows = [(int(i), float(s)) for i, s in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d DESC, vec_id ASC"
+    )
+
+
+@_register("ann_vamana_ip", _vamana_ip_oracle)
+def q_ann_vamana_ip(spark, sf_dir):
+    # MIPS ops class for the merged-graph tier via the published l2
+    # reduction (Bachrach et al., RecSys 2014): rows augment with
+    # sqrt(M^2 - |x|^2) so l2 order on augmented vectors equals
+    # inner-product order, the query augments with a literal 0 (keeping
+    # the fold dot EXACTLY x.q), and serving reports exact inner
+    # products. All ops classes now serve on every index family. Exact
+    # offline replay (offline_vamana(dist=ip) + offline_vamana_ip_probe).
+    from .index.vamana import VamanaIndex
+
+    key = (sf_dir, "vamana_ip")
+    if key not in _INDEX_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _INDEX_CACHE[key] = VamanaIndex.build(
+            emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16,
+            dist="ip",
+        )
+    probe = _INDEX_CACHE[key].probe(QUERY_VEC, 10)
+    return (
+        probe.orderBy(F.col("distance").desc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
+def _vamana_ip_batch_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.vamana import offline_vamana_ip_batch
+
+    g = _offline_vamana_ip_cached()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qs = [
+        (qid, qv)
+        for qid, qv in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if qid % 97 == 0
+    ]
+    rows = [
+        (int(qid), int(hid), float(s))
+        for qid, hid, s in offline_vamana_ip_batch(g, qs, 5)
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_vamana_ip_batch", _vamana_ip_batch_oracle)
+def q_ann_vamana_ip_batch(spark, sf_dir):
+    # Batch MIPS serving over the merged graph: queries augment with a
+    # [q, 0] concat expression, walks are l2 over the broadcast augmented
+    # shell, inner products come from the same fold-exact dot the offline
+    # replay computes. Exact oracle.
+    from .index.vamana import VamanaIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "vamana_ip")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = VamanaIndex.build(
+            emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16,
+            dist="ip",
+        )
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = _INDEX_CACHE[key].search_batch(queries, "embedding", "qid", k=5)
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
 def _vamana_cosine_partitioned_oracle() -> str:
     from .index.vamana import offline_vamana_partitioned
     from .index.hnsw import offline_routed_probe
@@ -4981,11 +5078,11 @@ _GATE_WINDOW = [
     "ann_vamana_cosine",
     "ann_vamana_cosine_batch",
     "hybrid_search_rrf",
-    # --- stalest driver row rotates back in (the remaining r1/r3 rows —
-    # knn_cosine/knn_inner_product/knn_subquery_alias/sample_deterministic,
+    "ann_vamana_ip",
+    # (the remaining r1/r3 rows — knn_cosine/knn_inner_product/
+    # knn_subquery_alias/sample_deterministic/layout_bucketed_join,
     # distinct/agg_having and friends — already hold driver rows and
-    # rotate in r7; never-gated entries outrank them) ---
-    "layout_bucketed_join",
+    # rotate in r7; never-gated entries outrank stale re-gates)
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

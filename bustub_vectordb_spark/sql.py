@@ -504,8 +504,8 @@ class SqlEngine:
             elif method == "vamana":
                 # engine extension (no reference analogue): distributed
                 # SINGLE-graph build — DiskANN merge over overlapping
-                # clusters (index/vamana.py); l2 + cosine ops classes
-                # (cosine = normalize-then-l2; ip stays on routed hnsw)
+                # clusters (index/vamana.py); all three ops classes
+                # (cosine = normalize-then-l2, ip = MIPS augmentation)
                 from .index.vamana import VamanaIndex
 
                 names = self.catalog.tables[table].schema.names

@@ -407,3 +407,47 @@ def test_cosine_build_serves_exact_similarities(emb, spark, sf_dir):
 
     with pytest.raises(ValueError, match="l2 and cosine"):
         VamanaIndex.build(emb, "embedding", "vec_id", dist="ip")
+
+
+def test_ip_build_serves_exact_inner_products(emb, spark, sf_dir):
+    """dist="ip": MIPS via the augmentation reduction (Bachrach et al.
+    2014) — l2 walks over [x, sqrt(M^2-|x|^2)] rows equal inner-product
+    order, probe/search_batch report EXACT x.q (the [q, 0] fold adds
+    zero), offline replay matches bit-for-bit."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.vamana import (
+        offline_vamana,
+        offline_vamana_ip_batch,
+        offline_vamana_ip_probe,
+    )
+
+    v = VamanaIndex.build(
+        emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16, dist="ip"
+    )
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    got = [(r["vec_id"], r["distance"]) for r in v.probe(q, 10).collect()]
+    g = offline_vamana(
+        f"{sf_dir}/embeddings.parquet", "embedding", "vec_id",
+        shards=4, overlap_eps=0.2, r=16, dist="ip",
+    )
+    assert got == [(int(i), float(s)) for i, s in offline_vamana_ip_probe(g, q, 10)]
+
+    rows = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+    for hid, ip in got:
+        assert ip == pytest.approx(float(rows[hid] @ np.asarray(q)), abs=1e-9)
+    exact = {r["vec_id"] for r in knn(emb, "embedding", q, 10, dist="ip").collect()}
+    assert len({i for i, _ in got} & exact) / 10 >= 0.9
+
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    bt = sorted(
+        (r["qid"], r["vec_id"], r["distance"])
+        for r in v.search_batch(queries, "embedding", "qid", k=5).collect()
+    )
+    qs = [(r["qid"], list(r["embedding"])) for r in queries.collect()]
+    assert bt == sorted(
+        (int(qid), int(hid), float(s))
+        for qid, hid, s in offline_vamana_ip_batch(g, qs, 5)
+    )
