@@ -913,6 +913,20 @@ def offline_vamana_partitioned(
         # cosine tier: cells train/route over the same unit vectors the
         # Spark to_partitioned sees (its vertices are stored normalized)
         vecs = [_normalize_row([float(x) for x in v]) for v in vecs]
+    elif build_kw.get("dist") == "ip":
+        # ip tier: cells train/route over the same MIPS-augmented vectors
+        # the Spark to_partitioned sees (vertices stored augmented)
+        sqs = []
+        for v in vecs:
+            s = 0.0
+            for x in v:
+                s = s + float(x) * float(x)
+            sqs.append(s)
+        m2 = max(sqs)
+        vecs = [
+            [float(x) for x in v] + [math.sqrt(max(m2 - s, 0.0))]
+            for v, s in zip(vecs, sqs)
+        ]
     n, dim = len(vecs), len(vecs[0]) if vecs else 0
     if n * dim > IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS:
         raise ValueError(

@@ -3128,6 +3128,85 @@ def q_ann_vamana_cosine_partitioned(spark, sf_dir):
     )
 
 
+def _vamana_ip_partitioned_oracle() -> str:
+    from .index.hnsw import offline_routed_probe
+    from .index.vamana import _prep_query, offline_vamana_partitioned
+
+    key = (_oracle_sf(), "ip")
+    if key not in _OFFLINE_VAMANA_PART_MEMO:
+        _OFFLINE_VAMANA_PART_MEMO[key] = offline_vamana_partitioned(
+            f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+            cells=4, shards=4, overlap_eps=0.2, r=16, dist="ip",
+        )
+    cents, graphs = _OFFLINE_VAMANA_PART_MEMO[key]
+    # m2 / |q|^2 with the same folds the Spark entry inlines
+    g0 = next(iter(graphs.values()))
+    dim = g0.vecs.shape[1] - 1  # augmented
+    m2 = None
+    qsq = 0.0
+    for x in QUERY_VEC:
+        qsq = qsq + float(x) * float(x)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{_oracle_sf()}/embeddings.parquet", columns=["embedding"])
+    m2 = 0.0
+    for v in t["embedding"].to_pylist():
+        s = 0.0
+        for x in v:
+            s = s + float(x) * float(x)
+        m2 = max(m2, s)
+    qn = _prep_query("ip", [float(x) for x in QUERY_VEC])
+    hits = offline_routed_probe(cents, graphs, qn, 10, 3)
+    # augmented-l2 -> inner product: ip = (M^2 + |q|^2 - d^2) / 2 — the
+    # same float expression the Spark entry computes
+    rows = [(int(i), float((m2 + qsq - d * d) / 2.0)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d DESC, vec_id ASC"
+    )
+
+
+@_register("ann_vamana_ip_partitioned", _vamana_ip_partitioned_oracle)
+def q_ann_vamana_ip_partitioned(spark, sf_dir):
+    # MIPS on the PARTITIONED tier — the last cell of the ops x tier
+    # matrix: the augmented merged graph cuts into cells, the [q, 0]
+    # query probes n_probe cells over l2 walks, and the augmented-l2
+    # distances convert to inner products with the exact reduction
+    # identity ip = (M^2 + |q|^2 - d^2)/2 (same float expression both
+    # sides; M^2 is frozen in the index params at build). Exact offline
+    # replay.
+    from .index.vamana import VamanaIndex, _prep_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "vamana_ip_part")
+    if key not in _INDEX_CACHE:
+        ikey = (sf_dir, "vamana_ip")
+        if ikey not in _INDEX_CACHE:
+            _INDEX_CACHE[ikey] = VamanaIndex.build(
+                emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16,
+                dist="ip",
+            )
+        _INDEX_CACHE[key] = (
+            _INDEX_CACHE[ikey].to_partitioned(cells=4, n_probe=3),
+            _INDEX_CACHE[ikey].params["ip_m2"],
+        )
+    part, m2 = _INDEX_CACHE[key]
+    qsq = 0.0
+    for x in QUERY_VEC:
+        qsq = qsq + float(x) * float(x)
+    qn = _prep_query("ip", [float(x) for x in QUERY_VEC])
+    probe = part.probe(qn, 10, n_probe=3)
+    return (
+        probe.withColumn(
+            "distance",
+            (F.lit(m2) + F.lit(qsq) - F.col("distance") * F.col("distance"))
+            / F.lit(2.0),
+        )
+        .orderBy(F.col("distance").desc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
 def _vamana_partitioned_filtered_oracle() -> str:
     from .index.hnsw import offline_routed_probe
 

@@ -405,8 +405,8 @@ def test_cosine_build_serves_exact_similarities(emb, spark, sf_dir):
     )
     assert bt == ebt
 
-    with pytest.raises(ValueError, match="l2 and cosine"):
-        VamanaIndex.build(emb, "embedding", "vec_id", dist="ip")
+    with pytest.raises(ValueError, match="l2, cosine"):
+        VamanaIndex.build(emb, "embedding", "vec_id", dist="hamming")
 
 
 def test_ip_build_serves_exact_inner_products(emb, spark, sf_dir):
