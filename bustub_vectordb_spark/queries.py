@@ -3783,6 +3783,60 @@ _TRIGRAM_SQL = (
 )
 
 
+@_register(
+    "dedup_repeated_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS pos, ts[i] AS t
+      FROM toks, unnest(generate_series(1, len(ts))) AS u(i)
+    ),
+    win AS (
+      SELECT doc_id, i - 1 AS wpos, array_to_string(ts[i:i+7], ' ') AS w
+      FROM toks, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+      WHERE len(ts) >= 8
+    ),
+    common AS (
+      SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT win.doc_id, p.pos
+      FROM win JOIN common USING (w),
+           unnest(generate_series(win.wpos, win.wpos + 7)) AS p(pos)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.t
+      FROM tok LEFT JOIN covered
+        ON tok.doc_id = covered.doc_id AND tok.pos = covered.pos
+      WHERE covered.pos IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           coalesce(rebuilt.clean_text, '') AS clean_text,
+           len(toks.ts) - coalesce(rebuilt.kept_n, 0) AS removed_tokens
+    FROM toks LEFT JOIN rebuilt ON toks.doc_id = rebuilt.doc_id
+    """,
+)
+def q_dedup_repeated_spans(spark, sf_dir):
+    # Exact sub-document dedup with OVERLAPPING windows (Lee et al., ACL
+    # 2022): any 8-token window occurring verbatim in >= 2 distinct docs
+    # marks its token range in EVERY doc at ANY alignment — the
+    # phase-shift-proof twin of boilerplate_removal (whose non-overlapping
+    # chunks miss mid-chunk repeats). Window frequency is the predicate
+    # (one shuffle); coverage explodes only over REMOVED text.
+    from .dedup.spans import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, "doc_id", "text", k=8, min_docs=2)
+
+
 def _hybrid_rrf_oracle() -> str:
     from .functions.ranking import bm25_search_sql
 

@@ -223,3 +223,32 @@ def test_components_auto_escalates_past_budget(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, pdf, "doc_id", max_iter=3, algorithm="propagate")
+
+
+def test_repeated_spans_removes_phase_shifted_repeats(spark):
+    """Overlapping-window exact-substring removal (dedup/spans.py): a
+    >= k-token span repeated across docs is excised at ANY alignment —
+    including offsets where boilerplate_removal's non-overlapping chunks
+    would miss it — and unique text survives untouched."""
+    from bustub_vectordb_spark.dedup.spans import remove_repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one two three {shared} tail1 tail2"),
+            # the same span at a DIFFERENT token offset
+            (2, f"x {shared} completely different ending here"),
+            (3, "no repeats in this document at all folks"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_spans(
+        docs, "doc_id", "text", k=8, min_docs=2
+    ).collect()}
+    for tok in shared.split():
+        assert tok not in out[1]["clean_text"].split()
+        assert tok not in out[2]["clean_text"].split()
+    assert out[1]["removed_tokens"] == 8 and out[2]["removed_tokens"] == 8
+    assert "unique" in out[1]["clean_text"] and "tail2" in out[1]["clean_text"]
+    assert out[3]["removed_tokens"] == 0
+    assert out[3]["clean_text"] == "no repeats in this document at all folks"
