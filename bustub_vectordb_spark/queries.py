@@ -1485,6 +1485,34 @@ def q_source_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+@_register(
+    "source_orc_roundtrip",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_orderpriority
+    """,
+)
+def q_source_orc_roundtrip(spark, sf_dir):
+    # ORC source connector (the third columnar interchange format after
+    # parquet and the csv/jsonl text formats): an orders slice
+    # round-trips through an ORC copy read back with an explicit schema;
+    # the oracle computes from the canonical parquet, so any ORC
+    # write/read type drift hash-fails.
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    key = (sf_dir, "orc")
+    if key not in _CSV_JSON_STAGE:
+        path = tempfile.mkdtemp(prefix="orc_src_")
+        orders.write.mode("overwrite").orc(path)
+        _CSV_JSON_STAGE[key] = path
+    back = spark.read.schema(orders.schema).orc(_CSV_JSON_STAGE[key])
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("o_custkey").alias("cust_sum")
+    )
+
+
 def _ivfflat_probe_oracle() -> str:
     import math
 
