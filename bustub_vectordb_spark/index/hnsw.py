@@ -198,6 +198,12 @@ class _Graph:
         values so distance orientation stays internally consistent. Walk
         distances become approximate (ADC) — pair with an exact rerank
         (ShardedHNSW.probe(rerank=...)) for serving."""
+        if getattr(self, "pq_codes", None) is not None:
+            # reciprocal of quantize_pq's SQ8-first guard: SQ8-encoding a
+            # PQ graph would silently no-op (vecs is already None, and
+            # _mat_rows checks PQ first) — the caller would get an index
+            # whose params claim SQ8 while shards keep serving PQ decodes
+            raise ValueError("graph is PQ-quantized; SQ8 must start from floats")
         mn = np.asarray(mins, dtype=np.float64)
         mx = np.asarray(maxs, dtype=np.float64)
         self.qmn = mn

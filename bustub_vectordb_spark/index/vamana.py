@@ -349,6 +349,20 @@ class VamanaIndex:
             # assigns them directly — without this a pq_k>512 model would
             # corrupt codes at serve time instead of failing here
             raise ValueError("quantize_pq stores uint8 codes: need k <= 256")
+        stored_dim = len(self.vertices.select("vec").first()[0])
+        model_dim = int(model.bounds[-1][1])
+        if model_dim != stored_dim:
+            # cosine/ip indexes store TRANSFORMED vertices (unit /
+            # MIPS-augmented) — a model trained on the raw table would
+            # silently drop the augmentation dim (ip: serve-time matmul
+            # crash) or encode unnormalized rows against unit walks
+            # (cosine: degraded ADC shortlists). Train on this index's
+            # ``vertices`` ("vec" column) instead.
+            raise ValueError(
+                f"PQ model covers dim {model_dim} but this index stores "
+                f"dim-{stored_dim} vertices ({self.dist} indexes transform "
+                "rows at build) — train the PQModel on index.vertices"
+            )
         books = [[[float(x) for x in row] for row in b] for b in model.centroids]
         bounds = [[int(s), int(e)] for s, e in model.bounds]
         params = dict(self.params or {}, pq_books=books, pq_bounds=bounds)
@@ -892,6 +906,7 @@ def offline_vamana_partitioned(
     cells: int = 8,
     cells_max_iter: int = 5,
     model=None,
+    graph: _Graph | None = None,
     **build_kw,
 ) -> tuple[list, dict]:
     """Replay ``VamanaIndex.build(...).to_partitioned(cells=...)`` without
@@ -907,7 +922,11 @@ def offline_vamana_partitioned(
     from .hnsw import _read_sorted
     from .ivfflat import IVFFlatIndex, _lloyds_numpy
 
-    g = offline_vamana(parquet_path, vec_col, id_col, **build_kw)
+    # ``graph``: a prebuilt offline_vamana replay (read-only here) — the
+    # merge build is the expensive part, and oracle memos share it
+    g = graph if graph is not None else offline_vamana(
+        parquet_path, vec_col, id_col, **build_kw
+    )
     ids, vecs = _read_sorted(parquet_path, vec_col, id_col)
     if build_kw.get("dist") == "cosine":
         # cosine tier: cells train/route over the same unit vectors the

@@ -2535,15 +2535,32 @@ def q_ann_hnsw_routed_sq8_rerank(spark, sf_dir):
     )
 
 
-def _vamana_merged_oracle() -> str:
-    import numpy as np
+_OFFLINE_VAMANA_L2_MEMO: dict = {}
+
+
+def _offline_vamana_l2_cached(mutable: bool = False):
+    """One offline l2 merge replay (the most expensive oracle build:
+    k-means + per-cluster HNSW builds + global prune) per sf_dir across
+    the six generators that need it; ``mutable=True`` deep-copies for the
+    PQ oracles, which quantize (mutate) the shell."""
+    import pickle
 
     from .index.vamana import offline_vamana
 
-    g = offline_vamana(
-        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
-        shards=4, overlap_eps=0.2, r=16,
-    )
+    key = _oracle_sf()
+    if key not in _OFFLINE_VAMANA_L2_MEMO:
+        _OFFLINE_VAMANA_L2_MEMO[key] = offline_vamana(
+            f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+            shards=4, overlap_eps=0.2, r=16,
+        )
+    g = _OFFLINE_VAMANA_L2_MEMO[key]
+    return pickle.loads(pickle.dumps(g)) if mutable else g
+
+
+def _vamana_merged_oracle() -> str:
+    import numpy as np
+
+    g = _offline_vamana_l2_cached()
     hits = g.search(np.asarray(QUERY_VEC, dtype=np.float64), 10)
     rows = [(int(i), float(d)) for i, d in hits]
     return (
@@ -2581,12 +2598,7 @@ def q_ann_vamana_merged(spark, sf_dir):
 def _vamana_filtered_oracle() -> str:
     import numpy as np
 
-    from .index.vamana import offline_vamana
-
-    g = offline_vamana(
-        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
-        shards=4, overlap_eps=0.2, r=16,
-    )
+    g = _offline_vamana_l2_cached()
     hits = g.search(
         np.asarray(QUERY_VEC, dtype=np.float64), 10, allowed_ids=_allowed_label2()
     )
@@ -2623,12 +2635,9 @@ def q_ann_vamana_filtered(spark, sf_dir):
 def _vamana_pq_oracle() -> str:
     import pyarrow.parquet as pq
 
-    from .index.vamana import offline_vamana, offline_vamana_pq_probe
+    from .index.vamana import offline_vamana_pq_probe
 
-    g = offline_vamana(
-        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
-        shards=4, overlap_eps=0.2, r=16,
-    )
+    g = _offline_vamana_l2_cached(mutable=True)
     model, _ids, _codes = _offline_pq_cached()
     t = pq.read_table(
         f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -2672,12 +2681,9 @@ def q_ann_vamana_pq_rerank(spark, sf_dir):
 def _vamana_batch_oracle() -> str:
     import pyarrow.parquet as pq
 
-    from .index.vamana import offline_vamana, offline_vamana_batch
+    from .index.vamana import offline_vamana_batch
 
-    g = offline_vamana(
-        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
-        shards=4, overlap_eps=0.2, r=16,
-    )
+    g = _offline_vamana_l2_cached()
     t = pq.read_table(
         f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -2718,12 +2724,9 @@ def q_ann_vamana_batch(spark, sf_dir):
 def _vamana_pq_batch_oracle() -> str:
     import pyarrow.parquet as pq
 
-    from .index.vamana import offline_vamana, offline_vamana_pq_batch
+    from .index.vamana import offline_vamana_pq_batch
 
-    g = offline_vamana(
-        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
-        shards=4, overlap_eps=0.2, r=16,
-    )
+    g = _offline_vamana_l2_cached(mutable=True)
     model, _ids, _codes = _offline_pq_cached()
     t = pq.read_table(
         f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -2784,6 +2787,7 @@ def _offline_vamana_part_cached(mutable: bool = False):
         _OFFLINE_VAMANA_PART_MEMO[key] = offline_vamana_partitioned(
             f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
             cells=4, shards=4, overlap_eps=0.2, r=16,
+            graph=_offline_vamana_l2_cached(),
         )
     cents, graphs = _OFFLINE_VAMANA_PART_MEMO[key]
     if mutable:
@@ -3333,10 +3337,10 @@ def q_stream_ann_admission(spark, sf_dir):
         ef_construction=48, ef_search=48,
     )
     stage = tempfile.mkdtemp(prefix="annstream_stage_")
-    for i, b in enumerate((1, 2)):
-        emb.filter(F.col("vec_id") % 3 == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{stage}/part{i}")
+    _stage_stream_parts(
+        stage,
+        [(f"part{i}", emb.filter(F.col("vec_id") % 3 == b)) for i, b in enumerate((1, 2))],
+    )
     stream = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1)
@@ -3937,6 +3941,23 @@ def q_dedup_minhash_neardup(spark, sf_dir):
     return near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
 
 
+def _stage_stream_parts(stage: str, parts) -> None:
+    """Write each (subdir, DataFrame) as one parquet part and pin STRICTLY
+    INCREASING mtimes on the leaf files: the file-stream source orders
+    candidate files by modification time with NO path tie-break, so two
+    quick writes landing in the same mtime tick could flip micro-batch
+    order — and these entries' oracles replay the batches sequentially."""
+    import os
+    import time
+
+    now = time.time()
+    for i, (sub, df) in enumerate(parts):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{stage}/{sub}")
+        for root, _dirs, files in os.walk(f"{stage}/{sub}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 10, now + i * 10))
+
+
 def _stream_admission_sql() -> str:
     """Unrolled sequential-admission oracle for the streaming near-dup
     sink: seed = doc_id%3==0 docs, then two arrival batches (%3==1,2)
@@ -4000,10 +4021,10 @@ def q_stream_neardup_admission(spark, sf_dir):
     )
     seed = docs.filter(F.col("doc_id") % 3 == 0)
     stage = tempfile.mkdtemp(prefix="neardup_stage_")
-    for i, b in enumerate((1, 2)):
-        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{stage}/part{i}")
+    _stage_stream_parts(
+        stage,
+        [(f"part{i}", docs.filter(F.col("doc_id") % 3 == b)) for i, b in enumerate((1, 2))],
+    )
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)

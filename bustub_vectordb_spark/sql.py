@@ -523,12 +523,15 @@ class SqlEngine:
                 if opts.get("pq"):
                     # WITH (pq=1[, pq_m=M, pq_k=K]): PQ-compressed serving
                     # — the search node collects only m-byte codes; probes
-                    # rerank exactly against the parquet vertices
+                    # rerank exactly against the parquet vertices. Train on
+                    # the index's OWN vertices: cosine/ip builds transform
+                    # rows (unit / MIPS-augmented), and codebooks must
+                    # cover what the walks decode (quantize_pq enforces)
                     from .similarity.pq import PQModel
 
                     idx = idx.quantize_pq(
                         PQModel.train(
-                            df, col, id_col,
+                            idx.vertices, "vec", id_col,
                             m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
                         )
                     )

@@ -242,3 +242,19 @@ def test_ivf_sq8_save_load_roundtrip(tables, spark, tmp_path):
         (r["vec_id"], r["distance"]) for r in loaded.probe(q, 10, rerank=40).collect()
     ]
     assert after == before
+
+
+def test_sq8_refuses_pq_quantized_graph():
+    """Reciprocal of the SQ8-first guard: SQ8-encoding a PQ graph would
+    silently no-op (vecs already None) — must refuse instead."""
+    import numpy as np
+    import pytest
+
+    from bustub_vectordb_spark.index.hnsw import _Graph
+
+    g = _Graph(4, 16, 16, "l2", 42)
+    g.add_all(list(range(40)), np.random.default_rng(3).standard_normal((40, 8)))
+    books = [np.asarray([[0.0] * 4, [1.0] * 4])] * 2
+    g.quantize_pq(books, [(0, 4), (4, 8)])
+    with pytest.raises(ValueError, match="PQ-quantized"):
+        g.quantize_sq8([0.0] * 8, [1.0] * 8)

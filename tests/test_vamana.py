@@ -451,3 +451,22 @@ def test_ip_build_serves_exact_inner_products(emb, spark, sf_dir):
         (int(qid), int(hid), float(s))
         for qid, hid, s in offline_vamana_ip_batch(g, qs, 5)
     )
+
+
+def test_quantize_pq_refuses_dim_mismatched_model(emb, spark):
+    """A PQ model trained on RAW rows must be refused by a transformed
+    (ip-augmented / cosine-normalized) index — silently dropping the
+    augmentation dim crashed at serve time before the guard; the DDL path
+    now trains on index.vertices."""
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    model_raw = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+    ip = VamanaIndex.build(
+        emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16, dist="ip"
+    )
+    with pytest.raises(ValueError, match="train the PQModel on index.vertices"):
+        ip.quantize_pq(model_raw)
+    # trained on the index's own (augmented) vertices: accepted and serves
+    model_aug = PQModel.train(ip.vertices, "vec", "vec_id", m=13, k=32)
+    hits = ip.quantize_pq(model_aug).probe([0.1] * 64, 5).collect()
+    assert len(hits) == 5
