@@ -40,8 +40,10 @@ from pyspark.sql import DataFrame, functions as F
 def _raw_tokens(text_col: str):
     # RAW case tokens: removal rewrites real text, so matching is exact
     # (Lee et al. operate on raw bytes); lowercase belongs to the
-    # similarity family (minhash), not to exact excision
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    # similarity family (minhash), not to exact excision. NULL text
+    # coalesces to '' — F.size(NULL) is -1 in Spark, which would surface
+    # as removed_tokens = -1 for a NULL-text row
+    return F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
 
 
 def remove_repeated_spans(

@@ -129,6 +129,94 @@ def _normalize_row(v: list) -> list[float]:
     return [x / n for x in v]
 
 
+class PartitionedVamanaServing:
+    """Ops-class facade over a cell-partitioned cosine/ip vamana artifact.
+
+    The inner ShardedHNSW holds TRANSFORMED vectors (unit / MIPS-
+    augmented) and walks plain l2 — correct internally, but a caller (the
+    planner included) probes an index with the RAW query and expects the
+    ops class's native values. This facade owns that boundary: probes
+    prep the query (:func:`_prep_query` / the batch expressions) and
+    convert the angular/augmented-l2 distances back with the exact
+    identities (cosine: sim = 1 − d²/2; ip: x·q = (M² + ‖q‖² − d²)/2,
+    M² frozen at build) — the same float expressions the offline replays
+    evaluate, so oracle parity carries through. Without it, a DDL-created
+    ip index above the partitioning threshold would crash on raw queries
+    (dim mismatch) and ip_m2 would be lost with the pre-partition index.
+    """
+
+    def __init__(self, inner, dist: str, ip_m2: float | None = None):
+        self.inner = inner
+        self.dist = dist
+        self.ip_m2 = ip_m2
+        self.id_col = inner.id_col
+        self.id_type = inner.id_type
+        self.vec_col = inner.vec_col
+        self.default_n_probe = inner.default_n_probe
+        self.params = inner.params
+
+    def _convert(self, d, qsq):
+        from pyspark.sql import functions as F
+
+        if self.dist == "cosine":
+            return F.lit(1.0) - d * d / F.lit(2.0)
+        return (F.lit(float(self.ip_m2)) + qsq - d * d) / F.lit(2.0)
+
+    def probe(self, query, k, dist_col: str = "distance", n_probe=None,
+              allowed=None, **kw):
+        from pyspark.sql import functions as F
+
+        q = [float(x) for x in query]
+        qn = _prep_query(self.dist, q)
+        out = self.inner.probe(
+            qn, k, dist_col=dist_col, n_probe=n_probe, allowed=allowed, **kw
+        )
+        qsq = 0.0
+        for x in q:
+            qsq = qsq + x * x
+        return (
+            out.withColumn(dist_col, self._convert(F.col(dist_col), F.lit(qsq)))
+            .orderBy(F.col(dist_col).desc(), F.col(self.id_col).asc())
+        )
+
+    def search_batch(self, queries, query_vec: str, qid_col: str, k: int,
+                     dist_col: str = "distance", n_probe=None, **kw):
+        from pyspark.sql import functions as F
+
+        qcast = F.col(query_vec).cast("array<double>")
+        prep = (
+            _normalize_expr(qcast)
+            if self.dist == "cosine"
+            else F.concat(qcast, F.array(F.lit(0.0)))
+        )
+        out = self.inner.search_batch(
+            queries.withColumn(query_vec, prep), query_vec, qid_col, k,
+            dist_col=dist_col, n_probe=n_probe, **kw,
+        )
+        if self.dist == "cosine":
+            return out.withColumn(
+                dist_col, self._convert(F.col(dist_col), F.lit(0.0))
+            )
+        qsq = queries.select(
+            F.col(qid_col),
+            F.aggregate(
+                F.transform(qcast, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__qsq"),
+        )
+        return (
+            out.join(qsq, qid_col)
+            .withColumn(
+                dist_col, self._convert(F.col(dist_col), F.col("__qsq"))
+            )
+            .drop("__qsq")
+        )
+
+    def insert(self, rows):
+        return self.inner.insert(rows)  # raises: frozen serving artifact
+
+
 @dataclass
 class VamanaIndex:
     """One flat navigable graph over the whole corpus, built distributed.
@@ -325,6 +413,9 @@ class VamanaIndex:
         params = dict(
             shards=shards, m=m, ef_construction=ef_construction,
             ef_search=ef_search, overlap_eps=overlap_eps, r=r, seed=seed,
+            # seeds were collected from the TRANSFORMED vec column, so this
+            # is already the stored (post-augmentation) dimension
+            dim=len(init[0]),
             **extra_params,
         )
         return cls(
@@ -349,7 +440,9 @@ class VamanaIndex:
             # assigns them directly — without this a pq_k>512 model would
             # corrupt codes at serve time instead of failing here
             raise ValueError("quantize_pq stores uint8 codes: need k <= 256")
-        stored_dim = len(self.vertices.select("vec").first()[0])
+        stored_dim = (self.params or {}).get("dim") or len(
+            self.vertices.select("vec").first()[0]  # pre-upgrade saves
+        )
         model_dim = int(model.bounds[-1][1])
         if model_dim != stored_dim:
             # cosine/ip indexes store TRANSFORMED vertices (unit /
@@ -502,11 +595,18 @@ class VamanaIndex:
         )
         if books is not None:
             params.update(pq_books=books, pq_bounds=bounds)
-        return ShardedHNSW(
+        inner = ShardedHNSW(
             self.vec_col, id_col, "l2", blobs.cache(), spark,
             centroids=centroids, id_type=self.id_type,
             default_n_probe=n_probe, params=params,
         )
+        if self.dist == "l2":
+            return inner
+        # cosine/ip artifacts: the cells hold TRANSFORMED vectors and the
+        # walks are angular/augmented l2 — wrap in the ops-class facade so
+        # probes take RAW queries and return similarities/inner products
+        # (the planner and any caller probe it like every other index)
+        return PartitionedVamanaServing(inner, self.dist, p.get("ip_m2"))
 
     # -- serving -----------------------------------------------------------
     def _graph(self) -> _Graph:
@@ -1076,60 +1176,54 @@ def offline_vamana_pq_batch(
     return out
 
 
-def offline_vamana_cosine_probe(g: _Graph, query: list[float], k: int) -> list[tuple]:
-    """Replay ``VamanaIndex.probe`` on a cosine (normalize-then-l2) index:
-    unit query via the same _normalize_row floats, l2 walk for k hits,
-    EXACT similarities via the same np.dot over the stored unit rows
+def offline_vamana_sim_probe(
+    g: _Graph, query: list[float], k: int, dist: str
+) -> list[tuple]:
+    """Replay ``VamanaIndex.probe`` on a similarity ops class (cosine /
+    ip): dist-specific query prep (:func:`_prep_query` — the same floats
+    the build/serving use), l2 walk for k hits, EXACT similarities via
+    the same fold-exact dot over the stored transformed rows
     (_sims_for_ids), (sim desc, id asc). Returns [(id, similarity)]."""
-    qn = _normalize_row([float(x) for x in query])
+    qn = _prep_query(dist, [float(x) for x in query])
     hits = g.search(np.asarray(qn, dtype=np.float64), k)
     sims = _sims_for_ids(g, [h for h, _ in hits], qn)
     return sorted(
         ((h, float(s)) for (h, _), s in zip(hits, sims)),
         key=lambda t: (-t[1], t[0]),
     )[:k]
+
+
+def offline_vamana_sim_batch(
+    g: _Graph, queries: list[tuple], k: int, dist: str
+) -> list[tuple]:
+    """Replay ``VamanaIndex.search_batch`` (cosine / ip, unquantized): one
+    l2 walk per prepped query, exact fold-dot similarities. Returns
+    [(qid, id, similarity)]."""
+    out = []
+    for qid, qv in queries:
+        qn = _prep_query(dist, [float(x) for x in qv])
+        hits = g.search(np.asarray(qn, dtype=np.float64), k)
+        sims = _sims_for_ids(g, [h for h, _ in hits], qn)
+        for (h, _), s in zip(hits, sims):
+            out.append((qid, h, float(s)))
+    return out
+
+
+def offline_vamana_cosine_probe(g: _Graph, query: list[float], k: int) -> list[tuple]:
+    return offline_vamana_sim_probe(g, query, k, "cosine")
 
 
 def offline_vamana_cosine_batch(
     g: _Graph, queries: list[tuple], k: int
 ) -> list[tuple]:
-    """Replay ``VamanaIndex.search_batch`` (cosine, unquantized): one l2
-    walk per unit query, exact np.dot similarities. Returns
-    [(qid, id, similarity)]."""
-    out = []
-    for qid, qv in queries:
-        qn = _normalize_row([float(x) for x in qv])
-        hits = g.search(np.asarray(qn, dtype=np.float64), k)
-        sims = _sims_for_ids(g, [h for h, _ in hits], qn)
-        for (h, _), s in zip(hits, sims):
-            out.append((qid, h, float(s)))
-    return out
+    return offline_vamana_sim_batch(g, queries, k, "cosine")
 
 
 def offline_vamana_ip_probe(g: _Graph, query: list[float], k: int) -> list[tuple]:
-    """Replay ``VamanaIndex.probe`` on an ip (MIPS-augmented) index:
-    augmented query [q, 0], l2 walk, EXACT inner products via the same
-    fold-exact dot (_sims_for_ids) over the stored augmented rows,
-    (ip desc, id asc). Returns [(id, inner_product)]."""
-    qn = _prep_query("ip", [float(x) for x in query])
-    hits = g.search(np.asarray(qn, dtype=np.float64), k)
-    sims = _sims_for_ids(g, [h for h, _ in hits], qn)
-    return sorted(
-        ((h, float(s)) for (h, _), s in zip(hits, sims)),
-        key=lambda t: (-t[1], t[0]),
-    )[:k]
+    return offline_vamana_sim_probe(g, query, k, "ip")
 
 
 def offline_vamana_ip_batch(
     g: _Graph, queries: list[tuple], k: int
 ) -> list[tuple]:
-    """Replay ``VamanaIndex.search_batch`` (ip, unquantized). Returns
-    [(qid, id, inner_product)]."""
-    out = []
-    for qid, qv in queries:
-        qn = _prep_query("ip", [float(x) for x in qv])
-        hits = g.search(np.asarray(qn, dtype=np.float64), k)
-        sims = _sims_for_ids(g, [h for h, _ in hits], qn)
-        for (h, _), s in zip(hits, sims):
-            out.append((qid, h, float(s)))
-    return out
+    return offline_vamana_sim_batch(g, queries, k, "ip")

@@ -3135,7 +3135,7 @@ def q_ann_vamana_cosine_partitioned(spark, sf_dir):
     # identity sim = 1 - d^2/2 (same float expression both sides). The
     # cosine matrix is complete: driver, batch, and any-scale partitioned
     # serving. Exact offline replay.
-    from .index.vamana import VamanaIndex, _normalize_row
+    from .index.vamana import VamanaIndex
 
     emb = _t(spark, sf_dir, "embeddings")
     key = (sf_dir, "vamana_cos_part")
@@ -3149,13 +3149,12 @@ def q_ann_vamana_cosine_partitioned(spark, sf_dir):
         _INDEX_CACHE[key] = _INDEX_CACHE[ckey].to_partitioned(
             cells=4, n_probe=3
         )
-    qn = _normalize_row([float(x) for x in QUERY_VEC])
-    probe = _INDEX_CACHE[key].probe(qn, 10, n_probe=3)
+    # to_partitioned returns the ops-class facade for cosine: it preps
+    # the RAW query and converts angular distances with the same
+    # sim = 1 - d^2/2 expression the oracle replays
+    probe = _INDEX_CACHE[key].probe(QUERY_VEC, 10, n_probe=3)
     return (
-        probe.withColumn(
-            "distance", F.lit(1.0) - F.col("distance") * F.col("distance") / F.lit(2.0)
-        )
-        .orderBy(F.col("distance").desc(), F.col("vec_id").asc())
+        probe.orderBy(F.col("distance").desc(), F.col("vec_id").asc())
         .select("vec_id", F.round("distance", 8).alias("distance"))
     )
 
@@ -3171,10 +3170,9 @@ def _vamana_ip_partitioned_oracle() -> str:
             cells=4, shards=4, overlap_eps=0.2, r=16, dist="ip",
         )
     cents, graphs = _OFFLINE_VAMANA_PART_MEMO[key]
-    # m2 / |q|^2 with the same folds the Spark entry inlines
-    g0 = next(iter(graphs.values()))
-    dim = g0.vecs.shape[1] - 1  # augmented
-    m2 = None
+    # M^2 is RE-DERIVED from the parquet with the same folds the build
+    # evaluates (oracle independence: nothing is read back from the Spark
+    # index); |q|^2 is the same fold the serving facade inlines
     qsq = 0.0
     for x in QUERY_VEC:
         qsq = qsq + float(x) * float(x)
@@ -3207,7 +3205,7 @@ def q_ann_vamana_ip_partitioned(spark, sf_dir):
     # identity ip = (M^2 + |q|^2 - d^2)/2 (same float expression both
     # sides; M^2 is frozen in the index params at build). Exact offline
     # replay.
-    from .index.vamana import VamanaIndex, _prep_query
+    from .index.vamana import VamanaIndex
 
     emb = _t(spark, sf_dir, "embeddings")
     key = (sf_dir, "vamana_ip_part")
@@ -3218,23 +3216,14 @@ def q_ann_vamana_ip_partitioned(spark, sf_dir):
                 emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16,
                 dist="ip",
             )
-        _INDEX_CACHE[key] = (
-            _INDEX_CACHE[ikey].to_partitioned(cells=4, n_probe=3),
-            _INDEX_CACHE[ikey].params["ip_m2"],
-        )
-    part, m2 = _INDEX_CACHE[key]
-    qsq = 0.0
-    for x in QUERY_VEC:
-        qsq = qsq + float(x) * float(x)
-    qn = _prep_query("ip", [float(x) for x in QUERY_VEC])
-    probe = part.probe(qn, 10, n_probe=3)
+        _INDEX_CACHE[key] = _INDEX_CACHE[ikey].to_partitioned(cells=4, n_probe=3)
+    # to_partitioned returns the ops-class facade for ip: it preps the
+    # raw query and converts with the exact identity
+    # ip = (M^2 + |q|^2 - d^2)/2 (M^2 frozen at build) — the same float
+    # expression the oracle replays
+    probe = _INDEX_CACHE[key].probe(QUERY_VEC, 10, n_probe=3)
     return (
-        probe.withColumn(
-            "distance",
-            (F.lit(m2) + F.lit(qsq) - F.col("distance") * F.col("distance"))
-            / F.lit(2.0),
-        )
-        .orderBy(F.col("distance").desc(), F.col("vec_id").asc())
+        probe.orderBy(F.col("distance").desc(), F.col("vec_id").asc())
         .select("vec_id", F.round("distance", 8).alias("distance"))
     )
 
@@ -3819,7 +3808,7 @@ _TRIGRAM_SQL = (
     "dedup_repeated_spans",
     """
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+      SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ts
       FROM documents
     ),
     tok AS (
