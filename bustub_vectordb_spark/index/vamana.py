@@ -216,6 +216,30 @@ class PartitionedVamanaServing:
     def insert(self, rows):
         return self.inner.insert(rows)  # raises: frozen serving artifact
 
+    def save(self, path: str) -> None:
+        """Persist the inner sharded artifact; the ops class and ip_m2
+        travel in its params, so :func:`load_partitioned` re-wraps."""
+        self.inner.save(path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PartitionedVamanaServing":
+        return load_partitioned(spark, path)
+
+
+def load_partitioned(spark, path: str):
+    """Load a saved cell-partitioned vamana artifact, re-wrapping the
+    ops-class facade when the params say the cells hold transformed
+    vectors (ops_dist cosine/ip) — a bare ShardedHNSW.load would serve
+    raw-query probes incorrectly for those."""
+    from .hnsw import ShardedHNSW
+
+    inner = ShardedHNSW.load(spark, path)
+    p = inner.params or {}
+    ops = p.get("ops_dist", "l2")
+    if ops == "l2":
+        return inner
+    return PartitionedVamanaServing(inner, ops, p.get("ip_m2"))
+
 
 @dataclass
 class VamanaIndex:
@@ -592,7 +616,10 @@ class VamanaIndex:
         params = dict(
             m=r_deg, ef_construction=efc, ef_search=efs, seed=seed,
             replicated=False, frozen="vamana-partitioned",
+            ops_dist=self.dist,
         )
+        if self.dist == "ip":
+            params["ip_m2"] = p["ip_m2"]
         if books is not None:
             params.update(pq_books=books, pq_bounds=bounds)
         inner = ShardedHNSW(

@@ -470,3 +470,30 @@ def test_quantize_pq_refuses_dim_mismatched_model(emb, spark):
     model_aug = PQModel.train(ip.vertices, "vec", "vec_id", m=13, k=32)
     hits = ip.quantize_pq(model_aug).probe([0.1] * 64, 5).collect()
     assert len(hits) == 5
+
+
+def test_partitioned_facade_save_load_roundtrip(emb, spark, tmp_path):
+    """A saved cosine/ip partitioned artifact reloads WITH its ops-class
+    facade (ops_dist + ip_m2 travel in params) and probes identically on
+    raw queries; a bare ShardedHNSW.load would mis-serve them."""
+    from bustub_vectordb_spark.index.vamana import (
+        PartitionedVamanaServing,
+        load_partitioned,
+    )
+
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    for dist in ("cosine", "ip"):
+        idx = VamanaIndex.build(
+            emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16,
+            dist=dist,
+        )
+        part = idx.to_partitioned(cells=4, n_probe=3)
+        assert isinstance(part, PartitionedVamanaServing)
+        before = [(r["vec_id"], r["distance"]) for r in part.probe(q, 5).collect()]
+        path = str(tmp_path / f"part_{dist}")
+        part.save(path)
+        loaded = load_partitioned(spark, path)
+        assert isinstance(loaded, PartitionedVamanaServing)
+        assert loaded.dist == dist
+        after = [(r["vec_id"], r["distance"]) for r in loaded.probe(q, 5).collect()]
+        assert after == before
