@@ -52,13 +52,20 @@ def remove_repeated_spans(
     text_col: str,
     k: int = 8,
     min_docs: int = 2,
+    within_doc: bool = False,
 ) -> DataFrame:
     """(id_col, clean_text, removed_tokens) per input document.
 
     Every token covered by some ``k``-token window whose exact text occurs
     in ≥ ``min_docs`` distinct documents is removed from ALL documents;
     the survivors reassemble in order. Documents shorter than ``k`` tokens
-    pass through unchanged (no window fits)."""
+    pass through unchanged (no window fits).
+
+    ``within_doc=True`` switches the predicate from distinct-document
+    frequency to TOTAL occurrence count — Lee et al.'s full discipline,
+    which also excises a span repeated ``min_docs`` times INSIDE one
+    document (self-repetition: templated lists, stuttering generations).
+    """
     toks = df.select(
         F.col(id_col),
         F.posexplode(_raw_tokens(text_col)).alias("__pos", "__tok"),
@@ -82,9 +89,12 @@ def remove_repeated_spans(
     # the window relation feeds two consumers (frequency + coverage) —
     # persist so the narrow windowing subtree computes once
     wins = wins.persist()
+    freq = (
+        F.count("*") if within_doc else F.count_distinct(F.col(id_col))
+    )
     common = (
         wins.groupBy("__w")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .agg(freq.alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
         .select("__w")
     )

@@ -252,3 +252,27 @@ def test_repeated_spans_removes_phase_shifted_repeats(spark):
     assert "unique" in out[1]["clean_text"] and "tail2" in out[1]["clean_text"]
     assert out[3]["removed_tokens"] == 0
     assert out[3]["clean_text"] == "no repeats in this document at all folks"
+
+
+def test_repeated_spans_within_doc_mode(spark):
+    """within_doc=True counts TOTAL occurrences: a span repeated twice
+    inside ONE document is excised (self-repetition), which the
+    distinct-document mode deliberately ignores."""
+    from bustub_vectordb_spark.dedup.spans import remove_repeated_spans
+
+    span = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, f"start {span} middle {span} end"), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    by_doc = {r["doc_id"]: r for r in remove_repeated_spans(
+        docs, "doc_id", "text", k=8, min_docs=2
+    ).collect()}
+    assert by_doc[1]["removed_tokens"] == 0  # corpus mode: only 1 distinct doc
+
+    by_doc = {r["doc_id"]: r for r in remove_repeated_spans(
+        docs, "doc_id", "text", k=8, min_docs=2, within_doc=True
+    ).collect()}
+    assert by_doc[1]["removed_tokens"] == 16  # both occurrences excised
+    assert by_doc[1]["clean_text"] == "start middle end"
+    assert by_doc[2]["removed_tokens"] == 0

@@ -497,3 +497,29 @@ def test_partitioned_facade_save_load_roundtrip(emb, spark, tmp_path):
         assert loaded.dist == dist
         after = [(r["vec_id"], r["distance"]) for r in loaded.probe(q, 5).collect()]
         assert after == before
+
+
+def test_partitioned_facade_batch_serves_true_values(emb, spark):
+    """The facade's batch path preps raw query columns and converts per
+    query: cosine similarities and inner products must match brute-force
+    values for the returned (qid, id) pairs within float tolerance."""
+    import numpy as np
+
+    rows = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    for dist in ("cosine", "ip"):
+        part = VamanaIndex.build(
+            emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16,
+            dist=dist,
+        ).to_partitioned(cells=4, n_probe=3)
+        out = part.search_batch(queries, "embedding", "qid", k=5).collect()
+        assert len(out) > 0
+        for r in out:
+            a, b = rows[r["qid"]], rows[r["vec_id"]]
+            if dist == "cosine":
+                true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            else:
+                true = float(a @ b)
+            assert r["distance"] == pytest.approx(true, abs=1e-6), (dist, r)
