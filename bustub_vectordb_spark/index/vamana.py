@@ -129,6 +129,29 @@ def _normalize_row(v: list) -> list[float]:
     return [x / n for x in v]
 
 
+def _transform_rows(dist: str, vecs: list) -> list:
+    """Offline twin of the build's row transform: cosine normalizes each
+    row (_normalize_row), ip appends sqrt(M²−‖x‖²) with the same fold /
+    max / sqrt floats the Spark expressions evaluate, l2 passes through.
+    BOTH offline replays (offline_vamana, offline_vamana_partitioned)
+    call this one function so the fold arithmetic cannot drift apart."""
+    if dist == "cosine":
+        return [_normalize_row([float(x) for x in v]) for v in vecs]
+    if dist == "ip":
+        sqs = []
+        for v in vecs:
+            s = 0.0
+            for x in v:
+                s = s + float(x) * float(x)
+            sqs.append(s)
+        m2 = max(sqs)
+        return [
+            [float(x) for x in v] + [math.sqrt(max(m2 - s, 0.0))]
+            for v, s in zip(vecs, sqs)
+        ]
+    return vecs
+
+
 class PartitionedVamanaServing:
     """Ops-class facade over a cell-partitioned cosine/ip vamana artifact.
 
@@ -145,15 +168,38 @@ class PartitionedVamanaServing:
     (dim mismatch) and ip_m2 would be lost with the pre-partition index.
     """
 
-    def __init__(self, inner, dist: str, ip_m2: float | None = None):
+    def __init__(self, inner, dist: str, ip_m2: float | None = None,
+                 vertices=None):
         self.inner = inner
         self.dist = dist
         self.ip_m2 = ip_m2
+        # TRANSFORMED vertices (unit/augmented) — the only valid rerank
+        # source for the inner l2 walks; raw source rows would join
+        # mismatched dims (ip) or unnormalized values (cosine)
+        self._vertices = vertices
         self.id_col = inner.id_col
         self.id_type = inner.id_type
         self.vec_col = inner.vec_col
         self.default_n_probe = inner.default_n_probe
         self.params = inner.params
+
+    def _rerank_src(self, rerank):
+        if rerank is None:
+            return None
+        from pyspark.sql import functions as F
+
+        if self._vertices is None:
+            raise ValueError(
+                "rerank on a transformed partitioned artifact needs its "
+                "transformed vertices (lost in this load) — pass the "
+                "saved facade path to load_partitioned, or rebuild"
+            )
+        # IGNORE the caller's raw source: exact rerank must run in the
+        # transformed space the cells store; the conversion identities
+        # then recover native values exactly
+        return self._vertices.select(
+            F.col(self.id_col), F.col("vec").alias(self.vec_col)
+        )
 
     def _convert(self, d, qsq):
         from pyspark.sql import functions as F
@@ -168,6 +214,8 @@ class PartitionedVamanaServing:
 
         q = [float(x) for x in query]
         qn = _prep_query(self.dist, q)
+        if "rerank" in kw:
+            kw = dict(kw, rerank=self._rerank_src(kw["rerank"]))
         out = self.inner.probe(
             qn, k, dist_col=dist_col, n_probe=n_probe, allowed=allowed, **kw
         )
@@ -189,6 +237,8 @@ class PartitionedVamanaServing:
             if self.dist == "cosine"
             else F.concat(qcast, F.array(F.lit(0.0)))
         )
+        if "rerank" in kw:
+            kw = dict(kw, rerank=self._rerank_src(kw["rerank"]))
         out = self.inner.search_batch(
             queries.withColumn(query_vec, prep), query_vec, qid_col, k,
             dist_col=dist_col, n_probe=n_probe, **kw,
@@ -217,9 +267,14 @@ class PartitionedVamanaServing:
         return self.inner.insert(rows)  # raises: frozen serving artifact
 
     def save(self, path: str) -> None:
-        """Persist the inner sharded artifact; the ops class and ip_m2
-        travel in its params, so :func:`load_partitioned` re-wraps."""
+        """Persist the inner sharded artifact plus the transformed
+        vertices (the rerank source); ops class, ip_m2 and n_probe travel
+        in params, so :func:`load_partitioned` restores everything."""
         self.inner.save(path)
+        if self._vertices is not None:
+            self._vertices.write.mode("overwrite").parquet(
+                f"{path}/facade_vertices"
+            )
 
     @classmethod
     def load(cls, spark, path: str) -> "PartitionedVamanaServing":
@@ -227,18 +282,28 @@ class PartitionedVamanaServing:
 
 
 def load_partitioned(spark, path: str):
-    """Load a saved cell-partitioned vamana artifact, re-wrapping the
-    ops-class facade when the params say the cells hold transformed
-    vectors (ops_dist cosine/ip) — a bare ShardedHNSW.load would serve
-    raw-query probes incorrectly for those."""
+    """Load a saved cell-partitioned vamana artifact: restore the build's
+    n_probe pruning (ShardedHNSW.save does not persist it) and re-wrap
+    the ops-class facade when the params say the cells hold transformed
+    vectors (ops_dist cosine/ip) — a bare ShardedHNSW.load would probe
+    EVERY cell and serve raw-query probes incorrectly for those."""
     from .hnsw import ShardedHNSW
 
     inner = ShardedHNSW.load(spark, path)
     p = inner.params or {}
+    if inner.default_n_probe is None and p.get("n_probe") is not None:
+        inner.default_n_probe = int(p["n_probe"])
     ops = p.get("ops_dist", "l2")
     if ops == "l2":
         return inner
-    return PartitionedVamanaServing(inner, ops, p.get("ip_m2"))
+    vertices = None
+    try:
+        vertices = spark.read.parquet(f"{path}/facade_vertices")
+    except Exception:
+        pass  # pre-upgrade save: rerank will refuse with guidance
+    return PartitionedVamanaServing(
+        inner, ops, p.get("ip_m2"), vertices=vertices
+    )
 
 
 @dataclass
@@ -616,7 +681,7 @@ class VamanaIndex:
         params = dict(
             m=r_deg, ef_construction=efc, ef_search=efs, seed=seed,
             replicated=False, frozen="vamana-partitioned",
-            ops_dist=self.dist,
+            ops_dist=self.dist, n_probe=n_probe,
         )
         if self.dist == "ip":
             params["ip_m2"] = p["ip_m2"]
@@ -633,7 +698,9 @@ class VamanaIndex:
         # walks are angular/augmented l2 — wrap in the ops-class facade so
         # probes take RAW queries and return similarities/inner products
         # (the planner and any caller probe it like every other index)
-        return PartitionedVamanaServing(inner, self.dist, p.get("ip_m2"))
+        return PartitionedVamanaServing(
+            inner, self.dist, p.get("ip_m2"), vertices=self.vertices
+        )
 
     # -- serving -----------------------------------------------------------
     def _graph(self) -> _Graph:
@@ -946,24 +1013,9 @@ def offline_vamana(
     from .ivfflat import IVFFlatIndex, _lloyds_numpy
 
     ids, vecs = _read_sorted(parquet_path, vec_col, id_col)
-    if dist == "cosine":
-        vecs = [_normalize_row([float(x) for x in v]) for v in vecs]
-    elif dist == "ip":
-        # same fold norms, same exact max, same augmentation floats as
-        # the Spark expressions (sqrt/greatest == math.sqrt/max)
-        sqs = []
-        for v in vecs:
-            s = 0.0
-            for x in v:
-                s = s + float(x) * float(x)
-            sqs.append(s)
-        m2 = max(sqs)
-        vecs = [
-            [float(x) for x in v] + [math.sqrt(max(m2 - s, 0.0))]
-            for v, s in zip(vecs, sqs)
-        ]
-    elif dist != "l2":
+    if dist not in ("l2", "cosine", "ip"):
         raise ValueError("offline_vamana replays l2, cosine and ip builds")
+    vecs = _transform_rows(dist, vecs)
     n, dim = len(vecs), len(vecs[0]) if vecs else 0
     if n * dim > IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS:
         raise ValueError("offline_vamana only replicates the full-table training path")
@@ -1055,24 +1107,9 @@ def offline_vamana_partitioned(
         parquet_path, vec_col, id_col, **build_kw
     )
     ids, vecs = _read_sorted(parquet_path, vec_col, id_col)
-    if build_kw.get("dist") == "cosine":
-        # cosine tier: cells train/route over the same unit vectors the
-        # Spark to_partitioned sees (its vertices are stored normalized)
-        vecs = [_normalize_row([float(x) for x in v]) for v in vecs]
-    elif build_kw.get("dist") == "ip":
-        # ip tier: cells train/route over the same MIPS-augmented vectors
-        # the Spark to_partitioned sees (vertices stored augmented)
-        sqs = []
-        for v in vecs:
-            s = 0.0
-            for x in v:
-                s = s + float(x) * float(x)
-            sqs.append(s)
-        m2 = max(sqs)
-        vecs = [
-            [float(x) for x in v] + [math.sqrt(max(m2 - s, 0.0))]
-            for v, s in zip(vecs, sqs)
-        ]
+    # cells train/route over the same transformed vectors the Spark
+    # to_partitioned sees (its vertices are stored unit/augmented)
+    vecs = _transform_rows(build_kw.get("dist", "l2"), vecs)
     n, dim = len(vecs), len(vecs[0]) if vecs else 0
     if n * dim > IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS:
         raise ValueError(

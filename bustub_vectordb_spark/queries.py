@@ -3108,6 +3108,7 @@ def _vamana_cosine_partitioned_oracle() -> str:
         _OFFLINE_VAMANA_PART_MEMO[key] = offline_vamana_partitioned(
             f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
             cells=4, shards=4, overlap_eps=0.2, r=16, dist="cosine",
+            graph=_offline_vamana_cos_cached(),
         )
     cents, graphs = _OFFLINE_VAMANA_PART_MEMO[key]
     hits = offline_routed_probe(cents, graphs, _normalize_q(), 10, 3)
@@ -3168,6 +3169,7 @@ def _vamana_ip_partitioned_oracle() -> str:
         _OFFLINE_VAMANA_PART_MEMO[key] = offline_vamana_partitioned(
             f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
             cells=4, shards=4, overlap_eps=0.2, r=16, dist="ip",
+            graph=_offline_vamana_ip_cached(),
         )
     cents, graphs = _OFFLINE_VAMANA_PART_MEMO[key]
     # M^2 is RE-DERIVED from the parquet with the same folds the build

@@ -24,21 +24,21 @@ def test_streamed_hits_match_batch(spark, tables, tmp_path):
     queries = emb.filter(F.col("vec_id") % 53 == 1).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    # stage as 2 files -> 2 micro-batches, mtimes pinned strictly
-    # increasing (the file source orders by mtime with no path tie-break —
-    # a same-tick write could flip batch order under the replay assertion)
-    import time
+    # stage as 2 files -> 2 micro-batches via the SAME mtime-pinning
+    # helper the gated streaming entries use (the file source orders by
+    # mtime with no path tie-break — a same-tick write could flip batch
+    # order under the replay assertion below)
+    from bustub_vectordb_spark.queries import _stage_stream_parts
 
     stage = str(tmp_path / "stage")
     os.makedirs(stage)
-    now = time.time()
-    for i, part in enumerate(
-        (queries.filter(F.col("qid") < 250), queries.filter(F.col("qid") >= 250))
-    ):
-        part.coalesce(1).write.parquet(f"{stage}/p{i}")
-        for root, _dirs, files in os.walk(f"{stage}/p{i}"):
-            for f in files:
-                os.utime(os.path.join(root, f), (now + i * 10, now + i * 10))
+    _stage_stream_parts(
+        stage,
+        [
+            ("p0", queries.filter(F.col("qid") < 250)),
+            ("p1", queries.filter(F.col("qid") >= 250)),
+        ],
+    )
     stream = (
         spark.readStream.schema(queries.schema)
         .option("maxFilesPerTrigger", 1)

@@ -523,3 +523,33 @@ def test_partitioned_facade_batch_serves_true_values(emb, spark):
             else:
                 true = float(a @ b)
             assert r["distance"] == pytest.approx(true, abs=1e-6), (dist, r)
+
+
+def test_partitioned_facade_rerank_uses_transformed_space(emb, spark, tmp_path):
+    """rerank on a transformed partitioned artifact must run in the
+    TRANSFORMED space (raw source rows would dim-mismatch the augmented
+    query / mis-scale the unit walks): values stay exact native inner
+    products; a reloaded facade keeps its n_probe pruning and rerank."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.vamana import load_partitioned
+
+    rows = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    part = VamanaIndex.build(
+        emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16, dist="ip"
+    ).to_partitioned(cells=4, n_probe=3)
+    hits = part.probe(q, 5, rerank=emb).collect()  # raw source REPLACED
+    assert len(hits) == 5
+    for r in hits:
+        true = float(rows[r["vec_id"]] @ np.asarray(q))
+        assert r["distance"] == pytest.approx(true, abs=1e-6)
+
+    path = str(tmp_path / "ip_part")
+    part.save(path)
+    loaded = load_partitioned(spark, path)
+    assert loaded.default_n_probe == 3  # pruning survives the reload
+    again = loaded.probe(q, 5, rerank=emb).collect()
+    assert [(r["vec_id"], r["distance"]) for r in again] == [
+        (r["vec_id"], r["distance"]) for r in hits
+    ]
