@@ -1,6 +1,7 @@
 from .exact import exact_dedup, exact_dup_groups
 from .minhash import minhash_lsh_candidates, minhash_signature, near_dup_pairs, shingles
 from .simhash import simhash, simhash_near_dup_pairs
+from .spans import remove_repeated_spans
 
 __all__ = [
     "exact_dedup",
@@ -9,6 +10,7 @@ __all__ = [
     "minhash_signature",
     "near_dup_pairs",
     "shingles",
+    "remove_repeated_spans",
     "simhash",
     "simhash_near_dup_pairs",
 ]
