@@ -3349,6 +3349,82 @@ def q_stream_ann_admission(spark, sf_dir):
     )
 
 
+def _stream_ann_serving_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed_batch
+
+    cents, graphs = _offline_routed_cached()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qs = [
+        (qid, qv)
+        for qid, qv in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if qid % 53 == 1
+    ]
+    rows = [
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_batch(cents, graphs, qs, 5, 2)
+    ]
+    # round-6, not the usual round-8: a query's SELF-distance is exact-zero
+    # up to 1-ulp BLAS noise (~1e-8), and 8-dp rounding can't absorb the
+    # 0-vs-1e-08 boundary between the streamed and offline walks
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 6) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("stream_ann_serving", _stream_ann_serving_oracle)
+def q_stream_ann_serving(spark, sf_dir):
+    # STREAMING ANN query serving end to end: two staged query
+    # micro-batches drain through the foreachBatch serving sink
+    # (streaming/ann_serve.py — per-batch atomic parquet appends) against
+    # the routed index; the union of the per-batch hit files must equal
+    # the offline batch replay EXACTLY, because serving is a per-query
+    # pure function of (index, query) — micro-batch boundaries cannot
+    # change results. Completes the streaming story's gate coverage:
+    # ingestion (ann/dedup admission) AND serving now hold driver rows.
+    import tempfile
+
+    from .index.hnsw import HNSWIndex
+    from .streaming.ann_serve import serve_stream
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rkey = (sf_dir, "hnsw_routed")
+    if rkey not in _INDEX_CACHE:
+        _INDEX_CACHE[rkey] = HNSWIndex.build_routed(
+            emb, "embedding", "vec_id", **_routed_params()
+        )
+    queries = emb.filter(F.col("vec_id") % 53 == 1).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    stage = tempfile.mkdtemp(prefix="annserve_stage_")
+    _stage_stream_parts(
+        stage,
+        [
+            ("p0", queries.filter(F.col("qid") < 250)),
+            ("p1", queries.filter(F.col("qid") >= 250)),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/p*")
+    )
+    out = tempfile.mkdtemp(prefix="annserve_hits_")
+    q, _serve = serve_stream(
+        stream, _INDEX_CACHE[rkey], out,
+        tempfile.mkdtemp(prefix="annserve_ckpt_"),
+        "embedding", "qid", k=5, n_probe=2,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "qid", "vec_id", F.round("distance", 6).alias("distance")
+    )
+
+
 def _hnsw_routed_pq_batch_oracle() -> str:
     import pyarrow.parquet as pq
 
