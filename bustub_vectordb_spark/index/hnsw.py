@@ -260,21 +260,33 @@ class _Graph:
 
     # -- core primitives (paper Alg. 2/3/5) -------------------------------
     def _dist_many(self, q: np.ndarray, idxs: list[int]) -> np.ndarray:
-        """Vectorized distances q→vecs[idxs] (one numpy call per neighbor
-        expansion instead of a Python loop — ~10× on the build hot path).
+        """RETURNED distances q→vecs[idxs] — the values surfaced by
+        search(), computed FOLD-EXACTLY (per-dim sequential accumulation,
+        vectorized across the ≤k result rows).
 
-        l2 uses ‖x−q‖² = ‖x‖² − 2x·q + ‖q‖² with precomputed row norms —
-        one BLAS matvec instead of three elementwise passes (measured ~20%
-        off the whole build). The subtraction can go ~−1e−13 for (near-)
-        duplicate vectors — clamp before sqrt."""
+        Not BLAS: a matvec's summation order depends on the matrix
+        buffer's alignment, and the blob matrices are allocated by
+        UNPICKLING, whose alignment varies run to run — observed as
+        1-ulp distance drift between two searches of the SAME query on
+        the SAME graph (a self-distance flipping 0 vs 1e-08 across the
+        round-8 oracle boundary). Elementwise accumulation has no
+        reduction order to vary, self-distances are exactly 0 by
+        construction, and the offline replays call this same function.
+        Cost is k×dim elementwise ops once per search — negligible next
+        to the walk (_walk_dists stays BLAS: its values only steer the
+        beam, where a 1-ulp flip is possible in principle but has never
+        been observed to change membership; the RETURNED values are the
+        oracle-compared surface and are now deterministic)."""
         m = self._mat_rows(idxs) if self.vecs is None else self.vecs[idxs]
         if self.dist == "l2":
-            ns = getattr(self, "_norms_sq", None)
-            if ns is None:  # graphs unpickled from pre-upgrade saves
-                ns = self._norms_sq = (self.vecs * self.vecs).sum(axis=1)
-            d2 = ns[idxs] - 2.0 * (m @ q) + q @ q
-            return np.sqrt(np.maximum(d2, 0.0))
-        dots = m @ q
+            d2 = np.zeros(len(m), dtype=np.float64)
+            for j in range(m.shape[1] if len(m) else 0):
+                diff = m[:, j] - q[j]
+                d2 = d2 + diff * diff
+            return np.sqrt(d2)
+        dots = np.zeros(len(m), dtype=np.float64)
+        for j in range(m.shape[1] if len(m) else 0):
+            dots = dots + m[:, j] * q[j]
         if self.dist == "ip":
             return -dots
         qn = float(np.linalg.norm(q)) or 1e-300
