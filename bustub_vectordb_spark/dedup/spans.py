@@ -86,8 +86,16 @@ def remove_repeated_spans(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("__wpos", "__w"),
     )
-    # the window relation feeds two consumers (frequency + coverage) —
-    # persist so the narrow windowing subtree computes once
+    # the window relation feeds two consumers (frequency + coverage).
+    # Persist it so the narrow windowing subtree computes once — but
+    # SCOPED: `covered` is eagerly localCheckpointed below (its size is
+    # proportional to REMOVED text, not the corpus), after which nothing
+    # references `wins` and it unpersists before this function returns.
+    # The session therefore never accumulates corpus-sized cached
+    # windows across repeated calls; the only storage the returned plan
+    # pins is the covered checkpoint (attach point for
+    # shipping.release_checkpoint if a pipeline wants to free it after
+    # materializing — exposed as `result.__covered_ckpt` below).
     wins = wins.persist()
     freq = (
         F.count("*") if within_doc else F.count_distinct(F.col(id_col))
@@ -107,7 +115,9 @@ def remove_repeated_spans(
             ).alias("__pos"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    wins.unpersist(blocking=False)
     kept = toks.join(covered, [id_col, "__pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
@@ -122,10 +132,15 @@ def remove_repeated_spans(
     total = df.select(
         F.col(id_col), F.size(_raw_tokens(text_col)).alias("__total")
     )
-    return total.join(rebuilt, id_col, "left").select(
+    out = total.join(rebuilt, id_col, "left").select(
         F.col(id_col),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0))).alias(
             "removed_tokens"
         ),
     )
+    # handle for pipelines that call this repeatedly: after materializing
+    # `out`, shipping.release_checkpoint(out.__covered_ckpt) frees the
+    # one checkpoint the plan pins (sized by removed text)
+    out.__covered_ckpt = covered
+    return out

@@ -129,6 +129,8 @@ def _assign_via_broadcast(
         cents = bc.value
         c_sq = (cents * cents).sum(axis=1)
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty Arrow batch → 1-D empty array, matmul raises
             x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             d = -2.0 * (x @ cents.T) + c_sq
             out = pdf[cols].copy()
@@ -207,6 +209,10 @@ def route_overlap(
     def run(batches):
         cents = bc.value
         for pdf in batches:
+            if not len(pdf):
+                # a zero-row Arrow batch yields a 1-D empty array below —
+                # x.shape[1] would raise IndexError
+                continue
             x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             # FOLD-EXACT distances: accumulate (x_d - c_d)² sequentially
             # over dims, vectorized across rows — the same float64 op

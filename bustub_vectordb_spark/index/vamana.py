@@ -184,8 +184,20 @@ class PartitionedVamanaServing:
         self.params = inner.params
 
     def _rerank_src(self, rerank):
+        """Substitute the caller's rerank source with the frozen build-time
+        TRANSFORMED vertices. This is a deliberate contract deviation from
+        the other indexes (which rerank against whatever the caller
+        passes): exact rerank here must run in the transformed space the
+        cells store (unit / MIPS-augmented), and a raw caller source would
+        join mismatched dims (ip) or unnormalized values (cosine). The
+        consequence — documented on probe/search_batch too — is that a
+        RESTRICTED or REFRESHED caller source is ignored: results come
+        from the build-time corpus. A warning is emitted so the caller
+        gets a signal instead of silently-unrestricted results."""
         if rerank is None:
             return None
+        import warnings
+
         from pyspark.sql import functions as F
 
         if self._vertices is None:
@@ -194,9 +206,14 @@ class PartitionedVamanaServing:
                 "transformed vertices (lost in this load) — pass the "
                 "saved facade path to load_partitioned, or rebuild"
             )
-        # IGNORE the caller's raw source: exact rerank must run in the
-        # transformed space the cells store; the conversion identities
-        # then recover native values exactly
+        if rerank is not self._vertices:
+            warnings.warn(
+                "PartitionedVamanaServing reranks against the frozen "
+                "build-time transformed vertices; the rerank DataFrame "
+                "you passed is ignored (restricted/refreshed sources are "
+                "not honored by this frozen artifact)",
+                stacklevel=3,
+            )
         return self._vertices.select(
             F.col(self.id_col), F.col("vec").alias(self.vec_col)
         )
@@ -210,6 +227,11 @@ class PartitionedVamanaServing:
 
     def probe(self, query, k, dist_col: str = "distance", n_probe=None,
               allowed=None, **kw):
+        """Raw-query probe; native similarities / inner products out.
+
+        NOTE: a ``rerank=`` DataFrame is NOT honored — this frozen
+        artifact reranks against its own transformed vertices (see
+        :meth:`_rerank_src`; a warning fires when you pass one)."""
         from pyspark.sql import functions as F
 
         q = [float(x) for x in query]
@@ -229,6 +251,9 @@ class PartitionedVamanaServing:
 
     def search_batch(self, queries, query_vec: str, qid_col: str, k: int,
                      dist_col: str = "distance", n_probe=None, **kw):
+        """Batch twin of :meth:`probe` — same rerank caveat: a caller
+        ``rerank=`` source is substituted with the frozen transformed
+        vertices (warning fires; see :meth:`_rerank_src`)."""
         from pyspark.sql import functions as F
 
         qcast = F.col(query_vec).cast("array<double>")
@@ -332,7 +357,30 @@ class VamanaIndex:
     # search node. Past this, serve via to_partitioned() — cell-sharded
     # beam serving with NO full-graph materialization anywhere — or the
     # routed ShardedHNSW tier (sql.py auto-routes builds the same way).
+    # UNQUANTIZED serving holds the full float64 matrix instead (8·dim
+    # bytes/row), so its ceiling scales by row width — 8M rows of dim-768
+    # floats would be ~47 GB, not 0.7 GB. serve_cap() derives the real
+    # per-artifact ceiling; SERVE_MAX_ROWS alone applies to the PQ tier.
     SERVE_MAX_ROWS = 8_000_000
+    SERVE_MAX_FLOAT_BYTES = 12 << 30  # ≈2M rows at dim-768, the old cap
+
+    def serve_cap(self) -> int:
+        """Max rows this artifact may serve driver-materialized: the flat
+        SERVE_MAX_ROWS when PQ codes are attached (16 B/vec resident),
+        otherwise SERVE_MAX_FLOAT_BYTES divided by the stored float64 row
+        width — an 8M-row dim-768 unquantized graph is ~47 GB of vectors
+        and belongs behind to_partitioned(), not on one node."""
+        p = self.params or {}
+        if "pq_books" in p:
+            return self.SERVE_MAX_ROWS
+        dim = p.get("dim")
+        if not dim:
+            first = self.vertices.select("vec").head(1)
+            dim = len(first[0][0]) if first else 1
+        return max(
+            1,
+            min(self.SERVE_MAX_ROWS, self.SERVE_MAX_FLOAT_BYTES // (int(dim) * 8)),
+        )
 
     @classmethod
     def build(
@@ -711,11 +759,15 @@ class VamanaIndex:
         loading the save()d parquet artifact, not in this driver."""
         if self._driver_graph is not None:
             return self._driver_graph
-        over = self.vertices.limit(self.SERVE_MAX_ROWS + 1).count()
-        if over > self.SERVE_MAX_ROWS:
+        cap = self.serve_cap()
+        over = self.vertices.limit(cap + 1).count()
+        if over > cap:
             raise ValueError(
-                f"vamana serving materializes the graph: > {self.SERVE_MAX_ROWS} "
-                "rows; load the saved artifact on a dedicated search node"
+                f"vamana serving materializes the graph: > {cap} rows "
+                f"(cap is width-aware: {'PQ codes' if 'pq_books' in (self.params or {}) else 'unquantized float64 vectors'}); "
+                "quantize_pq() raises the ceiling to "
+                f"{self.SERVE_MAX_ROWS}, or serve via to_partitioned() / "
+                "load the saved artifact on a dedicated search node"
             )
         p = self.params or {}
         # walks are ALWAYS l2: a cosine index stores unit vectors, where

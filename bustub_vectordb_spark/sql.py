@@ -536,7 +536,9 @@ class SqlEngine:
                         )
                     )
                 n_rows = df.count()
-                if n_rows > VamanaIndex.SERVE_MAX_ROWS or "cells" in opts:
+                # width-aware hand-off: the one-node ceiling depends on
+                # what the node holds (PQ codes vs float64 vectors)
+                if n_rows > idx.serve_cap() or "cells" in opts:
                     # EXPLICIT serving hand-off above the one-node ceiling:
                     # the merged artifact is cut into disjoint k-means cell
                     # shells served through the routed ShardedHNSW

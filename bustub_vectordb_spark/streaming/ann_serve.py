@@ -23,6 +23,20 @@ stream-vs-batch parity is bit-exact (tests/test_stream_ann_serve.py).
 Scale: per micro-batch cost is the batch path's cost (touched shards ×
 walk work); no state accumulates in the serving loop — the index is the
 only state, maintained separately by ann_ingest.
+
+Output contract (read this before consuming ``out_path``):
+
+- Hits land under ``out_path/batch=<id>``, so a plain
+  ``spark.read.parquet(out_path)`` partition-discovers ONE EXTRA int
+  column ``batch`` — the micro-batch id, deliberately exposed as
+  provenance (drop it if you only want hits; select explicit columns as
+  the tests do).
+- Replay visibility: foreachBatch is at-least-once, and a replayed
+  batch OVERWRITES its own directory. The delete-then-write is atomic
+  only at stream completion — a concurrent reader racing a mid-rewrite
+  batch may transiently observe that batch's hits missing or partial.
+  Read after ``query.awaitTermination()`` (availableNow) or tolerate
+  per-batch staleness in continuous mode.
 """
 
 from __future__ import annotations
@@ -63,9 +77,12 @@ class IndexServe:
             n_probe=self.n_probe,
             rerank=self.rerank,
         )
-        # one parquet sub-dir per micro-batch: the directory write is the
-        # atomic commit, so a replayed batch (at-least-once foreachBatch)
-        # overwrites its own output instead of duplicating hits
+        # one parquet sub-dir per micro-batch: a replayed batch
+        # (at-least-once foreachBatch) overwrites its own output instead
+        # of duplicating hits. The batch=<id> naming intentionally
+        # surfaces a `batch` provenance column on read, and the
+        # overwrite is NOT atomic for concurrent readers mid-rewrite —
+        # both documented in the module docstring's output contract
         hits.write.mode("overwrite").parquet(f"{self.out_path}/batch={batch_id}")
         self.batches += 1
 
@@ -84,7 +101,9 @@ def serve_stream(
     """Attach the serving sink to a streaming query DataFrame;
     availableNow drains the staged queries and stops. Returns
     (query, serve) — read ``spark.read.parquet(out_path)`` after
-    ``query.awaitTermination()`` for all hits."""
+    ``query.awaitTermination()`` for all hits. The read carries an extra
+    ``batch`` provenance column and a replay-visibility caveat — see the
+    module docstring's output contract."""
     serve = IndexServe(
         index, out_path, vec_col, qid_col, k=k, n_probe=n_probe, rerank=rerank
     )
