@@ -977,6 +977,88 @@ def q_window_running_agg(spark, sf_dir):
 
 
 @_register(
+    "window_range_frames",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS qty_near_below,
+           count(*) OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice
+             RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING) AS peers_band
+    FROM lineitem
+    """,
+)
+def q_window_range_frames(spark, sf_dir):
+    # RANGE (value-distance) frames — the analytics surface beyond the
+    # reference's implicit ROWS frames (window_plan.h defaults): the frame
+    # is every peer whose ORDER BY value lies within the band, so ties
+    # join the frame together on both engines (no tie-break needed, unlike
+    # ROWS). Catalyst evaluates both frames in ONE Window node (shared
+    # partition sort) — no extra shuffle per frame.
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.round(
+            F.sum("l_quantity").over(w.rangeBetween(-1000, 0)), 2
+        ).alias("qty_near_below"),
+        F.count("*").over(w.rangeBetween(-500, 500)).alias("peers_band"),
+    )
+
+
+@_register(
+    "window_ignore_nulls",
+    """
+    SELECT l_orderkey, l_linenumber, sparse,
+           last_value(sparse IGNORE NULLS) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gap_filled,
+           lag(sparse IGNORE NULLS) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS prev_obs
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+             CASE WHEN l_linenumber % 3 = 0 THEN round(l_extendedprice, 2) END AS sparse
+      FROM lineitem
+    )
+    """,
+)
+def q_window_ignore_nulls(spark, sf_dir):
+    # IGNORE NULLS window semantics — gap-fill (last non-null observation
+    # carried forward) and previous-non-null lag over a sparsified column.
+    # last() takes the native ignorenulls flag; lag has no PySpark flag,
+    # so the SQL nullsOption form compiles through expr() — both resolve
+    # to the same Window physical node (one sort, two frames). ROWS
+    # frames and lag are order-sensitive and l_linenumber repeats within
+    # an order, so the ORDER BY carries the full unique key
+    # (linenumber, partkey, suppkey, extendedprice) — unlike RANGE-frame
+    # entries, ties here would be engine-nondeterministic.
+    li = _t(spark, sf_dir, "lineitem")
+    sparse = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        F.when(
+            F.col("l_linenumber") % 3 == 0, F.round("l_extendedprice", 2)
+        ).alias("sparse"),
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    return sparse.select(
+        "l_orderkey",
+        "l_linenumber",
+        "sparse",
+        F.last("sparse", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("gap_filled"),
+        F.expr("lag(sparse) IGNORE NULLS").over(w).alias("prev_obs"),
+    )
+
+
+@_register(
     "topn_per_group",
     """
     SELECT * FROM (
@@ -4667,6 +4749,52 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return simhash_near_dup_pairs(
         docs, "text", "doc_id", max_hamming=7, chunks=8, hash_fn="md5"
     )
+
+
+def _dedup_semantic_oracle() -> str:
+    values, _ = _ivfflat_oracle_cents()
+    return f"""
+    WITH cents(b, c) AS (VALUES {values}),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.b,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.b) AS arn,
+             round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS d6
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    rk AS (
+      SELECT vec_id, embedding, b AS cluster,
+             row_number() OVER (PARTITION BY b ORDER BY d6 DESC, vec_id) AS rnk
+      FROM a WHERE arn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT l.vec_id
+      FROM rk e JOIN rk l ON e.cluster = l.cluster AND e.rnk < l.rnk
+      WHERE round(list_cosine_similarity(
+              e.embedding::DOUBLE[], l.embedding::DOUBLE[]), 6) >= 0.35
+    )
+    SELECT r.vec_id, r.cluster,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM rk r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+    """
+
+
+@_register("dedup_semantic", _dedup_semantic_oracle)
+def q_dedup_semantic(spark, sf_dir):
+    # SemDeDup cluster-semantic dedup (Abbas et al. 2023) — the third
+    # dedup leg next to lexical (minhash) and embedding-LSH: nearest
+    # frozen-IVF-cell assignment, within-cell rank by distance-to-centroid
+    # (farthest kept first, the paper's policy), drop any row an
+    # earlier-ranked cellmate matches at cosine ≥ 0.35 (~18% drop rate on
+    # the synthetic corpus — a realistic dedup fraction). Pairwise work is
+    # per-cell, never corpus-quadratic; the oracle replays assignment +
+    # rank + pair predicate from the inlined deterministic centroids.
+    from .dedup.semantic import semantic_dedup
+
+    idx = _ivfflat_for(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "embedding", "vec_id", idx.centroids, 0.35)
 
 
 @_register(

@@ -276,3 +276,55 @@ def test_repeated_spans_within_doc_mode(spark):
     assert by_doc[1]["removed_tokens"] == 16  # both occurrences excised
     assert by_doc[1]["clean_text"] == "start middle end"
     assert by_doc[2]["removed_tokens"] == 0
+
+
+def test_semantic_dedup_drops_planted_paraphrase(spark):
+    """SemDeDup: a planted near-identical embedding pair collapses to one
+    kept row; distant vectors survive; the chain rule keeps only the
+    first-ranked member of a similarity neighborhood."""
+    from bustub_vectordb_spark.dedup.semantic import semantic_dedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    para = [0.999, 0.04, 0.0, 0.0]      # cos ≈ 0.9992 with base
+    chain = [0.95, 0.31, 0.0, 0.0]      # cos ≈ 0.96 with para, ~0.95 with base
+    lone = [0.0, 1.0, 0.0, 0.0]         # orthogonal — kept
+    other = [0.0, 0.0, 1.0, 0.0]        # second cluster
+    df = spark.createDataFrame(
+        [(1, base), (2, para), (3, chain), (4, lone), (5, other)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.3, 0.0, 0.0], [0.0, 0.5, 0.5, 0.0]]
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, "embedding", "vec_id", cents, threshold=0.9, keep="id"
+    ).collect()}
+    assert len(out) == 5
+    assert out[1]["kept"] == 1          # first of the neighborhood
+    assert out[2]["kept"] == 0          # paraphrase of 1
+    assert out[3]["kept"] == 0          # similar to an EARLIER item (1 or 2)
+    assert out[4]["kept"] == 1
+    assert out[5]["kept"] == 1
+
+
+def test_semantic_dedup_keep_policies_and_cap(spark):
+    from bustub_vectordb_spark.dedup.semantic import semantic_dedup
+
+    # two near-dup vectors at different radii from the centroid: farthest
+    # policy keeps the far one, closest keeps the near one
+    near = [1.0, 0.0]
+    far = [3.0, 0.05]
+    df = spark.createDataFrame(
+        [(1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    cents = [[1.0, 0.0]]
+    kept = lambda rows: {r["vec_id"] for r in rows if r["kept"] == 1}
+    assert kept(semantic_dedup(
+        df, "embedding", "vec_id", cents, 0.9, keep="farthest").collect()) == {2}
+    assert kept(semantic_dedup(
+        df, "embedding", "vec_id", cents, 0.9, keep="closest").collect()) == {1}
+    # max_cell=1: only the first-ranked row enters the comparison pool —
+    # the later row is kept unexamined (conservative cap)
+    assert kept(semantic_dedup(
+        df, "embedding", "vec_id", cents, 0.9, keep="closest", max_cell=1
+    ).collect()) == {1, 2}
+    with pytest.raises(ValueError):
+        semantic_dedup(df, "embedding", "vec_id", cents, 0.9, keep="best")
