@@ -1,3 +1,11 @@
+from .bpe import (
+    BPETokenizer,
+    bpe_token_count,
+    learn_bpe,
+    load_merges,
+    repo_tokenizer,
+    save_merges,
+)
 from .vector import (
     cosine_distance,
     cosine_similarity,
@@ -8,10 +16,16 @@ from .vector import (
 )
 
 __all__ = [
+    "BPETokenizer",
+    "bpe_token_count",
     "cosine_distance",
     "cosine_similarity",
     "inner_product",
     "l2_dist",
     "l2_norm",
+    "learn_bpe",
+    "load_merges",
+    "repo_tokenizer",
+    "save_merges",
     "vec_lit",
 ]

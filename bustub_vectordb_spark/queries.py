@@ -3809,6 +3809,44 @@ def q_subword_count(spark, sf_dir):
     return d.select("doc_id", X.subword_count("text").alias("n_subwords"))
 
 
+def _token_count_bpe_oracle() -> str:
+    # offline replay: the SAME BPETokenizer encodes the parquet text
+    # driver-side (pure python, no Spark) and the per-doc counts inline
+    # as VALUES — any drift between the distributed mapInPandas encode
+    # and the reference encoder hash-fails here
+    import pyarrow.parquet as pq
+
+    from .functions.bpe import repo_tokenizer
+
+    t = pq.read_table(
+        f"{_oracle_sf()}/documents.parquet", columns=["doc_id", "text"]
+    )
+    tok = repo_tokenizer()
+    rows = [
+        (int(i), tok.token_count(s))
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    ]
+    return (
+        "SELECT doc_id, n_tokens FROM "
+        f"{_hits_values_sql(rows, 'doc_id, n_tokens')}"
+    )
+
+
+@_register("token_count_bpe", _token_count_bpe_oracle)
+def q_token_count_bpe(spark, sf_dir):
+    # REAL byte-level BPE token counts (functions/bpe.py — GPT-2-format
+    # merge table, greedy lowest-rank merge loop) — the accurate token
+    # budget the packing/export operators need, vs subword_count's
+    # regex approximation. Distributed as an Arrow-batched mapInPandas
+    # stage with the merge table on an executor broadcast; the checked-in
+    # merges were trained deterministically on the synthetic corpus and
+    # OpenAI's published merges.txt drops in unchanged.
+    from .functions.bpe import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_token_count(d, "text", "doc_id")
+
+
 def _quality_sql() -> str:
     parts = ",\n           ".join(
         f"{expr} AS {name}" for name, expr in X.quality_sql("text").items()

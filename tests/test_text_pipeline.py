@@ -350,3 +350,73 @@ def test_hybrid_rrf_fuses_both_signals(spark, tables):
             assert r["rrf_score"] > single_max  # two reciprocal terms
         else:
             assert r["rrf_score"] <= single_max  # one branch only
+
+
+# -- byte-level BPE (functions/bpe.py) -------------------------------------
+
+
+def test_bpe_byte_map_is_reversible_and_printable():
+    from bustub_vectordb_spark.functions.bpe import bytes_to_unicode
+
+    bm = bytes_to_unicode()
+    assert len(bm) == 256 and len(set(bm.values())) == 256
+    # printable latin-1 bytes map to themselves; the rest shift past 0x100
+    assert bm[ord("A")] == "A" and bm[ord("~")] == "~"
+    assert ord(bm[0]) >= 0x100 and ord(bm[ord(" ")]) >= 0x100
+
+
+def test_bpe_greedy_merge_order():
+    from bustub_vectordb_spark.functions.bpe import BPETokenizer
+
+    # rank 0 merges first even when a later merge also applies
+    tok = BPETokenizer([("a", "b"), ("ab", "c"), ("b", "c")])
+    assert tok.encode("abc") == ["abc"]
+    tok2 = BPETokenizer([("b", "c"), ("a", "bc")])
+    assert tok2.encode("abc") == ["abc"]
+    assert tok2.encode("ab") == ["a", "b"]
+    # utf-8 multibyte survives the byte mapping
+    assert tok2.token_count("héllo") == len("héllo".encode()) 
+
+
+def test_bpe_merges_roundtrip(tmp_path):
+    from bustub_vectordb_spark.functions.bpe import (
+        BPETokenizer, learn_bpe, load_merges, save_merges,
+    )
+
+    texts = ["the quick brown fox the quick dog the the"] * 3
+    merges = learn_bpe(texts, 32)
+    assert merges, "trainer should learn merges from repeated text"
+    p = tmp_path / "merges.txt"
+    save_merges(merges, str(p))
+    assert load_merges(str(p)) == merges
+    # training determinism: same input, same merges
+    assert learn_bpe(texts, 32) == merges
+    # learned table compresses the training text below byte count
+    tok = BPETokenizer(merges)
+    s = texts[0]
+    assert tok.token_count(s) < len(s.encode())
+    assert "".join(tok.encode(s)).replace("Ġ", " ") == s
+
+
+def test_bpe_vocab_ids_deterministic():
+    from bustub_vectordb_spark.functions.bpe import BPETokenizer
+
+    tok = BPETokenizer([("a", "b")])
+    v = tok.vocab()
+    assert v["A"] == ord("A") and v["ab"] == 256
+    assert tok.encode_ids("ab") == [256]
+
+
+def test_bpe_distributed_matches_reference_encoder(spark, tables):
+    from bustub_vectordb_spark.functions.bpe import (
+        bpe_token_count, repo_tokenizer,
+    )
+
+    docs = tables["documents"].limit(200)
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_count(docs, "text", "doc_id").collect()
+    }
+    tok = repo_tokenizer()
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == tok.token_count(r["text"]), r["doc_id"]
