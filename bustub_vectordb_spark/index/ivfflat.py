@@ -93,6 +93,10 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
 # literal-centroid assignment embeds lists × dim doubles into the plan; past
 # this budget (~8 MB of literals) switch to the broadcast numpy variant
 _LITERAL_ASSIGN_MAX_CELLS = 1_000_000
+# route_overlap's literal branch is opt-in only (see its docstring): the
+# broadcast fold-exact kernel beat the k×-HOF literal scoring at every
+# measured scale, with bit-identical threshold behavior
+_LITERAL_ROUTE_MAX_CELLS = 0
 
 
 def _assign_via_broadcast(
@@ -165,14 +169,20 @@ def route_overlap(
 ) -> DataFrame:
     """(id, vec, shard) rows where EVERY centroid whose squared distance is
     within ``thr_mult``× of the row's minimum receives the row — the
-    SPANN/DiskANN overlapping-cluster routing, with the same scale switch
-    as :func:`assign_nearest`: below the literal-cell budget the scoring
-    is the codegen (1+eps) expression (bit-replayed by the offline
-    oracles); past it the centroid matrix broadcasts once and each Arrow
-    batch expands its memberships with one matmul — zero shuffle, no
-    ×lists row blowup before the filter."""
+    SPANN/DiskANN overlapping-cluster routing. Unlike
+    :func:`assign_nearest` (literal codegen argmin until 1M plan cells),
+    this DEFAULTS to the broadcast numpy path: the per-row k× HOF
+    scoring of the literal expression measured ~1.5-2× slower than the
+    vectorized fold-exact kernel at BOTH sf0.01 and sf0.1 (interleaved
+    in-session probe, round 7 — 0.22 vs 0.42 s and 0.39 vs 0.55 s), and
+    since the numpy kernel accumulates per-dim sequentially the (1+eps)
+    threshold fires bit-identically to the literal fold, so offline
+    oracle replays are unaffected by the dispatch. The literal
+    expression branch is kept for ``_LITERAL_ROUTE_MAX_CELLS``-sized
+    problems (opt-in / plan-inspection contexts); zero shuffle either
+    way, no ×lists row blowup before the filter."""
     dim = len(centroids[0])
-    if len(centroids) * dim <= _LITERAL_ASSIGN_MAX_CELLS:
+    if len(centroids) * dim <= _LITERAL_ROUTE_MAX_CELLS:
         scored = F.transform(
             _centroid_literal(centroids),
             lambda c, i: F.struct(

@@ -5466,38 +5466,36 @@ def q_layout_bucketed_join(spark, sf_dir):
 # check_oracle.py (full registry) in tests/CI — see COVERAGE.md.
 
 _GATE_WINDOW = [
-    # --- r6 rotation: the 12 entries that had NEVER been driver-gated
-    # (the whole round-5 PQ/vamana flagship tier + quality filter) —
-    # VERDICT r5 task 1 ---
-    "ann_pq_adc",
-    "ann_pq_adc_ip",
-    "ann_pq_rerank",
-    "ann_ivfpq_rerank",
-    "ann_vamana_merged",
-    "ann_vamana_filtered",
-    "ann_vamana_batch",
-    "ann_vamana_pq_rerank",
-    "ann_vamana_pq_batch",
-    "ann_hnsw_routed_pq_rerank",
-    "ann_hnsw_routed_pq_batch",
-    "quality_percentile_filter",
-    # --- new in round 6 ---
-    "ann_vamana_partitioned_batch",
-    "ann_vamana_partitioned_pq_batch",
-    "ann_vamana_partitioned_filtered",
-    "stream_neardup_admission",
-    "stream_ann_admission",
-    "cluster_balanced_sample",
-    "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "ann_vamana_cosine",
-    "ann_vamana_cosine_batch",
-    "hybrid_search_rrf",
-    "ann_vamana_ip",
-    # (the remaining r1/r3 rows — knn_cosine/knn_inner_product/
-    # knn_subquery_alias/sample_deterministic/layout_bucketed_join,
-    # distinct/agg_having and friends — already hold driver rows and
-    # rotate in r7; never-gated entries outrank stale re-gates)
+    # --- r7 rotation (VERDICT r6 task 1): the 6 entries that landed late
+    # in r6 and never earned a driver row ---
+    "stream_ann_serving",
+    "ann_vamana_cosine_partitioned",
+    "ann_vamana_ip_batch",
+    "ann_vamana_ip_partitioned",
+    "dedup_repeated_spans",
+    "source_orc_roundtrip",
+    # --- new in round 7 ---
+    "dedup_semantic",
+    "token_count_bpe",
+    "window_range_frames",
+    "window_ignore_nulls",
+    # --- stale re-gates: driver rows dating to r1 (4) and r3 (10) —
+    # after this window every registry entry's newest driver row is ≤4
+    # rounds old ---
+    "knn_cosine",
+    "knn_inner_product",
+    "knn_subquery_alias",
+    "sample_deterministic",
+    "agg_having",
+    "distinct",
+    "layout_bucketed_join",
+    "ann_hnsw_probe",
+    "ann_index_selection",
+    "dedup_exact",
+    "events_sessionize",
+    "multimodal_decode_features",
+    "string_lower_upper",
+    "text_quality",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

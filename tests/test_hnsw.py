@@ -675,6 +675,10 @@ def test_routed_batch_skips_dedupe_when_not_replicated(emb):
             df.explain("formatted")
         return buf.getvalue().count("Exchange (")
 
+    # earlier tests cache() identical-param routed blobs; Spark's cache
+    # manager substitutes plan-matching fragments, which perturbs the
+    # exchange count this test compares — isolate the invariant
+    emb.sparkSession.catalog.clearCache()
     queries = emb.limit(6).select(F.col("vec_id").alias("qid"), "embedding")
     plain = HNSWIndex.build_routed(
         emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
