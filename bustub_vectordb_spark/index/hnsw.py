@@ -840,7 +840,7 @@ class HNSWIndex:
 
             routed = assign_nearest(base, "__v", centroids, "__shard")
 
-        def build_one(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        def build_one(key, pdf):  # no hints: partial hints trip a pyspark eval-type warning
             # insert in id order: group-row order after a shuffle is not
             # deterministic, and the graph depends on insert order — sorting
             # pins it (and lets offline_routed replay builds bit-exactly)
@@ -1397,9 +1397,11 @@ class ShardedHNSW:
             # VamanaIndex.insert.
             raise ValueError(
                 f"this index is a frozen serving artifact "
-                f"({(self.params or {}).get('frozen')}); use a routed "
-                "ShardedHNSW / streaming.ann_ingest for continuous "
-                "ingestion and rebuild the artifact on schedule"
+                f"({(self.params or {}).get('frozen')}); migrate to the "
+                "ingestible routed tier — to_routed_ingest() on the source "
+                "VamanaIndex or its saved facade, or "
+                "ShardedHNSW.build_routed over the source table — and "
+                "rebuild the frozen artifact on schedule"
             )
         if self.centroids is None:
             raise ValueError(

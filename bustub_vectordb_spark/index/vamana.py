@@ -291,6 +291,50 @@ class PartitionedVamanaServing:
     def insert(self, rows):
         return self.inner.insert(rows)  # raises: frozen serving artifact
 
+    def to_routed_ingest(
+        self,
+        shards: int = 8,
+        n_probe: int | None = 2,
+        max_iter: int = 5,
+        replicate_eps: float = 0.0,
+    ):
+        """One-liner migration to the ingestible routed tier — the exact
+        recipe of :meth:`VamanaIndex.to_routed_ingest` (raw-vector
+        recovery from the transformed vertices is identical), available
+        on loaded facades because ``save`` persists the vertices.
+        Pre-upgrade saves without them refuse with guidance."""
+        if self._vertices is None:
+            raise ValueError(
+                "this loaded facade carries no stored vertices (pre-"
+                "upgrade save) — rebuild the ingestible tier from the "
+                "source table instead: HNSWIndex.build_routed(source, "
+                f"vec_col, id_col, shards=..., dist={self.dist!r})"
+            )
+        from pyspark.sql import functions as F
+
+        from .hnsw import HNSWIndex
+
+        p = self.params or {}
+        vec = F.col("vec")
+        if self.dist == "ip":
+            first = self._vertices.select("vec").head(1)
+            stored_dim = len(first[0][0]) if first else 1
+            vec = F.slice(vec, 1, stored_dim - 1)
+        src = self._vertices.select(
+            F.col(self.id_col), vec.alias(self.vec_col)
+        )
+        out = HNSWIndex.build_routed(
+            src, self.vec_col, self.id_col, shards=shards,
+            m=p.get("m", 8),
+            ef_construction=p.get("ef_construction", 48),
+            ef_search=p.get("ef_search", 48),
+            dist=self.dist, seed=p.get("seed", 42), max_iter=max_iter,
+            replicate_eps=replicate_eps,
+        )
+        if n_probe is not None:
+            out.default_n_probe = int(n_probe)
+        return out
+
     def save(self, path: str) -> None:
         """Persist the inner sharded artifact plus the transformed
         vertices (the rerank source); ops class, ip_m2 and n_probe travel
@@ -474,7 +518,7 @@ class VamanaIndex:
 
         idt = _id_type(df, id_col)
 
-        def propose(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        def propose(key, pdf):  # no hints: partial hints trip a pyspark eval-type warning
             # id-sorted insert pins the sub-graph (see build_routed); the
             # layer-0 adjacency (<= m^2 per vertex) is this cluster's edge
             # proposal set, emitted as external-id pairs
@@ -698,7 +742,7 @@ class VamanaIndex:
         seed = p.get("seed", 42)
         books, bounds = p.get("pq_books"), p.get("pq_bounds")
 
-        def build_shell(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        def build_shell(key, pdf):  # no hints: partial hints trip a pyspark eval-type warning
             pdf = pdf.sort_values(id_col)
             ids = pdf[id_col].tolist()
             mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
@@ -999,14 +1043,66 @@ class VamanaIndex:
         """Refused by design: the merged graph is a BATCH artifact — its
         edge set is a global prune over all clusters, and splicing rows in
         afterward would silently degrade the degree-bound/recall contract.
-        For continuous ingestion use the routed ShardedHNSW (its insert is
+        For continuous ingestion migrate to the routed ShardedHNSW tier
+        (:meth:`to_routed_ingest` is the one-liner; its insert is
         driver-gated and has a streaming foreachBatch twin), and rebuild
         the merged artifact on the pipeline's cadence."""
         raise ValueError(
-            "vamana is a batch-build artifact; use ShardedHNSW.insert / "
-            "streaming.ann_ingest for continuous ingestion and rebuild the "
+            "vamana is a batch-build artifact; migrate to the ingestible "
+            "routed tier with index.to_routed_ingest() (ShardedHNSW.insert "
+            "/ streaming.ann_ingest take it from there) and rebuild the "
             "merged graph on schedule"
         )
+
+    def to_routed_ingest(
+        self,
+        shards: int = 8,
+        n_probe: int | None = 2,
+        max_iter: int = 5,
+        replicate_eps: float = 0.0,
+    ):
+        """Migrate to the INGESTIBLE serving tier — the one-liner every
+        vamana insert refusal points at: rebuild a routed ``ShardedHNSW``
+        (whose ``insert`` / ``streaming.ann_ingest`` accept continuous
+        rows) from this index's stored vertices, preserving the ops class.
+
+        Vector recovery from the stored (transformed) vertices is exact
+        for every ops class: l2 vertices are stored raw; cosine vertices
+        are stored unit-normalized and cosine is normalization-invariant,
+        so raw queries return the same similarities; ip vertices carry the
+        MIPS augmentation coordinate appended LAST by the lossless concat
+        in :meth:`build`, so slicing it off recovers the raw vectors
+        bit-exactly and the routed tier's native MIPS walk serves them (no
+        frozen M² carried over — inserts would invalidate it anyway).
+
+        The result serves the same corpus with the ROUTED tier's
+        semantics (per-shard HNSW graphs, n_probe centroid pruning) —
+        recall characteristics are that tier's own, threshold-tested in
+        tests/test_hnsw.py, not the merged graph's. Use it when ingestion
+        matters more than the batch artifact's walk quality; rebuild the
+        merged graph on the pipeline's cadence."""
+        from pyspark.sql import functions as F
+
+        from .hnsw import HNSWIndex
+
+        p = self.params or {}
+        vec = F.col("vec")
+        if self.dist == "ip":
+            first = self.vertices.select("vec").head(1)
+            stored_dim = int(p.get("dim") or (len(first[0][0]) if first else 1))
+            vec = F.slice(vec, 1, stored_dim - 1)
+        src = self.vertices.select(F.col(self.id_col), vec.alias(self.vec_col))
+        out = HNSWIndex.build_routed(
+            src, self.vec_col, self.id_col, shards=shards,
+            m=p.get("m", 8),
+            ef_construction=p.get("ef_construction", 48),
+            ef_search=p.get("ef_search", 48),
+            dist=self.dist, seed=p.get("seed", 42), max_iter=max_iter,
+            replicate_eps=replicate_eps,
+        )
+        if n_probe is not None:
+            out.default_n_probe = int(n_probe)
+        return out
 
     # -- persistence -------------------------------------------------------
     def save(self, path: str) -> None:

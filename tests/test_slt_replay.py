@@ -112,3 +112,24 @@ def test_slt_file(engine, slt):
         pytest.skip(f"{slt} not present in reference checkout")
     ok, total = run_slt(engine, path, skip_statements=SKIPS.get(slt, ()))
     assert ok == total and total > 0
+
+
+def test_leaderboard_timing_protocol(engine, capsys):
+    """`+timing:xN:.label` replays the reference leaderboard protocol
+    (tools/sqllogictest/sqllogictest.cpp:135-167): N timed re-executions,
+    per-pass progress lines, and the `<<<BEGIN / .label ms... / >>>END`
+    report block — the last harness-parity gap with the reference runner.
+    The golden-row check still runs after the timing passes."""
+    path = os.path.join(REF_SQL, "p3.leaderboard-q2.slt")
+    if not os.path.exists(path):
+        pytest.skip("leaderboard file not present in reference checkout")
+    ok, total = run_slt(engine, path, timing=True)
+    assert ok == total and total > 0
+    out = capsys.readouterr().out
+    assert out.count("timing pass 10 complete") == 1
+    begin = out.index("<<<BEGIN")
+    block = out[begin : out.index(">>>END")].splitlines()
+    # ".q2 t1 ... t10" — label verbatim, one integer-ms sample per pass
+    report = block[1].split()
+    assert report[0] == ".q2"
+    assert len(report) == 11 and all(int(t) >= 0 for t in report[1:])

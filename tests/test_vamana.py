@@ -553,3 +553,77 @@ def test_partitioned_facade_rerank_uses_transformed_space(emb, spark, tmp_path):
     assert [(r["vec_id"], r["distance"]) for r in again] == [
         (r["vec_id"], r["distance"]) for r in hits
     ]
+
+
+def test_to_routed_ingest_l2_migration_accepts_inserts(emb, vamana):
+    """The one-liner every vamana insert refusal points at: migrate the
+    batch artifact to the routed ShardedHNSW tier, which ACCEPTS inserts.
+    The migrated index serves the same corpus (recall threshold vs exact)
+    and a freshly inserted row is findable at its own location."""
+    routed = vamana.to_routed_ingest(shards=4, n_probe=2, replicate_eps=0.2)
+    exact = {r["vec_id"] for r in knn(emb, "embedding", QUERY, 10).collect()}
+    got = {r["vec_id"] for r in routed.probe(QUERY, 10).collect()}
+    assert len(got & exact) / 10 >= 0.8
+
+    target = [0.123] * 64
+    spark = emb.sparkSession
+    new = spark.createDataFrame(
+        [(777777, target)], "vec_id long, embedding array<double>"
+    )
+    grown = routed.insert(new)  # the refusal path ends here: this works
+    top = grown.probe(target, 1).collect()
+    assert top[0]["vec_id"] == 777777
+
+
+def test_to_routed_ingest_ip_recovers_raw_vectors(emb, spark):
+    """ip migration slices the MIPS augmentation coordinate off the stored
+    vertices, recovering the RAW vectors bit-exactly; the routed tier then
+    serves native inner products — top hits match brute-force MIPS values."""
+    import numpy as np
+
+    q = QUERY
+    idx = VamanaIndex.build(
+        emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16, dist="ip"
+    )
+    routed = idx.to_routed_ingest(shards=4, n_probe=3)
+    rows = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+    hits = routed.probe(q, 5).collect()
+    assert len(hits) == 5
+    for r in hits:
+        true = float(rows[r["vec_id"]] @ np.asarray(q))
+        assert r["distance"] == pytest.approx(true, abs=1e-6)
+    # recall vs exact MIPS
+    best = sorted(rows, key=lambda i: -(rows[i] @ np.asarray(q)))[:5]
+    assert len({r["vec_id"] for r in hits} & set(best)) >= 4
+
+
+def test_to_routed_ingest_from_saved_facade(emb, spark, tmp_path):
+    """A SAVED cosine partitioned facade migrates too (save persists the
+    transformed vertices): the reloaded facade's to_routed_ingest yields
+    an ingestible index serving true cosine similarities for raw queries
+    (stored unit vectors are valid — cosine is normalization-invariant)."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.vamana import load_partitioned
+
+    part = VamanaIndex.build(
+        emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16,
+        dist="cosine",
+    ).to_partitioned(cells=4, n_probe=3)
+    path = str(tmp_path / "cos_part")
+    part.save(path)
+    loaded = load_partitioned(spark, path)
+    routed = loaded.to_routed_ingest(shards=4, n_probe=3)
+    rows = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+    qv = np.asarray(QUERY)
+    hits = routed.probe(QUERY, 5).collect()
+    for r in hits:
+        v = rows[r["vec_id"]]
+        true = float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        assert r["distance"] == pytest.approx(true, abs=1e-6)
+    new = spark.createDataFrame(
+        [(777778, [0.5] * 64)], "vec_id long, embedding array<double>"
+    )
+    grown = routed.insert(new)
+    top = grown.probe([0.5] * 64, 1).collect()
+    assert top[0]["vec_id"] == 777778

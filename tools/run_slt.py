@@ -8,12 +8,23 @@ order-insensitive (both sides sorted) — the reference compares sorted lines
 under rowsort and our engine gives no deterministic row order without
 ORDER BY, matching the driver gate's order-insensitive hash.
 
-Usage: python tools/run_slt.py FILE.slt [FILE2.slt ...]
+`+timing:xN:.label` options (the reference leaderboard protocol,
+tools/sqllogictest/sqllogictest.cpp:135-167) are honored when timing is
+enabled (--timing / run_slt(timing=True)): the query re-executes N extra
+times with output discarded and the per-pass milliseconds print between
+`<<<BEGIN` / `>>>END` markers exactly as the reference runner emits them.
+With timing off (the default — test replay shouldn't be 10× slower) the
+option is skipped; `ensure:` plan-shape options are always skipped (they
+assert the REFERENCE optimizer's shapes — ours live in
+tests/test_plan_shape.py).
+
+Usage: python tools/run_slt.py [--timing] FILE.slt [FILE2.slt ...]
 """
 
 from __future__ import annotations
 
 import sys
+import time
 
 
 # the reference renders NULL per-type (e.g. integer_type.cpp:260); we
@@ -71,7 +82,34 @@ def parse_slt(path: str):
             i += 1
 
 
-def run_slt(engine, path: str, skip_statements: tuple[str, ...] = ()) -> tuple[int, int]:
+def _run_timing(engine, sql: str, opt: str) -> list[int]:
+    """Execute the reference's `+timing:xN:.label` protocol for one query:
+    N discarded executions, per-pass ms, reference-format report block."""
+    repeat, label = 1, ""
+    for arg in opt.split(":")[1:]:
+        if arg.startswith("x"):
+            repeat = int(arg[1:])
+        elif arg.startswith("."):
+            label = arg[1:]
+        else:
+            raise NotImplementedError(f"unsupported timing arg: {arg}")
+    durations = []
+    for i in range(repeat):
+        t0 = time.monotonic()
+        r = engine.execute(sql)
+        if hasattr(r, "collect"):
+            r.collect()  # NoopWriter equivalent: execute fully, discard
+        durations.append(int((time.monotonic() - t0) * 1000))
+        print(f"timing pass {i + 1} complete", flush=True)
+    print("<<<BEGIN")
+    print(f".{label} " + " ".join(str(d) for d in durations))
+    print(">>>END", flush=True)
+    return durations
+
+
+def run_slt(
+    engine, path: str, skip_statements: tuple[str, ...] = (), timing: bool = False
+) -> tuple[int, int]:
     """Run one file; returns (ok, total). Raises AssertionError on mismatch."""
     ok = total = 0
     for directive, sql, golden in parse_slt(path):
@@ -87,6 +125,10 @@ def run_slt(engine, path: str, skip_statements: tuple[str, ...] = ()) -> tuple[i
                 ok += 1
                 continue
             raise AssertionError(f"{path}: expected error for: {sql}")
+        if timing:
+            for opt in directive.split()[1:]:
+                if opt.startswith("+timing"):
+                    _run_timing(engine, sql, opt[1:])
         result = engine.execute(sql)
         if golden is None:
             if hasattr(result, "collect"):
@@ -122,11 +164,13 @@ def main():
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     register_mock_tables(spark)
-    for path in sys.argv[1:]:
+    argv = sys.argv[1:]
+    timing = "--timing" in argv
+    for path in [a for a in argv if a != "--timing"]:
         # fresh engine per file — .slt files assume a clean instance
         engine = SqlEngine(spark)
         bootstrap_test_tables(engine)
-        ok, total = run_slt(engine, path)
+        ok, total = run_slt(engine, path, timing=timing)
         print(f"{path}: {ok}/{total} ok")
 
 
