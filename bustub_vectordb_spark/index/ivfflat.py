@@ -166,10 +166,24 @@ def route_overlap(
     centroids: list[list[float]],
     thr_mult: float,
     out_col: str = "__shard",
+    min_lists: int = 1,
 ) -> DataFrame:
     """(id, vec, shard) rows where EVERY centroid whose squared distance is
     within ``thr_mult``× of the row's minimum receives the row — the
-    SPANN/DiskANN overlapping-cluster routing. Unlike
+    SPANN/DiskANN overlapping-cluster routing — UNIONed with the row's
+    ``min_lists`` closest centroids ((d², centroid index) order, so ties
+    are deterministic).
+
+    ``min_lists`` exists because the eps-ball alone DEGENERATES on
+    well-clustered data: when clusters are far apart relative to eps, no
+    row's second centroid falls inside (1+eps)× of its first, every
+    cluster routes disjointly, and a merge-build's final graph is a set
+    of disconnected islands (observed: merged-vamana recall@10 collapsed
+    to 0.32 on a 256-component mixture at the 2.2M-row scale drill).
+    DiskANN's published construction (Subramanya et al. 2019 §4) sends
+    each point to its ℓ closest centers for exactly this reason; the
+    union keeps the ball's richer adaptive overlap on diffuse data while
+    guaranteeing ℓ-way stitching everywhere else. Unlike
     :func:`assign_nearest` (literal codegen argmin until 1M plan cells),
     this DEFAULTS to the broadcast numpy path: the per-row k× HOF
     scoring of the literal expression measured ~1.5-2× slower than the
@@ -196,11 +210,20 @@ def route_overlap(
                 F.array_min(F.transform(F.col("__sc"), lambda s: s["d"]))
                 * thr_mult,
             )
+            # top-min_lists by (d, b): array_sort on the struct orders by
+            # d then b — the same deterministic tie rule as the numpy path
+            .withColumn(
+                "__top", F.slice(F.array_sort(F.col("__sc")), 1, min_lists)
+            )
             .select(
                 id_col,
                 vec_col,
                 F.explode(
-                    F.filter(F.col("__sc"), lambda s: s["d"] <= F.col("__thr"))
+                    F.filter(
+                        F.col("__sc"),
+                        lambda s: (s["d"] <= F.col("__thr"))
+                        | F.exists(F.col("__top"), lambda t: t["b"] == s["b"]),
+                    )
                 ).alias("__e"),
             )
             .select(id_col, vec_col, F.col("__e.b").cast("int").alias(out_col))
@@ -237,7 +260,14 @@ def route_overlap(
                 diff = x[:, j : j + 1] - cents[None, :, j]
                 d += diff * diff
             thr = d.min(axis=1) * thr_mult
-            rows_idx, shard_idx = np.nonzero(d <= thr[:, None])
+            keep = d <= thr[:, None]
+            if min_lists > 1:
+                # stable argsort == (d, centroid index) order — identical
+                # tie rule to the literal branch's struct array_sort and
+                # the offline replays' sorted((d, b)) ranking
+                top = np.argsort(d, axis=1, kind="stable")[:, :min_lists]
+                np.put_along_axis(keep, top, True, axis=1)
+            rows_idx, shard_idx = np.nonzero(keep)
             out = pdf.iloc[rows_idx][[id_col, vec_col]].reset_index(drop=True)
             out[out_col] = shard_idx.astype("int32")
             yield out

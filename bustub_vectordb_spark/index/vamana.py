@@ -19,9 +19,11 @@ Spark-first:
      HNSW build; its layer-0 adjacency — up to m² candidates per vertex —
      is the shard's edge proposal set);
   4. the proposals are UNIONed and symmetrized as a plain DataFrame of
-     (src, dst) pairs, exact distances attach via the codegen'd l2 fold
-     (functions.vector.l2_dist — JVM, no UDF), and a per-src window keeps
-     the R nearest (DiskANN's degree bound) — one shuffle each;
+     (src, dst) pairs, each vertex's candidate set gathers in one groupBy,
+     and DiskANN's RobustPrune (α-occlusion, Alg. 2 — NOT keep-R-nearest,
+     which strips the cross-cluster edges and breaks navigability on
+     clumpy data) selects ≤R diverse neighbors per vertex in an
+     Arrow-batched kernel shared verbatim with the offline replays;
   5. the entry point is the corpus pseudo-medoid: the row nearest to the
      centroid mean (a deterministic TopN with literal query, id tie-break).
 
@@ -59,6 +61,60 @@ def _centroid_mean(centroids: list[list[float]]) -> list[float]:
     """Pseudo-medoid query point: numpy mean over the (driver-resident)
     centroid list — computed identically by build and offline replay."""
     return [float(x) for x in np.asarray(centroids, dtype=np.float64).mean(axis=0)]
+
+
+def _fold_l2_rows(mat: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """sqrt(Σ(x_d−v_d)²) accumulated SEQUENTIALLY per dim, vectorized
+    across rows — the NOTES fold-exact rule: no BLAS reduction order to
+    vary between a zero-copy Arrow slice (worker) and a fresh driver
+    array, and the same float op order as Spark's l2 left-fold."""
+    s = np.zeros(len(mat), dtype=np.float64)
+    for j in range(mat.shape[1] if len(mat) else 0):
+        d = mat[:, j] - v[j]
+        s = s + d * d
+    return np.sqrt(s)
+
+
+def _robust_prune(
+    src_vec: np.ndarray,
+    cand_ids: list,
+    cand_mat: np.ndarray,
+    r: int,
+    alpha: float,
+) -> list:
+    """DiskANN RobustPrune (Subramanya et al. 2019, Algorithm 2) for one
+    vertex: walk candidates in (distance, id) order; keep the nearest
+    unoccluded one; occlude every remaining c' with α·d(kept, c') ≤
+    d(src, c'). The α>1 occlusion is what PRESERVES long-range edges — a
+    plain keep-R-nearest prune throws away every cross-cluster proposal
+    (the nearest R are always same-cluster on clumpy data) and the merged
+    graph loses greedy navigability: recall@10 measured 0.30-0.32 on a
+    256-component mixture at the 2.2M scale drill with rank pruning,
+    regardless of beam width. One shared function: the Spark worker
+    closure AND the offline replays call THIS kernel, so the pruned edge
+    sets are bit-identical by construction (fold-exact distances, fresh
+    np.array buffers per the NOTES alignment rule).
+
+    Returns the kept external ids in SELECTION order (DiskANN keeps the
+    prune order as the adjacency rank)."""
+    if not len(cand_ids):
+        return []
+    sv = np.array(src_vec, dtype=np.float64)
+    mat = np.array(cand_mat, dtype=np.float64)
+    d_src = _fold_l2_rows(mat, sv)
+    order = sorted(range(len(cand_ids)), key=lambda i: (d_src[i], cand_ids[i]))
+    kept: list = []
+    occluded = np.zeros(len(cand_ids), dtype=bool)
+    for i in order:
+        if occluded[i]:
+            continue
+        kept.append(cand_ids[i])
+        if len(kept) >= r:
+            break
+        d_kept = _fold_l2_rows(mat, mat[i])
+        occluded |= alpha * d_kept <= d_src
+        occluded[i] = True
+    return kept
 
 
 def _normalize_expr(vec):
@@ -380,8 +436,9 @@ class VamanaIndex:
     """One flat navigable graph over the whole corpus, built distributed.
 
     ``vertices``: (id, vec) DataFrame; ``edges``: (id, neighbors array —
-    R nearest, prune-rank order) DataFrame; ``entry``: external id of the
-    pseudo-medoid; ``params``: build parameters (frozen for save/load).
+    ≤R RobustPrune-selected, selection order) DataFrame; ``entry``:
+    external id of the pseudo-medoid; ``params``: build parameters
+    (frozen for save/load).
     """
 
     vec_col: str
@@ -441,6 +498,8 @@ class VamanaIndex:
         dist: str = "l2",
         seed: int = 42,
         max_iter: int = 5,
+        min_lists: int = 2,
+        alpha: float = 1.2,
     ) -> "VamanaIndex":
         if dist not in ("l2", "cosine", "ip"):
             raise ValueError(
@@ -504,16 +563,18 @@ class VamanaIndex:
         srows = sorted(sample.collect(), key=lambda row: row["__id"])
         centroids = _lloyds_numpy([list(row["v"]) for row in srows], init, max_iter)
 
-        # overlapping-cluster routing: every centroid within (1+eps)x of the
-        # nearest — literal codegen expression at dimension-table cluster
-        # counts, broadcast numpy matmul past the plan-literal cell budget
-        # (shards × dim at 100 TB can exceed what a plan literal should
-        # hold — see ivfflat.route_overlap)
+        # overlapping-cluster routing: every centroid within (1+eps)x of
+        # the nearest, UNION the min_lists (default ℓ=2, DiskANN §4)
+        # closest — the ℓ-way floor is what stitches the merged graph on
+        # well-separated clusters, where the eps-ball alone degenerates to
+        # disjoint routing and the final graph falls apart into islands
+        # (see route_overlap's docstring for the measured collapse)
         from .ivfflat import route_overlap
 
         base = df.select(F.col(id_col), vec.alias("__v"))
         routed = route_overlap(
-            base, id_col, "__v", centroids, (1.0 + overlap_eps) ** 2
+            base, id_col, "__v", centroids, (1.0 + overlap_eps) ** 2,
+            min_lists=min(min_lists, shards),
         )
 
         idt = _id_type(df, id_col)
@@ -553,31 +614,52 @@ class VamanaIndex:
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
 
-        # exact-distance prune to the R nearest per vertex: two co-
-        # partitioned joins attach the endpoint vectors, the distance is
-        # the codegen'd l2 fold, and a per-src window ranks (dist, dst)
+        # RobustPrune (DiskANN Alg. 2) to ≤R diverse neighbors per vertex:
+        # ONE join attaches candidate vectors to the proposal edges, a
+        # groupBy gathers each vertex's candidate set (≲2m²·overlap rows ×
+        # one vector each — bounded row size), and the α-occlusion kernel
+        # (_robust_prune, shared verbatim with the offline replays) runs
+        # per vertex in an Arrow-batched stage. A rank prune (keep R
+        # NEAREST) is NOT a substitute: it deletes every cross-cluster
+        # proposal edge on clumpy data and the merged graph loses greedy
+        # navigability (recall collapse measured at the 2.2M scale drill
+        # — see _robust_prune's docstring). Candidate arrival order is
+        # shuffle-nondeterministic; the kernel canonicalizes by (d, id).
         vtx = df.select(F.col(id_col).alias("__vid"), vec.alias("__vv"))
-        scored_pairs = (
-            sym.join(vtx, sym["src"] == vtx["__vid"])
-            .select("src", "dst", F.col("__vv").alias("__sv"))
-            .join(vtx, F.col("dst") == vtx["__vid"])
-            .select(
-                "src", "dst",
-                l2_dist(F.col("__sv"), F.col("__vv")).alias("__d"),
-            )
-        )
-        w = Window.partitionBy("src").orderBy(F.col("__d").asc(), F.col("dst").asc())
-        pruned = (
-            scored_pairs.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= r)
+        cand = (
+            sym.join(vtx, sym["dst"] == vtx["__vid"])
+            .select("src", "dst", F.col("__vv").alias("__dv"))
             .groupBy("src")
+            # two collect_lists in ONE agg see the group's rows in the
+            # same order — ids and vectors stay paired
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__rn", "dst"))),
-                    lambda s: s["dst"],
-                ).alias("neighbors")
+                F.collect_list("dst").alias("__cids"),
+                F.collect_list("__dv").alias("__cvecs"),
             )
-            .select(F.col("src").alias(id_col), "neighbors")
+            .join(vtx, F.col("src") == vtx["__vid"])
+            .select("src", F.col("__vv").alias("__sv"), "__cids", "__cvecs")
+        )
+        alpha_v = float(alpha)
+
+        def prune_rows(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                srcs = pdf["src"].tolist()
+                nbs = [
+                    _robust_prune(
+                        np.asarray(sv, dtype=np.float64), list(cids),
+                        np.asarray(list(cvecs), dtype=np.float64),
+                        r, alpha_v,
+                    )
+                    for sv, cids, cvecs in zip(
+                        pdf["__sv"], pdf["__cids"], pdf["__cvecs"]
+                    )
+                ]
+                yield pd.DataFrame({id_col: srcs, "neighbors": nbs})
+
+        pruned = cand.mapInPandas(
+            prune_rows, f"{id_col} {idt}, neighbors array<{idt}>"
         )
 
         # entry point: corpus pseudo-medoid — nearest row to the centroid
@@ -594,6 +676,7 @@ class VamanaIndex:
         params = dict(
             shards=shards, m=m, ef_construction=ef_construction,
             ef_search=ef_search, overlap_eps=overlap_eps, r=r, seed=seed,
+            min_lists=min_lists, alpha=alpha,
             # seeds were collected from the TRANSFORMED vec column, so this
             # is already the stored (post-augmentation) dimension
             dim=len(init[0]),
@@ -1148,11 +1231,15 @@ def offline_vamana(
     seed: int = 42,
     max_iter: int = 5,
     dist: str = "l2",
+    min_lists: int = 2,
+    alpha: float = 1.2,
 ) -> _Graph:
     """Replay ``VamanaIndex.build`` without Spark: same centroids, same
-    overlap routing fold arithmetic, same id-sorted sub-graph builds, same
-    symmetrized union, same (dist, dst)-ranked prune with the l2 left-fold
-    Spark's codegen evaluates, same pseudo-medoid entry. ``dist="cosine"``
+    overlap routing fold arithmetic (eps-ball ∪ min_lists closest, (d, b)
+    tie order), same id-sorted sub-graph builds, same
+    symmetrized union, the SAME ``_robust_prune`` kernel the Spark
+    workers run (shared function — bit-identical edge sets by
+    construction), same pseudo-medoid entry. ``dist="cosine"``
     replays the normalize-then-l2 build (same _normalize_row floats the
     Spark expression stores). Returns the driver-serving _Graph shell —
     probes on it match probe() bit-exactly. Valid only on inputs small
@@ -1172,12 +1259,14 @@ def offline_vamana(
     centroids = _lloyds_numpy(vecs, [list(v) for v in vecs[:shards]], max_iter)
 
     thr_mult = (1.0 + overlap_eps) ** 2
+    ml = min(min_lists, shards)
     members: dict[int, tuple[list, list]] = {}
     for i, v in zip(ids, vecs):
         dists = [_l2_sq_fold(v, c) for c in centroids]
         thr = min(dists) * thr_mult
+        top = {b for _, b in sorted((d, b) for b, d in enumerate(dists))[:ml]}
         for b, d in enumerate(dists):
-            if d <= thr:
+            if d <= thr or b in top:
                 members.setdefault(b, ([], []))[0].append(i)
                 members[b][1].append(v)
 
@@ -1204,9 +1293,12 @@ def offline_vamana(
     for s, d in sym:
         cand_by_src.setdefault(s, []).append(d)
     for s, cands in cand_by_src.items():
-        sv = by_id[s]
-        ranked = sorted((fold_l2(sv, by_id[d]), d) for d in cands)
-        adj_ext[s] = [d for _, d in ranked[:r]]
+        adj_ext[s] = _robust_prune(
+            np.asarray(by_id[s], dtype=np.float64),
+            cands,
+            np.asarray([by_id[d] for d in cands], dtype=np.float64),
+            r, float(alpha),
+        )
 
     pm = _centroid_mean(centroids)
     entry_ext = min(ids, key=lambda i: (fold_l2(by_id[i], pm), i))

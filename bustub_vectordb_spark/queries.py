@@ -2655,13 +2655,14 @@ def _vamana_merged_oracle() -> str:
 def q_ann_vamana_merged(spark, sf_dir):
     # Distributed SINGLE-graph build (DiskANN merge, Subramanya et al.
     # 2019 §4): overlapping k-means clusters route each vector to every
-    # centroid within (1+eps) of its nearest, one sub-graph per cluster
-    # builds in parallel (applyInPandas), edge proposals union+symmetrize
-    # as a plain DataFrame, and a codegen'd-l2 window prune keeps the R
-    # nearest per vertex — nothing corpus-sized touches the driver during
-    # the BUILD. Probe = guarded driver materialization + greedy beam
-    # search. Exact offline-replay oracle (offline_vamana — same
-    # centroids, routing fold, sub-builds, prune ranking, and walk).
+    # centroid within (1+eps) of its nearest ∪ its ℓ=2 closest, one
+    # sub-graph per cluster builds in parallel (applyInPandas), edge
+    # proposals union+symmetrize as a plain DataFrame, and RobustPrune
+    # α-occlusion (Alg. 2, Arrow-batched) keeps ≤R diverse neighbors per
+    # vertex — nothing corpus-sized touches the driver during the BUILD.
+    # Probe = guarded driver materialization + greedy beam search. Exact
+    # offline-replay oracle (offline_vamana — same centroids, routing
+    # fold, sub-builds, the same _robust_prune kernel, and walk).
     from .index.vamana import VamanaIndex
 
     key = (sf_dir, "vamana")

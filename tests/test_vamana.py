@@ -81,15 +81,17 @@ def test_serving_guard_refuses_big_graph(vamana, monkeypatch):
 
 
 def test_build_plan_stays_distributed(emb):
-    """The edge prune runs as DataFrame ops — no corpus-sized collect. The
-    pruned-adjacency plan must contain the window rank and end in Spark
-    operators (smoke: edges is a real DataFrame with a window in its
-    plan), and every vertex of the source appears in the vertex set."""
+    """The edge prune runs distributed — no corpus-sized collect. The
+    pruned-adjacency plan must show the per-vertex candidate gather
+    (Aggregate) feeding the Arrow-batched RobustPrune stage
+    (MapInPandas), and every vertex of the source appears in the vertex
+    set."""
     idx = VamanaIndex.build(
         emb, "embedding", "vec_id", shards=3, overlap_eps=0.1, r=8
     )
     plan = idx.edges._jdf.queryExecution().optimizedPlan().toString()
-    assert "row_number" in plan or "Window" in plan
+    assert "MapInPandas prune_rows" in plan
+    assert "Aggregate" in plan  # the groupBy(src) candidate gather
     assert idx.vertices.count() == emb.count()
 
 
@@ -627,3 +629,33 @@ def test_to_routed_ingest_from_saved_facade(emb, spark, tmp_path):
     grown = routed.insert(new)
     top = grown.probe([0.5] * 64, 1).collect()
     assert top[0]["vec_id"] == 777778
+
+
+def test_clustered_corpus_recall_needs_diverse_prune(spark):
+    """Regression pin for the 2.2M scale-drill discovery: on a corpus of
+    WELL-SEPARATED clusters, eps-ball-only routing + keep-R-nearest
+    pruning collapses merged recall to ~0.3 (disconnected islands / no
+    cross-cluster edges for the greedy walk). The ℓ=2 routing floor +
+    RobustPrune α-occlusion must hold recall@10 ≥ 0.9 on exactly that
+    geometry."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((32, 8)) * 6.0
+    rows = []
+    for i in range(2000):
+        v = centers[i % 32] + rng.standard_normal(8)
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = VamanaIndex.build(
+        df, "embedding", "vec_id", shards=16, overlap_eps=0.2, r=16
+    )
+    mat = np.asarray([v for _, v in rows])
+    ids = np.asarray([i for i, _ in rows])
+    recalls = []
+    for qi in range(0, 2000, 100):
+        q = mat[qi] + 0.3 * np.random.RandomState(qi).standard_normal(8)
+        exact = set(ids[np.argsort(np.linalg.norm(mat - q, axis=1), kind="stable")[:10]].tolist())
+        got = {r["vec_id"] for r in idx.probe(q.tolist(), 10).collect()}
+        recalls.append(len(got & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
