@@ -128,3 +128,44 @@ def mixture_upsample_sql(key: str, stratum: str, weights: dict[str, float]) -> s
         for v, w in weights.items()
     )
     return f"CASE {cases} ELSE 0 END"
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    test_rate: float = 0.1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Train/val split at NEAR-DUPLICATE-CLUSTER granularity.
+
+    A plain key-hash split (:func:`train_test_split`) leaks whenever two
+    near-duplicate documents hash to different sides — the validation set
+    then contains (slightly reworded) training rows and scores are
+    inflated. Here every document first joins its transitive near-dup
+    component (MinHash-LSH candidate pairs → exact-Jaccard verify →
+    connected components, the dedup family's tested machinery) and the
+    SPLIT KEY IS THE COMPONENT MINIMUM id, so a whole duplicate cluster
+    always lands on one side. Deterministic and engine-independent like
+    every split in this module (md5 hex-prefix compare on the component
+    id), so the DuckDB oracle replays it exactly.
+
+    Returns (id_col, component, split∈{'train','val'}) for every input
+    document. Scale shape: the LSH pipeline is banded (no all-pairs),
+    components converge in duplicate-cluster diameter rounds, and the
+    split itself is a row-local hash compare — no extra shuffle."""
+    from ..dedup.components import connected_components
+    from ..dedup.minhash import near_dup_pairs
+
+    pairs = near_dup_pairs(docs, text_col, id_col, threshold=threshold)
+    comp = connected_components(docs.select(id_col), pairs, id_col)
+    t = F.lit(_threshold(test_rate))
+    return comp.select(
+        F.col(id_col),
+        F.col("component"),
+        F.when(
+            _hex_prefix(F.col("component").cast("string")) < t, F.lit("val")
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -4325,6 +4325,52 @@ def q_dedup_components_star(spark, sf_dir):
 ORACLE["dedup_components_star"] = ORACLE["dedup_components"]
 
 
+@_register(
+    "split_leakage_safe",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS __ts
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(__ts) >= 3 THEN {{trigram}}
+                  ELSE [] END AS sg
+      FROM toks
+    ), pr AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.sg, b.sg))::DOUBLE
+                  / len(list_distinct(list_concat(a.sg, b.sg))), 6) >= 0.5
+    ), edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pr
+      UNION ALL
+      SELECT id2, id1 FROM pr
+    ), reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+      SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id
+    )
+    SELECT doc_id, component,
+           CASE WHEN substr(md5(component::VARCHAR), 1, 4) < '3333'
+                THEN 'val' ELSE 'train' END AS split
+    FROM comp
+    """.replace("{trigram}", _TRIGRAM_SQL),
+)
+def q_split_leakage_safe(spark, sf_dir):
+    # Train/val split at near-duplicate-CLUSTER granularity
+    # (operators/sampling.py leakage_safe_split): the split key is the
+    # component minimum id, so a whole duplicate cluster lands on one
+    # side — a key-hash split would leak reworded training rows into
+    # validation. '3333' = _threshold(0.2). Oracle = the dedup_components
+    # recursive-CTE components + the identical md5 hex-prefix compare.
+    from .operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, "text", "doc_id", test_rate=0.2)
+
+
 _MIX_WEIGHTS = {"en": 1.5, "de": 3.0, "zh": 0.4}
 
 
@@ -5480,6 +5526,7 @@ _GATE_WINDOW = [
     "token_count_bpe",
     "window_range_frames",
     "window_ignore_nulls",
+    "split_leakage_safe",
     # --- stale re-gates: driver rows dating to r1 (4) and r3 (10) —
     # after this window every registry entry's newest driver row is ≤4
     # rounds old ---
@@ -5495,8 +5542,9 @@ _GATE_WINDOW = [
     "dedup_exact",
     "events_sessionize",
     "multimodal_decode_features",
-    "string_lower_upper",
     "text_quality",
+    # (string_lower_upper yields its slot to split_leakage_safe — new
+    # entries outrank stale re-gates of trivially-stable expressions)
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

@@ -519,6 +519,10 @@ class SqlEngine:
                     overlap_eps=opts.get("overlap_eps", 0.2),
                     r=opts.get("r", 16),
                     dist=OPS_TO_DIST.get(ops, "l2"),
+                    # DiskANN knobs surfaced in round 7 with the clustered-
+                    # corpus recall fix: ℓ-closest routing floor + α-prune
+                    min_lists=int(opts.get("min_lists", 2)),
+                    alpha=float(opts.get("alpha", 1.2)),
                 )
                 if opts.get("pq"):
                     # WITH (pq=1[, pq_m=M, pq_k=K]): PQ-compressed serving

@@ -328,3 +328,25 @@ def test_semantic_dedup_keep_policies_and_cap(spark):
     ).collect()) == {1, 2}
     with pytest.raises(ValueError):
         semantic_dedup(df, "embedding", "vec_id", cents, 0.9, keep="best")
+
+
+def test_leakage_safe_split_never_straddles_near_dups(docs):
+    """The whole point of splitting at component granularity: NO verified
+    near-dup pair may have one side in train and the other in val (a
+    key-hash split leaks reworded training rows into validation). Also:
+    the split is exhaustive and binary, and same-component docs share a
+    side by construction."""
+    from bustub_vectordb_spark.operators.sampling import leakage_safe_split
+
+    out = leakage_safe_split(docs, "text", "doc_id", test_rate=0.3).collect()
+    side = {r["doc_id"]: r["split"] for r in out}
+    comp = {r["doc_id"]: r["component"] for r in out}
+    assert set(side.values()) <= {"train", "val"}
+    assert len(side) == docs.count()
+    truth = _true_pairs(docs, 0.5)
+    assert truth, "testdata should contain planted near-duplicates"
+    for a, b in truth:
+        assert side[a] == side[b], (a, b, side[a], side[b])
+        assert comp[a] == comp[b]
+    # both sides non-empty at this rate on the planted corpus
+    assert {"train", "val"} == set(side.values())

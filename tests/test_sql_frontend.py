@@ -273,8 +273,11 @@ def test_create_index_vamana(spark):
     e.execute(
         "CREATE INDEX mv1 ON mtv USING vamana (v1 vector_l2_ops)"
         " WITH (shards = 2, m = 4, ef_construction = 16, ef_search = 16,"
-        " r = 6, overlap_eps = 0.3)"
+        " r = 6, overlap_eps = 0.3, min_lists = 1, alpha = 1.5)"
     )
+    # the DiskANN knobs surface through DDL and freeze into params
+    p = e.indexes.lookup("mtv", "v1")[0].index.params
+    assert p["min_lists"] == 1 and p["alpha"] == 1.5
     got = e.execute(
         "SELECT v2 FROM mtv ORDER BY ARRAY [0.0,0.0,0.0] <-> v1 LIMIT 3"
     ).collect()
