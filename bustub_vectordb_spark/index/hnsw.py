@@ -773,6 +773,8 @@ class HNSWIndex:
         seed: int = 42,
         max_iter: int = 5,
         replicate_eps: float = 0.0,
+        replicate_cap: int = 8,
+        max_shard_rows: int | None = None,
     ) -> "ShardedHNSW":
         """IVF-routed sharded build — the 100 TB ANN design.
 
@@ -832,13 +834,34 @@ class HNSWIndex:
             # plan-literal cell budget (large shard counts at 100 TB)
             from .ivfflat import route_overlap
 
+            # replicate_cap = SPANN's closure-assignment replica bound:
+            # the uncapped ball explodes (5.35× replication, 913k-row
+            # straggler shard measured at the 2.2M drill) when k-means
+            # places centroids between natural clusters — see
+            # route_overlap's docstring
             routed = route_overlap(
-                base, id_col, "__v", centroids, (1.0 + replicate_eps) ** 2
+                base, id_col, "__v", centroids, (1.0 + replicate_eps) ** 2,
+                max_lists=replicate_cap,
             )
         else:
             from .ivfflat import assign_nearest
 
             routed = assign_nearest(base, "__v", centroids, "__shard")
+
+        if max_shard_rows is not None:
+            # STRAGGLER CAP (scale-drill finding): k-means can hand one
+            # centroid a pathologically large slice (a 913k-row shard at
+            # the 2.2M drill ran ~90 min of single-threaded graph build
+            # while 31 cores idled). Oversized cells split SPATIALLY into
+            # nested-k-means sub-shards (split_oversized_cells), each a
+            # first-class shard with its own centroid — probe routing
+            # ranks sub-centroids natively, builds and probes of the cell
+            # parallelize, and the per-shard graph cost is bounded.
+            from .ivfflat import split_oversized_cells
+
+            routed, centroids = split_oversized_cells(
+                routed, id_col, "__v", centroids, max_shard_rows, seed=seed
+            )
 
         def build_one(key, pdf):  # no hints: partial hints trip a pyspark eval-type warning
             # insert in id order: group-row order after a shuffle is not

@@ -167,12 +167,24 @@ def route_overlap(
     thr_mult: float,
     out_col: str = "__shard",
     min_lists: int = 1,
+    max_lists: int | None = None,
 ) -> DataFrame:
     """(id, vec, shard) rows where EVERY centroid whose squared distance is
     within ``thr_mult``× of the row's minimum receives the row — the
     SPANN/DiskANN overlapping-cluster routing — UNIONed with the row's
     ``min_lists`` closest centroids ((d², centroid index) order, so ties
-    are deterministic).
+    are deterministic) and CAPPED at the ``max_lists`` closest.
+
+    ``max_lists`` is the SPANN closure-assignment replica cap (the paper
+    uses ≤8): without it the eps-ball EXPLODES when k-means runs with
+    fewer centroids than natural clusters — centroids converge to
+    BETWEEN-cluster means, every row's distance ratios compress, and the
+    ball catches most of the centroid table (measured: 5.35× total
+    replication, a 913k-row shard, on a 256-component mixture routed to
+    64 centroids at the 2.2M scale drill — the resulting straggler shard
+    alone ran ~90 min of single-threaded build). The cap bounds
+    replication (≤ max_lists×) and therefore per-shard build cost,
+    trading marginal boundary recall that n_probe recovers.
 
     ``min_lists`` exists because the eps-ball alone DEGENERATES on
     well-clustered data: when clusters are far apart relative to eps, no
@@ -210,10 +222,17 @@ def route_overlap(
                 F.array_min(F.transform(F.col("__sc"), lambda s: s["d"]))
                 * thr_mult,
             )
-            # top-min_lists by (d, b): array_sort on the struct orders by
-            # d then b — the same deterministic tie rule as the numpy path
+            # (d, b) struct order via array_sort — the same deterministic
+            # tie rule as the numpy path's stable argsort. The ball
+            # membership is intersected with the top-max_lists and
+            # unioned with the top-min_lists floor.
+            .withColumn("__rk", F.array_sort(F.col("__sc")))
+            .withColumn("__top", F.slice(F.col("__rk"), 1, min_lists))
             .withColumn(
-                "__top", F.slice(F.array_sort(F.col("__sc")), 1, min_lists)
+                "__cap",
+                F.slice(F.col("__rk"), 1, max_lists)
+                if max_lists is not None
+                else F.col("__rk"),
             )
             .select(
                 id_col,
@@ -221,7 +240,12 @@ def route_overlap(
                 F.explode(
                     F.filter(
                         F.col("__sc"),
-                        lambda s: (s["d"] <= F.col("__thr"))
+                        lambda s: (
+                            (s["d"] <= F.col("__thr"))
+                            & F.exists(
+                                F.col("__cap"), lambda t: t["b"] == s["b"]
+                            )
+                        )
                         | F.exists(F.col("__top"), lambda t: t["b"] == s["b"]),
                     )
                 ).alias("__e"),
@@ -261,10 +285,19 @@ def route_overlap(
                 d += diff * diff
             thr = d.min(axis=1) * thr_mult
             keep = d <= thr[:, None]
-            if min_lists > 1:
-                # stable argsort == (d, centroid index) order — identical
-                # tie rule to the literal branch's struct array_sort and
-                # the offline replays' sorted((d, b)) ranking
+            # stable argsort == (d, centroid index) order — identical
+            # tie rule to the literal branch's struct array_sort and
+            # the offline replays' sorted((d, b)) ranking
+            if max_lists is not None and max_lists < d.shape[1]:
+                order = np.argsort(d, axis=1, kind="stable")
+                in_cap = np.zeros_like(keep)
+                np.put_along_axis(in_cap, order[:, :max_lists], True, axis=1)
+                keep &= in_cap
+                if min_lists > 1:
+                    np.put_along_axis(
+                        keep, order[:, :min_lists], True, axis=1
+                    )
+            elif min_lists > 1:
                 top = np.argsort(d, axis=1, kind="stable")[:, :min_lists]
                 np.put_along_axis(keep, top, True, axis=1)
             rows_idx, shard_idx = np.nonzero(keep)
@@ -273,6 +306,173 @@ def route_overlap(
             yield out
 
     return base.mapInPandas(run, schema)
+
+
+def split_oversized_cells(
+    routed: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    max_rows: int,
+    seed: int = 42,
+    out_col: str = "__shard",
+    train_budget_rows: int = 200_000,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Cut any routed cell holding more than ``max_rows`` rows into
+    ``ceil(n/max_rows)`` SPATIAL sub-cells — the SPANN-style hierarchical
+    answer to the straggler problem the 2.2M scale drill measured (one
+    913k-row cell ran ~90 min of single-threaded graph build while 31
+    cores idled; k-means with fewer centroids than natural clusters makes
+    such cells routinely).
+
+    Mechanism: a deterministic md5-prefix sample of each oversized cell
+    (value-keyed — independent of partitioning) trains nested k-means
+    sub-centroids driver-side (id-sorted seeds, the main build's recipe);
+    rows of split cells re-route to base+argmin(sub-centroid) in ONE
+    broadcast Arrow pass (fold-exact distances, lowest-index ties, no
+    shuffle). A spatial split preserves neighborhood coherence — a plain
+    hash split thins every sub-cell's proposal neighborhoods and was
+    measured to cost merged-vamana ~0.18 recall@10. Still-oversized
+    sub-cells (pathological nested geometry) get a final md5 HASH split
+    so the row bound is hard; their duplicated centroids rank adjacent in
+    probe routing, so n_probe coverage is unchanged.
+
+    Returns (re-routed DataFrame, flat centroid list with one entry per
+    FINAL cell). Driver state stays bounded: cell counts + sub-centroid
+    matrices, never rows."""
+    import math as _math
+
+    import numpy as np
+
+    counts = {
+        r[out_col]: r["cnt"]
+        for r in routed.groupBy(out_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    ks = [
+        max(1, _math.ceil(counts.get(i, 0) / max_rows))
+        for i in range(len(centroids))
+    ]
+    if all(k == 1 for k in ks):
+        return routed, centroids
+    split_ids = [i for i, k in enumerate(ks) if k > 1]
+
+    # deterministic bounded sample per split cell (md5 value hash — the
+    # operators/sampling.py recipe, partitioning-independent)
+    budget = max(train_budget_rows // len(split_ids), 64)
+    pred = F.lit(False)
+    hexpfx = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    for i in split_ids:
+        frac = min(1.0, max(budget, ks[i] * 16) / counts[i])
+        thr = format(min(int(frac * 16**4) + 1, 16**4 - 1), "04x")
+        pred = pred | ((F.col(out_col) == i) & (hexpfx < F.lit(thr)))
+    srows = sorted(
+        routed.filter(pred).select(out_col, id_col, vec_col).collect(),
+        key=lambda r: (r[out_col], r[id_col]),
+    )
+    by_cell: dict[int, list] = {}
+    for r in srows:
+        by_cell.setdefault(r[out_col], []).append(list(r[vec_col]))
+
+    submats: dict[int, list[list[float]]] = {}
+    for i in split_ids:
+        rows = by_cell.get(i, [])
+        k_i = ks[i]
+        if len(rows) < k_i:
+            # degenerate sample: hash split handles it in the fallback
+            ks[i] = 1
+            continue
+        submats[i] = _lloyds_numpy(rows, [list(v) for v in rows[:k_i]], 5)
+    bases = [0]
+    for k in ks:
+        bases.append(bases[-1] + k)
+
+    spark = routed.sparkSession
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    bc = spark.sparkContext.broadcast(
+        {i: np.asarray(m, dtype=np.float64) for i, m in submats.items()}
+    )
+    bc_base = spark.sparkContext.broadcast(bases)
+    cols = routed.columns
+    schema = routed.schema
+    from pyspark.sql import types as T
+
+    shard_np = (
+        "int64"
+        if isinstance(schema[out_col].dataType, T.LongType)
+        else "int32"
+    )
+
+    def reroute(batches):
+        subs = bc.value
+        base = bc_base.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            shards = pdf[out_col].to_numpy()
+            new = np.empty(len(shards), dtype=np.int64)
+            for cell in np.unique(shards):
+                mask = shards == cell
+                if int(cell) not in subs:
+                    new[mask] = base[int(cell)]
+                    continue
+                sm = subs[int(cell)]
+                x = np.asarray(
+                    pdf.loc[mask, vec_col].tolist(), dtype=np.float64
+                )
+                # fold-exact distances (NOTES alignment rule): sequential
+                # per-dim accumulation, vectorized across rows; np.argmin
+                # keeps the lowest index on ties like every router here
+                d = np.zeros((len(x), len(sm)), dtype=np.float64)
+                for j in range(x.shape[1]):
+                    diff = x[:, j : j + 1] - sm[None, :, j]
+                    d += diff * diff
+                new[mask] = base[int(cell)] + np.argmin(d, axis=1)
+            out = pdf[cols].copy()
+            out[out_col] = new.astype(shard_np)
+            yield out
+
+    routed = routed.mapInPandas(reroute, schema)
+    flat: list[list[float]] = []
+    for i in range(len(centroids)):
+        flat.extend(submats.get(i, [centroids[i]]) if ks[i] > 1 else [centroids[i]])
+
+    # hard bound: hash-split anything STILL past 2× the cap (nested
+    # k-means can be imbalanced on pathological geometry) — duplicated
+    # centroids, deterministic md5 sub-assignment
+    counts2 = {
+        r[out_col]: r["cnt"]
+        for r in routed.groupBy(out_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    ks2 = [
+        max(1, _math.ceil(counts2.get(i, 0) / (2 * max_rows)))
+        for i in range(len(flat))
+    ]
+    if any(k > 1 for k in ks2):
+        bases2 = [0]
+        for k in ks2:
+            bases2.append(bases2[-1] + k)
+        base_arr = F.array(*[F.lit(int(b)) for b in bases2[:-1]])
+        ks_arr = F.array(*[F.lit(int(k)) for k in ks2])
+        sub = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+            F.element_at(ks_arr, F.col(out_col) + 1).cast("long"),
+        )
+        routed = routed.withColumn(
+            out_col,
+            (F.element_at(base_arr, F.col(out_col) + 1) + sub).cast(
+                "bigint" if shard_np == "int64" else "int"
+            ),
+        )
+        flat = [flat[i] for i in range(len(flat)) for _ in range(ks2[i])]
+    return routed, flat
 
 
 @dataclass

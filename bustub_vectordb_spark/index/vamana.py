@@ -500,6 +500,8 @@ class VamanaIndex:
         max_iter: int = 5,
         min_lists: int = 2,
         alpha: float = 1.2,
+        max_lists: int = 4,
+        max_cell_rows: int | None = None,
     ) -> "VamanaIndex":
         if dist not in ("l2", "cosine", "ip"):
             raise ValueError(
@@ -575,7 +577,28 @@ class VamanaIndex:
         routed = route_overlap(
             base, id_col, "__v", centroids, (1.0 + overlap_eps) ** 2,
             min_lists=min(min_lists, shards),
+            # SPANN closure cap: without it the ball explodes to most of
+            # the centroid table when clusters outnumber centroids (5.35×
+            # replication measured at the 2.2M drill) and sub-graph build
+            # cost with it — see route_overlap's docstring
+            max_lists=max_lists,
         )
+
+        if max_cell_rows is not None:
+            # straggler cap for the PROPOSAL cells (same scale-drill
+            # finding as build_routed's max_shard_rows): a k-means cell
+            # handed a pathological slice builds its sub-graph on one
+            # core for the whole stage. Split SPATIALLY (nested k-means,
+            # split_oversized_cells) — a plain hash split thins every
+            # sub-cell's proposal neighborhoods (measured −0.18 recall@10
+            # on the clustered smoke corpus); spatial sub-cells keep
+            # neighborhoods coherent and the ℓ=2 overlap + RobustPrune
+            # merge stitches across them as usual.
+            from .ivfflat import split_oversized_cells
+
+            routed, _ = split_oversized_cells(
+                routed, id_col, "__v", centroids, max_cell_rows, seed=seed
+            )
 
         idt = _id_type(df, id_col)
 
@@ -676,7 +699,7 @@ class VamanaIndex:
         params = dict(
             shards=shards, m=m, ef_construction=ef_construction,
             ef_search=ef_search, overlap_eps=overlap_eps, r=r, seed=seed,
-            min_lists=min_lists, alpha=alpha,
+            min_lists=min_lists, alpha=alpha, max_lists=max_lists,
             # seeds were collected from the TRANSFORMED vec column, so this
             # is already the stored (post-augmentation) dimension
             dim=len(init[0]),
@@ -1233,6 +1256,7 @@ def offline_vamana(
     dist: str = "l2",
     min_lists: int = 2,
     alpha: float = 1.2,
+    max_lists: int = 4,
 ) -> _Graph:
     """Replay ``VamanaIndex.build`` without Spark: same centroids, same
     overlap routing fold arithmetic (eps-ball ∪ min_lists closest, (d, b)
@@ -1264,9 +1288,11 @@ def offline_vamana(
     for i, v in zip(ids, vecs):
         dists = [_l2_sq_fold(v, c) for c in centroids]
         thr = min(dists) * thr_mult
-        top = {b for _, b in sorted((d, b) for b, d in enumerate(dists))[:ml]}
+        ranked = [b for _, b in sorted((d, b) for b, d in enumerate(dists))]
+        top = set(ranked[:ml])
+        cap = set(ranked[:max_lists]) if max_lists is not None else set(ranked)
         for b, d in enumerate(dists):
-            if d <= thr or b in top:
+            if (d <= thr and b in cap) or b in top:
                 members.setdefault(b, ([], []))[0].append(i)
                 members[b][1].append(v)
 

@@ -974,3 +974,40 @@ def test_packed_graph_bit_identical_and_smaller(emb):
     dict_sz = sum(resident(l) for l in g.edges)
     packed_sz = sum(resident(l) for l in p2.edges)
     assert packed_sz < dict_sz / 2, (dict_sz, packed_sz)
+
+
+def test_routed_build_splits_oversized_shards(emb):
+    """Straggler cap (2.2M scale-drill finding): with max_shard_rows set,
+    any k-means cell bigger than the cap splits deterministically by id
+    hash into sub-shards carrying the PARENT centroid — same vector mass
+    under n_probe ranking (duplicates rank adjacent), but the build and
+    probes of that cell parallelize. Each final shard respects ~cap rows
+    and probe quality holds."""
+    import pickle
+
+    idx = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=2, m=8,
+        ef_construction=48, ef_search=48, max_shard_rows=120,
+    )
+    blobs = idx.blobs.collect()
+    # 500 rows / 2 cells → cells of ~250 must have split into ≥2 each
+    assert len(blobs) > 2
+    assert len(idx.centroids) == len(blobs)
+    sizes = [len(pickle.loads(r["blob"]).ids) for r in blobs]
+    # hash split is uniform-ish; nothing should exceed ~2× the cap
+    assert max(sizes) <= 240, sizes
+    assert sum(sizes) == emb.count()
+    # probe still works and finds true neighbors among the sub-shards
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    from bustub_vectordb_spark.similarity.brute import knn
+
+    exact = {r["vec_id"] for r in knn(emb, "embedding", q, 10).collect()}
+    got = {r["vec_id"] for r in idx.probe(q, 10, n_probe=4).collect()}
+    assert len(got & exact) / 10 >= 0.8
+    # inserts still route (ties on duplicated centroids are deterministic)
+    new = emb.sparkSession.createDataFrame(
+        [(888888, [0.05] * 64)], "vec_id long, embedding array<double>"
+    )
+    grown = idx.insert(new)
+    top = grown.probe([0.05] * 64, 1, n_probe=4).collect()
+    assert top[0]["vec_id"] == 888888

@@ -134,6 +134,10 @@ def recall(truth: dict, hits) -> float:
     return float(sum(per) / len(per))
 
 
+def _log(msg: str) -> None:
+    print(f"[drill] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_200_000)
@@ -141,6 +145,7 @@ def main():
     ap.add_argument("--out", default="/tmp/scale_drill")
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--skip-vamana", action="store_true")
+    ap.add_argument("--skip-hnsw", action="store_true")
     args = ap.parse_args()
 
     from bustub_vectordb_spark.session import get_spark
@@ -180,9 +185,11 @@ def main():
         "qid long, embedding array<double>",
     )
 
+    _log(f"corpus ready: {n} rows")
     t0 = time.time()
     truth = exact_topk(emb, qmat, qids)
     times["ground_truth"] = round(time.time() - t0, 1)
+    _log(f"ground truth done {times['ground_truth']}s")
 
     report: dict[str, object] = {
         "rows": n, "dim": args.dim,
@@ -190,17 +197,26 @@ def main():
     }
 
     # ---- routed HNSW (the ingestible tier) at its real build path ----
-    t0 = time.time()
-    routed = HNSWIndex.build_routed(
-        emb, "embedding", "vec_id", shards=64, m=8,
-        ef_construction=48, ef_search=48, replicate_eps=0.2,
-    )
-    routed.blobs.cache().count()
-    times["hnsw_routed_build"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    hits = routed.search_batch(qdf, "embedding", "qid", K, n_probe=4).collect()
-    times["hnsw_routed_batch"] = round(time.time() - t0, 1)
-    report["recall_hnsw_routed"] = round(recall(truth, hits), 4)
+    if not args.skip_hnsw:
+        t0 = time.time()
+        routed = HNSWIndex.build_routed(
+            emb, "embedding", "vec_id", shards=64, m=8,
+            ef_construction=48, ef_search=48, replicate_eps=0.2,
+            # the round-7 straggler/replication caps — the first drill run
+            # WITHOUT them measured 5.35× replication and a 913k-row shard
+            # grinding one core for ~90 min
+            max_shard_rows=60_000,
+        )
+        routed.blobs.cache().count()
+        times["hnsw_routed_build"] = round(time.time() - t0, 1)
+        _log(f"hnsw routed build done {times['hnsw_routed_build']}s")
+        t0 = time.time()
+        hits = routed.search_batch(
+            qdf, "embedding", "qid", K, n_probe=4
+        ).collect()
+        times["hnsw_routed_batch"] = round(time.time() - t0, 1)
+        _log(f"hnsw routed batch done {times['hnsw_routed_batch']}s")
+        report["recall_hnsw_routed"] = round(recall(truth, hits), 4)
 
     if not args.skip_vamana:
         # ---- merged vamana → partitioned serving (the frozen tier) ----
@@ -208,9 +224,11 @@ def main():
         vam = VamanaIndex.build(
             emb, "embedding", "vec_id", shards=64, overlap_eps=0.2,
             r=16, ef_construction=48, ef_search=48,
+            max_cell_rows=60_000,
         )
         vam.edges.cache().count()
         times["vamana_merged_build"] = round(time.time() - t0, 1)
+        _log(f"vamana merged build done {times['vamana_merged_build']}s")
         report["serve_cap"] = vam.serve_cap()
 
         if n <= vam.serve_cap():
@@ -222,15 +240,18 @@ def main():
                 h = vam.probe(v.tolist(), K).collect()
                 mhits.extend([{"qid": q, "vec_id": r["vec_id"]} for r in h])
             times["vamana_merged_probe_50"] = round(time.time() - t0, 1)
+            _log(f"merged probes done {times['vamana_merged_probe_50']}s")
             report["recall_vamana_merged"] = round(recall(truth, mhits), 4)
 
         t0 = time.time()
         part = vam.to_partitioned(cells=64, n_probe=4)
         part.blobs.cache().count()
         times["vamana_to_partitioned"] = round(time.time() - t0, 1)
+        _log(f"to_partitioned done {times['vamana_to_partitioned']}s")
         t0 = time.time()
         hits = part.search_batch(qdf, "embedding", "qid", K, n_probe=4).collect()
         times["vamana_partitioned_batch"] = round(time.time() - t0, 1)
+        _log(f"partitioned batch done {times['vamana_partitioned_batch']}s")
         report["recall_vamana_partitioned"] = round(recall(truth, hits), 4)
 
         # filtered probe: 1-in-7 allowed set through the partitioned path
