@@ -6,6 +6,7 @@ from .bpe import (
     repo_tokenizer,
     save_merges,
 )
+from .sketch import kmv_distinct_estimate, kmv_hash
 from .vector import (
     cosine_distance,
     cosine_similarity,
@@ -21,6 +22,8 @@ __all__ = [
     "cosine_distance",
     "cosine_similarity",
     "inner_product",
+    "kmv_distinct_estimate",
+    "kmv_hash",
     "l2_dist",
     "l2_norm",
     "learn_bpe",

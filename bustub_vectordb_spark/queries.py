@@ -4433,6 +4433,138 @@ def q_decontaminate(spark, sf_dir):
     return out.select("doc_id", "contaminated")
 
 
+_BLOOM_STAGE: dict[str, list[int]] = {}
+
+
+def _bloom_words_offline(sf_dir: str) -> list[int]:
+    """Offline replica of operators.bloom.bloom_build over the bench slice
+    (every 50th doc): DuckDB enumerates the bench trigrams with the SAME
+    tokenization SQL the oracles use, hashlib.md5 replays the probe
+    positions. Any drift between this and the Spark-side build is exactly
+    what the hash gate must catch, so the two builds are independent."""
+    import hashlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS __ts
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(__ts) >= 3 THEN {_TRIGRAM_SQL} ELSE [] END AS sg
+          FROM toks
+        )
+        SELECT DISTINCT unnest(sg) AS g FROM sh WHERE doc_id % 50 = 0
+        """
+    ).fetchall()
+    con.close()
+    words = [0] * 256
+    for (g,) in rows:
+        for i in range(4):
+            p = int(hashlib.md5(f"{i}|{g}".encode()).hexdigest()[:12], 16) % 16384
+            words[p // 64] |= 1 << (p % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _decontaminate_bloom_oracle() -> str:
+    words = _bloom_words_offline(_oracle_sf())
+    warr = "[" + ", ".join(str(w) for w in words) + "]::BIGINT[]"
+    pos = ", ".join(
+        f"('0x' || substr(md5('{i}|' || gg), 1, 12))::BIGINT % 16384 AS p{i}"
+        for i in range(4)
+    )
+    test = " AND ".join(
+        f"((W[(p{i} // 64) + 1] >> (p{i} % 64)::INT) & 1) = 1" for i in range(4)
+    )
+    return f"""
+    WITH w AS (SELECT {warr} AS W),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS __ts
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(__ts) >= 3 THEN {_TRIGRAM_SQL} ELSE [] END AS sg
+      FROM toks
+    ), g AS (
+      SELECT doc_id, unnest(sg) AS gg FROM sh
+    ), pos AS (
+      SELECT doc_id, {pos} FROM g
+    ), hit AS (
+      SELECT DISTINCT doc_id FROM pos CROSS JOIN w WHERE {test}
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+    """
+
+
+@_register("decontaminate_bloom", _decontaminate_bloom_oracle)
+def q_decontaminate_bloom(spark, sf_dir):
+    # Bloom-filter decontamination — the CONSTANT-size broadcast variant of
+    # `decontaminate`: the bench shingle set becomes a 2 KB bitset (256
+    # BIGINT words, k=4 md5-salted probes) instead of a string set that
+    # grows with the eval suite. Flags are a deterministic superset of the
+    # exact flags (no false negatives). Build collects only distinct bit
+    # positions (bounded); probe is pure codegen md5/shift arithmetic over
+    # a constant-folded literal array (operators/bloom.py). The oracle
+    # rebuilds the bitset INDEPENDENTLY (DuckDB bench shingles +
+    # hashlib.md5) and inlines it, so build and probe are both gated.
+    from .operators.bloom import bloom_build, bloom_contamination_flags
+
+    d = _t(spark, sf_dir, "documents")
+    if sf_dir not in _BLOOM_STAGE:
+        _BLOOM_STAGE[sf_dir] = bloom_build(
+            d.filter(F.col("doc_id") % 50 == 0), "text"
+        )
+    out = bloom_contamination_flags(d, _BLOOM_STAGE[sf_dir], "text", "doc_id")
+    return out.select("doc_id", "contaminated")
+
+
+@_register(
+    "sketch_distinct_kmv",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS __ts
+      FROM documents
+    ), sh AS (
+      SELECT CASE WHEN len(__ts) >= 3 THEN {_TRIGRAM_SQL} ELSE [] END AS sg
+      FROM toks
+    ), g AS (
+      SELECT DISTINCT unnest(sg) AS v FROM sh
+    ), h AS (
+      SELECT DISTINCT ('0x' || substr(md5(v), 1, 12))::BIGINT AS h FROM g
+    ), tk AS (
+      SELECT h FROM h ORDER BY h LIMIT 256
+    ), a AS (
+      SELECT count(*) AS cnt, max(h) AS kth FROM tk
+    )
+    SELECT 256 AS k,
+           (SELECT count(*) FROM g) AS n_exact,
+           CASE WHEN cnt < 256 THEN cnt::DOUBLE
+                ELSE round(255.0 / (kth / 281474976710656.0), 4) END AS n_est
+    FROM a
+    """,
+)
+def q_sketch_distinct_kmv(spark, sf_dir):
+    # KMV distinct-count sketch (Bar-Yossef et al.; bottom-k): estimate the
+    # corpus's distinct-trigram vocabulary from only the k=256 smallest
+    # 48-bit md5 hashes — ORDER BY h LIMIT k is TakeOrdered (per-partition
+    # local k, driver merges k × partitions ints), so nothing
+    # vocabulary-sized shuffles. n_exact rides along to make the ~1/√(k-1)
+    # error visible; at 100 TB you'd drop that column and keep the sketch.
+    from .dedup.minhash import shingles
+    from .functions.sketch import kmv_distinct_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(F.explode(shingles("text", 3)).alias("v"))
+    est = kmv_distinct_estimate(g, "v", k=256)
+    exact = g.distinct().agg(F.count("*").alias("n_exact"))
+    return est.crossJoin(exact).select("k", "n_exact", "n_est")
+
+
 @_register(
     "training_export_shards",
     """
@@ -5224,6 +5356,34 @@ def q_events_tumbling_window(spark, sf_dir):
 
 
 @_register(
+    "events_hopping_window",
+    """
+    WITH e AS (
+      SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value FROM events
+    ), w AS (
+      SELECT ((sec // 1800) - k) * 1800 AS window_start, event_type, value
+      FROM e CROSS JOIN range(2) t(k)
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_events_hopping_window(spark, sf_dir):
+    # Hopping (sliding) event-time windows: 1 h size, 30 min slide — each
+    # event belongs to size/slide = 2 overlapping windows. The Spark side
+    # is the NATIVE F.window(size, slide) (Catalyst expands the window
+    # assignment inline; one shuffle on the window+type key), shared with
+    # the streaming twin streaming/events.py:stream_hopping_counts (parity
+    # test in tests/test_streaming.py). Session TZ is UTC, so F.window's
+    # epoch-aligned starts equal the oracle's pure integer arithmetic.
+    from .streaming.events import hopping_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return hopping_counts(ev)
+
+
+@_register(
     "events_sessionize",
     """
     WITH e AS (
@@ -5527,15 +5687,15 @@ _GATE_WINDOW = [
     "window_range_frames",
     "window_ignore_nulls",
     "split_leakage_safe",
+    "decontaminate_bloom",
+    "sketch_distinct_kmv",
+    "events_hopping_window",
     # --- stale re-gates: driver rows dating to r1 (4) and r3 (10) —
     # after this window every registry entry's newest driver row is ≤4
     # rounds old ---
     "knn_cosine",
     "knn_inner_product",
     "knn_subquery_alias",
-    "sample_deterministic",
-    "agg_having",
-    "distinct",
     "layout_bucketed_join",
     "ann_hnsw_probe",
     "ann_index_selection",
@@ -5543,8 +5703,9 @@ _GATE_WINDOW = [
     "events_sessionize",
     "multimodal_decode_features",
     "text_quality",
-    # (string_lower_upper yields its slot to split_leakage_safe — new
-    # entries outrank stale re-gates of trivially-stable expressions)
+    # (string_lower_upper / distinct / agg_having / sample_deterministic
+    # yield their slots to the round-7 entries — new entries outrank stale
+    # re-gates of trivially-stable expressions)
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

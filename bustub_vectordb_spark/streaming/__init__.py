@@ -1,12 +1,20 @@
 from .dedup import first_per_key, stream_first_per_key
-from .events import events_stream, stream_tumbling_counts, tumbling_counts
+from .events import (
+    events_stream,
+    hopping_counts,
+    stream_hopping_counts,
+    stream_tumbling_counts,
+    tumbling_counts,
+)
 from .sessions import sessionize, stream_sessionize
 
 __all__ = [
     "events_stream",
     "first_per_key",
+    "hopping_counts",
     "sessionize",
     "stream_first_per_key",
+    "stream_hopping_counts",
     "stream_sessionize",
     "stream_tumbling_counts",
     "tumbling_counts",

@@ -57,9 +57,14 @@ def _with_event_time(df: DataFrame) -> DataFrame:
     )
 
 
-def _window_agg(e: DataFrame) -> DataFrame:
+def _window_agg(e: DataFrame, slide: str | None = None) -> DataFrame:
+    w = (
+        F.window("event_time", "1 hour", slide)
+        if slide
+        else F.window("event_time", "1 hour")
+    )
     return (
-        e.groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        e.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
@@ -76,6 +81,13 @@ def _window_agg(e: DataFrame) -> DataFrame:
 def tumbling_counts(events: DataFrame) -> DataFrame:
     """Batch form: 1-hour tumbling window counts/sums per event type."""
     return _window_agg(_with_event_time(events))
+
+
+def hopping_counts(events: DataFrame) -> DataFrame:
+    """Batch form: 1-hour windows sliding every 30 min (each event lands in
+    size/slide = 2 overlapping windows). Session TZ is UTC (session.py), so
+    F.window's epoch-aligned starts equal the oracle's integer arithmetic."""
+    return _window_agg(_with_event_time(events), slide="30 minutes")
 
 
 def _events_read_schema(spark: SparkSession, path: str) -> T.StructType:
@@ -146,6 +158,32 @@ def stream_tumbling_counts(
         .format("memory")
         .queryName(out_table)
         .option("checkpointLocation", os.path.join(work_dir, f"ckpt_{output_mode}"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_hopping_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    out_table: str = "stream_hop_counts",
+    output_mode: str = "complete",
+) -> None:
+    """Streaming twin of :func:`hopping_counts` — same watermark/trigger
+    discipline as :func:`stream_tumbling_counts`; state holds size/slide = 2
+    open windows per (alignment, event_type) within the watermark horizon."""
+    src = events_stream(spark, sf_dir, os.path.join(work_dir, "stage"))
+    e = _with_event_time(src).withWatermark("event_time", "2 hours")
+    agg = _window_agg(e, slide="30 minutes")
+    (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(out_table)
+        .option(
+            "checkpointLocation", os.path.join(work_dir, f"ckpt_hop_{output_mode}")
+        )
         .trigger(availableNow=True)
         .start()
         .awaitTermination()

@@ -53,3 +53,62 @@ def test_sketches_are_partial_aggregable(tables):
         df.explain("formatted")
     plan = buf.getvalue()
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — functions/sketch.py. Unlike the
+# HLL/t-digest built-ins above, this one is engine-replayable (md5-derived
+# hashes), so its gated entry (sketch_distinct_kmv) hash-matches DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_small_range_is_exact(spark):
+    """Fewer than k distinct hashes → the sketch IS the distinct set and
+    the estimate is the exact count."""
+    from bustub_vectordb_spark.functions.sketch import kmv_distinct_estimate
+
+    df = spark.range(100).selectExpr("cast(id % 37 as string) AS v")
+    row = kmv_distinct_estimate(df, "v", k=256).collect()[0]
+    assert row["k"] == 256
+    assert row["n_est"] == 37.0
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """50k distinct values, k=256 → std error ~1/sqrt(255) ≈ 6.3%;
+    assert within 3σ (deterministic — md5 has no seed to vary)."""
+    from bustub_vectordb_spark.functions.sketch import kmv_distinct_estimate
+
+    df = spark.range(50_000).selectExpr("cast(id as string) AS v")
+    row = kmv_distinct_estimate(df, "v", k=256).collect()[0]
+    assert abs(row["n_est"] - 50_000) / 50_000 < 0.20, row["n_est"]
+
+
+def test_kmv_ignores_duplicates(spark):
+    """The estimate depends on the distinct value set only — feeding every
+    value 5x must produce the identical sketch output."""
+    from bustub_vectordb_spark.functions.sketch import kmv_distinct_estimate
+
+    once = spark.range(10_000).selectExpr("cast(id as string) AS v")
+    five = spark.range(50_000).selectExpr("cast(id % 10000 as string) AS v")
+    a = kmv_distinct_estimate(once, "v").collect()[0]
+    b = kmv_distinct_estimate(five, "v").collect()[0]
+    assert a["n_est"] == b["n_est"]
+
+
+def test_kmv_take_is_per_partition_topk(spark):
+    """ORDER BY h LIMIT k must plan as TakeOrderedAndProject (per-partition
+    local top-k, driver merge) — not a global sort: that is the property
+    that keeps the sketch scale-safe."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from bustub_vectordb_spark.functions.sketch import kmv_hash
+
+    df = spark.range(10_000).selectExpr("cast(id as string) AS v")
+    h = df.select(kmv_hash("v").alias("h")).distinct().orderBy("h").limit(256)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        h.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()

@@ -215,3 +215,29 @@ def test_stream_handles_nanos_parquet(spark, tmp_path):
         for r in spark.table("sc_ns").collect()
     }
     assert batch == streamed and len(batch) == 4  # 8 events, 30 min apart
+
+
+def test_hopping_stream_matches_batch(spark, sf_dir, tables, tmp_path):
+    """Hopping (1 h / 30 min slide) windows: the streaming twin drained with
+    availableNow must equal the batch form verbatim, and every event must
+    land in exactly size/slide = 2 windows."""
+    from pyspark.sql import functions as F
+
+    from bustub_vectordb_spark.streaming.events import (
+        hopping_counts,
+        stream_hopping_counts,
+    )
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in hopping_counts(tables["events"]).collect()
+    }
+    n_events = tables["events"].count()
+    assert sum(n for n, _ in batch.values()) == 2 * n_events
+    stream_hopping_counts(spark, sf_dir, str(tmp_path), out_table="hop_test")
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("hop_test").collect()
+    }
+    assert batch == streamed
+    assert len(batch) > len({k[0] for k in batch})  # multiple types per window
