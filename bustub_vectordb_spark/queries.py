@@ -1595,6 +1595,46 @@ def q_source_orc_roundtrip(spark, sf_dir):
     )
 
 
+@_register(
+    "source_partitioned_pruning",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def q_source_partitioned_pruning(spark, sf_dir):
+    # Hive-style partitioned layout — the first lever against a 100 TB
+    # scan: events round-trip through a copy partitioned BY event_type
+    # (one directory per value), and the IN-filter read back prunes to 2
+    # of 5 partition directories at PLANNING time (PartitionFilters in
+    # the scan node, asserted in tests/test_layout.py — the other 3
+    # directories are never opened). Oracle computes from the canonical
+    # unpartitioned parquet, so partition-column type round-trip drift
+    # (string → dir name → string) hash-fails.
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    key = (sf_dir, "part_events")
+    if key not in _CSV_JSON_STAGE:
+        path = tempfile.mkdtemp(prefix="part_events_")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        _CSV_JSON_STAGE[key] = path
+    back = spark.read.parquet(_CSV_JSON_STAGE[key])
+    return (
+        back.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def _ivfflat_probe_oracle() -> str:
     import math
 
@@ -5690,12 +5730,12 @@ _GATE_WINDOW = [
     "decontaminate_bloom",
     "sketch_distinct_kmv",
     "events_hopping_window",
+    "source_partitioned_pruning",
     # --- stale re-gates: driver rows dating to r1 (4) and r3 (10) —
     # after this window every registry entry's newest driver row is ≤4
     # rounds old ---
     "knn_cosine",
     "knn_inner_product",
-    "knn_subquery_alias",
     "layout_bucketed_join",
     "ann_hnsw_probe",
     "ann_index_selection",
@@ -5703,9 +5743,9 @@ _GATE_WINDOW = [
     "events_sessionize",
     "multimodal_decode_features",
     "text_quality",
-    # (string_lower_upper / distinct / agg_having / sample_deterministic
-    # yield their slots to the round-7 entries — new entries outrank stale
-    # re-gates of trivially-stable expressions)
+    # (string_lower_upper / distinct / agg_having / sample_deterministic /
+    # knn_subquery_alias yield their slots to the round-7 entries — new
+    # entries outrank stale re-gates of trivially-stable expressions)
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

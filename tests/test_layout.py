@@ -123,3 +123,32 @@ def test_training_export_shards_roundtrip(spark, tables, tmp_path):
         per_shard.setdefault(s, []).append(p)
     for s, ps in per_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_partitioned_layout_prunes_at_planning_time(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy(event_type) + IN-filter read: the scan must
+    carry the predicate as PartitionFilters (planning-time directory
+    pruning) and touch only the 2 selected partitions' files — the lever
+    that turns a 100 TB scan into a 2-partition scan."""
+    from bustub_vectordb_spark.catalog import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    path = str(tmp_path / "part_events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    q = back.filter(F.col("event_type").isin("view", "purchase")).groupBy(
+        "event_type"
+    ).count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # row-level check: pruned read equals filtered full read
+    got = {r["event_type"]: r["count"] for r in q.collect()}
+    want = {
+        r["event_type"]: r["count"]
+        for r in ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    assert got == want and set(got) == {"view", "purchase"}
