@@ -5424,6 +5424,114 @@ def q_events_hopping_window(spark, sf_dir):
 
 
 @_register(
+    "events_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts)::BIGINT AS tns FROM events
+    ), s1 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN tns END) AS t1
+      FROM e GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, s1.t1, min(CASE WHEN event_type = 'click' AND tns > t1
+                                        THEN tns END) AS t2
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id, s1.t1
+    ), s3 AS (
+      SELECT e.user_id, s2.t1, s2.t2,
+             min(CASE WHEN event_type = 'purchase' AND tns > t2
+                      THEN tns END) AS t3
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      GROUP BY e.user_id, s2.t1, s2.t2
+    )
+    SELECT count(t1) AS n_view,
+           count(t2) AS n_click_after_view,
+           count(t3) AS n_purchase_after_click
+    FROM s3
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    # Ordered funnel: users who viewed -> first click AFTER that view ->
+    # first purchase AFTER that click. Each stage is one conditional-min
+    # aggregation keyed on user_id; the stage threshold (previous stage's
+    # timestamp) rides along in the group key, so the whole funnel is 3
+    # hash aggregates + 2 user-key joins — every shuffle is on user_id, a
+    # high-cardinality even key (AQE handles residual skew). No windows,
+    # no per-user sorting: scale-safe at any event volume.
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").alias("tns")
+    )
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("tns"))).alias("t1")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("tns") > F.col("t1")),
+                    F.col("tns"),
+                )
+            ).alias("t2")
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("tns") > F.col("t2")),
+                    F.col("tns"),
+                )
+            ).alias("t3")
+        )
+    )
+    return s3.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_after_view"),
+        F.count("t3").alias("n_purchase_after_click"),
+    )
+
+
+@_register(
+    "events_retention_cohorts",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000000000 // 604800 AS week FROM events
+    ), first AS (
+      SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+    )
+    SELECT f.cohort_week, (e.week - f.cohort_week) AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention_cohorts(spark, sf_dir):
+    # Cohort retention matrix: users grouped by first-activity week, then
+    # distinct-active counts per (cohort, week offset) — the standard
+    # product-analytics retention triangle. Two shuffles: min-week per
+    # user (map-side combinable), then the (cohort, offset) distinct
+    # count. The user-key join broadcasts nothing corpus-sized; at 100 TB
+    # the `first` side is |users| rows, re-shuffled on the same user_id
+    # key the groupBy just produced (Catalyst reuses the partitioning).
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("(ts div 1000000000) div 604800").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@_register(
     "events_sessionize",
     """
     WITH e AS (
@@ -5731,21 +5839,23 @@ _GATE_WINDOW = [
     "sketch_distinct_kmv",
     "events_hopping_window",
     "source_partitioned_pruning",
+    "events_funnel",
+    "events_retention_cohorts",
     # --- stale re-gates: driver rows dating to r1 (4) and r3 (10) —
     # after this window every registry entry's newest driver row is ≤4
     # rounds old ---
     "knn_cosine",
     "knn_inner_product",
     "layout_bucketed_join",
-    "ann_hnsw_probe",
-    "ann_index_selection",
     "dedup_exact",
     "events_sessionize",
     "multimodal_decode_features",
     "text_quality",
     # (string_lower_upper / distinct / agg_having / sample_deterministic /
-    # knn_subquery_alias yield their slots to the round-7 entries — new
-    # entries outrank stale re-gates of trivially-stable expressions)
+    # knn_subquery_alias / ann_hnsw_probe / ann_index_selection yield their
+    # slots to the round-7 entries — new entries outrank stale re-gates of
+    # trivially-stable expressions and of families already carrying fresh
+    # driver rows)
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

@@ -138,3 +138,31 @@ def test_asof_attribution_matches_window_reference(spark, sf_dir):
     )
     ref_byp = {r["purchase_id"]: (r["view_id"], r["lag_sec"]) for r in ref}
     assert byp == ref_byp
+
+
+def test_funnel_stage_counts_monotone(spark, sf_dir):
+    """Ordered funnel invariant: each stage's count is <= the previous
+    stage's (a click-after-view requires a view; a purchase-after-click
+    requires that click)."""
+    from bustub_vectordb_spark.queries import QUERIES
+
+    row = QUERIES["events_funnel"](spark, sf_dir).collect()[0]
+    assert row["n_view"] >= row["n_click_after_view"] >= row["n_purchase_after_click"]
+    assert row["n_view"] > 0
+
+
+def test_retention_cohort_offsets_well_formed(spark, sf_dir):
+    """Retention triangle invariants: offset 0 exists for every cohort
+    (the cohort's own first week), offsets are non-negative, and the
+    offset-0 count is the cohort's max (nobody can be active later who
+    was never active)."""
+    from bustub_vectordb_spark.queries import QUERIES
+
+    rows = QUERIES["events_retention_cohorts"](spark, sf_dir).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        assert r["week_offset"] >= 0
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["n_active"]
+    for c, offs in by_cohort.items():
+        assert 0 in offs, f"cohort {c} missing offset 0"
+        assert offs[0] == max(offs.values()), f"cohort {c} offset-0 not max"
