@@ -6,6 +6,7 @@ from .bpe import (
     repo_tokenizer,
     save_merges,
 )
+from .lm import bigram_lm_scores, doc_bigrams
 from .sketch import kmv_distinct_estimate, kmv_hash
 from .vector import (
     cosine_distance,
@@ -18,7 +19,9 @@ from .vector import (
 
 __all__ = [
     "BPETokenizer",
+    "bigram_lm_scores",
     "bpe_token_count",
+    "doc_bigrams",
     "cosine_distance",
     "cosine_similarity",
     "inner_product",

@@ -5424,6 +5424,51 @@ def q_events_hopping_window(spark, sf_dir):
 
 
 @_register(
+    "text_bigram_lm_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ts) >= 2
+                         THEN list_transform(generate_series(1, len(ts)-1),
+                                             i -> {'w1': ts[i], 'w2': ts[i+1]})
+                         ELSE [] END) AS bg
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, struct_extract(bg, 'w1') AS w1,
+             struct_extract(bg, 'w2') AS w2
+      FROM g
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(ts) AS t FROM toks)
+    )
+    SELECT bg.doc_id, count(*) AS n_bigrams,
+           round(avg(ln((c12.c12 + 1) / (c1.c1 + v.v))), 4) AS avg_logp
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def q_text_bigram_lm_score(spark, sf_dir):
+    # CCNet-style statistical quality signal: per-doc mean log-prob under
+    # the corpus-trained Laplace-smoothed bigram model (functions/lm.py —
+    # see there for why unsmoothed MLE inverts the gibberish ranking). All
+    # codegen — one explode per doc, two map-side-combinable count
+    # shuffles, two token-key joins; the count tables are |vocab|-sized
+    # RELATIONS, never driver state. Catches gibberish/keyword-stuffing
+    # that the shape ratios (text_quality) miss.
+    from .functions.lm import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "text", "doc_id")
+
+
+@_register(
     "events_funnel",
     """
     WITH e AS (
@@ -5841,6 +5886,7 @@ _GATE_WINDOW = [
     "source_partitioned_pruning",
     "events_funnel",
     "events_retention_cohorts",
+    "text_bigram_lm_score",
     # --- stale re-gates: driver rows dating to r1 (4) and r3 (10) —
     # after this window every registry entry's newest driver row is ≤4
     # rounds old ---
@@ -5850,7 +5896,6 @@ _GATE_WINDOW = [
     "dedup_exact",
     "events_sessionize",
     "multimodal_decode_features",
-    "text_quality",
     # (string_lower_upper / distinct / agg_having / sample_deterministic /
     # knn_subquery_alias / ann_hnsw_probe / ann_index_selection yield their
     # slots to the round-7 entries — new entries outrank stale re-gates of

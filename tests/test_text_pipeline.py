@@ -420,3 +420,32 @@ def test_bpe_distributed_matches_reference_encoder(spark, tables):
     tok = repo_tokenizer()
     for r in docs.select("doc_id", "text").collect():
         assert got[r["doc_id"]] == tok.token_count(r["text"]), r["doc_id"]
+
+
+def test_bigram_lm_scores_rank_gibberish_below_natural(spark):
+    """The LM signal the shape ratios miss: a doc of unique never-repeated
+    token sequences (gibberish) must score a lower mean log-prob than docs
+    built from a small repeated vocabulary (natural-ish), given a shared
+    corpus model."""
+    from bustub_vectordb_spark.functions.lm import bigram_lm_scores
+
+    natural = "the cat sat on the mat and the cat sat again " * 4
+    docs = [(i, natural) for i in range(5)]
+    gibberish = " ".join(f"zq{i}x w{i*7}k" for i in range(20))
+    docs.append((99, gibberish))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r["avg_logp"] for r in
+            bigram_lm_scores(df, "text", "doc_id").collect()}
+    assert rows[99] < rows[0], rows
+    # repeated natural docs share every bigram 5x -> high probability
+    assert rows[0] > -2.0
+
+
+def test_bigram_lm_short_docs_absent(spark):
+    from bustub_vectordb_spark.functions.lm import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two tokens")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in bigram_lm_scores(df, "text", "doc_id").collect()}
+    assert got == {3}
