@@ -24,6 +24,13 @@ serve caps (VamanaIndex.serve_cap) are asserted un-lowered.
 Usage: python tools/scale_drill.py [--rows 2200000] [--dim 64]
        [--out /tmp/scale_drill]
 Prints one JSON line with recalls + wall-times (NOTES records them).
+
+Run the two tiers in SEPARATE processes (--skip-vamana, then --skip-gen
+--skip-hnsw): Spark retains a session's shuffle files while the RDDs that
+reference them stay live, so the routed-HNSW build's cached blobs +
+shuffle output (tens of GB at this scale) sit on disk underneath the
+vamana build's own ~25 GB+ proposal exchange — one combined run filled
+the container's disk mid-spill where each tier alone fits comfortably.
 """
 
 from __future__ import annotations
