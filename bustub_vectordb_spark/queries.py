@@ -5496,44 +5496,43 @@ def q_text_bigram_lm_score(spark, sf_dir):
 )
 def q_events_funnel(spark, sf_dir):
     # Ordered funnel: users who viewed -> first click AFTER that view ->
-    # first purchase AFTER that click. Each stage is one conditional-min
-    # aggregation keyed on user_id; the stage threshold (previous stage's
-    # timestamp) rides along in the group key, so the whole funnel is 3
-    # hash aggregates + 2 user-key joins — every shuffle is on user_id, a
-    # high-cardinality even key (AQE handles residual skew). No windows,
-    # no per-user sorting: scale-safe at any event volume.
+    # first purchase AFTER that click. Each stage is a conditional min
+    # OVER (PARTITION BY user_id) whose predicate references the previous
+    # stage's window column — the three chained Window operators share ONE
+    # Exchange (all partition on user_id), the per-user rollup reuses that
+    # partitioning (no second shuffle), so the whole funnel is 1 scan +
+    # 1 user-key shuffle at any event volume (plan asserted in
+    # tests/test_plan_shape.py). A naive stage-join formulation re-scans
+    # the events table once per funnel stage — 3 full scans at 100 TB.
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.col("ts").alias("tns")
     )
-    s1 = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("tns"))).alias("t1")
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("tns"))).over(w)
     )
-    s2 = (
-        ev.join(s1, "user_id")
-        .groupBy("user_id", "t1")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click") & (F.col("tns") > F.col("t1")),
-                    F.col("tns"),
-                )
-            ).alias("t2")
-        )
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("tns") > F.col("t1")),
+                F.col("tns"),
+            )
+        ).over(w),
     )
-    s3 = (
-        ev.join(s2, "user_id")
-        .groupBy("user_id", "t1", "t2")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("tns") > F.col("t2")),
-                    F.col("tns"),
-                )
-            ).alias("t3")
-        )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("tns") > F.col("t2")),
+                F.col("tns"),
+            )
+        ).over(w),
     )
-    return s3.agg(
+    per_user = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_click_after_view"),
         F.count("t3").alias("n_purchase_after_click"),

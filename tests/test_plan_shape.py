@@ -200,3 +200,17 @@ def test_boilerplate_removal_no_pairwise_join(spark, tables):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """The 3 chained stage-windows all partition on user_id and must share
+    ONE Exchange; the per-user rollup reuses that partitioning. Only the
+    final global 3-count aggregate may add its single-partition exchange."""
+    from bustub_vectordb_spark.queries import QUERIES
+
+    out = QUERIES["events_funnel"](spark, sf_dir)
+    p = plan_of(out)
+    # hashpartitioning exchange for user_id exactly once; the global agg's
+    # SinglePartition exchange is the only other one
+    assert p.count("Exchange (") <= 2, p
+    assert p.count("hashpartitioning(user_id") <= 1, p
