@@ -5556,23 +5556,20 @@ def q_events_funnel(spark, sf_dir):
 def q_events_retention_cohorts(spark, sf_dir):
     # Cohort retention matrix: users grouped by first-activity week, then
     # distinct-active counts per (cohort, week offset) — the standard
-    # product-analytics retention triangle. Two shuffles: min-week per
-    # user (map-side combinable), then the (cohort, offset) distinct
-    # count. The user-key join broadcasts nothing corpus-sized; at 100 TB
-    # the `first` side is |users| rows, re-shuffled on the same user_id
-    # key the groupBy just produced (Catalyst reuses the partitioning).
+    # product-analytics retention triangle. cohort_week attaches as a
+    # window min OVER (PARTITION BY user_id) — 1 scan + 1 user-key
+    # shuffle + the (cohort, offset) distinct-count shuffle; the
+    # first-week self-join formulation would scan events twice.
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.expr("(ts div 1000000000) div 604800").alias("week")
     )
-    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    return (
-        ev.join(first, "user_id")
-        .groupBy(
-            "cohort_week",
-            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_active"))
+    d = ev.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
     )
+    return d.groupBy(
+        "cohort_week",
+        (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_active"))
 
 
 @_register(
