@@ -63,3 +63,31 @@ def kmv_distinct_estimate(
         F.round(F.lit(float(k - 1)) / (F.col("kth") / F.lit(_HASH_SPACE)), 4)
     )
     return agg.select(F.lit(k).alias("k"), est.alias("n_est"))
+
+
+def kmv_distinct_estimate_by(
+    values: DataFrame, group_col: str, value_col: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """Group-wise KMV: ``(group, n_est)`` — one distinct-count estimate per
+    group. The bottom-k per group is a row_number window over the DISTINCT
+    hash set (vocab-sized per group, far smaller than the value stream;
+    there is no per-group TakeOrdered in Spark, so the sort is the price
+    of group-wise sketching — still nothing value-stream-sized shuffles).
+    """
+    from pyspark.sql import Window
+
+    h = (
+        values.select(F.col(group_col), kmv_hash(value_col).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    tk = h.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    agg = tk.groupBy(group_col).agg(
+        F.count("*").alias("cnt"), F.max("h").alias("kth")
+    )
+    est = F.when(
+        F.col("cnt") < k, F.col("cnt").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) / (F.col("kth") / F.lit(_HASH_SPACE)), 4)
+    )
+    return agg.select(F.col(group_col), est.alias("n_est"))

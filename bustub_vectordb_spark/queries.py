@@ -5424,6 +5424,63 @@ def q_events_hopping_window(spark, sf_dir):
 
 
 @_register(
+    "documents_data_card",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ), stats AS (
+      SELECT lang, count(DISTINCT doc_id) AS n_docs,
+             count(*) AS total_tokens
+      FROM tok GROUP BY lang
+    ), h AS (
+      SELECT DISTINCT lang, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h
+      FROM tok
+    ), r AS (
+      SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM h
+    ), s AS (
+      SELECT lang, count(*) AS cnt, max(h) AS kth
+      FROM r WHERE rn <= 128 GROUP BY lang
+    )
+    SELECT stats.lang, n_docs, total_tokens,
+           CASE WHEN cnt < 128 THEN cnt::DOUBLE
+                ELSE round(127.0 / (kth / 281474976710656.0), 4)
+                END AS vocab_est
+    FROM stats JOIN s ON stats.lang = s.lang
+    """,
+)
+def q_documents_data_card(spark, sf_dir):
+    # The corpus data card: per-language doc/token totals + a GROUP-WISE
+    # KMV vocabulary estimate (functions/sketch.py
+    # kmv_distinct_estimate_by) — the summary table a dataset release
+    # ships. One token explode feeds both the totals and the sketch;
+    # the sketch's bottom-k-per-group is a window over the per-language
+    # DISTINCT hash set (vocab-sized, not stream-sized). Exact twin of
+    # what you'd publish at 100 TB, where exact per-lang vocab counts
+    # are a vocabulary-wide shuffle each.
+    from .functions.sketch import kmv_distinct_estimate_by
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+    )
+    stats = tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_tokens"),
+    )
+    vocab = kmv_distinct_estimate_by(tok, "lang", "t", k=128).withColumnRenamed(
+        "n_est", "vocab_est"
+    )
+    return stats.join(vocab, "lang").select(
+        "lang", "n_docs", "total_tokens", "vocab_est"
+    )
+
+
+@_register(
     "text_bigram_lm_score",
     """
     WITH toks AS (
@@ -5883,13 +5940,13 @@ _GATE_WINDOW = [
     "events_funnel",
     "events_retention_cohorts",
     "text_bigram_lm_score",
+    "documents_data_card",
     # --- stale re-gates: driver rows dating to r1 (4) and r3 (10) —
     # after this window every registry entry's newest driver row is ≤4
     # rounds old ---
     "knn_cosine",
     "knn_inner_product",
     "layout_bucketed_join",
-    "dedup_exact",
     "events_sessionize",
     "multimodal_decode_features",
     # (string_lower_upper / distinct / agg_having / sample_deterministic /

@@ -112,3 +112,31 @@ def test_kmv_take_is_per_partition_topk(spark):
     with redirect_stdout(buf):
         h.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_kmv_groupwise_matches_global_on_single_group(spark):
+    """kmv_distinct_estimate_by over one group must produce exactly the
+    global sketch's estimate (same hash set, same bottom-k)."""
+    from bustub_vectordb_spark.functions.sketch import (
+        kmv_distinct_estimate,
+        kmv_distinct_estimate_by,
+    )
+
+    df = spark.range(20_000).selectExpr("'g' AS g", "cast(id as string) AS v")
+    g = kmv_distinct_estimate(df, "v", k=128).collect()[0]["n_est"]
+    b = kmv_distinct_estimate_by(df, "g", "v", k=128).collect()[0]["n_est"]
+    assert g == b
+
+
+def test_kmv_groupwise_per_group_independence(spark):
+    """Each group's estimate depends only on that group's values: adding a
+    huge second group must not move the first group's estimate."""
+    from bustub_vectordb_spark.functions.sketch import kmv_distinct_estimate_by
+
+    a = spark.range(5_000).selectExpr("'a' AS g", "cast(id as string) AS v")
+    big = spark.range(80_000).selectExpr("'b' AS g", "cast(id + 1000000 as string) AS v")
+    solo = {r["g"]: r["n_est"] for r in kmv_distinct_estimate_by(a, "g", "v").collect()}
+    both = {r["g"]: r["n_est"] for r in
+            kmv_distinct_estimate_by(a.union(big), "g", "v").collect()}
+    assert solo["a"] == both["a"]
+    assert abs(both["b"] - 80_000) / 80_000 < 0.25
