@@ -5424,6 +5424,60 @@ def q_events_hopping_window(spark, sf_dir):
 
 
 @_register(
+    "stream_distinct_sketch",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS __ts
+      FROM documents
+    ), sh AS (
+      SELECT CASE WHEN len(__ts) >= 3 THEN {_TRIGRAM_SQL} ELSE [] END AS sg
+      FROM toks
+    ), g AS (
+      SELECT DISTINCT unnest(sg) AS v FROM sh
+    ), h AS (
+      SELECT DISTINCT ('0x' || substr(md5(v), 1, 12))::BIGINT AS h FROM g
+    ), tk AS (
+      SELECT h FROM h ORDER BY h LIMIT 256
+    ), a AS (
+      SELECT count(*) AS cnt, max(h) AS kth FROM tk
+    )
+    SELECT 256 AS k,
+           CASE WHEN cnt < 256 THEN cnt::DOUBLE
+                ELSE round(255.0 / (kth / 281474976710656.0), 4) END AS n_est
+    FROM a
+    """,
+)
+def q_stream_distinct_sketch(spark, sf_dir):
+    # STREAMING KMV distinct sketch: the corpus arrives as 3 staged
+    # micro-batches; each contributes its bottom-k trigram hashes, the
+    # driver state is k ints (streaming/sketch.py). Because the sketch is
+    # MERGEABLE (bottom-k of a union == bottom-k of merged bottom-ks) and
+    # set-union is replay-idempotent, the ORACLE IS THE BATCH SKETCH SQL
+    # over the full corpus — the gate directly asserts stream == batch,
+    # no sequential-replay unroll needed.
+    import tempfile
+
+    from .dedup.minhash import shingles
+    from .streaming.sketch import sketch_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="kmv_stage_")
+    _stage_stream_parts(
+        stage,
+        [(f"part{i}", docs.filter(F.col("doc_id") % 3 == i)) for i in range(3)],
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/part*")
+    )
+    sv = stream.select(F.explode(shingles("text", 3)).alias("v"))
+    q, sink = sketch_stream(sv, "v", tempfile.mkdtemp(prefix="kmv_ckpt_"))
+    q.awaitTermination()
+    return sink.estimate_df(spark)
+
+
+@_register(
     "documents_data_card",
     """
     WITH tok AS (
@@ -5941,12 +5995,12 @@ _GATE_WINDOW = [
     "events_retention_cohorts",
     "text_bigram_lm_score",
     "documents_data_card",
+    "stream_distinct_sketch",
     # --- stale re-gates: driver rows dating to r1 (4) and r3 (10) —
     # after this window every registry entry's newest driver row is ≤4
     # rounds old ---
     "knn_cosine",
     "knn_inner_product",
-    "layout_bucketed_join",
     "events_sessionize",
     "multimodal_decode_features",
     # (string_lower_upper / distinct / agg_having / sample_deterministic /

@@ -7,9 +7,12 @@ from .events import (
     tumbling_counts,
 )
 from .sessions import sessionize, stream_sessionize
+from .sketch import StreamKMV, sketch_stream
 
 __all__ = [
+    "StreamKMV",
     "events_stream",
+    "sketch_stream",
     "first_per_key",
     "hopping_counts",
     "sessionize",

@@ -241,3 +241,40 @@ def test_hopping_stream_matches_batch(spark, sf_dir, tables, tmp_path):
     }
     assert batch == streamed
     assert len(batch) > len({k[0] for k in batch})  # multiple types per window
+
+
+def test_stream_kmv_replay_idempotent_and_restartable(spark, tmp_path):
+    """Mergeable-sketch properties: processing the same batch twice must
+    not move the state (at-least-once safety with NO batch bookkeeping),
+    and a sink restarted from the persisted state file must carry on with
+    an identical estimate."""
+    from bustub_vectordb_spark.streaming.sketch import StreamKMV
+
+    df = spark.range(30_000).selectExpr("cast(id as string) AS v")
+    state = str(tmp_path / "kmv_state.json")
+    sink = StreamKMV("v", k=128, state_path=state)
+    sink.process_batch(df, 0)
+    once = list(sink.state)
+    sink.process_batch(df, 0)  # replay
+    assert sink.state == once
+    est = sink.estimate_df(spark).collect()[0]["n_est"]
+
+    resumed = StreamKMV("v", k=128, state_path=state)
+    assert resumed.state == once
+    assert resumed.estimate_df(spark).collect()[0]["n_est"] == est
+
+
+def test_stream_kmv_merge_equals_batch(spark):
+    """bottom-k(A ∪ B) == merge(bottom-k(A), bottom-k(B)) — the property
+    that makes the streaming oracle the plain batch SQL."""
+    from bustub_vectordb_spark.functions.sketch import kmv_distinct_estimate
+    from bustub_vectordb_spark.streaming.sketch import StreamKMV
+
+    a = spark.range(0, 20_000).selectExpr("cast(id as string) AS v")
+    b = spark.range(15_000, 40_000).selectExpr("cast(id as string) AS v")
+    sink = StreamKMV("v", k=256)
+    sink.process_batch(a, 0)
+    sink.process_batch(b, 1)
+    streamed = sink.estimate_df(spark).collect()[0]["n_est"]
+    batch = kmv_distinct_estimate(a.union(b), "v", k=256).collect()[0]["n_est"]
+    assert streamed == batch
