@@ -1950,6 +1950,48 @@ def q_ann_sq8_adc_ip(spark, sf_dir):
     )
 
 
+def _bq_hamming_oracle() -> str:
+    from .similarity.bq import bq_hamming_oracle_sql
+
+    return bq_hamming_oracle_sql("embeddings", "embedding", "vec_id", QUERY_VEC, 10)
+
+
+@_register("ann_bq_hamming", _bq_hamming_oracle())
+def q_ann_bq_hamming(spark, sf_dir):
+    # 1-bit binary-quantization coarse probe (similarity/bq.py): midrange
+    # sign codes packed into int64 words, Hamming = XOR + bit_count inside
+    # whole-stage codegen — 32x smaller codes than float32, integer-exact
+    # score (no rounding anywhere). The cheapest per-byte brute-force tier
+    # next to SQ8 (1 B/dim) and PQ (16 B/vec).
+    from .similarity.bq import BQModel
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = BQModel.train(e, "embedding")
+    return model.hamming_topk(e, "embedding", "vec_id", QUERY_VEC, 10)
+
+
+def _bq_rerank_oracle() -> str:
+    from .similarity.bq import bq_rerank_oracle_sql
+
+    return bq_rerank_oracle_sql(
+        "embeddings", "embedding", "vec_id", QUERY_VEC, 10, shortlist=50
+    )
+
+
+@_register("ann_bq_rerank", _bq_rerank_oracle())
+def q_ann_bq_rerank(spark, sf_dir):
+    # the standard binary-quantization recipe: Hamming top-50 shortlist
+    # (integer TakeOrderedAndProject over packed words), broadcast the
+    # 50-row shortlist back onto the full-precision source, exact L2 on
+    # the survivors only — 50 float distances per query regardless of
+    # corpus size.
+    from .similarity.bq import BQModel
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = BQModel.train(e, "embedding")
+    return model.rerank_topk(e, "embedding", "vec_id", QUERY_VEC, 10, shortlist=50)
+
+
 def _ivf_sq8_rerank_oracle() -> str:
     """DuckDB replica of the full IVF+SQ8+rerank pipeline: inlined IVF
     centroids (deterministic training, same as the partial-probe oracles),

@@ -1,0 +1,261 @@
+"""Binary quantization (1 bit/dim) — the extreme-compression ANN tier.
+
+At 100 TB the cheapest index is the one whose codes fit in the CPU cache:
+1-bit-per-dimension sign codes shrink a 64-dim float32 vector from 256 B
+to 8 B (32x), and Hamming distance over the packed words is XOR+popcount —
+pure integer ALU work inside whole-stage codegen, no floats, no UDFs.
+This is the "binary quantization" tier modern vector stores ship as their
+fastest coarse filter (cf. the 1-bit LSH of Charikar STOC'02 — the sign of
+a projection preserves angle — and FAISS's IndexBinaryFlat); the standard
+recipe is Hamming shortlist -> exact rerank, which `rerank_topk` provides.
+
+Design choices, all driven by oracle exactness:
+
+  threshold   per-dim MIDRANGE (mn+mx)/2, not the mean: min/max are exact
+              in floating point regardless of aggregation order, so Spark
+              and DuckDB derive bit-identical thresholds (a mean would
+              drift by summation order and could flip a borderline bit).
+  encode      bit d = (x_d > thr_d), packed MSB-first into array<bigint>
+              words via a sequence/slice/aggregate HOF chain — expression
+              size is O(words), so a 768-dim corpus packs into 12 words
+              without a 768-term unrolled projection.
+  distance    Hamming = sum_w bit_count(words_w XOR qwords_w) — equals the
+              per-bit mismatch count the oracle SQL computes directly
+              (popcount of XOR == sum of bit inequalities), so no rounding
+              is needed anywhere: the score is an exact integer.
+  rerank      Hamming top-m shortlist (global TakeOrderedAndProject on an
+              integer key) -> exact float L2 on the m survivors only.
+
+Scale: train is one (dim, x) shuffle with dimension-sized output (driver
+holds O(dims) thresholds, like IVF centroids); encode is a narrow
+projection; probe is a full scan of 8-byte codes + top-k — the scan the
+other tiers (IVF routing, graph walks) exist to avoid, but at 32x
+compression it is the strongest brute-force baseline per byte.
+
+The reference stores raw doubles in all its indexes
+(src/storage/index/ivfflat_index.cpp, hnsw_index.cpp); compression tiers
+are this repo's north-star scale extension alongside SQ8/PQ.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .quantize import dim_stats
+
+# 32 bits per word, stored in (signed) longs: the MSB-first fold acc*2+b
+# would overflow a signed int64 at the 64th bit under ANSI mode, and 32-bit
+# words XOR/popcount identically. 768 dims -> 24 words.
+WORD_BITS = 32
+
+
+@dataclass
+class BQModel:
+    """Per-dimension midrange thresholds (driver-resident, O(dims))."""
+
+    thresholds: list[float]
+
+    @classmethod
+    def train(cls, df: DataFrame, vec_col: str) -> "BQModel":
+        rows = dim_stats(df, vec_col).orderBy("dim").collect()
+        return cls([(r["mn"] + r["mx"]) / 2.0 for r in rows])
+
+    @property
+    def dims(self) -> int:
+        return len(self.thresholds)
+
+    @property
+    def n_words(self) -> int:
+        return (self.dims + WORD_BITS - 1) // WORD_BITS
+
+    def _bits(self, vec: Column | str) -> Column:
+        """array<bigint> of 0/1 sign bits (strict >, matching the oracle)."""
+        v = (F.col(vec) if isinstance(vec, str) else vec).cast("array<double>")
+        thr = F.array(*[F.lit(float(t)) for t in self.thresholds])
+        return F.zip_with(
+            v, thr, lambda x, t: F.when(x > t, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        )
+
+    def encode_words(self, vec: Column | str) -> Column:
+        """Pack sign bits MSB-first into ``array<bigint>`` words.
+
+        word[w] = fold over bits[w*64 .. w*64+63] of acc*2 + bit. The HOF
+        chain keeps the generated expression O(n_words) regardless of
+        dimensionality."""
+        bits = self._bits(vec)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(self.n_words - 1)),
+            lambda w: F.aggregate(
+                F.slice(bits, w * WORD_BITS + 1, WORD_BITS),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc * 2 + b,
+            ),
+        )
+
+    def encode_query(self, query: list[float]) -> list[int]:
+        """Driver-side packing of the query — same MSB-first layout."""
+        if len(query) != self.dims:
+            raise ValueError(f"query dims {len(query)} != model dims {self.dims}")
+        bits = [1 if float(x) > t else 0 for x, t in zip(query, self.thresholds)]
+        # no tail padding: the Spark fold packs a short final word without
+        # shifting, so the driver must fold over exactly the same bits
+        words = []
+        for w in range(self.n_words):
+            acc = 0
+            for b in bits[w * WORD_BITS : (w + 1) * WORD_BITS]:
+                acc = acc * 2 + b
+            words.append(acc)
+        return words
+
+    def hamming(self, words: Column, query: list[float]) -> Column:
+        """XOR + popcount over the packed words — exact integer distance."""
+        qwords = F.array(*[F.lit(w).cast("long") for w in self.encode_query(query)])
+        return F.aggregate(
+            F.zip_with(words, qwords, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    def hamming_topk(
+        self,
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        query: list[float],
+        k: int,
+        dist_col: str = "hamming",
+    ) -> DataFrame:
+        """Coarse probe: encode (narrow projection) -> integer Hamming ->
+        global top-k. Ties (common: Hamming is a small-integer score) break
+        by id ascending, mirroring the oracle."""
+        words = self.encode_words(vec_col)
+        return (
+            df.select(F.col(id_col), self.hamming(words, query).alias(dist_col))
+            .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+
+    def rerank_topk(
+        self,
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        query: list[float],
+        k: int,
+        shortlist: int = 50,
+        dist_col: str = "dist",
+    ) -> DataFrame:
+        """Hamming shortlist (top-``shortlist``) -> exact L2 rerank -> top-k.
+
+        The shortlist is k-sized, so the join back to the full-precision
+        source broadcasts; only ``shortlist`` exact distances are computed
+        no matter the corpus size."""
+        from pyspark.sql.functions import broadcast
+
+        short = self.hamming_topk(df, vec_col, id_col, query, shortlist)
+        q = F.array(*[F.lit(float(x)) for x in query])
+        exact = F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        q,
+                        lambda x, qq: (x - qq) * (x - qq),
+                    ),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                )
+            ),
+            6,
+        )
+        return (
+            df.join(broadcast(short.select(id_col)), id_col, "inner")
+            .select(F.col(id_col), exact.alias(dist_col))
+            .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+
+
+def _dims_cte(table: str, vec_col: str) -> str:
+    return f"""
+    dims AS (
+        SELECT i AS dim, (min(x) + max(x)) / 2.0 AS thr
+        FROM (SELECT unnest({vec_col}::DOUBLE[]) AS x,
+                     generate_subscripts({vec_col}, 1) AS i
+              FROM {table})
+        GROUP BY i
+    )"""
+
+
+def bq_hamming_oracle_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int,
+    dist_col: str = "hamming",
+) -> str:
+    """Self-contained DuckDB replica of train -> encode -> Hamming -> top-k.
+
+    Thresholds are midranges computed in SQL (exact, order-independent);
+    the Hamming distance is the per-dim bit-mismatch count, which equals
+    popcount-of-XOR over any packing. No rounding: the score is integer."""
+    qvals = ", ".join(repr(float(x)) for x in query)
+    return f"""
+    WITH {_dims_cte(table, vec_col)},
+    q AS (SELECT unnest([{qvals}]) AS qx,
+                 generate_subscripts([{qvals}], 1) AS dim),
+    elems AS (
+        SELECT {id_col}, generate_subscripts({vec_col}, 1) AS dim,
+               unnest({vec_col}::DOUBLE[]) AS x
+        FROM {table}
+    )
+    SELECT {id_col},
+           sum(CASE WHEN (e.x > d.thr) <> (q.qx > d.thr)
+                    THEN 1 ELSE 0 END)::BIGINT AS {dist_col}
+    FROM elems e JOIN dims d USING (dim) JOIN q USING (dim)
+    GROUP BY {id_col}
+    ORDER BY {dist_col} ASC, {id_col} ASC
+    LIMIT {k}
+    """
+
+
+def bq_rerank_oracle_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int,
+    shortlist: int = 50,
+    dist_col: str = "dist",
+) -> str:
+    """Hamming shortlist -> exact L2 rerank, mirroring BQModel.rerank_topk
+    step by step (same strict->, same tie-breaks, same 6dp final round)."""
+    qvals = ", ".join(repr(float(x)) for x in query)
+    return f"""
+    WITH {_dims_cte(table, vec_col)},
+    q AS (SELECT unnest([{qvals}]) AS qx,
+                 generate_subscripts([{qvals}], 1) AS dim),
+    elems AS (
+        SELECT {id_col}, generate_subscripts({vec_col}, 1) AS dim,
+               unnest({vec_col}::DOUBLE[]) AS x
+        FROM {table}
+    ),
+    short AS (
+        SELECT {id_col}
+        FROM elems e JOIN dims d USING (dim) JOIN q USING (dim)
+        GROUP BY {id_col}
+        ORDER BY sum(CASE WHEN (e.x > d.thr) <> (q.qx > d.thr)
+                          THEN 1 ELSE 0 END) ASC, {id_col} ASC
+        LIMIT {shortlist}
+    )
+    SELECT {id_col},
+           round(sqrt(sum((e.x - q.qx) * (e.x - q.qx))), 6) AS {dist_col}
+    FROM elems e JOIN q USING (dim)
+    WHERE {id_col} IN (SELECT {id_col} FROM short)
+    GROUP BY {id_col}
+    ORDER BY {dist_col} ASC, {id_col} ASC
+    LIMIT {k}
+    """

@@ -1,0 +1,92 @@
+"""Binary quantization (similarity/bq.py): packing parity between the
+Spark HOF encoder and the driver query encoder, Hamming semantics,
+shortlist-rerank recall vs exact KNN, and dimension-scaling of the words."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bustub_vectordb_spark.catalog import read_table
+from bustub_vectordb_spark.queries import QUERY_VEC
+from bustub_vectordb_spark.similarity.brute import knn
+from bustub_vectordb_spark.similarity.bq import WORD_BITS, BQModel
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def model(emb):
+    return BQModel.train(emb, "embedding")
+
+
+def test_spark_and_driver_packing_agree(emb, model):
+    """Encoding a stored vector through the Spark HOF chain must equal
+    encoding the same floats through encode_query — one packing layout."""
+    rows = emb.select(
+        "embedding", model.encode_words("embedding").alias("words")
+    ).limit(20).collect()
+    assert rows
+    for r in rows:
+        assert list(r["words"]) == model.encode_query(list(r["embedding"]))
+
+
+def test_hamming_is_bit_mismatch_count(spark):
+    """2-dim toy corpus: Hamming equals the hand-counted sign mismatches."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 0.0]), (3, [10.0, 10.0])],
+        "id bigint, v array<double>",
+    )
+    m = BQModel.train(df, "v")  # thresholds (5.0, 5.0)
+    got = {
+        r["id"]: r["hamming"]
+        for r in m.hamming_topk(df, "v", "id", [10.0, 10.0], 3).collect()
+    }
+    assert got == {3: 0, 2: 1, 1: 2}
+
+
+def test_word_count_scales_with_dims(spark):
+    """A corpus wider than one word packs into ceil(d/WORD_BITS) words and
+    the two encoders still agree (exercises the slice boundary)."""
+    d = WORD_BITS + 7
+    df = spark.createDataFrame(
+        [(i, [float((i * j) % 5 - 2) for j in range(d)]) for i in range(6)],
+        "id bigint, v array<double>",
+    )
+    m = BQModel.train(df, "v")
+    assert m.n_words == 2
+    for r in df.select("v", m.encode_words("v").alias("w")).collect():
+        assert list(r["w"]) == m.encode_query(list(r["v"]))
+
+
+def test_rerank_recall_vs_exact(emb, model):
+    """1-bit codes are lossy; the Hamming-shortlist -> exact-rerank recipe
+    must still recover most of the exact top-10."""
+    exact = [r["vec_id"] for r in knn(emb, "embedding", QUERY_VEC, 10).collect()]
+    got = [
+        r["vec_id"]
+        for r in model.rerank_topk(
+            emb, "embedding", "vec_id", QUERY_VEC, 10, shortlist=50
+        ).collect()
+    ]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.7, f"BQ rerank recall@10 {recall}"
+
+
+def test_rerank_exact_distances(emb, model):
+    """Reranked distances are the true L2 (sqrt of the exact sum), so any
+    id present in both exact KNN and the rerank output carries the same
+    rounded distance."""
+    exact = {
+        r["vec_id"]: round(r["distance"], 6)
+        for r in knn(emb, "embedding", QUERY_VEC, 10).collect()
+    }
+    got = {
+        r["vec_id"]: r["dist"]
+        for r in model.rerank_topk(emb, "embedding", "vec_id", QUERY_VEC, 10).collect()
+    }
+    common = set(exact) & set(got)
+    assert common
+    for vid in common:
+        assert abs(exact[vid] - got[vid]) < 1e-5
