@@ -4180,6 +4180,34 @@ def q_hybrid_search_rrf(spark, sf_dir):
     )
 
 
+# ColBERT-style late-interaction query bag: 4 deterministic rotations of
+# QUERY_VEC (j=0 is QUERY_VEC itself), inlined identically into the oracle.
+MAXSIM_QUERY_VECS = [
+    [QUERY_VEC[(i + 13 * j) % len(QUERY_VEC)] for i in range(len(QUERY_VEC))]
+    for j in range(4)
+]
+
+
+def _maxsim_oracle() -> str:
+    from .similarity.maxsim import maxsim_oracle_sql
+
+    return maxsim_oracle_sql("embeddings", "embedding", "label", MAXSIM_QUERY_VECS)
+
+
+@_register("multivector_maxsim", _maxsim_oracle())
+def q_multivector_maxsim(spark, sf_dir):
+    # multi-vector late interaction (similarity/maxsim.py, Khattab &
+    # Zaharia SIGIR'20): each label is a bag of vectors; score = sum over
+    # the 4-query bag of the per-doc best cosine. One shuffle of
+    # |docs| x 4 scalars (map-side partial max), all codegen.
+    from .similarity.maxsim import maxsim_scores
+
+    e = _t(spark, sf_dir, "embeddings")
+    return maxsim_scores(e, "embedding", "label", MAXSIM_QUERY_VECS).orderBy(
+        F.col("maxsim_score").desc(), F.col("label").asc()
+    )
+
+
 @_register(
     "dedup_minhash_neardup",
     f"""
