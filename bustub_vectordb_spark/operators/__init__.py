@@ -1,4 +1,5 @@
 from .bloom import bloom_build, bloom_contamination_flags
+from .cdc import merge_upsert, scd2_intervals
 from .relational import delete_rows, distinct, top_n, top_n_per_group, update_rows
 
 __all__ = [
@@ -6,6 +7,8 @@ __all__ = [
     "bloom_contamination_flags",
     "delete_rows",
     "distinct",
+    "merge_upsert",
+    "scd2_intervals",
     "top_n",
     "top_n_per_group",
     "update_rows",

@@ -1231,6 +1231,89 @@ def q_delete_rewrite(spark, sf_dir):
     )
 
 
+@_register(
+    "merge_upsert",
+    """
+    WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+               FROM orders),
+    s AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice + 100.0 AS o_totalprice
+        FROM t WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        FROM t WHERE o_orderkey % 100 = 7
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                ELSE t.o_custkey END AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           round(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                      ELSE t.o_totalprice END, 2) AS o_totalprice
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    # ANSI-MERGE / lakehouse MERGE INTO semantics as a set-level rewrite
+    # (operators/cdc.py): a deterministic CDC batch — updates for keys
+    # ending in 3, inserts shifted past the key space — full-outer-merged
+    # into the base. The change batch is broadcast (the usual daily-delta
+    # vs 100 TB base shape), so the base is never shuffled.
+    from .operators.cdc import merge_upsert
+
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = t.where(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+    )
+    inserts = t.where(F.col("o_orderkey") % 100 == 7).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    merged = merge_upsert(
+        t, updates.unionAll(inserts), ["o_orderkey"], broadcast_source=True
+    )
+    return merged.withColumn("o_totalprice", F.round("o_totalprice", 2))
+
+
+@_register(
+    "scd2_intervals",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_ns(ts)::BIGINT AS ts_ns,
+                      event_id
+               FROM events),
+    ch AS (
+        SELECT user_id, event_type, ts_ns, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts_ns, event_id) AS prev
+        FROM e
+    ),
+    chg AS (SELECT * FROM ch WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id, event_type, ts_ns AS valid_from,
+           lead(ts_ns) OVER (PARTITION BY user_id
+                             ORDER BY ts_ns, event_id) AS valid_to
+    FROM chg
+    """,
+)
+def q_scd2_intervals(spark, sf_dir):
+    # SCD type-2 history from the event log (operators/cdc.py): per user,
+    # keep only event_type CHANGES (lag) and stitch [valid_from, valid_to)
+    # with lead — both windows share one (user_id, ts, event_id)
+    # partitioning, so the whole derivation is a single shuffle; the naive
+    # self-join-on-next-change formulation is two shuffles + hot-key skew.
+    from .operators.cdc import scd2_intervals
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_intervals(e, "user_id", "event_type", "ts", tie_col="event_id")
+
+
 # =========================================================================
 # Vector queries  (ref: vector.01-.05 slt ladder)
 # =========================================================================
