@@ -111,3 +111,93 @@ def colocated_join_agg(
         )
         .orderBy("o_orderpriority")
     )
+
+
+# =========================================================================
+# Z-order (Morton) layout — multi-dimensional data skipping
+# =========================================================================
+#
+# Bucketing co-locates JOINS; Z-ordering co-locates RANGE PREDICATES on
+# several columns at once. Sorting a table by one column gives parquet
+# min/max footer stats that prune scans on that column only — a 2-D box
+# query (custkey range AND totalprice range) still reads every file. The
+# Morton curve interleaves the bit-planes of both dimensions, so files
+# covering a contiguous z-range cover a small RECTANGLE in value space and
+# carry tight min/max stats on BOTH columns; Spark's parquet reader then
+# drops whole files/row-groups at planning time from the same pushed
+# filters it already has. This is the layout trick behind Delta/Iceberg
+# OPTIMIZE ZORDER BY (Databricks' multi-dimensional clustering), built
+# here from plain column arithmetic.
+#
+# The z-key is equi-width over the exact [min, max] of each dimension:
+# deterministic (min/max are order-independent) and shuffle-free to train
+# (one column-pruned agg). Heavily skewed columns would want equi-depth
+# (quantile) buckets instead — same interleave, different bucketizer.
+
+ZORDER_BITS = 16
+
+
+def _spread_bits(col: F.Column, bits: int) -> F.Column:
+    """Insert a zero between consecutive bits: b_i moves to position 2i
+    (static unrolled shift/mask chain — `bits` terms of integer ALU work,
+    whole-stage codegen)."""
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.shiftleft(F.shiftright(col, b).bitwiseAND(F.lit(1)), 2 * b)
+    return out
+
+
+def zorder_key(
+    c1: F.Column,
+    c2: F.Column,
+    lo1: float,
+    hi1: float,
+    lo2: float,
+    hi2: float,
+    bits: int = ZORDER_BITS,
+) -> F.Column:
+    """Morton-interleaved key over two equi-width-bucketed dimensions."""
+    n = (1 << bits) - 1
+
+    def bucket(c, lo, hi):
+        if hi <= lo:
+            return F.lit(0).cast("long")
+        scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo)) * (n + 1)
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(n).cast("long"), F.floor(scaled).cast("long")),
+        )
+
+    return _spread_bits(bucket(c1, lo1, hi1), bits) + F.shiftleft(
+        _spread_bits(bucket(c2, lo2, hi2), bits), 1
+    )
+
+
+def zorder_write(
+    df: DataFrame, col1: str, col2: str, path: str, n_files: int = 16
+) -> None:
+    """Write a Z-ordered parquet copy clustered on (col1, col2).
+
+    Bounds come from one column-pruned min/max agg (driver holds 4
+    scalars); the data path is repartitionByRange on the z-key (range
+    exchange = contiguous z-runs per file, which is what makes the footer
+    stats tight) + an in-partition sort, then a plain parquet write. The
+    layout cost is one shuffle, paid once, amortized over every 2-D range
+    query that follows."""
+    b = df.agg(
+        F.min(col1).alias("lo1"),
+        F.max(col1).alias("hi1"),
+        F.min(col2).alias("lo2"),
+        F.max(col2).alias("hi2"),
+    ).collect()[0]
+    z = zorder_key(
+        F.col(col1), F.col(col2), b["lo1"], b["hi1"], b["lo2"], b["hi2"]
+    ).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -6102,6 +6102,41 @@ def q_layout_bucketed_join(spark, sf_dir):
     return colocated_join_agg(spark, sf_dir)
 
 
+_ZORDER_STAGE: dict[str, str] = {}
+
+
+@_register(
+    "layout_zorder_skipping",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice BETWEEN 180000 AND 220000
+      AND o_custkey BETWEEN 200 AND 600
+    """,
+)
+def q_layout_zorder_skipping(spark, sf_dir):
+    # Z-order (Morton) clustered copy of orders on (o_custkey,
+    # o_totalprice): a 2-D box predicate then prunes parquet files on BOTH
+    # columns from footer min/max stats (tests/test_layout.py counts the
+    # overlapping files vs a 1-D-sorted layout). The oracle computes from
+    # the canonical parquet, so the layout rewrite must be a bit-exact
+    # reshuffle — any row lost or mangled in the z-write hash-fails.
+    import tempfile
+
+    from .layout import zorder_write
+
+    o = _t(spark, sf_dir, "orders")
+    if sf_dir not in _ZORDER_STAGE:
+        path = tempfile.mkdtemp(prefix="zorder_orders_")
+        zorder_write(o, "o_custkey", "o_totalprice", path)
+        _ZORDER_STAGE[sf_dir] = path
+    back = spark.read.parquet(_ZORDER_STAGE[sf_dir])
+    return back.where(
+        F.col("o_totalprice").between(180000, 220000)
+        & F.col("o_custkey").between(200, 600)
+    ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
 # =========================================================================
 # Registry window composition
 # =========================================================================

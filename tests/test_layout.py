@@ -152,3 +152,53 @@ def test_partitioned_layout_prunes_at_planning_time(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and set(got) == {"view", "purchase"}
+
+
+def test_zorder_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs 1-D sort, measured from parquet footer min/max stats:
+    for a box selective in the SECOND dimension only, every file of the
+    custkey-sorted layout overlaps the box (no pruning possible), while
+    the z-ordered layout leaves most files prunable on totalprice."""
+    import pyarrow.parquet as pq
+
+    from bustub_vectordb_spark.catalog import read_table
+    from bustub_vectordb_spark.layout import zorder_write
+
+    o = read_table(spark, sf_dir, "orders")
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_write(o, "o_custkey", "o_totalprice", zdir, n_files=16)
+    (
+        o.repartitionByRange(16, F.col("o_custkey"))
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def overlapping_files(d, lo, hi):
+        import glob
+
+        total, hit = 0, 0
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fmin = min(
+                md.row_group(i).column(3).statistics.min for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(3).statistics.max for i in range(md.num_row_groups)
+            )
+            total += 1
+            hit += int(fmax >= lo and fmin <= hi)
+        return total, hit
+
+    # column 3 = o_totalprice in both layouts (schema order preserved)
+    assert o.columns[3] == "o_totalprice"
+    lo, hi = 180000.0, 220000.0
+    z_total, z_hit = overlapping_files(zdir, lo, hi)
+    l_total, l_hit = overlapping_files(ldir, lo, hi)
+    assert l_hit == l_total, "1-D custkey sort cannot prune a totalprice box"
+    assert z_hit <= z_total // 2, f"z-order should prune most files, hit {z_hit}/{z_total}"
+
+    # and the clustered copy is bit-exact: same row multiset
+    back = spark.read.parquet(zdir)
+    assert back.count() == o.count()
+    assert back.exceptAll(o).count() == 0 and o.exceptAll(back).count() == 0
