@@ -5631,6 +5631,81 @@ def q_stream_distinct_sketch(spark, sf_dir):
 
 
 @_register(
+    "stream_cdc_apply",
+    """
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 8 = 5 THEN 'B'
+                  WHEN o_orderkey % 4 = 1 THEN 'A'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 8 = 5 THEN o_totalprice + 2.0
+                  WHEN o_orderkey % 4 = 1 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base
+      UNION ALL
+      SELECT o_orderkey + 20000000, 'N', o_totalprice
+      FROM base WHERE o_orderkey % 200 = 11
+    )
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM final
+    WHERE o_orderkey % 8 IN (1, 3, 5) OR o_orderkey >= 20000000
+    """,
+)
+def q_stream_cdc_apply(spark, sf_dir):
+    # STREAMING CDC apply (streaming/cdc_apply.py): two staged delta
+    # batches — updates for keys %4==1, then overriding updates for %8==5
+    # plus inserts — merge into bucket-partitioned parquet state via
+    # foreachBatch; per batch only the touched bucket partitions are read
+    # and rewritten (dynamic partition overwrite). The oracle is the
+    # sequential replay collapsed to CASE expressions (batch 2's update
+    # wins on %8==5 because merge is last-writer-wins).
+    import tempfile
+
+    from .streaming.cdc_apply import StreamUpsertSink, apply_stream
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    delta0 = base.where(k % 4 == 1).select(
+        "o_orderkey",
+        F.lit("A").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+    )
+    delta1 = base.where(k % 8 == 5).select(
+        "o_orderkey",
+        F.lit("B").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 2.0).alias("o_totalprice"),
+    ).unionAll(
+        base.where(k % 200 == 11).select(
+            (k + 20000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    stage = tempfile.mkdtemp(prefix="cdc_stage_")
+    _stage_stream_parts(stage, [("d0", delta0), ("d1", delta1)])
+    sink = StreamUpsertSink(
+        spark, base, "o_orderkey", tempfile.mkdtemp(prefix="cdc_state_")
+    )
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/d*")
+    )
+    apply_stream(stream, sink, tempfile.mkdtemp(prefix="cdc_ckpt_")).awaitTermination()
+    out = sink.state_df()
+    return out.where(
+        (F.col("o_orderkey") % 8).isin(1, 3, 5) | (F.col("o_orderkey") >= 20000000)
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@_register(
     "documents_data_card",
     """
     WITH tok AS (

@@ -1,3 +1,4 @@
+from .cdc_apply import StreamUpsertSink, apply_stream
 from .dedup import first_per_key, stream_first_per_key
 from .events import (
     events_stream,
@@ -11,6 +12,8 @@ from .sketch import StreamKMV, sketch_stream
 
 __all__ = [
     "StreamKMV",
+    "StreamUpsertSink",
+    "apply_stream",
     "events_stream",
     "sketch_stream",
     "first_per_key",
