@@ -232,6 +232,15 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# ANSI MERGE, upsert form (SQL:2003 §14.9; the lakehouse MERGE INTO):
+# UPDATE SET * / INSERT * shorthand only — column-level actions stay the
+# batch API's job (operators/cdc.merge_upsert).
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+(.*?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _split_columns(cols: str) -> list[tuple[str, str]]:
@@ -384,6 +393,9 @@ class SqlEngine:
             if rest.upper().startswith("SELECT"):
                 return self._insert_select(m.group(1), rest)
             raise ValueError(f"unsupported INSERT form: {sql[:80]}")
+        m = _MERGE_RE.match(sql)
+        if m:
+            return self._merge(m.group(1), m.group(2), m.group(3))
         m = _UPDATE_RE.match(sql)
         if m:
             return self._update(m.group(1), m.group(2), m.group(3))
@@ -445,6 +457,8 @@ class SqlEngine:
                 "EXPLAIN (b|p|o|s) stmt   show binder/planner/optimizer/plan IR",
                 "CREATE TABLE / CREATE INDEX (USING ivfflat|hnsw ... WITH (k=v))",
                 "INSERT / UPDATE / DELETE / SELECT (incl. <->, <=>, inner_product)",
+                "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *"
+                " WHEN NOT MATCHED THEN INSERT *",
             ]
             return self.spark.createDataFrame([(l,) for l in lines], "help string")
         return None  # \dbgmvcc (MVCC out of scope, SURVEY §2.4)
@@ -635,6 +649,32 @@ class SqlEngine:
         n = info.df.filter(F.coalesce(pred, F.lit(False))).count()
         new = update_rows(info.df, pred, assignments)
         self.catalog.register(table, new, info.vector_lengths)
+        return n
+
+    def _merge(self, target: str, source: str, on_clause: str) -> int:
+        """MERGE INTO t USING s ON t.k = s.k [AND ...] WHEN MATCHED THEN
+        UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the upsert rewrite
+        (operators/cdc.merge_upsert). Returns the source row count (every
+        source row either updates or inserts)."""
+        t = self.catalog.tables[target]
+        s = self.catalog.tables[source]
+        keys = []
+        for part in re.split(r"\s+AND\s+", on_clause.strip(), flags=re.IGNORECASE):
+            m = re.fullmatch(r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)", part.strip())
+            if not m:
+                raise ValueError(f"unsupported MERGE ON term: {part.strip()}")
+            names = {m.group(1): m.group(2), m.group(3): m.group(4)}
+            if set(names) != {target, source} or m.group(2) != m.group(4):
+                raise ValueError(
+                    "MERGE ON terms must equate the same-named column of "
+                    f"target and source: {part.strip()}"
+                )
+            keys.append(m.group(2))
+        from .operators.cdc import merge_upsert
+
+        n = s.df.count()
+        merged = merge_upsert(t.df, s.df, keys)
+        self.catalog.register(target, merged, t.vector_lengths)
         return n
 
     def _delete(self, table: str, where: str | None) -> int:

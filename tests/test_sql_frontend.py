@@ -394,3 +394,31 @@ def test_create_index_vamana_cosine(spark):
     assert len(hits) == 3
     sims = [r["distance"] for r in hits]
     assert sims == sorted(sims, reverse=True)  # similarity, descending
+
+
+def test_merge_into_upsert(engine):
+    """ANSI MERGE upsert form: matched rows take the source's values,
+    unmatched source rows insert, the return value is the source count."""
+    engine.execute("create table mt(k int, v int);")
+    engine.execute("insert into mt values (1, 10), (2, 20), (3, 30);")
+    engine.execute("create table ms(k int, v int);")
+    engine.execute("insert into ms values (2, 99), (4, 40);")
+    n = engine.execute(
+        "merge into mt using ms on mt.k = ms.k "
+        "when matched then update set * when not matched then insert *;"
+    )
+    assert n == 2
+    got = {(r["k"], r["v"]) for r in engine.execute("select k, v from mt").collect()}
+    assert got == {(1, 10), (2, 99), (3, 30), (4, 40)}
+
+
+def test_merge_on_term_validation(engine):
+    engine.execute("create table mta(k int, v int);")
+    engine.execute("create table mtb(k int, v int);")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MERGE ON term"):
+        engine.execute(
+            "merge into mta using mtb on mta.k = 5 "
+            "when matched then update set * when not matched then insert *;"
+        )
