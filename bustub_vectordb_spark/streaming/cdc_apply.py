@@ -1,5 +1,5 @@
-"""Streaming CDC apply — an upsert sink with bucket-partitioned
-copy-on-write state.
+"""Streaming CDC apply — versioned, bucket-partitioned, append-only
+upsert state with a manifest commit log (a miniature lakehouse table).
 
 The lakehouse ingestion primitive: a stream of change batches (CDC deltas)
 is MERGEd into a queryable table as it arrives. The reference applies
@@ -8,32 +8,41 @@ changes tuple-at-a-time through its Insert/Update executors
 foreachBatch + set-level merge (operators/cdc.merge_upsert), with the
 state layout doing the heavy lifting:
 
-  state       parquet partitioned by _bucket = pmod(key, N). A delta
-              batch touches only the buckets its keys hash to, so each
-              micro-batch reads + rewrites ONLY those partitions
-              (partition-pruned read; dynamic partition overwrite write).
-              Per-batch cost is O(touched buckets), not O(table) — the
-              same copy-on-write granularity Delta/Iceberg MERGE achieves
-              at file level. At 1000 buckets over 100 TB, a daily delta
-              touching 1% of keys rewrites ~1% of the table.
-  merge       broadcast-delta decomposition (the delta is micro-batch
-              sized): base LEFT JOIN broadcast(delta) + anti-joined
-              inserts — the state partitions are never shuffled.
-  commit      merged buckets are localCheckpoint-materialized BEFORE the
-              overwrite (Spark cannot overwrite a directory it is lazily
-              reading from), then written with dynamic partition
-              overwrite so untouched bucket directories are not touched.
-              NB: multi-bucket commits are not atomic — a real deployment
-              puts a manifest/commit log (Delta's _delta_log) above this;
-              out of scope here.
-  replay      applying the SAME delta twice is a no-op (merge is
-              last-writer-wins and the delta's values are deterministic
-              functions of the change records), so at-least-once
-              foreachBatch delivery needs no batch-id ledger.
+  layout      state_dir/v{N}/bucket={b}/*.parquet — version directories
+              are APPEND-ONLY; version N holds only the buckets its delta
+              touched (bucket = pmod(key, n_buckets)). v0 is the full
+              base. Nothing is ever overwritten or deleted, so readers
+              racing a commit see a consistent older snapshot.
+  manifest    a JSON commit log (manifest.json, atomic os.replace) maps
+              each version -> (touched buckets, source batch_id). The
+              CURRENT view resolves, per bucket, the newest version
+              containing it — exactly how Delta/Iceberg resolve data
+              files from their log; driver cost is O(n_buckets), not
+              O(rows).
+  merge       per batch: resolve + read ONLY the touched buckets'
+              current files, broadcast-delta merge (the state partitions
+              are never shuffled), write the merged buckets as the next
+              version. Per-batch cost is O(touched buckets) — a daily 1%
+              delta against a 100 TB base rewrites ~1% of the table.
+  exactly-once the manifest records the foreachBatch batch_id; a replayed
+              batch (at-least-once delivery after a crash) is recognized
+              and skipped, so the commit log never double-applies.
+  time travel state_df(version=k) reads the table as of any committed
+              version — reproducibility for training-data snapshots
+              ("which exact rows did the 2026-08-01 run see?") comes free
+              from the append-only layout.
+  compaction  compact() folds every bucket's current view into one new
+              full version, bounding the per-bucket version chain that
+              the resolver walks (the Delta OPTIMIZE analogue). Old
+              versions stay readable until vacuum(retain) drops them.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import tempfile
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -44,7 +53,7 @@ BUCKET_COL = "_bucket"
 
 
 class StreamUpsertSink:
-    """foreachBatch sink merging delta batches into partitioned state."""
+    """foreachBatch sink merging delta batches into versioned state."""
 
     def __init__(
         self,
@@ -59,20 +68,54 @@ class StreamUpsertSink:
         self.state_dir = state_dir
         self.n_buckets = n_buckets
         self.columns = base.columns
+        manifest = os.path.join(state_dir, "manifest.json")
+        if os.path.exists(manifest):  # resume an existing table
+            with open(manifest) as f:
+                self.versions = json.load(f)["versions"]
+            return
         (
             base.withColumn(BUCKET_COL, self._bucket(F.col(key_col)))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
-            .parquet(state_dir)
+            .parquet(os.path.join(state_dir, "v0"))
         )
+        self.versions: list[dict] = [
+            {"v": 0, "buckets": list(range(n_buckets)), "batch_id": None}
+        ]
+        self._write_manifest()
 
     def _bucket(self, c) -> F.Column:
         return F.pmod(c.cast("long"), F.lit(self.n_buckets))
 
-    def state_df(self) -> DataFrame:
-        return self.spark.read.parquet(self.state_dir).select(*self.columns)
+    def _write_manifest(self) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.state_dir, prefix=".manifest_")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"versions": self.versions}, f)
+        os.replace(tmp, os.path.join(self.state_dir, "manifest.json"))
+
+    def _resolve(self, version: int | None = None) -> dict[int, str]:
+        """bucket -> newest data dir at-or-before ``version`` (current if
+        None). O(versions x touched-buckets) driver arithmetic, no I/O."""
+        paths: dict[int, str] = {}
+        for entry in self.versions:
+            if version is not None and entry["v"] > version:
+                continue
+            for b in entry["buckets"]:
+                paths[b] = os.path.join(
+                    self.state_dir, f"v{entry['v']}", f"{BUCKET_COL}={b}"
+                )
+        return paths
+
+    def state_df(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: current)."""
+        paths = self._resolve(version)
+        if not paths:
+            raise ValueError(f"no committed version at or before {version}")
+        return self.spark.read.parquet(*sorted(paths.values())).select(*self.columns)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if any(e["batch_id"] == batch_id for e in self.versions):
+            return  # at-least-once redelivery of an already-committed batch
         delta = batch_df.select(*self.columns)
         touched = sorted(
             r["b"]
@@ -82,24 +125,66 @@ class StreamUpsertSink:
         )
         if not touched:
             return
-        current = self.spark.read.parquet(self.state_dir).where(
-            F.col(BUCKET_COL).isin(touched)
+        paths = self._resolve()
+        current = self.spark.read.parquet(
+            *sorted(paths[b] for b in touched)
         ).select(*self.columns)
         merged = merge_upsert(current, delta, [self.key_col], broadcast_source=True)
-        # materialize off the source files before overwriting them
-        merged = merged.withColumn(
-            BUCKET_COL, self._bucket(F.col(self.key_col))
-        ).localCheckpoint(eager=True)
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                merged.write.mode("overwrite")
-                .partitionBy(BUCKET_COL)
-                .parquet(self.state_dir)
-            )
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        v = self.versions[-1]["v"] + 1
+        vdir = os.path.join(self.state_dir, f"v{v}")
+        if os.path.exists(vdir):
+            # leftover from a crash between write and manifest commit —
+            # unreferenced by the log, safe to discard (single writer)
+            shutil.rmtree(vdir)
+        (
+            merged.withColumn(BUCKET_COL, self._bucket(F.col(self.key_col)))
+            .write.mode("errorifexists")
+            .partitionBy(BUCKET_COL)
+            .parquet(vdir)
+        )
+        # commit point: readers see the new version only after this replace
+        self.versions.append({"v": v, "buckets": touched, "batch_id": batch_id})
+        self._write_manifest()
+
+    def compact(self) -> int:
+        """Fold the current view into one full version (bounds the version
+        chain). Returns the new version number."""
+        v = self.versions[-1]["v"] + 1
+        vdir = os.path.join(self.state_dir, f"v{v}")
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)
+        (
+            self.state_df()
+            .withColumn(BUCKET_COL, self._bucket(F.col(self.key_col)))
+            .write.mode("errorifexists")
+            .partitionBy(BUCKET_COL)
+            .parquet(vdir)
+        )
+        self.versions.append(
+            {"v": v, "buckets": list(range(self.n_buckets)), "batch_id": None}
+        )
+        self._write_manifest()
+        return v
+
+    def vacuum(self, retain_from: int) -> list[int]:
+        """Drop version directories no longer reachable from any version
+        >= ``retain_from`` (time travel below that floor stops working).
+        Returns the versions removed."""
+        keep_dirs = set()
+        for entry in self.versions:
+            if entry["v"] < retain_from:
+                continue
+            keep_dirs.update(self._resolve(entry["v"]).values())
+        removed = []
+        for entry in list(self.versions):
+            vdir = os.path.join(self.state_dir, f"v{entry['v']}")
+            live = any(d.startswith(vdir + os.sep) or d == vdir for d in keep_dirs)
+            if not live:
+                shutil.rmtree(vdir, ignore_errors=True)
+                self.versions.remove(entry)
+                removed.append(entry["v"])
+        self._write_manifest()
+        return removed
 
 
 def apply_stream(

@@ -1,5 +1,6 @@
 """Streaming CDC apply (streaming/cdc_apply.py): merge parity with the
-batch operator, copy-on-write partition granularity, replay idempotence."""
+batch operator, append-only copy-on-write granularity, time travel,
+exactly-once batch tracking, compaction and vacuum."""
 
 import glob
 import os
@@ -18,9 +19,9 @@ def base(spark):
     )
 
 
-def _apply(sink, spark, rows):
+def _apply(sink, spark, rows, batch_id=0):
     delta = spark.createDataFrame(rows, "k bigint, st string, v double")
-    sink.process_batch(delta, 0)
+    sink.process_batch(delta, batch_id)
 
 
 def test_stream_state_matches_batch_merge(spark, base, tmp_path):
@@ -35,37 +36,71 @@ def test_stream_state_matches_batch_merge(spark, base, tmp_path):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
-def test_only_touched_buckets_rewritten(spark, base, tmp_path):
-    """A delta whose keys all hash to bucket 1 must leave every other
-    bucket's files untouched on disk (same inode set)."""
+def test_append_only_touched_buckets(spark, base, tmp_path):
+    """A delta whose keys all hash to bucket 1 writes a new version dir
+    containing ONLY bucket 1; every v0 file stays byte-identical."""
     d = str(tmp_path / "st")
     sink = StreamUpsertSink(spark, base, "k", d, n_buckets=4)
-
-    def files(bucket):
-        return sorted(glob.glob(f"{d}/{BUCKET_COL}={bucket}/*.parquet"))
-
-    before = {b: [(f, os.stat(f).st_mtime_ns) for f in files(b)] for b in range(4)}
+    v0 = {f: os.stat(f).st_mtime_ns for f in glob.glob(f"{d}/v0/*/*.parquet")}
     _apply(sink, spark, [(5, "u", 0.0), (9, "u", 0.0)])  # 5%4==1, 9%4==1
-    after = {b: [(f, os.stat(f).st_mtime_ns) for f in files(b)] for b in range(4)}
-    assert after[0] == before[0] and after[2] == before[2] and after[3] == before[3]
-    assert after[1] != before[1]
-    # and the data is right
+    assert {f: os.stat(f).st_mtime_ns for f in glob.glob(f"{d}/v0/*/*.parquet")} == v0
+    new_buckets = sorted(os.path.basename(p) for p in glob.glob(f"{d}/v1/{BUCKET_COL}=*"))
+    assert new_buckets == [f"{BUCKET_COL}=1"]
     got = {r["k"]: r["st"] for r in sink.state_df().collect()}
     assert got[5] == "u" and got[9] == "u" and got[4] == "s"
 
 
-def test_replay_same_delta_is_noop(spark, base, tmp_path):
+def test_time_travel_versions(spark, base, tmp_path):
     sink = StreamUpsertSink(spark, base, "k", str(tmp_path / "st"), n_buckets=4)
-    rows = [(7, "u", 1.5), (200, "n", 2.5)]
-    _apply(sink, spark, rows)
-    first = sorted(map(tuple, sink.state_df().collect()))
-    _apply(sink, spark, rows)  # at-least-once redelivery
-    assert sorted(map(tuple, sink.state_df().collect())) == first
+    _apply(sink, spark, [(7, "first", 1.0)], batch_id=0)
+    _apply(sink, spark, [(7, "second", 2.0), (300, "n", 3.0)], batch_id=1)
+    as_of = lambda v: {r["k"]: r["st"] for r in sink.state_df(version=v).collect()}
+    assert as_of(0)[7] == "s" and 300 not in as_of(0)
+    assert as_of(1)[7] == "first" and 300 not in as_of(1)
+    assert as_of(2)[7] == "second" and as_of(2)[300] == "n"
+    assert as_of(None) == as_of(2)
+
+
+def test_replayed_batch_id_skipped(spark, base, tmp_path):
+    """At-least-once redelivery: the manifest already records the batch_id,
+    so the replay must not mint a new version."""
+    sink = StreamUpsertSink(spark, base, "k", str(tmp_path / "st"), n_buckets=4)
+    _apply(sink, spark, [(7, "u", 1.5)], batch_id=42)
+    versions = [e["v"] for e in sink.versions]
+    _apply(sink, spark, [(7, "u", 1.5)], batch_id=42)
+    assert [e["v"] for e in sink.versions] == versions
+    assert {r["k"]: r["st"] for r in sink.state_df().collect()}[7] == "u"
+
+
+def test_resume_from_manifest(spark, base, tmp_path):
+    d = str(tmp_path / "st")
+    sink = StreamUpsertSink(spark, base, "k", d, n_buckets=4)
+    _apply(sink, spark, [(11, "u", 1.0)], batch_id=0)
+    resumed = StreamUpsertSink(spark, base.limit(0), "k", d, n_buckets=4)
+    assert [e["v"] for e in resumed.versions] == [0, 1]
+    assert {r["k"]: r["st"] for r in resumed.state_df().collect()}[11] == "u"
+
+
+def test_compact_and_vacuum(spark, base, tmp_path):
+    d = str(tmp_path / "st")
+    sink = StreamUpsertSink(spark, base, "k", d, n_buckets=4)
+    _apply(sink, spark, [(1, "a", 1.0)], batch_id=0)
+    _apply(sink, spark, [(2, "b", 2.0)], batch_id=1)
+    before = sorted(map(tuple, sink.state_df().collect()))
+    v = sink.compact()
+    assert sorted(map(tuple, sink.state_df().collect())) == before
+    removed = sink.vacuum(retain_from=v)
+    assert set(removed) == {0, 1, 2}
+    assert not os.path.exists(f"{d}/v0") and os.path.exists(f"{d}/v{v}")
+    assert sorted(map(tuple, sink.state_df().collect())) == before
+    # time travel below the vacuum floor is gone
+    with pytest.raises(Exception):
+        sink.state_df(version=0).collect()
 
 
 def test_later_batch_wins(spark, base, tmp_path):
     sink = StreamUpsertSink(spark, base, "k", str(tmp_path / "st"), n_buckets=4)
-    _apply(sink, spark, [(11, "first", 1.0)])
-    _apply(sink, spark, [(11, "second", 2.0)])
+    _apply(sink, spark, [(11, "first", 1.0)], batch_id=0)
+    _apply(sink, spark, [(11, "second", 2.0)], batch_id=1)
     got = {r["k"]: (r["st"], r["v"]) for r in sink.state_df().collect()}
     assert got[11] == ("second", 2.0)

@@ -62,6 +62,9 @@ def main():
     stats = dim_stats(emb, "embedding").orderBy("dim").collect()
     routed_sq8 = routed.quantize([r["mn"] for r in stats], [r["mx"] for r in stats])
     routed_pq = routed.quantize_pq(pqm)
+    from bustub_vectordb_spark.similarity.bq import BQModel
+
+    bq = BQModel.train(emb, "embedding")
     from bustub_vectordb_spark.index.vamana import VamanaIndex
 
     vamana = VamanaIndex.build(emb, "embedding", "vec_id", shards=4,
@@ -81,6 +84,8 @@ def main():
          lambda q: {r["vec_id"] for r in ivfpq.probe(list(q), K, rerank=4 * K, probe_lists=4).collect()}),
         ("flat pq rerank", "16 B/vec codes",
          lambda q: {r["vec_id"] for r in pq_rerank_topk(pqm, pq_codes, emb, "embedding", "vec_id", list(q), K).collect()}),
+        ("flat bq hamming+rerank", f"{(dim + 7) // 8} B/vec codes",
+         lambda q: {r["vec_id"] for r in bq.rerank_topk(emb, "embedding", "vec_id", list(q), K, shortlist=4 * K).collect()}),
         ("hnsw driver", f"{dim * 8} B/vec",
          lambda q: {r["vec_id"] for r in hnsw.probe(list(q), K).collect()}),
         ("hnsw routed 2/4", f"{dim * 8} B/vec",
