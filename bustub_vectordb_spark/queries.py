@@ -5630,40 +5630,19 @@ def q_stream_distinct_sketch(spark, sf_dir):
     return sink.estimate_df(spark)
 
 
-@_register(
-    "stream_cdc_apply",
-    """
-    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-    final AS (
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 8 = 5 THEN 'B'
-                  WHEN o_orderkey % 4 = 1 THEN 'A'
-                  ELSE o_orderstatus END AS o_orderstatus,
-             CASE WHEN o_orderkey % 8 = 5 THEN o_totalprice + 2.0
-                  WHEN o_orderkey % 4 = 1 THEN o_totalprice + 1.0
-                  ELSE o_totalprice END AS o_totalprice
-      FROM base
-      UNION ALL
-      SELECT o_orderkey + 20000000, 'N', o_totalprice
-      FROM base WHERE o_orderkey % 200 = 11
-    )
-    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
-    FROM final
-    WHERE o_orderkey % 8 IN (1, 3, 5) OR o_orderkey >= 20000000
-    """,
-)
-def q_stream_cdc_apply(spark, sf_dir):
-    # STREAMING CDC apply (streaming/cdc_apply.py): two staged delta
-    # batches — updates for keys %4==1, then overriding updates for %8==5
-    # plus inserts — merge into bucket-partitioned parquet state via
-    # foreachBatch; per batch only the touched bucket partitions are read
-    # and rewritten (dynamic partition overwrite). The oracle is the
-    # sequential replay collapsed to CASE expressions (batch 2's update
-    # wins on %8==5 because merge is last-writer-wins).
+_CDC_RUN: dict[str, object] = {}
+
+
+def _cdc_sink(spark, sf_dir):
+    """Run the 2-batch CDC stream once per sf_dir; both CDC entries read
+    from the committed versioned state (the manifest makes this safe —
+    versions are immutable once committed)."""
     import tempfile
 
     from .streaming.cdc_apply import StreamUpsertSink, apply_stream
 
+    if sf_dir in _CDC_RUN:
+        return _CDC_RUN[sf_dir]
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -5695,10 +5674,73 @@ def q_stream_cdc_apply(spark, sf_dir):
         .parquet(f"{stage}/d*")
     )
     apply_stream(stream, sink, tempfile.mkdtemp(prefix="cdc_ckpt_")).awaitTermination()
+    _CDC_RUN[sf_dir] = sink
+    return sink
+
+
+
+@_register(
+    "stream_cdc_apply",
+    """
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 8 = 5 THEN 'B'
+                  WHEN o_orderkey % 4 = 1 THEN 'A'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 8 = 5 THEN o_totalprice + 2.0
+                  WHEN o_orderkey % 4 = 1 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base
+      UNION ALL
+      SELECT o_orderkey + 20000000, 'N', o_totalprice
+      FROM base WHERE o_orderkey % 200 = 11
+    )
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM final
+    WHERE o_orderkey % 8 IN (1, 3, 5) OR o_orderkey >= 20000000
+    """,
+)
+def q_stream_cdc_apply(spark, sf_dir):
+    # STREAMING CDC apply (streaming/cdc_apply.py): two staged delta
+    # batches — updates for keys %4==1, then overriding updates for %8==5
+    # plus inserts — merge into versioned bucket-partitioned parquet state
+    # via foreachBatch; each batch reads and writes ONLY its touched
+    # buckets (append-only versions + manifest commit log). The oracle is
+    # the sequential replay collapsed to CASE expressions (batch 2's
+    # update wins on %8==5 because merge is last-writer-wins).
+    sink = _cdc_sink(spark, sf_dir)
     out = sink.state_df()
     return out.where(
         (F.col("o_orderkey") % 8).isin(1, 3, 5) | (F.col("o_orderkey") >= 20000000)
     ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@_register(
+    "cdc_time_travel",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 = 1 THEN 'A'
+                ELSE o_orderstatus END AS o_orderstatus,
+           round(CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 8 IN (1, 3, 5)
+    """,
+)
+def q_cdc_time_travel(spark, sf_dir):
+    # TIME TRAVEL over the same commit log: version 1 = base + batch 0
+    # only, so batch 1's overriding 'B' updates and inserts must NOT
+    # appear. The append-only layout makes historical reads free — the
+    # resolver just stops walking the manifest at the requested version.
+    # Reproducible training-data snapshots at 100 TB are exactly this read.
+    sink = _cdc_sink(spark, sf_dir)
+    out = sink.state_df(version=1)
+    return out.where((F.col("o_orderkey") % 8).isin(1, 3, 5)).select(
         "o_orderkey",
         "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
