@@ -2061,6 +2061,26 @@ def _bq_rerank_oracle() -> str:
     )
 
 
+def _bq_batch_oracle() -> str:
+    from .similarity.bq import bq_batch_oracle_sql
+
+    return bq_batch_oracle_sql("embeddings", "embedding", "vec_id", "vec_id % 97 = 0", 5)
+
+
+@_register("ann_bq_batch", _bq_batch_oracle())
+def q_ann_bq_batch(spark, sf_dir):
+    # batch Hamming serving: broadcast the (serving-sized) query batch,
+    # scan the corpus codes ONCE with no pre-window shuffle, per-query
+    # top-5 via WindowGroupLimit. XOR+popcount over 8-byte codes is the
+    # cheapest brute-force batch kernel in the engine.
+    from .similarity.bq import BQModel
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = BQModel.train(e, "embedding")
+    queries = e.filter(F.col("vec_id") % 97 == 0)
+    return model.hamming_join(queries, "embedding", "vec_id", e, "embedding", "vec_id", 5)
+
+
 @_register("ann_bq_rerank", _bq_rerank_oracle())
 def q_ann_bq_rerank(spark, sf_dir):
     # the standard binary-quantization recipe: Hamming top-50 shortlist

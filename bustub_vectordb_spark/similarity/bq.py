@@ -137,6 +137,52 @@ class BQModel:
             .limit(k)
         )
 
+    def hamming_join(
+        self,
+        queries: DataFrame,
+        q_vec: str,
+        q_id: str,
+        items: DataFrame,
+        i_vec: str,
+        i_id: str,
+        k: int,
+        dist_col: str = "hamming",
+    ) -> DataFrame:
+        """Batch top-k by Hamming: every (query, item) pair scored.
+
+        The query side is broadcast (batches are serving-sized), so the
+        corpus is scanned once with NO shuffle before the per-query top-k
+        window — and the pair scoring is XOR+popcount over 8-byte codes,
+        the cheapest possible brute-force kernel: this IS the scale story
+        of the BQ tier (32x less data movement than float distance)."""
+        from pyspark.sql import Window
+        from pyspark.sql.functions import broadcast
+
+        qw = broadcast(
+            queries.select(
+                F.col(q_id).alias("qid"), self.encode_words(q_vec).alias("_qw")
+            )
+        )
+        iw = items.select(F.col(i_id), self.encode_words(i_vec).alias("_iw"))
+        ham = F.aggregate(
+            F.zip_with(
+                F.col("_iw"), F.col("_qw"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
+            ),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+        scored = iw.crossJoin(qw).select(
+            "qid", F.col(i_id), ham.alias(dist_col)
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col(dist_col).asc(), F.col(i_id).asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
     def rerank_topk(
         self,
         df: DataFrame,
@@ -219,6 +265,42 @@ def bq_hamming_oracle_sql(
     GROUP BY {id_col}
     ORDER BY {dist_col} ASC, {id_col} ASC
     LIMIT {k}
+    """
+
+
+def bq_batch_oracle_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    query_pred: str,
+    k: int,
+    dist_col: str = "hamming",
+) -> str:
+    """DuckDB replica of hamming_join with the query batch drawn from the
+    same table by ``query_pred`` (e.g. ``vec_id % 97 = 0``)."""
+    return f"""
+    WITH {_dims_cte(table, vec_col)},
+    bits AS (
+        SELECT {id_col}, dim, CASE WHEN x > thr THEN 1 ELSE 0 END AS b
+        FROM (SELECT {id_col}, generate_subscripts({vec_col}, 1) AS dim,
+                     unnest({vec_col}::DOUBLE[]) AS x
+              FROM {table})
+        JOIN dims USING (dim)
+    ),
+    q AS (SELECT {id_col} AS qid, dim, b AS qb FROM bits WHERE {query_pred}),
+    d AS (
+        SELECT q.qid, bits.{id_col},
+               sum(CASE WHEN b <> qb THEN 1 ELSE 0 END)::BIGINT AS {dist_col}
+        FROM bits JOIN q USING (dim)
+        GROUP BY q.qid, bits.{id_col}
+    ),
+    r AS (
+        SELECT qid, {id_col}, {dist_col},
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {dist_col}, {id_col}) AS rn
+        FROM d
+    )
+    SELECT qid, {id_col}, {dist_col} FROM r WHERE rn <= {k}
     """
 
 

@@ -90,3 +90,33 @@ def test_rerank_exact_distances(emb, model):
     assert common
     for vid in common:
         assert abs(exact[vid] - got[vid]) < 1e-5
+
+
+def test_hamming_join_matches_single_probes(emb, model):
+    """Batch serving must equal running hamming_topk per query."""
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    batch = {
+        (r["qid"], r["vec_id"]): r["hamming"]
+        for r in model.hamming_join(
+            queries, "embedding", "vec_id", emb, "embedding", "vec_id", 5
+        ).collect()
+    }
+    qvecs = {r["vec_id"]: list(r["embedding"]) for r in queries.collect()}
+    for qid, qv in qvecs.items():
+        single = {
+            (qid, r["vec_id"]): r["hamming"]
+            for r in model.hamming_topk(emb, "embedding", "vec_id", qv, 5).collect()
+        }
+        assert {k: v for k, v in batch.items() if k[0] == qid} == single
+
+
+def test_hamming_join_no_preshuffle(emb, model):
+    """The corpus side reaches the top-k window without an Exchange below
+    the broadcast join (queries are broadcast; the only hash Exchange is
+    the per-qid window partitioning)."""
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    plan = model.hamming_join(
+        queries, "embedding", "vec_id", emb, "embedding", "vec_id", 5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
