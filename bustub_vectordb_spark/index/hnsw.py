@@ -128,6 +128,11 @@ class _Graph:
         self.pq_codes: np.ndarray | None = None
         self.pq_books: list | None = None  # m arrays of (k, dsub_i)
         self.pq_bounds: list | None = None  # m (start, end) subspace bounds
+        # BQ storage (quantize_bq): packbits sign codes + reconstruction
+        self.bq_codes: np.ndarray | None = None  # (n, ceil(dim/8)) uint8
+        self.bq_lo: np.ndarray | None = None  # per-dim 0-bit reconstruction
+        self.bq_hi: np.ndarray | None = None  # per-dim 1-bit reconstruction
+        self.bq_dim: int | None = None
 
     # -- serialization / packed adjacency ---------------------------------
     def __getstate__(self):
@@ -181,6 +186,9 @@ class _Graph:
                 [self.pq_books[s][c[:, s]] for s in range(len(self.pq_books))],
                 axis=1,
             )
+        if getattr(self, "bq_codes", None) is not None:
+            bits = np.unpackbits(self.bq_codes[idxs], axis=-1, count=self.bq_dim)
+            return np.where(bits.astype(bool), self.bq_hi, self.bq_lo)
         return self.qmn + self.codes[idxs].astype(np.float64) * self.qscale
 
     def _encode_sq8(self, mat: np.ndarray) -> np.ndarray:
@@ -198,6 +206,8 @@ class _Graph:
         values so distance orientation stays internally consistent. Walk
         distances become approximate (ADC) — pair with an exact rerank
         (ShardedHNSW.probe(rerank=...)) for serving."""
+        if getattr(self, "bq_codes", None) is not None:
+            raise ValueError("graph is BQ-quantized; SQ8 must start from floats")
         if getattr(self, "pq_codes", None) is not None:
             # reciprocal of quantize_pq's SQ8-first guard: SQ8-encoding a
             # PQ graph would silently no-op (vecs is already None, and
@@ -212,6 +222,37 @@ class _Graph:
             self.codes = np.zeros((0, len(mn)), dtype=np.uint8)
         else:
             self.codes = self._encode_sq8(self.vecs)
+        self.vecs = None
+        dec = self._mat_rows(slice(None))
+        self._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
+        self._norms_sq = (dec * dec).sum(axis=1)
+
+    def _encode_bq(self, mat: np.ndarray) -> np.ndarray:
+        thr = (self.bq_lo + self.bq_hi) / 2.0  # == the midrange threshold
+        return np.packbits(mat > thr, axis=-1)
+
+    def quantize_bq(self, mins, maxs) -> None:
+        """Swap the float64 matrix for 1-bit sign codes: dim/8 bytes per
+        stored vector — 8x denser than SQ8, the similarity/bq.BQModel
+        trade lifted into shard blobs. bit d = (x_d > midrange_d); walks
+        decode each bit to the CENTER OF ITS HALF-RANGE (0 -> (mn+thr)/2,
+        1 -> (thr+mx)/2), so the ADC distance is an honest (very lossy)
+        reconstruction distance in the same float pipeline as SQ8/PQ — no
+        separate Hamming kernel, and the exact rerank recipe
+        (probe(rerank=src)) is unchanged. Reconstruction params derive
+        from exact per-dim min/max: deterministic on both engines."""
+        if getattr(self, "pq_codes", None) is not None or getattr(self, "codes", None) is not None:
+            raise ValueError("graph is already quantized; BQ must start from floats")
+        mn = np.asarray(mins, dtype=np.float64)
+        mx = np.asarray(maxs, dtype=np.float64)
+        thr = (mn + mx) / 2.0
+        self.bq_lo = (mn + thr) / 2.0
+        self.bq_hi = (thr + mx) / 2.0
+        self.bq_dim = len(mn)
+        if self.vecs is None:
+            self.bq_codes = np.zeros((0, (self.bq_dim + 7) // 8), dtype=np.uint8)
+        else:
+            self.bq_codes = self._encode_bq(self.vecs)
         self.vecs = None
         dec = self._mat_rows(slice(None))
         self._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
@@ -245,6 +286,8 @@ class _Graph:
         self.pq_bounds = [(int(s), int(e)) for s, e in bounds]
         if max(len(b) for b in self.pq_books) > 256:
             raise ValueError("quantize_pq stores uint8 codes: need k <= 256")
+        if getattr(self, "bq_codes", None) is not None:
+            raise ValueError("graph is BQ-quantized; PQ must start from floats")
         if getattr(self, "codes", None) is not None:
             # already SQ8-quantized: re-encoding the lossy decode would
             # silently compound two quantizers' errors
@@ -433,6 +476,14 @@ class _Graph:
             # (same frozen-quantizer contract as IVF's frozen centroids)
             self.pq_codes = np.vstack(
                 [self.pq_codes, self._encode_pq(np.asarray(mat, dtype=np.float64))]
+            )
+            dec = self._mat_rows(slice(None))
+            self._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
+            self._norms_sq = (dec * dec).sum(axis=1)
+        elif getattr(self, "bq_codes", None) is not None:
+            # quantized graph: encode new rows with the FROZEN thresholds
+            self.bq_codes = np.vstack(
+                [self.bq_codes, self._encode_bq(np.asarray(mat, dtype=np.float64))]
             )
             dec = self._mat_rows(slice(None))
             self._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
@@ -1129,6 +1180,43 @@ class ShardedHNSW:
             default_n_probe=self.default_n_probe, params=params,
         )
 
+    def quantize_bq(self, mins, maxs) -> "ShardedHNSW":
+        """1-bit-compress every shard graph (the BQ twin of :meth:`quantize`):
+        one distributed pass swaps each shard's float64 matrix for packbits
+        sign codes (_Graph.quantize_bq — dim/8 bytes per stored vector, 8x
+        denser than SQ8; the similarity/bq.BQModel trade inside the graph).
+        Walk distances are decoded-half-range-center ADC approximations —
+        serve with probe(rerank=source_df), same recipe as SQ8/PQ."""
+        import pickle
+
+        import pandas as pd
+
+        from ..shipping import ensure_package_on_workers
+
+        ensure_package_on_workers(self._spark)
+        mins = [float(x) for x in mins]
+        maxs = [float(x) for x in maxs]
+
+        def run(batches):
+            for pdf in batches:
+                out_s, out_b = [], []
+                for shard, blob in zip(pdf["shard"], pdf["blob"]):
+                    g = pickle.loads(blob)
+                    g.quantize_bq(mins, maxs)
+                    out_s.append(shard)
+                    out_b.append(pickle.dumps(g))
+                yield pd.DataFrame({"shard": out_s, "blob": out_b})
+
+        blobs = self.blobs.mapInPandas(run, "shard long, blob binary").localCheckpoint(
+            eager=True
+        )
+        params = dict(self.params or {}, bq_mins=mins, bq_maxs=maxs)
+        return ShardedHNSW(
+            self.vec_col, self.id_col, self.dist, blobs, self._spark,
+            centroids=self.centroids, id_type=self.id_type,
+            default_n_probe=self.default_n_probe, params=params,
+        )
+
     def quantize_pq(self, model) -> "ShardedHNSW":
         """PQ-compress every shard graph (the PQ twin of :meth:`quantize`):
         one distributed pass swaps each shard's float64 matrix for (n, m)
@@ -1491,6 +1579,8 @@ class ShardedHNSW:
                     g.quantize_pq(p["pq_books"], p["pq_bounds"])
                 elif "sq8_mins" in p:
                     g.quantize_sq8(p["sq8_mins"], p["sq8_maxs"])
+                elif "bq_mins" in p:
+                    g.quantize_bq(p["bq_mins"], p["bq_maxs"])
             new_pdf = new_pdf.sort_values("__nid")  # id-sorted: deterministic
             g.add_all(
                 new_pdf["__nid"].tolist(),
@@ -1821,6 +1911,38 @@ def offline_routed_sq8_probe(
     Returns [(id, exact_distance)] in the probe's output order."""
     for g in graphs.values():
         g.quantize_sq8(mins, maxs)
+    return _offline_quantized_probe(
+        centroids, graphs, vectors_by_id, query, k, n_probe, dist, rerank_mult
+    )
+
+
+def offline_routed_bq_probe(
+    centroids: list[list[float]],
+    graphs: dict[int, _Graph],
+    vectors_by_id: dict,
+    query: list[float],
+    k: int,
+    n_probe: int,
+    mins: list[float],
+    maxs: list[float],
+    dist: str = "l2",
+    rerank_mult: int = 4,
+) -> list[tuple]:
+    """Replay ``ShardedHNSW.quantize_bq(mins, maxs).probe(..., rerank=src)``
+    — the 1-bit twin of :func:`offline_routed_sq8_probe`."""
+    for g in graphs.values():
+        g.quantize_bq(mins, maxs)
+    return _offline_quantized_probe(
+        centroids, graphs, vectors_by_id, query, k, n_probe, dist, rerank_mult
+    )
+
+
+def _offline_quantized_probe(
+    centroids, graphs, vectors_by_id, query, k, n_probe, dist, rerank_mult
+) -> list[tuple]:
+    """Shared post-quantize walk+rerank of the offline probe replays (the
+    graphs arrive already quantized; the arithmetic below is unchanged
+    from the original sq8 replay — bit-compatibility is the contract)."""
 
     def score(c: list[float]) -> float:
         if dist == "l2":
@@ -1881,6 +2003,34 @@ def offline_routed_sq8_batch(
     left-fold l2 rerank, (d, id)-ordered top-k. Returns [(qid, id, d)]."""
     for g in graphs.values():
         g.quantize_sq8(mins, maxs)
+    return _offline_quantized_batch(
+        centroids, graphs, vectors_by_id, queries, k, n_probe, rerank_mult
+    )
+
+
+def offline_routed_bq_batch(
+    centroids: list[list[float]],
+    graphs: dict[int, _Graph],
+    vectors_by_id: dict,
+    queries: list[tuple],
+    k: int,
+    n_probe: int,
+    mins: list[float],
+    maxs: list[float],
+    rerank_mult: int = 4,
+) -> list[tuple]:
+    """Replay ``ShardedHNSW.quantize_bq(...).search_batch(..., rerank=src)``
+    — the 1-bit twin of :func:`offline_routed_sq8_batch`."""
+    for g in graphs.values():
+        g.quantize_bq(mins, maxs)
+    return _offline_quantized_batch(
+        centroids, graphs, vectors_by_id, queries, k, n_probe, rerank_mult
+    )
+
+
+def _offline_quantized_batch(
+    centroids, graphs, vectors_by_id, queries, k, n_probe, rerank_mult
+) -> list[tuple]:
     out = []
     for qid, qv in queries:
         ranked = sorted((_l2_sq_fold(qv, c), b) for b, c in enumerate(centroids))

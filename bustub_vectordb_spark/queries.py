@@ -2802,6 +2802,103 @@ def q_ann_hnsw_routed_sq8_rerank(spark, sf_dir):
     )
 
 
+def _routed_bq_cached(spark, sf_dir):
+    from .index.hnsw import HNSWIndex
+    from .similarity.quantize import dim_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "hnsw_routed_bq")
+    if key not in _INDEX_CACHE:
+        rkey = (sf_dir, "hnsw_routed")
+        if rkey not in _INDEX_CACHE:
+            _INDEX_CACHE[rkey] = HNSWIndex.build_routed(
+                emb, "embedding", "vec_id", **_routed_params()
+            )
+        stats = dim_stats(emb, "embedding").orderBy("dim").collect()
+        _INDEX_CACHE[key] = _INDEX_CACHE[rkey].quantize_bq(
+            [r["mn"] for r in stats], [r["mx"] for r in stats]
+        )
+    return emb, _INDEX_CACHE[key]
+
+
+def _hnsw_routed_bq_oracle() -> str:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed_bq_probe
+
+    path = f"{_oracle_sf()}/embeddings.parquet"
+    cents, graphs = _offline_routed_cached(mutable=True)
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    mat = np.asarray(vecs, dtype=np.float64)
+    hits = offline_routed_bq_probe(
+        cents, graphs, dict(zip(ids, vecs)), QUERY_VEC, 10, 2,
+        mat.min(axis=0).tolist(), mat.max(axis=0).tolist(),
+    )
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_hnsw_routed_bq_rerank", _hnsw_routed_bq_oracle)
+def q_ann_hnsw_routed_bq_rerank(spark, sf_dir):
+    # 1-BIT codes inside the routed shard graphs (ShardedHNSW.quantize_bq):
+    # per-shard vector storage drops to dim/8 bytes (8x denser than SQ8,
+    # 64x than float64 — the whole-corpus-in-L2-cache tier). Walks decode
+    # each bit to its half-range center (same ADC float pipeline as
+    # SQ8/PQ), shortlist reranks exactly against the source. Exact
+    # offline-replay oracle (offline_routed_bq_probe).
+    emb, idx = _routed_bq_cached(spark, sf_dir)
+    probe = idx.probe(QUERY_VEC, 10, n_probe=2, rerank=emb)
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
+def _hnsw_routed_bq_batch_oracle() -> str:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed_bq_batch
+
+    path = f"{_oracle_sf()}/embeddings.parquet"
+    cents, graphs = _offline_routed_cached(mutable=True)
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    mat = np.asarray(vecs, dtype=np.float64)
+    qs = [(qid, qv) for qid, qv in zip(ids, vecs) if qid % 97 == 0]
+    rows = [
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_bq_batch(
+            cents, graphs, dict(zip(ids, vecs)), qs, 5, 2,
+            mat.min(axis=0).tolist(), mat.max(axis=0).tolist(),
+        )
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_hnsw_routed_bq_batch", _hnsw_routed_bq_batch_oracle)
+def q_ann_hnsw_routed_bq_batch(spark, sf_dir):
+    # Batch serving over 1-bit shards: ADC walks over sign codes for the
+    # candidate shortlist, exact rerank join, per-query top-k. Exact
+    # offline replay (offline_routed_bq_batch).
+    emb, idx = _routed_bq_cached(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = idx.search_batch(queries, "embedding", "qid", k=5, n_probe=2, rerank=emb)
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
 _OFFLINE_VAMANA_L2_MEMO: dict = {}
 
 

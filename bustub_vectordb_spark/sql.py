@@ -621,6 +621,18 @@ class SqlEngine:
                         n_probe = idx.default_n_probe
                         idx = idx.quantize_pq(model)
                         idx.default_n_probe = n_probe
+                    elif opts.get("bq"):
+                        # WITH (bq=1) on a routed build: shard graphs store
+                        # 1-bit sign codes (dim/8 bytes/vector, the densest
+                        # tier); serve via probe(rerank=source)
+                        from .similarity.quantize import dim_stats
+
+                        stats = dim_stats(df, col).orderBy("dim").collect()
+                        n_probe = idx.default_n_probe
+                        idx = idx.quantize_bq(
+                            [r["mn"] for r in stats], [r["mx"] for r in stats]
+                        )
+                        idx.default_n_probe = n_probe
                 else:
                     idx = HNSWIndex.build(df, col, id_col, **common)
             self.indexes.create(

@@ -1011,3 +1011,109 @@ def test_routed_build_splits_oversized_shards(emb):
     grown = idx.insert(new)
     top = grown.probe([0.05] * 64, 1, n_probe=4).collect()
     assert top[0]["vec_id"] == 888888
+
+
+def _bq_index(emb):
+    from bustub_vectordb_spark.similarity.quantize import dim_stats
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
+    )
+    stats = dim_stats(emb, "embedding").orderBy("dim").collect()
+    return routed, routed.quantize_bq(
+        [r["mn"] for r in stats], [r["mx"] for r in stats]
+    )
+
+
+def test_sharded_bq_quantize_rerank_and_size(emb):
+    """1-bit codes inside the shard blobs (ShardedHNSW.quantize_bq): the
+    reranked probe returns EXACT distances, keeps a useful shortlist
+    recall, and the blobs shrink well below the SQ8 footprint (vector
+    payload is dim/8 bytes vs dim bytes)."""
+    routed, bq = _bq_index(emb)
+    exact = {r["vec_id"]: r["distance"] for r in knn(emb, "embedding", QUERY, 10).collect()}
+    got = bq.probe(QUERY, 10, n_probe=2, rerank=emb).collect()
+    assert len(got) == 10
+    for r in got:
+        if r["vec_id"] in exact:
+            assert r["distance"] == pytest.approx(exact[r["vec_id"]], abs=1e-9)
+    assert len({r["vec_id"] for r in got} & set(exact)) / 10 >= 0.4
+
+    plain_bytes = sum(len(r["blob"]) for r in routed.blobs.collect())
+    bq_bytes = sum(len(r["blob"]) for r in bq.blobs.collect())
+    assert bq_bytes < plain_bytes * 0.45, (bq_bytes, plain_bytes)
+
+
+def test_sharded_bq_insert_after_quantize(emb, spark):
+    """Insert into a BQ index: new rows encode with the FROZEN thresholds
+    and an inserted duplicate is findable via the reranked probe."""
+    _, bq = _bq_index(emb)
+    assert "bq_mins" in bq.params
+    target = emb.limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [(77777, list(target["embedding"]))], "vec_id long, embedding array<double>"
+    )
+    ext = bq.insert(new)
+    src = emb.select("vec_id", "embedding").unionByName(new)
+    q = [float(x) for x in target["embedding"]]
+    ids = {r["vec_id"] for r in ext.probe(q, 3, n_probe=2, rerank=src).collect()}
+    assert 77777 in ids and target["vec_id"] in ids
+
+
+def test_sharded_bq_save_load_roundtrip(spark, emb, tmp_path):
+    from bustub_vectordb_spark.index.hnsw import ShardedHNSW
+
+    _, bq = _bq_index(emb)
+    before = [
+        (r["vec_id"], r["distance"])
+        for r in bq.probe(QUERY, 5, n_probe=2, rerank=emb).collect()
+    ]
+    bq.save(str(tmp_path / "bqidx"))
+    loaded = ShardedHNSW.load(spark, str(tmp_path / "bqidx"))
+    assert "bq_mins" in loaded.params
+    after = [
+        (r["vec_id"], r["distance"])
+        for r in loaded.probe(QUERY, 5, n_probe=2, rerank=emb).collect()
+    ]
+    assert after == before
+
+
+def test_graph_bq_refuses_double_quantize():
+    """BQ on an SQ8/PQ graph (or vice versa) must refuse — silently
+    compounding two lossy quantizers is the failure the guards exist for."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.hnsw import _Graph
+
+    def fresh():
+        g = _Graph(m=4, ef_construction=16, ef_search=16, dist="l2", seed=7)
+        rng = np.random.RandomState(0)
+        g.add_all(list(range(20)), rng.rand(20, 8))
+        return g
+
+    g = fresh()
+    g.quantize_bq([0.0] * 8, [1.0] * 8)
+    with pytest.raises(ValueError, match="BQ-quantized"):
+        g.quantize_sq8([0.0] * 8, [1.0] * 8)
+    with pytest.raises(ValueError, match="BQ-quantized"):
+        g.quantize_pq([np.zeros((2, 4))] * 2, [(0, 4), (4, 8)])
+    g2 = fresh()
+    g2.quantize_sq8([0.0] * 8, [1.0] * 8)
+    with pytest.raises(ValueError, match="already quantized"):
+        g2.quantize_bq([0.0] * 8, [1.0] * 8)
+
+
+def test_graph_bq_decode_is_half_range_centers():
+    """Decoded rows take exactly two values per dim: (mn+thr)/2 and
+    (thr+mx)/2 — and the bit assignment follows the strict midrange
+    comparison."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.hnsw import _Graph
+
+    g = _Graph(m=4, ef_construction=16, ef_search=16, dist="l2", seed=7)
+    mat = np.array([[0.1, 0.9], [0.9, 0.1], [0.4, 0.6]])
+    g.add_all([1, 2, 3], mat)
+    g.quantize_bq([0.0, 0.0], [1.0, 1.0])  # thr=.5, lo=.25, hi=.75
+    dec = g._mat_rows(slice(None))
+    assert dec.tolist() == [[0.25, 0.75], [0.75, 0.25], [0.25, 0.75]]

@@ -422,3 +422,26 @@ def test_merge_on_term_validation(engine):
             "merge into mta using mtb on mta.k = 5 "
             "when matched then update set * when not matched then insert *;"
         )
+
+
+def test_create_index_hnsw_routed_bq(spark):
+    """CREATE INDEX ... USING hnsw WITH (shards=2, bq=1): the routed build
+    1-bit-quantizes its shard blobs, keeps default_n_probe, and the
+    registered index probes correctly with exact rerank."""
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE mbq(v1 VECTOR(3), v2 integer)")
+    e.execute(
+        "INSERT INTO mbq VALUES (ARRAY [1.0,2.0,3.0], 1),"
+        " (ARRAY [2.0,2.0,3.0], 2), (ARRAY [3.0,2.0,3.0], 3),"
+        " (ARRAY [9.0,9.0,9.0], 4)"
+    )
+    e.execute(
+        "CREATE INDEX mbq1 ON mbq USING hnsw (v1 vector_l2_ops)"
+        " WITH (m = 4, ef_construction = 8, ef_search = 8, shards = 2, bq = 1)"
+    )
+    idx = next(i for i in e.indexes.lookup("mbq", "v1") if i.name == "mbq1").index
+    assert "bq_mins" in idx.params and idx.default_n_probe == 2
+    hits = idx.probe([1.0, 2.0, 3.0], 2, rerank=e.catalog.tables["mbq"].df).collect()
+    assert len(hits) == 2
