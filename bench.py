@@ -246,6 +246,22 @@ def build_workloads(spark):
             state["vamana_pq"].search_batch(queries, "embedding", "qid", k=10)
         )
 
+    def bq_batch():
+        # 1-bit binary-quantization batch serving (similarity/bq.py): the
+        # cheapest brute-force kernel in the engine — XOR+popcount over
+        # packed int words for |Q|x|N| pairs, per-query top-k window. The
+        # per-byte throughput ceiling the graph tiers are judged against.
+        from bustub_vectordb_spark.similarity.bq import BQModel
+
+        if "bq" not in state:
+            state["bq"] = BQModel.train(emb, "embedding")
+        queries = emb.filter(F.col("vec_id") % 7 == 0)
+        force(
+            state["bq"].hamming_join(
+                queries, "embedding", "vec_id", emb, "embedding", "vec_id", 10
+            )
+        )
+
     def pipeline_prep_bench():
         # the composed training-data prep pipeline (quality filter + PII
         # scrub + exact dedup + token count) — tracked so the end-to-end
@@ -279,6 +295,7 @@ def build_workloads(spark):
         ("hnsw_routed_batch_search", hnsw_routed_batch_search),
         ("vamana_build", vamana_build),
         ("vamana_pq_batch", vamana_pq_batch),
+        ("bq_batch", bq_batch),
         ("pipeline_prep", pipeline_prep_bench),
         ("dedup_components", dedup_components_bench),
     ]

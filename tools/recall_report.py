@@ -62,6 +62,7 @@ def main():
     stats = dim_stats(emb, "embedding").orderBy("dim").collect()
     routed_sq8 = routed.quantize([r["mn"] for r in stats], [r["mx"] for r in stats])
     routed_pq = routed.quantize_pq(pqm)
+    routed_bq = routed.quantize_bq([r["mn"] for r in stats], [r["mx"] for r in stats])
     from bustub_vectordb_spark.similarity.bq import BQModel
 
     bq = BQModel.train(emb, "embedding")
@@ -94,6 +95,8 @@ def main():
          lambda q: {r["vec_id"] for r in routed_sq8.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
         ("hnsw routed pq+rerank", "16 B/vec in-graph",
          lambda q: {r["vec_id"] for r in routed_pq.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
+        ("hnsw routed bq+rerank", f"{(dim + 7) // 8} B/vec in-graph",
+         lambda q: {r["vec_id"] for r in routed_bq.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
         ("vamana merged graph", f"{dim * 8} B/vec",
          lambda q: {r["vec_id"] for r in vamana.probe(list(q), K).collect()}),
         ("vamana pq+rerank", "16 B/vec in-graph",
