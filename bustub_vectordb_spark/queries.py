@@ -6418,18 +6418,18 @@ _GATE_WINDOW = [
     "text_bigram_lm_score",
     "documents_data_card",
     "stream_distinct_sketch",
-    # --- stale re-gates: driver rows dating to r1 (4) and r3 (10) —
-    # after this window every registry entry's newest driver row is ≤4
-    # rounds old ---
-    "knn_cosine",
-    "knn_inner_product",
-    "events_sessionize",
-    "multimodal_decode_features",
-    # (string_lower_upper / distinct / agg_having / sample_deterministic /
-    # knn_subquery_alias / ann_hnsw_probe / ann_index_selection yield their
-    # slots to the round-7 entries — new entries outrank stale re-gates of
-    # trivially-stable expressions and of families already carrying fresh
-    # driver rows)
+    # --- new in the round-7 second work block (4 of 11; the other 7 —
+    # ann_bq_hamming, ann_bq_rerank, ann_bq_batch,
+    # ann_hnsw_routed_bq_batch, merge_upsert, scd2_intervals,
+    # cdc_time_travel — queue for the r8 window; the judge's full-registry
+    # sweep covers them meanwhile) ---
+    "stream_cdc_apply",
+    "ann_hnsw_routed_bq_rerank",
+    "multivector_maxsim",
+    "layout_zorder_skipping",
+    # (stale re-gates knn_cosine / knn_inner_product / events_sessionize /
+    # multimodal_decode_features yield their slots — never-gated new
+    # entries outrank re-gates of families already carrying driver rows)
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",
