@@ -1008,6 +1008,40 @@ def q_window_range_frames(spark, sf_dir):
 
 
 @_register(
+    "window_trailing_time",
+    """
+    SELECT event_id, user_id, ts_ns,
+           count(*) OVER w AS n_events_1h,
+           round(sum(value) OVER w, 6) AS value_1h
+    FROM (SELECT event_id, user_id, value,
+                 epoch_ns(ts)::BIGINT AS ts_ns FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
+                 RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_trailing_time(spark, sf_dir):
+    # trailing event-time window — "activity in the user's last hour" per
+    # event, the per-row twin of the hopping-window rollup: a RANGE frame
+    # over BIGINT event-time nanoseconds (3.6e12 ns = 1 h). Same-instant
+    # events share the frame by RANGE semantics, so no tie-break is needed
+    # for determinism. Both aggregates ride ONE (user, ts) partitioning —
+    # a single shuffle however many trailing metrics are stacked.
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-3_600_000_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("ts_ns"),
+        F.count("*").over(w).alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 6).alias("value_1h"),
+    )
+
+
+@_register(
     "window_ignore_nulls",
     """
     SELECT l_orderkey, l_linenumber, sparse,
