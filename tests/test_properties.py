@@ -250,3 +250,41 @@ def test_graph_pq_quantize_invariants(m, k, seed):
     g.add_all([n, n + 1, n + 2], extra)
     assert np.array_equal(g.pq_codes[:n], before)  # frozen codebooks
     assert g.pq_codes.shape == (n + 3, model.m)
+
+
+# CDC merge algebra: random delta sequences
+_KEYS = st.integers(min_value=0, max_value=12)
+_DELTA = st.lists(
+    st.tuples(_KEYS, st.integers(min_value=0, max_value=99)),
+    min_size=1,
+    max_size=5,
+    unique_by=lambda t: t[0],  # MERGE precondition: unique source keys
+)
+
+
+@given(st.lists(_DELTA, min_size=1, max_size=4))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_stream_cdc_equals_merge_fold(spark, tmp_path_factory, deltas):
+    """Applying any sequence of delta batches through the versioned
+    streaming sink equals left-folding operators.cdc.merge_upsert over the
+    same batches — stream state is the batch algebra, version by version."""
+    from bustub_vectordb_spark.operators.cdc import merge_upsert
+    from bustub_vectordb_spark.streaming.cdc_apply import StreamUpsertSink
+
+    base = spark.createDataFrame(
+        [(k, -1) for k in range(5)], "k bigint, v bigint"
+    )
+    d = str(tmp_path_factory.mktemp("cdcprop"))
+    sink = StreamUpsertSink(spark, base, "k", d, n_buckets=3)
+    folded = base
+    for i, delta in enumerate(deltas):
+        ddf = spark.createDataFrame(delta, "k bigint, v bigint")
+        sink.process_batch(ddf, i)
+        folded = merge_upsert(folded, ddf, ["k"])
+    got = sorted(map(tuple, sink.state_df().collect()))
+    want = sorted(map(tuple, folded.collect()))
+    assert got == want
