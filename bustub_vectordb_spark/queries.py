@@ -2185,6 +2185,73 @@ def _ivf_sq8_rerank_oracle() -> str:
     """
 
 
+def _ivf_bq_rerank_oracle() -> str:
+    """DuckDB replica of the IVF+BQ+rerank pipeline: inlined IVF centroids,
+    midrange thresholds computed in SQL (exact min/max — order-independent),
+    per-row Hamming as a bit-mismatch fold (INTEGER — no rounding), exact
+    re-rank of the top-40 rounded to 8 like the Spark side."""
+    import math
+
+    values, cents = _ivfflat_oracle_cents()
+    buckets = sorted(range(len(cents)), key=lambda i: math.dist(cents[i], QUERY_VEC))[:4]
+    blist = ", ".join(str(b) for b in buckets)
+    q = _vec_sql_literal(QUERY_VEC)
+    return f"""
+    WITH cents(b, c) AS (VALUES {values}),
+    dims AS (
+      SELECT i AS dim, (min(x) + max(x)) / 2.0 AS thr
+      FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+      GROUP BY i
+    ),
+    stats AS (
+      SELECT list(thr ORDER BY dim) AS thrl, {q} AS ql FROM dims
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.b,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.b) AS arn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    ham AS (
+      SELECT vec_id, v,
+             list_sum(list_transform(range(1, len(v) + 1), i ->
+                 CASE WHEN (v[i] > thrl[i]) <> (ql[i] > thrl[i])
+                      THEN 1 ELSE 0 END))::BIGINT AS h
+      FROM a CROSS JOIN stats
+      WHERE arn = 1 AND b IN ({blist})
+    ),
+    shortlist AS (
+      SELECT vec_id, v FROM ham ORDER BY h ASC, vec_id ASC LIMIT 40
+    )
+    SELECT vec_id, round(list_distance(v, {q}), 8) AS distance
+    FROM shortlist
+    ORDER BY list_distance(v, {q}) ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@_register("ann_ivf_bq_rerank", _ivf_bq_rerank_oracle)
+def q_ann_ivf_bq_rerank(spark, sf_dir):
+    # IVF routing over MATERIALIZED 1-bit codes (similarity/bq.IVFBQIndex):
+    # probe 4/8 buckets, integer Hamming over dim/8-byte words (the
+    # densest codes relation in the engine — 64x smaller than the raw
+    # float scan), exact re-rank of the top-40. Completes the IVF
+    # compression family: IVFSQ (1 B/dim), IVFPQ (16 B/vec), IVFBQ
+    # (1 bit/dim).
+    from .similarity.bq import BQModel, IVFBQIndex
+
+    key = (sf_dir, "ivf_bq")
+    if key not in _INDEX_CACHE:
+        e = _t(spark, sf_dir, "embeddings")
+        idx = _ivfflat_for(spark, sf_dir)
+        model = BQModel.train(e, "embedding")
+        _INDEX_CACHE[key] = IVFBQIndex.build(idx, "embedding", "vec_id", model=model)
+    return _INDEX_CACHE[key].probe(QUERY_VEC, k=10, rerank=40, probe_lists=4)
+
+
 @_register("ann_ivf_sq8_rerank", _ivf_sq8_rerank_oracle)
 def q_ann_ivf_sq8_rerank(spark, sf_dir):
     # FAISS-style IVFSQ: probe 4/8 buckets, ADC-score their MATERIALIZED

@@ -224,6 +224,92 @@ class BQModel:
         )
 
 
+WORDS_COL = "__bq_words"
+
+
+@dataclass
+class IVFBQIndex:
+    """IVF routing over materialized 1-bit codes — the BQ member of the
+    IVF compression family next to IVFSQ8Index (64 B/vec codes) and
+    IVFPQIndex (16 B/vec): here the codes relation is (id, bucket, words)
+    at dim/8 bytes per row, so the probed buckets' shortlist scan is pure
+    integer XOR+popcount over the densest codes the engine stores. The
+    probe is route -> Hamming shortlist (integer-exact: NO rounding
+    anywhere before the rerank) -> exact re-rank on raw vectors; the
+    approximation (bucket pruning + shortlist depth) is part of the
+    specified, hash-gated semantics."""
+
+    ivf: object  # IVFFlatIndex
+    model: BQModel
+    codes: DataFrame  # (id_col, BUCKET_COL, WORDS_COL) — no raw vectors
+    vec_col: str
+    id_col: str
+
+    @classmethod
+    def build(
+        cls, ivf_index, vec_col: str, id_col: str, model: "BQModel | None" = None
+    ) -> "IVFBQIndex":
+        from ..index.ivfflat import BUCKET_COL
+
+        model = model or BQModel.train(ivf_index.assignments, vec_col)
+        codes = ivf_index.assignments.select(
+            F.col(id_col),
+            F.col(BUCKET_COL),
+            model.encode_words(vec_col).alias(WORDS_COL),
+        ).persist()
+        return cls(ivf_index, model, codes, vec_col, id_col)
+
+    @property
+    def assignments(self) -> DataFrame:
+        return self.ivf.assignments
+
+    def probe(
+        self,
+        query: list[float],
+        k: int,
+        rerank: int | None = None,
+        probe_lists: int | None = None,
+        dist_col: str = "distance",
+        where=None,
+    ) -> DataFrame:
+        from ..functions.vector import cosine_similarity, inner_product, l2_dist
+        from ..index.ivfflat import BUCKET_COL
+        from pyspark.sql.functions import broadcast
+
+        metric = self.ivf.dist
+        asc = metric == "l2"
+        if rerank is None:
+            rerank = 4 * k
+        buckets = self.ivf.rank_buckets(query)[: (probe_lists or self.ivf.probe_lists)]
+        cand = self.codes.filter(F.col(BUCKET_COL).isin(buckets))
+        if where is not None:
+            allowed = self.ivf.assignments.filter(where).select(self.id_col)
+            cand = cand.join(allowed, self.id_col, "left_semi")
+        ham = cand.select(
+            F.col(self.id_col),
+            self.model.hamming(F.col(WORDS_COL), query).alias("__h"),
+        )
+        shortlist = ham.orderBy(F.col("__h").asc(), F.col(self.id_col).asc()).limit(
+            rerank
+        )
+        raw = self.ivf.assignments.filter(F.col(BUCKET_COL).isin(buckets)).select(
+            F.col(self.id_col), F.col(self.vec_col)
+        )
+        rer = raw.join(broadcast(shortlist.select(self.id_col)), self.id_col)
+        exact_fn = {"l2": l2_dist, "cosine": cosine_similarity, "ip": inner_product}[
+            metric
+        ]
+        order = F.col(dist_col).asc() if asc else F.col(dist_col).desc()
+        return (
+            rer.select(
+                F.col(self.id_col),
+                F.round(exact_fn(self.vec_col, query), 8).alias(dist_col),
+            )
+            .orderBy(order, F.col(self.id_col).asc())
+            .limit(k)
+        )
+
+
 def _dims_cte(table: str, vec_col: str) -> str:
     return f"""
     dims AS (

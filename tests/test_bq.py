@@ -120,3 +120,20 @@ def test_hamming_join_no_preshuffle(emb, model):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ivf_bq_probe_recall_and_codes_only(spark, emb, sf_dir):
+    """IVFBQIndex: probed recall vs exact KNN holds, and the shortlist
+    stage scans the codes relation (no raw-vector column below the
+    shortlist's TakeOrdered)."""
+    from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+    from bustub_vectordb_spark.similarity.bq import WORDS_COL, IVFBQIndex
+
+    ivf = IVFFlatIndex.build(
+        emb, "embedding", lists=8, probe_lists=4, max_iter=5, init_order="vec_id"
+    )
+    idx = IVFBQIndex.build(ivf, "embedding", "vec_id")
+    got = idx.probe(QUERY_VEC, k=10, rerank=40, probe_lists=8).collect()
+    exact = {r["vec_id"] for r in knn(emb, "embedding", QUERY_VEC, 10).collect()}
+    assert len({r["vec_id"] for r in got} & exact) / 10 >= 0.5
+    assert WORDS_COL in idx.codes.columns and "embedding" not in idx.codes.columns
