@@ -1,8 +1,9 @@
 from .bloom import bloom_build, bloom_contamination_flags
-from .cdc import merge_upsert, scd2_intervals
+from .cdc import apply_changes, merge_upsert, scd2_intervals
 from .relational import delete_rows, distinct, top_n, top_n_per_group, update_rows
 
 __all__ = [
+    "apply_changes",
     "bloom_build",
     "bloom_contamination_flags",
     "delete_rows",

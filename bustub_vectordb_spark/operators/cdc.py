@@ -100,6 +100,37 @@ def merge_upsert(
     return joined.select(*out_cols)
 
 
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "_op",
+    broadcast_source: bool = False,
+) -> DataFrame:
+    """Full CDC apply — the Debezium/DMS change shape: ``changes`` carries
+    the target's columns plus ``op_col`` ('U' upsert / 'D' delete).
+
+    Deletes are an anti-join on the key (set-level tombstoning, the same
+    rewrite as operators.relational.delete_rows); survivors then merge the
+    upserts. With ``broadcast_source`` both the tombstone anti-join and the
+    merge broadcast the (small) change batch — the base still never
+    shuffles. A key appearing as both 'U' and 'D' in one batch is refused:
+    the outcome would depend on application order, which a set-level
+    rewrite cannot honor."""
+    keys = list(key_cols)
+    ops = changes.select(F.col(op_col)).distinct().collect()
+    bad = {r[op_col] for r in ops} - {"U", "D"}
+    if bad:
+        raise ValueError(f"unknown CDC ops: {sorted(bad)} (expected 'U'/'D')")
+    dels = changes.where(F.col(op_col) == "D").select(*keys)
+    ups = changes.where(F.col(op_col) == "U").drop(op_col)
+    if ups.join(dels, keys, "left_semi").limit(1).count():
+        raise ValueError("a key is both upserted and deleted in one batch")
+    dside = F.broadcast(dels) if broadcast_source else dels
+    survivors = target.join(dside, keys, "left_anti")
+    return merge_upsert(survivors, ups, keys, broadcast_source=broadcast_source)
+
+
 def scd2_intervals(
     df: DataFrame,
     key_col: str,

@@ -1318,6 +1318,50 @@ def q_merge_upsert(spark, sf_dir):
 
 
 @_register(
+    "merge_apply_deletes",
+    """
+    WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    survivors AS (SELECT * FROM t WHERE o_orderkey % 100 <> 21)
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 3 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           round(CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 50.0
+                      ELSE o_totalprice END, 2) AS o_totalprice
+    FROM survivors
+    WHERE o_orderkey % 10 IN (1, 3)
+    """,
+)
+def q_merge_apply_deletes(spark, sf_dir):
+    # full CDC apply with tombstones (operators/cdc.apply_changes): a
+    # Debezium-shaped change batch ('U' upserts for keys %10==3, 'D'
+    # deletes for %100==21) applied as delete-anti-join + broadcast merge —
+    # the base never shuffles for either action.
+    from .operators.cdc import apply_changes
+
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    ups = t.where(k % 10 == 3).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 50.0).alias("o_totalprice"),
+        F.lit("U").alias("_op"),
+    )
+    dels = t.where(k % 100 == 21).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit("D").alias("_op")
+    )
+    out = apply_changes(
+        t, ups.unionAll(dels), ["o_orderkey"], broadcast_source=True
+    )
+    return out.where((F.col("o_orderkey") % 10).isin(1, 3)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@_register(
     "scd2_intervals",
     """
     WITH e AS (SELECT user_id, event_type, epoch_ns(ts)::BIGINT AS ts_ns,

@@ -95,3 +95,30 @@ def test_scd2_single_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_apply_changes_deletes_and_upserts(spark, base):
+    from bustub_vectordb_spark.operators.cdc import apply_changes
+
+    ch = spark.createDataFrame(
+        [(2, "B", 99.0, "U"), (3, None, 0.0, "D"), (100, "n", 1.0, "U")],
+        "id bigint, tag string, val double, _op string",
+    )
+    got = {r["id"]: r["tag"] for r in apply_changes(base, ch, ["id"]).collect()}
+    assert 3 not in got and got[2] == "B" and got[100] == "n" and got[1] == "a"
+
+
+def test_apply_changes_refuses_conflicts_and_bad_ops(spark, base):
+    from bustub_vectordb_spark.operators.cdc import apply_changes
+
+    both = spark.createDataFrame(
+        [(2, "B", 9.0, "U"), (2, None, 0.0, "D")],
+        "id bigint, tag string, val double, _op string",
+    )
+    with pytest.raises(ValueError, match="both upserted and deleted"):
+        apply_changes(base, both, ["id"])
+    bad = spark.createDataFrame(
+        [(2, "B", 9.0, "X")], "id bigint, tag string, val double, _op string"
+    )
+    with pytest.raises(ValueError, match="unknown CDC ops"):
+        apply_changes(base, bad, ["id"])
