@@ -70,9 +70,14 @@ class StreamUpsertSink:
         self.columns = base.columns
         manifest = os.path.join(state_dir, "manifest.json")
         if os.path.exists(manifest):  # resume an existing table
+            from pyspark.sql.types import StructType
+
             with open(manifest) as f:
-                self.versions = json.load(f)["versions"]
+                m = json.load(f)
+            self.versions = m["versions"]
+            self.schema = StructType.fromJson(json.loads(m["schema"]))
             return
+        self.schema = base.select(*self.columns).schema
         (
             base.withColumn(BUCKET_COL, self._bucket(F.col(key_col)))
             .write.mode("overwrite")
@@ -90,7 +95,7 @@ class StreamUpsertSink:
     def _write_manifest(self) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.state_dir, prefix=".manifest_")
         with os.fdopen(fd, "w") as f:
-            json.dump({"versions": self.versions}, f)
+            json.dump({"versions": self.versions, "schema": self.schema.json()}, f)
         os.replace(tmp, os.path.join(self.state_dir, "manifest.json"))
 
     def _resolve(self, version: int | None = None) -> dict[int, str]:
@@ -106,17 +111,30 @@ class StreamUpsertSink:
                 )
         return paths
 
+    def _read(self, paths) -> DataFrame:
+        """Read the given bucket dirs; a resolved dir can be legitimately
+        ABSENT (a bucket emptied by deletes, or never populated — parquet's
+        partitionBy writes no dir for a value with zero rows), which means
+        "empty", never "fall back to an older version"."""
+        existing = sorted(p for p in paths if os.path.isdir(p))
+        if not existing:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.parquet(*existing).select(*self.columns)
+
     def state_df(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: current)."""
         paths = self._resolve(version)
-        if not paths:
+        if not paths and version is not None and version < self.versions[0]["v"]:
             raise ValueError(f"no committed version at or before {version}")
-        return self.spark.read.parquet(*sorted(paths.values())).select(*self.columns)
+        return self._read(paths.values())
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if any(e["batch_id"] == batch_id for e in self.versions):
             return  # at-least-once redelivery of an already-committed batch
-        delta = batch_df.select(*self.columns)
+        # a batch carrying an _op column is a full Debezium-shaped change
+        # set (upserts + tombstones); without it, every row is an upsert
+        has_ops = "_op" in batch_df.columns
+        delta = batch_df.select(*(self.columns + ["_op"] if has_ops else self.columns))
         touched = sorted(
             r["b"]
             for r in delta.select(self._bucket(F.col(self.key_col)).alias("b"))
@@ -126,10 +144,15 @@ class StreamUpsertSink:
         if not touched:
             return
         paths = self._resolve()
-        current = self.spark.read.parquet(
-            *sorted(paths[b] for b in touched)
-        ).select(*self.columns)
-        merged = merge_upsert(current, delta, [self.key_col], broadcast_source=True)
+        current = self._read(paths[b] for b in touched if b in paths)
+        if has_ops:
+            from ..operators.cdc import apply_changes
+
+            merged = apply_changes(
+                current, delta, [self.key_col], broadcast_source=True
+            )
+        else:
+            merged = merge_upsert(current, delta, [self.key_col], broadcast_source=True)
         v = self.versions[-1]["v"] + 1
         vdir = os.path.join(self.state_dir, f"v{v}")
         if os.path.exists(vdir):

@@ -104,3 +104,35 @@ def test_later_batch_wins(spark, base, tmp_path):
     _apply(sink, spark, [(11, "second", 2.0)], batch_id=1)
     got = {r["k"]: (r["st"], r["v"]) for r in sink.state_df().collect()}
     assert got[11] == ("second", 2.0)
+
+
+def test_tombstone_batch_and_emptied_bucket(spark, tmp_path):
+    """A change batch with an _op column deletes tombstoned keys; a bucket
+    emptied entirely must read as EMPTY afterwards (the absent dir in the
+    new version must not fall back to the older version's rows)."""
+    base = spark.createDataFrame(
+        [(1, "a"), (5, "b"), (2, "c")], "k bigint, st string"
+    )  # buckets (4): 1 -> {1, 5}, 2 -> {2}
+    sink = StreamUpsertSink(spark, base, "k", str(tmp_path / "st"), n_buckets=4)
+    ch = spark.createDataFrame(
+        [(1, None, "D"), (5, None, "D"), (2, "C", "U")],
+        "k bigint, st string, _op string",
+    )
+    sink.process_batch(ch, 0)
+    got = {r["k"]: r["st"] for r in sink.state_df().collect()}
+    assert got == {2: "C"}
+    # time travel still sees the pre-delete rows
+    old = {r["k"]: r["st"] for r in sink.state_df(version=0).collect()}
+    assert old == {1: "a", 5: "b", 2: "c"}
+
+
+def test_resume_after_tombstones_keeps_schema(spark, tmp_path):
+    base = spark.createDataFrame([(1, "a")], "k bigint, st string")
+    d = str(tmp_path / "st")
+    sink = StreamUpsertSink(spark, base, "k", d, n_buckets=2)
+    sink.process_batch(
+        spark.createDataFrame([(1, None, "D")], "k bigint, st string, _op string"), 0
+    )
+    resumed = StreamUpsertSink(spark, base.limit(0), "k", d, n_buckets=2)
+    assert resumed.state_df().count() == 0
+    assert [f.name for f in resumed.schema.fields] == ["k", "st"]
