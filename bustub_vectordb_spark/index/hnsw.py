@@ -241,7 +241,13 @@ class _Graph:
         separate Hamming kernel, and the exact rerank recipe
         (probe(rerank=src)) is unchanged. Reconstruction params derive
         from exact per-dim min/max: deterministic on both engines."""
-        if getattr(self, "pq_codes", None) is not None or getattr(self, "codes", None) is not None:
+        if (
+            getattr(self, "pq_codes", None) is not None
+            or getattr(self, "codes", None) is not None
+            or getattr(self, "bq_codes", None) is not None
+        ):
+            # incl. BQ-after-BQ: vecs is already None, so a second call
+            # would silently replace the codes with an empty array
             raise ValueError("graph is already quantized; BQ must start from floats")
         mn = np.asarray(mins, dtype=np.float64)
         mx = np.asarray(maxs, dtype=np.float64)
@@ -282,16 +288,18 @@ class _Graph:
         norms recompute from the DECODED values for internally-consistent
         cosine/ip orientation. Pair with an exact rerank
         (ShardedHNSW.probe(rerank=...)) for serving, exactly like SQ8."""
-        self.pq_books = [np.asarray(b, dtype=np.float64) for b in books]
-        self.pq_bounds = [(int(s), int(e)) for s, e in bounds]
-        if max(len(b) for b in self.pq_books) > 256:
-            raise ValueError("quantize_pq stores uint8 codes: need k <= 256")
+        # guards run BEFORE any mutation: a caller catching the error must
+        # not be left with stale pq_books attached to an unquantized graph
         if getattr(self, "bq_codes", None) is not None:
             raise ValueError("graph is BQ-quantized; PQ must start from floats")
+        if max(len(b) for b in books) > 256:
+            raise ValueError("quantize_pq stores uint8 codes: need k <= 256")
         if getattr(self, "codes", None) is not None:
             # already SQ8-quantized: re-encoding the lossy decode would
             # silently compound two quantizers' errors
             raise ValueError("graph is SQ8-quantized; PQ must start from floats")
+        self.pq_books = [np.asarray(b, dtype=np.float64) for b in books]
+        self.pq_bounds = [(int(s), int(e)) for s, e in bounds]
         if self.vecs is None:
             self.pq_codes = np.zeros((0, len(self.pq_books)), dtype=np.uint8)
         else:

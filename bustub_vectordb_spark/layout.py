@@ -190,6 +190,11 @@ def zorder_write(
         F.min(col2).alias("lo2"),
         F.max(col2).alias("hi2"),
     ).collect()[0]
+    if b["lo1"] is None or b["lo2"] is None:
+        # empty input (min/max aggregate to NULL): an empty parquet dir is
+        # the right output, not a TypeError inside the bucketizer
+        df.write.mode("overwrite").parquet(path)
+        return
     z = zorder_key(
         F.col(col1), F.col(col2), b["lo1"], b["hi1"], b["lo2"], b["hi2"]
     ).alias("_z")

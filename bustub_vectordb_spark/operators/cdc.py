@@ -118,14 +118,27 @@ def apply_changes(
     the outcome would depend on application order, which a set-level
     rewrite cannot honor."""
     keys = list(key_cols)
-    ops = changes.select(F.col(op_col)).distinct().collect()
-    bad = {r[op_col] for r in ops} - {"U", "D"}
+    # ONE validation job (this runs per micro-batch in the streaming sink):
+    # the op vocabulary and the U∩D conflict test fold into a single agg —
+    # with ops ⊆ {U, D}, a key carrying both shows up as
+    # countDistinct(key, op) > countDistinct(key)
+    row = changes.agg(
+        F.collect_set(op_col).alias("ops"),
+        F.countDistinct(*keys, op_col).alias("key_ops"),
+        F.countDistinct(*keys).alias("nkeys"),
+    ).collect()[0]
+    bad = set(row["ops"]) - {"U", "D"}
     if bad:
         raise ValueError(f"unknown CDC ops: {sorted(bad)} (expected 'U'/'D')")
+    if row["key_ops"] > row["nkeys"]:
+        # also catches duplicate same-op keys, which merge_upsert's
+        # uniqueness precondition forbids anyway
+        raise ValueError(
+            "a key carries more than one change row in one batch "
+            "(e.g. both upserted and deleted)"
+        )
     dels = changes.where(F.col(op_col) == "D").select(*keys)
     ups = changes.where(F.col(op_col) == "U").drop(op_col)
-    if ups.join(dels, keys, "left_semi").limit(1).count():
-        raise ValueError("a key is both upserted and deleted in one batch")
     dside = F.broadcast(dels) if broadcast_source else dels
     survivors = target.join(dside, keys, "left_anti")
     return merge_upsert(survivors, ups, keys, broadcast_source=broadcast_source)
@@ -147,8 +160,14 @@ def scd2_intervals(
     order = [F.col(ts_col).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
     w = Window.partitionBy(key_col).orderBy(*order)
     prev = F.lag(attr_col).over(w)
-    changed = df.withColumn("_prev", prev).where(
-        F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+    # null-SAFE change detection: attr != prev is NULL (dropped) whenever
+    # either side is NULL, which would erase transitions to/from a NULL
+    # attribute; and "prev IS NULL" cannot distinguish the first row from
+    # a NULL-valued predecessor, so first-row-ness is its own test
+    changed = (
+        df.withColumn("_prev", prev)
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) | ~F.col(attr_col).eqNullSafe(F.col("_prev")))
     )
     # re-window over the change rows only: same partitioning/order, so
     # Catalyst reuses the existing shuffle (no second Exchange)

@@ -1370,10 +1370,13 @@ def q_merge_apply_deletes(spark, sf_dir):
     ch AS (
         SELECT user_id, event_type, ts_ns, event_id,
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts_ns, event_id) AS prev
+                                     ORDER BY ts_ns, event_id) AS prev,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_ns, event_id) AS rn
         FROM e
     ),
-    chg AS (SELECT * FROM ch WHERE prev IS NULL OR event_type <> prev)
+    chg AS (SELECT * FROM ch
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
     SELECT user_id, event_type, ts_ns AS valid_from,
            lead(ts_ns) OVER (PARTITION BY user_id
                              ORDER BY ts_ns, event_id) AS valid_to

@@ -71,12 +71,22 @@ class BQModel:
         return (self.dims + WORD_BITS - 1) // WORD_BITS
 
     def _bits(self, vec: Column | str) -> Column:
-        """array<bigint> of 0/1 sign bits (strict >, matching the oracle)."""
+        """array<bigint> of 0/1 sign bits (strict >, matching the oracle).
+
+        Row dimensionality is ENFORCED (assert_true): zip_with would pad a
+        short/long row with NULLs, which when().otherwise(0) would silently
+        turn into plausible-looking zero bits — a wrong Hamming distance
+        with no error anywhere. encode_query raises the same way."""
         v = (F.col(vec) if isinstance(vec, str) else vec).cast("array<double>")
+        ok = F.assert_true(
+            F.size(v) == F.lit(self.dims),
+            F.lit(f"BQ encode: vector must have {self.dims} dims"),
+        )
         thr = F.array(*[F.lit(float(t)) for t in self.thresholds])
-        return F.zip_with(
+        bits = F.zip_with(
             v, thr, lambda x, t: F.when(x > t, F.lit(1)).otherwise(F.lit(0)).cast("long")
         )
+        return F.when(ok.isNull(), bits)  # assert_true is NULL on success
 
     def encode_words(self, vec: Column | str) -> Column:
         """Pack sign bits MSB-first into ``array<bigint>`` words.

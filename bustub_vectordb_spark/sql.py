@@ -684,10 +684,20 @@ class SqlEngine:
             keys.append(m.group(2))
         from .operators.cdc import merge_upsert
 
-        n = s.df.count()
+        # ANSI MERGE cardinality rule: a target row matching more than one
+        # source row is an error, not a silent fan-out
+        row = s.df.agg(
+            F.count("*").alias("n"), F.countDistinct(*keys).alias("nk")
+        ).collect()[0]
+        if row["n"] != row["nk"]:
+            raise ValueError(
+                f"MERGE source {source} has duplicate values for key "
+                f"({', '.join(keys)}) — each target row may match at most "
+                "one source row"
+            )
         merged = merge_upsert(t.df, s.df, keys)
         self.catalog.register(target, merged, t.vector_lengths)
-        return n
+        return row["n"]
 
     def _delete(self, table: str, where: str | None) -> int:
         """DELETE FROM t [WHERE pred] — anti rewrite

@@ -76,6 +76,10 @@ class StreamUpsertSink:
                 m = json.load(f)
             self.versions = m["versions"]
             self.schema = StructType.fromJson(json.loads(m["schema"]))
+            # the bucket function is part of the table's on-disk identity:
+            # resuming with a different n_buckets would route keys to the
+            # wrong partition dirs and silently duplicate them on merge
+            self.n_buckets = m["n_buckets"]
             return
         self.schema = base.select(*self.columns).schema
         (
@@ -95,7 +99,14 @@ class StreamUpsertSink:
     def _write_manifest(self) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.state_dir, prefix=".manifest_")
         with os.fdopen(fd, "w") as f:
-            json.dump({"versions": self.versions, "schema": self.schema.json()}, f)
+            json.dump(
+                {
+                    "versions": self.versions,
+                    "schema": self.schema.json(),
+                    "n_buckets": self.n_buckets,
+                },
+                f,
+            )
         os.replace(tmp, os.path.join(self.state_dir, "manifest.json"))
 
     def _resolve(self, version: int | None = None) -> dict[int, str]:
@@ -193,6 +204,13 @@ class StreamUpsertSink:
         """Drop version directories no longer reachable from any version
         >= ``retain_from`` (time travel below that floor stops working).
         Returns the versions removed."""
+        latest = self.versions[-1]["v"]
+        if retain_from > latest:
+            raise ValueError(
+                f"retain_from={retain_from} is above the newest committed "
+                f"version {latest} — refusing a vacuum that would drop the "
+                "current table"
+            )
         keep_dirs = set()
         for entry in self.versions:
             if entry["v"] < retain_from:

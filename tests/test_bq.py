@@ -137,3 +137,13 @@ def test_ivf_bq_probe_recall_and_codes_only(spark, emb, sf_dir):
     exact = {r["vec_id"] for r in knn(emb, "embedding", QUERY_VEC, 10).collect()}
     assert len({r["vec_id"] for r in got} & exact) / 10 >= 0.5
     assert WORDS_COL in idx.codes.columns and "embedding" not in idx.codes.columns
+
+
+def test_encode_rejects_wrong_dims(spark, model):
+    """A corpus row with the wrong dimensionality must ERROR, not encode
+    as silent zero bits (review finding)."""
+    import pyspark
+
+    df = spark.createDataFrame([(1, [0.5, 0.5])], "id bigint, v array<double>")
+    with pytest.raises(Exception, match="dims"):
+        df.select(model.encode_words("v").alias("w")).collect()

@@ -122,3 +122,32 @@ def test_apply_changes_refuses_conflicts_and_bad_ops(spark, base):
     )
     with pytest.raises(ValueError, match="unknown CDC ops"):
         apply_changes(base, bad, ["id"])
+
+
+def test_scd2_null_transitions(spark):
+    """Transitions to and from a NULL attribute are real versions (review
+    finding: attr != prev is NULL-poisoned three-valued logic)."""
+    from bustub_vectordb_spark.operators.cdc import scd2_intervals
+
+    rows = [(1, 100, "a", 1), (1, 200, None, 2), (1, 300, "a", 3)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts bigint, st string, event_id bigint")
+    got = sorted(
+        (
+            (r["st"], r["valid_from"], r["valid_to"])
+            for r in scd2_intervals(
+                df, "user_id", "st", "ts", tie_col="event_id"
+            ).collect()
+        ),
+        key=lambda t: t[1],
+    )
+    assert got == [("a", 100, 200), (None, 200, 300), ("a", 300, None)]
+
+
+def test_scd2_first_row_null_attr(spark):
+    from bustub_vectordb_spark.operators.cdc import scd2_intervals
+
+    rows = [(1, 100, None, 1), (1, 200, None, 2), (1, 300, "a", 3)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts bigint, st string, event_id bigint")
+    rows_out = scd2_intervals(df, "user_id", "st", "ts", tie_col="event_id").collect()
+    got = sorted(((r["st"], r["valid_from"]) for r in rows_out), key=lambda t: t[1])
+    assert got == [(None, 100), ("a", 300)]

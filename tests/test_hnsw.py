@@ -1117,3 +1117,31 @@ def test_graph_bq_decode_is_half_range_centers():
     g.quantize_bq([0.0, 0.0], [1.0, 1.0])  # thr=.5, lo=.25, hi=.75
     dec = g._mat_rows(slice(None))
     assert dec.tolist() == [[0.25, 0.75], [0.75, 0.25], [0.25, 0.75]]
+
+
+def test_graph_bq_refuses_bq_after_bq():
+    """Second quantize_bq must refuse — vecs is gone, so it would silently
+    replace the codes with an empty array (review finding)."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.hnsw import _Graph
+
+    g = _Graph(m=4, ef_construction=16, ef_search=16, dist="l2", seed=7)
+    g.add_all(list(range(10)), np.random.RandomState(0).rand(10, 8))
+    g.quantize_bq([0.0] * 8, [1.0] * 8)
+    with pytest.raises(ValueError, match="already quantized"):
+        g.quantize_bq([0.0] * 8, [1.0] * 8)
+
+
+def test_graph_pq_guard_runs_before_mutation():
+    """A refused quantize_pq leaves NO stale pq metadata behind."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.hnsw import _Graph
+
+    g = _Graph(m=4, ef_construction=16, ef_search=16, dist="l2", seed=7)
+    g.add_all(list(range(10)), np.random.RandomState(0).rand(10, 8))
+    g.quantize_bq([0.0] * 8, [1.0] * 8)
+    with pytest.raises(ValueError, match="BQ-quantized"):
+        g.quantize_pq([np.zeros((2, 4))] * 2, [(0, 4), (4, 8)])
+    assert g.pq_books is None and g.pq_bounds is None

@@ -445,3 +445,17 @@ def test_create_index_hnsw_routed_bq(spark):
     assert "bq_mins" in idx.params and idx.default_n_probe == 2
     hits = idx.probe([1.0, 2.0, 3.0], 2, rerank=e.catalog.tables["mbq"].df).collect()
     assert len(hits) == 2
+
+
+def test_merge_rejects_duplicate_source_keys(engine):
+    engine.execute("create table mdt(k int, v int);")
+    engine.execute("insert into mdt values (1, 10);")
+    engine.execute("create table mds(k int, v int);")
+    engine.execute("insert into mds values (1, 11), (1, 12);")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        engine.execute(
+            "merge into mdt using mds on mdt.k = mds.k "
+            "when matched then update set * when not matched then insert *;"
+        )

@@ -136,3 +136,27 @@ def test_resume_after_tombstones_keeps_schema(spark, tmp_path):
     resumed = StreamUpsertSink(spark, base.limit(0), "k", d, n_buckets=2)
     assert resumed.state_df().count() == 0
     assert [f.name for f in resumed.schema.fields] == ["k", "st"]
+
+
+def test_resume_ignores_mismatched_n_buckets(spark, tmp_path):
+    """n_buckets is part of the on-disk identity: a resume with a
+    different constructor value must keep the manifest's (else keys route
+    to the wrong dirs and duplicate on merge)."""
+    base = spark.createDataFrame([(i, "s") for i in range(10)], "k bigint, st string")
+    d = str(tmp_path / "st")
+    StreamUpsertSink(spark, base, "k", d, n_buckets=4)
+    resumed = StreamUpsertSink(spark, base.limit(0), "k", d, n_buckets=8)
+    assert resumed.n_buckets == 4
+    resumed.process_batch(
+        spark.createDataFrame([(5, "u")], "k bigint, st string"), 0
+    )
+    got = sorted(map(tuple, resumed.state_df().collect()))
+    assert got.count((5, "u")) == 1 and (5, "s") not in got
+
+
+def test_vacuum_refuses_future_floor(spark, tmp_path):
+    base = spark.createDataFrame([(1, "a")], "k bigint, st string")
+    sink = StreamUpsertSink(spark, base, "k", str(tmp_path / "st"), n_buckets=2)
+    with pytest.raises(ValueError, match="newest committed"):
+        sink.vacuum(retain_from=99)
+    assert sink.state_df().count() == 1  # nothing was dropped
