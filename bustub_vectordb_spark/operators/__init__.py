@@ -1,5 +1,6 @@
 from .bloom import bloom_build, bloom_contamination_flags
 from .cdc import apply_changes, merge_upsert, scd2_intervals
+from .fuzzy import fuzzy_self_pairs
 from .relational import delete_rows, distinct, top_n, top_n_per_group, update_rows
 
 __all__ = [
@@ -7,6 +8,7 @@ __all__ = [
     "bloom_build",
     "bloom_contamination_flags",
     "delete_rows",
+    "fuzzy_self_pairs",
     "distinct",
     "merge_upsert",
     "scd2_intervals",

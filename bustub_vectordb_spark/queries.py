@@ -1265,6 +1265,25 @@ def q_delete_rewrite(spark, sf_dir):
     )
 
 
+def _fuzzy_oracle() -> str:
+    from .operators.fuzzy import fuzzy_self_pairs_oracle_sql
+
+    return fuzzy_self_pairs_oracle_sql("customer", "c_custkey", "c_name", max_dist=1)
+
+
+@_register("fuzzy_join_names", _fuzzy_oracle())
+def q_fuzzy_join_names(spark, sf_dir):
+    # entity-resolution fuzzy self-join (operators/fuzzy.py, PassJoin-style
+    # pigeonhole slice blocking): customer-name pairs within Levenshtein 1
+    # — candidates come from B=2 equi-joins on key slices (a substitution
+    # cannot touch both halves), never a cross product; exact Levenshtein
+    # verifies only the blocked candidates.
+    from .operators.fuzzy import fuzzy_self_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    return fuzzy_self_pairs(c, "c_custkey", "c_name", max_dist=1)
+
+
 @_register(
     "merge_upsert",
     """
