@@ -5964,6 +5964,47 @@ def _cdc_sink(spark, sf_dir):
 
 
 @_register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ns(ts), event_id) AS nxt
+      FROM events
+    )
+    SELECT event_type AS from_type, nxt AS to_type,
+           count(*) AS n,
+           round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY event_type), 6)
+             AS p
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY event_type, nxt
+    """,
+)
+def q_events_transition_matrix(spark, sf_dir):
+    # first-order Markov transition matrix over per-user event sequences —
+    # the "what do users do next" primitive behind funnel discovery and
+    # session language modeling. One window shuffle on user_id (high
+    # cardinality) to form bigrams, then a tiny |types|² aggregation; the
+    # row-normalized probability rides a window over the agg output
+    # (scalar-sized), not the event log.
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
+    )
+
+
+@_register(
     "stream_cdc_apply",
     """
     WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
