@@ -412,6 +412,36 @@ def q_agg_empty_input(spark, sf_dir):
 
 
 @_register(
+    "agg_histogram",
+    """
+    SELECT least(greatest(floor(o_totalprice / 50000.0), 0), 11)::BIGINT AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark, sf_dir):
+    # equi-width histogram with LITERAL bin bounds (12 x 50k, clamped tail
+    # bin) — data-independent binning keeps the bucket function identical
+    # on both engines; one count shuffle of 12 keys. The profiling
+    # primitive behind any "distribution of X" question at 100 TB.
+    o = _t(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / 50000.0), F.lit(0)), F.lit(11)
+    ).cast("long")
+    return (
+        o.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@_register(
     "agg_rollup",
     """
     SELECT l_returnflag, l_linestatus,
