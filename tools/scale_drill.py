@@ -225,6 +225,25 @@ def main():
         _log(f"hnsw routed batch done {times['hnsw_routed_batch']}s")
         report["recall_hnsw_routed"] = round(recall(truth, hits), 4)
 
+        # ---- 1-bit BQ codes in the same shards (round-7 tier): quantize
+        # pass over the blobs, ADC walks + exact rerank batch serving ----
+        from bustub_vectordb_spark.similarity.quantize import dim_stats
+
+        t0 = time.time()
+        stats = dim_stats(emb, "embedding").orderBy("dim").collect()
+        bq = routed.quantize_bq(
+            [r["mn"] for r in stats], [r["mx"] for r in stats]
+        )
+        times["hnsw_routed_bq_quantize"] = round(time.time() - t0, 1)
+        _log(f"bq quantize done {times['hnsw_routed_bq_quantize']}s")
+        t0 = time.time()
+        hits = bq.search_batch(
+            qdf, "embedding", "qid", K, n_probe=4, rerank=emb
+        ).collect()
+        times["hnsw_routed_bq_batch"] = round(time.time() - t0, 1)
+        _log(f"bq batch done {times['hnsw_routed_bq_batch']}s")
+        report["recall_hnsw_routed_bq"] = round(recall(truth, hits), 4)
+
     if not args.skip_vamana:
         # ---- merged vamana → partitioned serving (the frozen tier) ----
         t0 = time.time()
