@@ -2348,6 +2348,69 @@ def q_ann_ivf_bq_rerank(spark, sf_dir):
     return _INDEX_CACHE[key].probe(QUERY_VEC, k=10, rerank=40, probe_lists=4)
 
 
+def _ivf_bq_local_rerank_oracle() -> str:
+    """Per-BUCKET thresholds replica: each IVF bucket derives its own
+    midranges from its own members (exact min/max per (bucket, dim)), and
+    the query's bits are recomputed against each probed bucket's
+    thresholds."""
+    import math
+
+    values, cents = _ivfflat_oracle_cents()
+    buckets = sorted(range(len(cents)), key=lambda i: math.dist(cents[i], QUERY_VEC))[:4]
+    blist = ", ".join(str(b) for b in buckets)
+    q = _vec_sql_literal(QUERY_VEC)
+    return f"""
+    WITH cents(b, c) AS (VALUES {values}),
+    a AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.b,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.b) AS arn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    asg AS (SELECT vec_id, v, b FROM a WHERE arn = 1),
+    bdims AS (
+      SELECT b, i AS dim, (min(x) + max(x)) / 2.0 AS thr
+      FROM (SELECT b, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM asg)
+      GROUP BY b, i
+    ),
+    bthr AS (SELECT b, list(thr ORDER BY dim) AS thrl FROM bdims GROUP BY b),
+    ham AS (
+      SELECT vec_id, v,
+             list_sum(list_transform(range(1, len(v) + 1), i ->
+                 CASE WHEN (v[i] > thrl[i]) <> (ql[i] > thrl[i])
+                      THEN 1 ELSE 0 END))::BIGINT AS h
+      FROM (SELECT asg.vec_id, asg.v, bthr.thrl
+            FROM asg JOIN bthr USING (b) WHERE asg.b IN ({blist}))
+      CROSS JOIN (SELECT {q} AS ql)
+    ),
+    shortlist AS (SELECT vec_id, v FROM ham ORDER BY h ASC, vec_id ASC LIMIT 40)
+    SELECT vec_id, round(list_distance(v, {q}), 8) AS distance
+    FROM shortlist
+    ORDER BY list_distance(v, {q}) ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@_register("ann_ivf_bq_local_rerank", _ivf_bq_local_rerank_oracle)
+def q_ann_ivf_bq_local_rerank(spark, sf_dir):
+    # per-BUCKET thresholds (build(per_bucket=True)) — the 1-bit analog of
+    # IVF residual encoding, and the fix the 2.2M scale drill demanded:
+    # global midranges collapse a cluster-shaped bucket's codes to one
+    # word (routed tier measured recall 0.856 -> 0.10). Bucket-local
+    # thresholds split the LOCAL distribution; the query re-encodes
+    # against each probed bucket's thresholds via a broadcast map.
+    from .similarity.bq import IVFBQIndex
+
+    key = (sf_dir, "ivf_bq_local")
+    if key not in _INDEX_CACHE:
+        idx = _ivfflat_for(spark, sf_dir)
+        _INDEX_CACHE[key] = IVFBQIndex.build(
+            idx, "embedding", "vec_id", per_bucket=True
+        )
+    return _INDEX_CACHE[key].probe(QUERY_VEC, k=10, rerank=40, probe_lists=4)
+
+
 @_register("ann_ivf_sq8_rerank", _ivf_sq8_rerank_oracle)
 def q_ann_ivf_sq8_rerank(spark, sf_dir):
     # FAISS-style IVFSQ: probe 4/8 buckets, ADC-score their MATERIALIZED

@@ -237,6 +237,27 @@ class BQModel:
 WORDS_COL = "__bq_words"
 
 
+def _encode_words_against(vec: Column | str, thr: Column, n_words: int | None = None):
+    """encode_words generalized to a per-row thresholds COLUMN (the
+    per-bucket mode's joined threshold array). Same MSB-first 32-bit
+    packing as BQModel.encode_words; ``n_words`` is required — the
+    generated expression's shape is static."""
+    if not n_words:
+        raise ValueError("n_words is required")
+    v = (F.col(vec) if isinstance(vec, str) else vec).cast("array<double>")
+    bits = F.zip_with(
+        v, thr, lambda x, t: F.when(x > t, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.slice(bits, w * WORD_BITS + 1, WORD_BITS),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + b,
+        ),
+    )
+
+
 @dataclass
 class IVFBQIndex:
     """IVF routing over materialized 1-bit codes — the BQ member of the
@@ -250,24 +271,69 @@ class IVFBQIndex:
     specified, hash-gated semantics."""
 
     ivf: object  # IVFFlatIndex
-    model: BQModel
+    model: BQModel  # global thresholds (per_bucket=False) or unused for codes
     codes: DataFrame  # (id_col, BUCKET_COL, WORDS_COL) — no raw vectors
     vec_col: str
     id_col: str
+    # per_bucket=True: bucket -> that bucket's own midrange thresholds
+    # (driver-resident, O(buckets x dims) — centroid-sized). The same
+    # clustered-corpus lesson as ShardedHNSW.quantize_bq(local=True): a
+    # bucket is one cluster, and GLOBAL midranges put the whole cluster on
+    # one side of every dim, collapsing all its codes to the same word
+    # (2.2M drill: recall 0.856 -> 0.10). Bucket-local thresholds split
+    # the local distribution — the 1-bit analog of IVF residual encoding.
+    bucket_thresholds: "dict[int, list[float]] | None" = None
 
     @classmethod
     def build(
-        cls, ivf_index, vec_col: str, id_col: str, model: "BQModel | None" = None
+        cls,
+        ivf_index,
+        vec_col: str,
+        id_col: str,
+        model: "BQModel | None" = None,
+        per_bucket: bool = False,
     ) -> "IVFBQIndex":
         from ..index.ivfflat import BUCKET_COL
 
         model = model or BQModel.train(ivf_index.assignments, vec_col)
-        codes = ivf_index.assignments.select(
-            F.col(id_col),
-            F.col(BUCKET_COL),
-            model.encode_words(vec_col).alias(WORDS_COL),
-        ).persist()
-        return cls(ivf_index, model, codes, vec_col, id_col)
+        thr_by_bucket = None
+        if per_bucket:
+            rows = (
+                ivf_index.assignments.select(
+                    F.col(BUCKET_COL).alias("b"),
+                    F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                        "dim", "x"
+                    ),
+                )
+                .groupBy("b", "dim")
+                .agg(((F.min("x") + F.max("x")) / 2.0).alias("thr"))
+                .orderBy("b", "dim")
+                .collect()
+            )
+            thr_by_bucket = {}
+            for r in rows:
+                thr_by_bucket.setdefault(r["b"], []).append(r["thr"])
+            # encode each row against ITS bucket's thresholds: the per-
+            # bucket arrays ride a broadcast map join (centroid-sized)
+            tdf = F.broadcast(
+                ivf_index.assignments.sparkSession.createDataFrame(
+                    [(b, t) for b, t in sorted(thr_by_bucket.items())],
+                    f"{BUCKET_COL} long, __thr array<double>",
+                )
+            )
+            enc = _encode_words_against(vec_col, F.col("__thr"), n_words=model.n_words)
+            codes = (
+                ivf_index.assignments.join(tdf, BUCKET_COL)
+                .select(F.col(id_col), F.col(BUCKET_COL), enc.alias(WORDS_COL))
+                .persist()
+            )
+        else:
+            codes = ivf_index.assignments.select(
+                F.col(id_col),
+                F.col(BUCKET_COL),
+                model.encode_words(vec_col).alias(WORDS_COL),
+            ).persist()
+        return cls(ivf_index, model, codes, vec_col, id_col, thr_by_bucket)
 
     @property
     def assignments(self) -> DataFrame:
@@ -295,10 +361,38 @@ class IVFBQIndex:
         if where is not None:
             allowed = self.ivf.assignments.filter(where).select(self.id_col)
             cand = cand.join(allowed, self.id_col, "left_semi")
-        ham = cand.select(
-            F.col(self.id_col),
-            self.model.hamming(F.col(WORDS_COL), query).alias("__h"),
-        )
+        if self.bucket_thresholds is not None:
+            # per-bucket mode: the QUERY must encode against each probed
+            # bucket's own thresholds; the (bucket, qwords) map is
+            # bucket-count-sized and broadcasts
+            spark = self.codes.sparkSession
+            qrows = []
+            for b in buckets:
+                thr = self.bucket_thresholds.get(b)
+                if thr is None:
+                    continue
+                m = BQModel(thr)
+                qrows.append((b, m.encode_query(list(query))))
+            qdf = F.broadcast(
+                spark.createDataFrame(qrows, f"{BUCKET_COL} long, __qw array<bigint>")
+            )
+            ham_expr = F.aggregate(
+                F.zip_with(
+                    F.col(WORDS_COL),
+                    F.col("__qw"),
+                    lambda a, bb: F.bit_count(a.bitwiseXOR(bb)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            ham = cand.join(qdf, BUCKET_COL).select(
+                F.col(self.id_col), ham_expr.alias("__h")
+            )
+        else:
+            ham = cand.select(
+                F.col(self.id_col),
+                self.model.hamming(F.col(WORDS_COL), query).alias("__h"),
+            )
         shortlist = ham.orderBy(F.col("__h").asc(), F.col(self.id_col).asc()).limit(
             rerank
         )

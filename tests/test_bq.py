@@ -147,3 +147,38 @@ def test_encode_rejects_wrong_dims(spark, model):
     df = spark.createDataFrame([(1, [0.5, 0.5])], "id bigint, v array<double>")
     with pytest.raises(Exception, match="dims"):
         df.select(model.encode_words("v").alias("w")).collect()
+
+
+def test_ivf_bq_per_bucket_beats_global_on_clustered(spark):
+    """The scale-drill regression in miniature: a strongly clustered
+    corpus where GLOBAL midranges collapse each cluster's codes to one
+    word. Per-bucket thresholds must recover in-cluster discrimination."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+    from bustub_vectordb_spark.similarity.bq import IVFBQIndex
+
+    rng = np.random.RandomState(7)
+    centers = rng.uniform(-100, 100, size=(4, 16))
+    rows = []
+    for i in range(400):
+        c = centers[i % 4]
+        rows.append((i, (c + rng.uniform(-1, 1, 16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    ivf = IVFFlatIndex.build(
+        df, "embedding", lists=4, probe_lists=1, max_iter=5, init_order="vec_id"
+    )
+    q = rows[0][1]
+    exact = {
+        r["vec_id"]
+        for r in knn(df, "embedding", q, 10).collect()
+    }
+
+    def recall(idx):
+        got = {r["vec_id"] for r in idx.probe(q, k=10, rerank=20, probe_lists=1).collect()}
+        return len(got & exact) / 10
+
+    g = recall(IVFBQIndex.build(ivf, "embedding", "vec_id"))
+    l = recall(IVFBQIndex.build(ivf, "embedding", "vec_id", per_bucket=True))
+    assert l >= g, (l, g)
+    assert l >= 0.6, l
