@@ -32,6 +32,18 @@ projection; probe is a full scan of 8-byte codes + top-k — the scan the
 other tiers (IVF routing, graph walks) exist to avoid, but at 32x
 compression it is the strongest brute-force baseline per byte.
 
+CLUSTERED-CORPUS CAVEAT (found by the 2.2M scale drill, not by any
+small-scale test): GLOBAL midrange thresholds collapse on strongly
+clustered data — all members of a tight cluster fall on the same side of
+the global midrange in most dims, so their codes are (near-)identical and
+Hamming carries no within-cluster signal (routed-tier recall measured
+0.856 → 0.10). The fix is LOCAL thresholds per routing unit:
+ShardedHNSW.quantize_bq(local=True) derives them per shard,
+IVFBQIndex.build(per_bucket=True) per IVF bucket — the 1-bit analog of
+IVF residual encoding. The flat corpus-wide tier keeps global thresholds
+(across clusters Hamming still separates; within-cluster resolution is
+what the routed/bucketed variants exist for).
+
 The reference stores raw doubles in all its indexes
 (src/storage/index/ivfflat_index.cpp, hnsw_index.cpp); compression tiers
 are this repo's north-star scale extension alongside SQ8/PQ.
