@@ -1145,3 +1145,41 @@ def test_graph_pq_guard_runs_before_mutation():
     with pytest.raises(ValueError, match="BQ-quantized"):
         g.quantize_pq([np.zeros((2, 4))] * 2, [(0, 4), (4, 8)])
     assert g.pq_books is None and g.pq_bounds is None
+
+
+def test_bq_local_thresholds_need_unimodal_shards(spark):
+    """The 2.2M-drill lesson in miniature: 1-bit codes carry NO
+    within-cluster signal when a shard holds several well-separated
+    clusters (one threshold per dim can only encode mode identity), even
+    with per-shard local thresholds. With shard count matching the
+    cluster structure (unimodal shards), local-threshold BQ recovers.
+    Serving guidance lives in similarity/bq.py's module docstring."""
+    import numpy as np
+
+    from bustub_vectordb_spark.similarity.brute import knn
+    from bustub_vectordb_spark.similarity.quantize import dim_stats
+
+    rng = np.random.RandomState(7)
+    CL = 8
+    centers = rng.uniform(-10, 10, size=(CL, 16))
+    rows = [
+        (i, (centers[i % CL] + rng.normal(0, 0.05, 16)).tolist())
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    stats = dim_stats(df, "embedding").orderBy("dim").collect()
+    mins, maxs = [r["mn"] for r in stats], [r["mx"] for r in stats]
+    q = rows[3][1]
+    exact = {r["vec_id"] for r in knn(df, "embedding", q, 10).collect()}
+
+    def bq_recall(shards):
+        routed = HNSWIndex.build_routed(
+            df, "embedding", "vec_id", shards=shards, m=8,
+            ef_construction=48, ef_search=48,
+        )
+        bq = routed.quantize_bq(mins, maxs)
+        got = {r["vec_id"] for r in bq.probe(q, 10, n_probe=2, rerank=df).collect()}
+        return len(got & exact) / 10
+
+    assert bq_recall(CL) >= 0.8  # unimodal shards: codes discriminate
+    assert bq_recall(2) <= 0.5   # multi-modal shards: inherent 1-bit bound

@@ -148,6 +148,7 @@ def _log(msg: str) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_200_000)
+    ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--out", default="/tmp/scale_drill")
     ap.add_argument("--skip-gen", action="store_true")
@@ -200,14 +201,14 @@ def main():
 
     report: dict[str, object] = {
         "rows": n, "dim": args.dim,
-        "exceeds_driver_build_cap": report_cap_exceeded,
+        "exceeds_driver_build_cap": report_cap_exceeded, "shards": args.shards,
     }
 
     # ---- routed HNSW (the ingestible tier) at its real build path ----
     if not args.skip_hnsw:
         t0 = time.time()
         routed = HNSWIndex.build_routed(
-            emb, "embedding", "vec_id", shards=64, m=8,
+            emb, "embedding", "vec_id", shards=args.shards, m=8,
             ef_construction=48, ef_search=48, replicate_eps=0.2,
             # the round-7 straggler/replication caps — the first drill run
             # WITHOUT them measured 5.35× replication and a 913k-row shard
