@@ -244,6 +244,16 @@ def main():
         times["hnsw_routed_bq_batch"] = round(time.time() - t0, 1)
         _log(f"bq batch done {times['hnsw_routed_bq_batch']}s")
         report["recall_hnsw_routed_bq"] = round(recall(truth, hits), 4)
+        # deeper shortlist: 1-bit walks rank coarsely, so the exact rerank
+        # depth is BQ's main recall knob (the rerank join stays
+        # broadcast-sized: n_probe x k x mult rows per query)
+        t0 = time.time()
+        hits = bq.search_batch(
+            qdf, "embedding", "qid", K, n_probe=4, rerank=emb, rerank_mult=16
+        ).collect()
+        times["hnsw_routed_bq_batch_deep"] = round(time.time() - t0, 1)
+        _log(f"bq deep batch done {times['hnsw_routed_bq_batch_deep']}s")
+        report["recall_hnsw_routed_bq_deep16"] = round(recall(truth, hits), 4)
 
     if not args.skip_vamana:
         # ---- merged vamana → partitioned serving (the frozen tier) ----
