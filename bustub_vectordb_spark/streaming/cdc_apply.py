@@ -59,12 +59,15 @@ class StreamUpsertSink:
         self,
         spark: SparkSession,
         base: DataFrame,
-        key_col: str,
+        key_col: "str | list[str]",
         state_dir: str,
         n_buckets: int = 8,
     ):
         self.spark = spark
-        self.key_col = key_col
+        # composite keys bucket by xxhash64 over all key columns —
+        # deterministic and resume-stable (recorded via n_buckets in the
+        # manifest; the hash function itself is versionless Spark builtin)
+        self.key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
         self.state_dir = state_dir
         self.n_buckets = n_buckets
         self.columns = base.columns
@@ -83,7 +86,7 @@ class StreamUpsertSink:
             return
         self.schema = base.select(*self.columns).schema
         (
-            base.withColumn(BUCKET_COL, self._bucket(F.col(key_col)))
+            base.withColumn(BUCKET_COL, self._bucket())
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(os.path.join(state_dir, "v0"))
@@ -93,8 +96,10 @@ class StreamUpsertSink:
         ]
         self._write_manifest()
 
-    def _bucket(self, c) -> F.Column:
-        return F.pmod(c.cast("long"), F.lit(self.n_buckets))
+    def _bucket(self, _c=None) -> F.Column:
+        if len(self.key_cols) == 1:
+            return F.pmod(F.col(self.key_cols[0]).cast("long"), F.lit(self.n_buckets))
+        return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
 
     def _write_manifest(self) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.state_dir, prefix=".manifest_")
@@ -148,7 +153,7 @@ class StreamUpsertSink:
         delta = batch_df.select(*(self.columns + ["_op"] if has_ops else self.columns))
         touched = sorted(
             r["b"]
-            for r in delta.select(self._bucket(F.col(self.key_col)).alias("b"))
+            for r in delta.select(self._bucket().alias("b"))
             .distinct()
             .collect()
         )
@@ -160,10 +165,10 @@ class StreamUpsertSink:
             from ..operators.cdc import apply_changes
 
             merged = apply_changes(
-                current, delta, [self.key_col], broadcast_source=True
+                current, delta, self.key_cols, broadcast_source=True
             )
         else:
-            merged = merge_upsert(current, delta, [self.key_col], broadcast_source=True)
+            merged = merge_upsert(current, delta, self.key_cols, broadcast_source=True)
         v = self.versions[-1]["v"] + 1
         vdir = os.path.join(self.state_dir, f"v{v}")
         if os.path.exists(vdir):
@@ -171,7 +176,7 @@ class StreamUpsertSink:
             # unreferenced by the log, safe to discard (single writer)
             shutil.rmtree(vdir)
         (
-            merged.withColumn(BUCKET_COL, self._bucket(F.col(self.key_col)))
+            merged.withColumn(BUCKET_COL, self._bucket())
             .write.mode("errorifexists")
             .partitionBy(BUCKET_COL)
             .parquet(vdir)
@@ -189,7 +194,7 @@ class StreamUpsertSink:
             shutil.rmtree(vdir)
         (
             self.state_df()
-            .withColumn(BUCKET_COL, self._bucket(F.col(self.key_col)))
+            .withColumn(BUCKET_COL, self._bucket())
             .write.mode("errorifexists")
             .partitionBy(BUCKET_COL)
             .parquet(vdir)

@@ -160,3 +160,20 @@ def test_vacuum_refuses_future_floor(spark, tmp_path):
     with pytest.raises(ValueError, match="newest committed"):
         sink.vacuum(retain_from=99)
     assert sink.state_df().count() == 1  # nothing was dropped
+
+
+def test_multi_key_sink(spark, tmp_path):
+    """Composite keys bucket by xxhash64 over all key columns; merge and
+    tombstones address the full key tuple."""
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0)],
+        "k1 bigint, k2 string, v double",
+    )
+    sink = StreamUpsertSink(spark, base, ["k1", "k2"], str(tmp_path / "st"), n_buckets=4)
+    ch = spark.createDataFrame(
+        [(1, "a", 99.0, "U"), (2, "a", 0.0, "D"), (3, "c", 1.0, "U")],
+        "k1 bigint, k2 string, v double, _op string",
+    )
+    sink.process_batch(ch, 0)
+    got = {(r["k1"], r["k2"]): r["v"] for r in sink.state_df().collect()}
+    assert got == {(1, "a"): 99.0, (1, "b"): 20.0, (3, "c"): 1.0}
