@@ -241,6 +241,13 @@ _MERGE_RE = re.compile(
     r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# delete form: matched target rows are removed (SQL:2003 WHEN MATCHED THEN
+# DELETE) — the anti-join rewrite, like DELETE but keyed by another table
+_MERGE_DELETE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+(.*?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+DELETE;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _split_columns(cols: str) -> list[tuple[str, str]]:
@@ -396,6 +403,9 @@ class SqlEngine:
         m = _MERGE_RE.match(sql)
         if m:
             return self._merge(m.group(1), m.group(2), m.group(3))
+        m = _MERGE_DELETE_RE.match(sql)
+        if m:
+            return self._merge(m.group(1), m.group(2), m.group(3), delete=True)
         m = _UPDATE_RE.match(sql)
         if m:
             return self._update(m.group(1), m.group(2), m.group(3))
@@ -458,7 +468,7 @@ class SqlEngine:
                 "CREATE TABLE / CREATE INDEX (USING ivfflat|hnsw ... WITH (k=v))",
                 "INSERT / UPDATE / DELETE / SELECT (incl. <->, <=>, inner_product)",
                 "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *"
-                " WHEN NOT MATCHED THEN INSERT *",
+                " WHEN NOT MATCHED THEN INSERT *  (or: WHEN MATCHED THEN DELETE)",
             ]
             return self.spark.createDataFrame([(l,) for l in lines], "help string")
         return None  # \dbgmvcc (MVCC out of scope, SURVEY §2.4)
@@ -663,7 +673,9 @@ class SqlEngine:
         self.catalog.register(table, new, info.vector_lengths)
         return n
 
-    def _merge(self, target: str, source: str, on_clause: str) -> int:
+    def _merge(
+        self, target: str, source: str, on_clause: str, delete: bool = False
+    ) -> int:
         """MERGE INTO t USING s ON t.k = s.k [AND ...] WHEN MATCHED THEN
         UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the upsert rewrite
         (operators/cdc.merge_upsert). Returns the source row count (every
@@ -682,6 +694,13 @@ class SqlEngine:
                     f"target and source: {part.strip()}"
                 )
             keys.append(m.group(2))
+        if delete:
+            # WHEN MATCHED THEN DELETE: anti-join rewrite; returns the
+            # number of target rows removed (semi-join count)
+            n = t.df.join(s.df.select(*keys), keys, "left_semi").count()
+            remaining = t.df.join(s.df.select(*keys), keys, "left_anti")
+            self.catalog.register(target, remaining, t.vector_lengths)
+            return n
         from .operators.cdc import merge_upsert
 
         # ANSI MERGE cardinality rule: a target row matching more than one

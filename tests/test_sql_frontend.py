@@ -459,3 +459,16 @@ def test_merge_rejects_duplicate_source_keys(engine):
             "merge into mdt using mds on mdt.k = mds.k "
             "when matched then update set * when not matched then insert *;"
         )
+
+
+def test_merge_delete_form(engine):
+    engine.execute("create table mdd(k int, v int);")
+    engine.execute("insert into mdd values (1, 10), (2, 20), (3, 30);")
+    engine.execute("create table mdk(k int, v int);")
+    engine.execute("insert into mdk values (2, 0), (9, 0);")
+    n = engine.execute(
+        "merge into mdd using mdk on mdd.k = mdk.k when matched then delete;"
+    )
+    assert n == 1
+    got = {r["k"] for r in engine.execute("select k from mdd").collect()}
+    assert got == {1, 3}
