@@ -81,3 +81,22 @@ def cosine_distance(
 ) -> Column:
     """1 - cosine similarity — used by the dedup/similarity extensions."""
     return 1.0 - cosine_similarity(a, b)
+
+
+def embedding_flags(vec: ColumnOrName, expected_dim: int) -> Column:
+    """Row-level embedding validation flags — the ingest gate every
+    embedding pipeline needs before vectors reach an index: a single NaN
+    poisons every distance it touches (NaN comparisons are false, so a
+    poisoned row can silently win or lose top-k), a wrong-dim row crashes
+    zip_with folds mid-job, and a zero vector makes cosine undefined.
+    Returns a struct of (is_null, wrong_dim, nonfinite, zero_norm) —
+    all computed in one narrow codegen projection, no shuffle."""
+    v = _as_double_array(vec)
+    nonfinite = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
+    sq = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    return F.struct(
+        v.isNull().alias("is_null"),
+        (~v.isNull() & (F.size(v) != expected_dim)).alias("wrong_dim"),
+        (~v.isNull() & nonfinite).alias("nonfinite"),
+        (~v.isNull() & ~nonfinite & (sq == 0.0)).alias("zero_norm"),
+    )

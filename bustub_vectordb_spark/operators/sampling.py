@@ -169,3 +169,30 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def weighted_sample(df: DataFrame, key: str, weight: "Column | str", k: int) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via A-Res keys (Efraimidis &
+    Spirakis, IPL 2006): each row draws u from its md5-hash (deterministic,
+    engine-replayable — same recipe as deterministic_sample) and wins with
+    key ln(u)/w; the k LARGEST keys are the sample, giving inclusion
+    probability proportional to weight. One TakeOrderedAndProject — no
+    shuffle of the full table, reproducible on any engine/layout.
+
+    The selection key is rounded to 6dp before ordering (ln/÷ are libm
+    calls whose last ulp may differ across engines); ties break by key
+    column ascending. Rows with weight <= 0 are excluded (zero-weight
+    rows must never win; ln(u)/w would flip sign)."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    u = (h + 1).cast("double") / F.lit(float(1 << 48))  # (0, 1]
+    ares = F.round(F.log(u) / w.cast("double"), 6)
+    return (
+        df.where(w > 0)
+        .withColumn("_ares", ares)
+        .orderBy(F.col("_ares").desc(), F.col(key).asc())
+        .limit(k)
+        .drop("_ares")
+    )

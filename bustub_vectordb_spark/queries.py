@@ -5376,6 +5376,70 @@ def q_sample_deterministic(spark, sf_dir):
 
 
 @_register(
+    "validate_embeddings",
+    """
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+                    THEN 1 ELSE 0 END)::BIGINT AS n_wrong_dim,
+           sum(CASE WHEN embedding IS NOT NULL AND
+                         len(list_filter(embedding::DOUBLE[],
+                                         x -> isnan(x) OR isinf(x))) > 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
+           sum(CASE WHEN embedding IS NOT NULL AND
+                         len(list_filter(embedding::DOUBLE[],
+                                         x -> isnan(x) OR isinf(x))) = 0 AND
+                         list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) = 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm
+    FROM embeddings
+    """,
+)
+def q_validate_embeddings(spark, sf_dir):
+    # ingest data-quality gate (functions/vector.embedding_flags): corpus
+    # summary of NULL / wrong-dim / NaN-Inf / zero-norm vectors — the scan
+    # every pipeline should run before building an index (a single NaN
+    # silently corrupts top-k: NaN comparisons are false both ways). The
+    # testdata is clean, so the gate asserts the zero counts; the planted
+    # bad-row semantics are pinned in tests/test_vector_functions.py.
+    from .functions.vector import embedding_flags
+
+    e = _t(spark, sf_dir, "embeddings")
+    f = embedding_flags("embedding", 64)
+    return e.select(f.alias("f")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("f.is_null").cast("long")).alias("n_null"),
+        F.sum(F.col("f.wrong_dim").cast("long")).alias("n_wrong_dim"),
+        F.sum(F.col("f.nonfinite").cast("long")).alias("n_nonfinite"),
+        F.sum(F.col("f.zero_norm").cast("long")).alias("n_zero_norm"),
+    )
+
+
+@_register(
+    "sample_weighted",
+    """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1)
+                      / 281474976710656.0) / n_chars, 6) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    ORDER BY k DESC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def q_sample_weighted(spark, sf_dir):
+    # weighted sampling without replacement (A-Res, Efraimidis & Spirakis
+    # 2006) — inclusion probability ∝ n_chars, fully deterministic (md5
+    # uniforms, same trick as sample_deterministic) so the "random" sample
+    # hash-matches across engines. The quality/length-weighted corpus
+    # subsampling primitive; one TakeOrderedAndProject, no full shuffle.
+    from .operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", 100).select("doc_id", "n_chars")
+
+
+@_register(
     "heavy_hitters",
     f"""
     SELECT term, count(*) AS freq

@@ -119,3 +119,46 @@ def test_normalize_expr_matches_python_twin_elementwise(spark):
     }
     for i, v in rows:
         assert got[i] == _normalize_row(v), i
+
+
+def test_embedding_flags_planted_bad_rows(spark):
+    """The validation gate's semantics on every bad-row class the clean
+    testdata cannot exercise (the gated entry asserts the zero counts)."""
+    from bustub_vectordb_spark.functions.vector import embedding_flags
+
+    rows = [
+        (1, [1.0, 2.0]),            # clean
+        (2, None),                  # null
+        (3, [1.0, 2.0, 3.0]),       # wrong dim
+        (4, [float("nan"), 1.0]),   # NaN
+        (5, [float("inf"), 1.0]),   # Inf
+        (6, [0.0, 0.0]),            # zero norm
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    got = {
+        r["id"]: (r["f"]["is_null"], r["f"]["wrong_dim"], r["f"]["nonfinite"], r["f"]["zero_norm"])
+        for r in df.select("id", embedding_flags("v", 2).alias("f")).collect()
+    }
+    assert got[1] == (False, False, False, False)
+    assert got[2][0] is True
+    assert got[3] == (False, True, False, False)
+    assert got[4] == (False, False, True, False)
+    assert got[5] == (False, False, True, False)
+    assert got[6] == (False, False, False, True)
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """A-Res weighted sampling: heavy rows win far more often, and the
+    sample is identical across runs (md5 uniforms, no RNG state)."""
+    from bustub_vectordb_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000.0 if i % 10 == 0 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    s1 = sorted(r["id"] for r in weighted_sample(df, "id", "w", 50).collect())
+    s2 = sorted(r["id"] for r in weighted_sample(df, "id", "w", 50).collect())
+    assert s1 == s2
+    heavy = sum(1 for i in s1 if i % 10 == 0)
+    assert heavy >= 40, heavy  # 10% of rows carry 99% of the weight
+    # zero/negative weights never win
+    dfz = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "id bigint, w double")
+    assert [r["id"] for r in weighted_sample(dfz, "id", "w", 3).collect()] == [3]
