@@ -5376,6 +5376,47 @@ def q_sample_deterministic(spark, sf_dir):
 
 
 @_register(
+    "phrase_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(__ts) AS tok, generate_subscripts(__ts, 1) AS pos
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS __ts
+            FROM documents)
+    )
+    SELECT a.doc_id, count(*) AS n_occ, min(a.pos) AS first_pos
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'table' AND b.tok = 'scan'
+    GROUP BY a.doc_id
+    """,
+)
+def q_phrase_search(spark, sf_dir):
+    # positional-postings phrase query ("table scan"): tokenize with
+    # positions, filter the postings to the phrase's terms BEFORE the
+    # position join (the selectivity is the point — the join sees only
+    # term-matching postings, never the full token stream), then adjacency
+    # on (doc, pos+1). The inverted-index primitive BM25 lacks; at 100 TB
+    # the postings relation is the persisted artifact and this is an
+    # equi-join on it.
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = toks.where(F.col("tok") == "table").alias("a")
+    b = toks.where(F.col("tok") == "scan").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count("*").alias("n_occ"), F.min("a.pos").alias("first_pos"))
+    )
+
+
+@_register(
     "validate_embeddings",
     """
     SELECT count(*) AS n_rows,
