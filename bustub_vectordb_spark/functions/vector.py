@@ -92,11 +92,18 @@ def embedding_flags(vec: ColumnOrName, expected_dim: int) -> Column:
     Returns a struct of (is_null, wrong_dim, nonfinite, zero_norm) —
     all computed in one narrow codegen projection, no shuffle."""
     v = _as_double_array(vec)
-    nonfinite = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
+    # a NULL ELEMENT must flag too: isnan(NULL) is NULL (three-valued
+    # logic), so without the isNull arm a null-poisoned row would pass the
+    # gate with every flag clean while still corrupting distance folds
+    nonfinite = F.exists(
+        v, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf"))
+    )
     sq = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     return F.struct(
         v.isNull().alias("is_null"),
         (~v.isNull() & (F.size(v) != expected_dim)).alias("wrong_dim"),
         (~v.isNull() & nonfinite).alias("nonfinite"),
-        (~v.isNull() & ~nonfinite & (sq == 0.0)).alias("zero_norm"),
+        # size > 0: an empty array is wrong_dim, not zero_norm (and the
+        # engines disagree on sum-over-empty: Spark fold 0.0, DuckDB NULL)
+        (~v.isNull() & ~nonfinite & (F.size(v) > 0) & (sq == 0.0)).alias("zero_norm"),
     )

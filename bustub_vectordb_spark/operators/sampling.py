@@ -179,16 +179,20 @@ def weighted_sample(df: DataFrame, key: str, weight: "Column | str", k: int) -> 
     probability proportional to weight. One TakeOrderedAndProject — no
     shuffle of the full table, reproducible on any engine/layout.
 
-    The selection key is rounded to 6dp before ordering (ln/÷ are libm
-    calls whose last ulp may differ across engines); ties break by key
-    column ascending. Rows with weight <= 0 are excluded (zero-weight
-    rows must never win; ln(u)/w would flip sign)."""
+    The selection key is rounded to 12dp before ordering (ln/÷ are libm
+    calls whose last ulp may differ across engines — relative drift
+    ~1e-16, far below 5e-13 at any key magnitude). 6dp would be WRONG
+    here, not just loose: keys live in [-33.3/w, 0], so for large weights
+    a coarse round collapses a large fraction of heavy rows to exactly
+    0.0 and the id tie-break then drives selection — a systematically
+    id-biased "weighted" sample. Rows with weight <= 0 are excluded
+    (zero-weight rows must never win; ln(u)/w would flip sign)."""
     w = F.col(weight) if isinstance(weight, str) else weight
     h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 12), 16, 10).cast(
         "long"
     )
     u = (h + 1).cast("double") / F.lit(float(1 << 48))  # (0, 1]
-    ares = F.round(F.log(u) / w.cast("double"), 6)
+    ares = F.round(F.log(u) / w.cast("double"), 12)
     return (
         df.where(w > 0)
         .withColumn("_ares", ares)

@@ -5425,11 +5425,12 @@ def q_phrase_search(spark, sf_dir):
                     THEN 1 ELSE 0 END)::BIGINT AS n_wrong_dim,
            sum(CASE WHEN embedding IS NOT NULL AND
                          len(list_filter(embedding::DOUBLE[],
-                                         x -> isnan(x) OR isinf(x))) > 0
+                                         x -> x IS NULL OR isnan(x) OR isinf(x))) > 0
                     THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
            sum(CASE WHEN embedding IS NOT NULL AND
                          len(list_filter(embedding::DOUBLE[],
-                                         x -> isnan(x) OR isinf(x))) = 0 AND
+                                         x -> x IS NULL OR isnan(x) OR isinf(x))) = 0 AND
+                         len(embedding) > 0 AND
                          list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) = 0
                     THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm
     FROM embeddings
@@ -5461,7 +5462,7 @@ def q_validate_embeddings(spark, sf_dir):
     SELECT doc_id, n_chars FROM (
       SELECT doc_id, n_chars,
              round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1)
-                      / 281474976710656.0) / n_chars, 6) AS k
+                      / 281474976710656.0) / n_chars, 12) AS k
       FROM documents WHERE n_chars > 0
     )
     ORDER BY k DESC, doc_id ASC

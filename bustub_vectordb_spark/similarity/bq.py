@@ -253,12 +253,21 @@ def _encode_words_against(vec: Column | str, thr: Column, n_words: int | None = 
     """encode_words generalized to a per-row thresholds COLUMN (the
     per-bucket mode's joined threshold array). Same MSB-first 32-bit
     packing as BQModel.encode_words; ``n_words`` is required — the
-    generated expression's shape is static."""
+    generated expression's shape is static. Row dimensionality is
+    ENFORCED against the thresholds array (same silent-zero-fill hazard
+    BQModel._bits guards)."""
     if not n_words:
         raise ValueError("n_words is required")
     v = (F.col(vec) if isinstance(vec, str) else vec).cast("array<double>")
-    bits = F.zip_with(
-        v, thr, lambda x, t: F.when(x > t, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    ok = F.assert_true(
+        F.size(v) == F.size(thr),
+        F.lit("BQ encode: vector dims must match the bucket thresholds"),
+    )
+    bits = F.when(
+        ok.isNull(),  # assert_true is NULL on success
+        F.zip_with(
+            v, thr, lambda x, t: F.when(x > t, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ),
     )
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_words - 1)),
@@ -307,8 +316,9 @@ class IVFBQIndex:
     ) -> "IVFBQIndex":
         from ..index.ivfflat import BUCKET_COL
 
-        model = model or BQModel.train(ivf_index.assignments, vec_col)
         thr_by_bucket = None
+        if not per_bucket:
+            model = model or BQModel.train(ivf_index.assignments, vec_col)
         if per_bucket:
             rows = (
                 ivf_index.assignments.select(
@@ -333,6 +343,11 @@ class IVFBQIndex:
                     f"{BUCKET_COL} long, __thr array<double>",
                 )
             )
+            # the global model is unused for codes in this mode — derive
+            # n_words (and a representative model for probe-side query
+            # encoding) from the bucket thresholds, skipping a second
+            # corpus-wide dim_stats aggregation
+            model = model or BQModel(next(iter(thr_by_bucket.values())))
             enc = _encode_words_against(vec_col, F.col("__thr"), n_words=model.n_words)
             codes = (
                 ivf_index.assignments.join(tdf, BUCKET_COL)

@@ -79,10 +79,13 @@ class StreamUpsertSink:
                 m = json.load(f)
             self.versions = m["versions"]
             self.schema = StructType.fromJson(json.loads(m["schema"]))
-            # the bucket function is part of the table's on-disk identity:
-            # resuming with a different n_buckets would route keys to the
-            # wrong partition dirs and silently duplicate them on merge
+            # the bucket FUNCTION is part of the table's on-disk identity:
+            # resuming with different n_buckets OR different/reordered key
+            # columns would route keys to the wrong partition dirs and
+            # silently duplicate them on merge — both are restored from
+            # the manifest, the caller's values ignored
             self.n_buckets = m["n_buckets"]
+            self.key_cols = m["key_cols"]
             return
         self.schema = base.select(*self.columns).schema
         (
@@ -96,7 +99,7 @@ class StreamUpsertSink:
         ]
         self._write_manifest()
 
-    def _bucket(self, _c=None) -> F.Column:
+    def _bucket(self) -> F.Column:
         if len(self.key_cols) == 1:
             return F.pmod(F.col(self.key_cols[0]).cast("long"), F.lit(self.n_buckets))
         return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
@@ -109,6 +112,7 @@ class StreamUpsertSink:
                     "versions": self.versions,
                     "schema": self.schema.json(),
                     "n_buckets": self.n_buckets,
+                    "key_cols": self.key_cols,
                 },
                 f,
             )

@@ -162,3 +162,22 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     # zero/negative weights never win
     dfz = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "id bigint, w double")
     assert [r["id"] for r in weighted_sample(dfz, "id", "w", 3).collect()] == [3]
+
+
+def test_weighted_sample_no_id_bias_at_large_weights(spark):
+    """Review finding: 6dp key rounding collapsed large-weight keys to 0.0
+    and the id tie-break then picked the LOWEST ids. With equal huge
+    weights the sample must not be the first k ids."""
+    from bustub_vectordb_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1_000_000.0) for i in range(2000)], "id bigint, w double"
+    )
+    got = sorted(r["id"] for r in weighted_sample(df, "id", "w", 50).collect())
+    assert got != list(range(50)), "sample is id-ordered — key rounding collapsed"
+    # and a NULL-element embedding is flagged nonfinite (second finding)
+    from bustub_vectordb_spark.functions.vector import embedding_flags
+
+    df2 = spark.createDataFrame([(1, [None, 1.0])], "id bigint, v array<double>")
+    r = df2.select(embedding_flags("v", 2).alias("f")).collect()[0]["f"]
+    assert r["nonfinite"] is True and r["zero_norm"] is False

@@ -238,8 +238,10 @@ def main():
         times["hnsw_routed_bq_quantize"] = round(time.time() - t0, 1)
         _log(f"bq quantize done {times['hnsw_routed_bq_quantize']}s")
         t0 = time.time()
+        # rerank_mult=4 EXPLICIT: bq-quantized indexes now default to 16,
+        # so the shallow baseline must pin the old depth to stay a contrast
         hits = bq.search_batch(
-            qdf, "embedding", "qid", K, n_probe=4, rerank=emb
+            qdf, "embedding", "qid", K, n_probe=4, rerank=emb, rerank_mult=4
         ).collect()
         times["hnsw_routed_bq_batch"] = round(time.time() - t0, 1)
         _log(f"bq batch done {times['hnsw_routed_bq_batch']}s")
