@@ -262,6 +262,14 @@ def build_workloads(spark):
             )
         )
 
+    def cdc_merge():
+        # set-level MERGE upsert (operators/cdc.py): broadcast-delta
+        # decomposition against the orders base — the CDC family's perf
+        # signal (the streaming sink applies this per micro-batch)
+        from bustub_vectordb_spark.queries import QUERIES
+
+        force(QUERIES["merge_upsert"](spark, SF_DIR))
+
     def pipeline_prep_bench():
         # the composed training-data prep pipeline (quality filter + PII
         # scrub + exact dedup + token count) — tracked so the end-to-end
@@ -296,6 +304,7 @@ def build_workloads(spark):
         ("vamana_build", vamana_build),
         ("vamana_pq_batch", vamana_pq_batch),
         ("bq_batch", bq_batch),
+        ("cdc_merge", cdc_merge),
         ("pipeline_prep", pipeline_prep_bench),
         ("dedup_components", dedup_components_bench),
     ]
