@@ -41,6 +41,24 @@ medoid TopN are all pure functions of the table contents, so
 ``offline_vamana`` replays the whole build bit-exactly for the correctness
 oracle — same contract as offline_routed.
 
+DENSITY CAVEAT for the merged DRIVER walk (1.2M-row scale drill, round
+7): RobustPrune keeps the R nearest unoccluded candidates, and inside a
+dense high-dim cluster the occlusion test almost never fires (pairwise
+distances concentrate, so α·d(b,c) < d(src,c) holds for neither in-cluster
+nor cross-cluster candidates) — all R slots go to in-cluster neighbors
+once a cluster holds ≫R points, and the cross-cluster "expressway" edges
+the single-medoid greedy walk needs starve away. Measured: merged
+recall@10 0.96 at 30k rows (117/cluster) → 0.104 at 1.2M (4.7k/cluster)
+on the same 256-cluster geometry. The SCALABLE serving answer is
+unaffected: ``to_partitioned`` with cell granularity matching the cluster
+structure routes queries past the navigability problem entirely —
+cells=256/n_probe=8 measured 0.856 at 1.2M, exactly the routed-HNSW float
+tier's recall on the same corpus (cells=64/n_probe=4, i.e. multi-modal
+cells, gave 0.622 — the same granularity law as the BQ tiers). Treat the
+merged driver walk as the small/diffuse-corpus tier; round-8 lead: a
+long-edge quota in RobustPrune (reserve slots per distance band) to
+restore driver-tier navigability, offline replays updated in lockstep.
+
 Reference surface: vector index build/scan (src/storage/index/
 hnsw_index.cpp, src/optimizer/vector_index_scan.cpp) — this is an
 additional build strategy for the same probe semantics, not a reference

@@ -149,6 +149,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_200_000)
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--cells", type=int, default=64)
+    ap.add_argument("--n-probe", dest="n_probe", type=int, default=4)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--out", default="/tmp/scale_drill")
     ap.add_argument("--skip-gen", action="store_true")
@@ -201,7 +203,7 @@ def main():
 
     report: dict[str, object] = {
         "rows": n, "dim": args.dim,
-        "exceeds_driver_build_cap": report_cap_exceeded, "shards": args.shards,
+        "exceeds_driver_build_cap": report_cap_exceeded, "shards": args.shards, "cells": args.cells, "n_probe": args.n_probe,
     }
 
     # ---- routed HNSW (the ingestible tier) at its real build path ----
@@ -283,12 +285,12 @@ def main():
             report["recall_vamana_merged"] = round(recall(truth, mhits), 4)
 
         t0 = time.time()
-        part = vam.to_partitioned(cells=64, n_probe=4)
+        part = vam.to_partitioned(cells=args.cells, n_probe=args.n_probe)
         part.blobs.cache().count()
         times["vamana_to_partitioned"] = round(time.time() - t0, 1)
         _log(f"to_partitioned done {times['vamana_to_partitioned']}s")
         t0 = time.time()
-        hits = part.search_batch(qdf, "embedding", "qid", K, n_probe=4).collect()
+        hits = part.search_batch(qdf, "embedding", "qid", K, n_probe=args.n_probe).collect()
         times["vamana_partitioned_batch"] = round(time.time() - t0, 1)
         _log(f"partitioned batch done {times['vamana_partitioned_batch']}s")
         report["recall_vamana_partitioned"] = round(recall(truth, hits), 4)
