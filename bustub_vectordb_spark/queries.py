@@ -6802,41 +6802,37 @@ def q_layout_zorder_skipping(spark, sf_dir):
 # check_oracle.py (full registry) in tests/CI — see COVERAGE.md.
 
 _GATE_WINDOW = [
-    # --- r7 rotation (VERDICT r6 task 1): the 6 entries that landed late
-    # in r6 and never earned a driver row ---
-    "stream_ann_serving",
-    "ann_vamana_cosine_partitioned",
-    "ann_vamana_ip_batch",
-    "ann_vamana_ip_partitioned",
-    "dedup_repeated_spans",
-    "source_orc_roundtrip",
-    # --- new in round 7 ---
-    "dedup_semantic",
-    "token_count_bpe",
-    "window_range_frames",
-    "window_ignore_nulls",
-    "split_leakage_safe",
-    "decontaminate_bloom",
-    "sketch_distinct_kmv",
-    "events_hopping_window",
-    "source_partitioned_pruning",
-    "events_funnel",
-    "events_retention_cohorts",
-    "text_bigram_lm_score",
-    "documents_data_card",
-    "stream_distinct_sketch",
-    # --- new in the round-7 second work block (4 of 11; the other 7 —
-    # ann_bq_hamming, ann_bq_rerank, ann_bq_batch,
-    # ann_hnsw_routed_bq_batch, merge_upsert, scd2_intervals,
-    # cdc_time_travel — queue for the r8 window; the judge's full-registry
-    # sweep covers them meanwhile) ---
-    "stream_cdc_apply",
-    "ann_hnsw_routed_bq_rerank",
-    "multivector_maxsim",
-    "layout_zorder_skipping",
-    # (stale re-gates knn_cosine / knn_inner_product / events_sessionize /
-    # multimodal_decode_features yield their slots — never-gated new
-    # entries outrank re-gates of families already carrying driver rows)
+    # --- r8 rotation (VERDICT r7 task 1): the 17 entries that have never
+    # carried a driver-recorded CORRECTNESS row (all green in the judge's
+    # full-registry rerun; this window gives each its driver row, after
+    # which every registry entry has been driver-gated at least once) ---
+    "agg_histogram",
+    "ann_bq_batch",
+    "ann_bq_hamming",
+    "ann_bq_rerank",
+    "ann_hnsw_routed_bq_batch",
+    "ann_ivf_bq_local_rerank",
+    "ann_ivf_bq_rerank",
+    "cdc_time_travel",
+    "events_transition_matrix",
+    "fuzzy_join_names",
+    "merge_apply_deletes",
+    "merge_upsert",
+    "phrase_search",
+    "sample_weighted",
+    "scd2_intervals",
+    "validate_embeddings",
+    "window_trailing_time",
+    # --- the 4 stale re-gates displaced in r7 (last driver rows r1/r3) ---
+    "knn_cosine",
+    "knn_inner_product",
+    "events_sessionize",
+    "multimodal_decode_features",
+    # --- 3 slots held by stale re-gates until round-8 entries land (they
+    # yield to new never-gated entries as those register) ---
+    "knn_subquery_alias",
+    "sample_deterministic",
+    "layout_bucketed_join",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",
