@@ -124,6 +124,7 @@ def apply_changes(
     # countDistinct(key, op) > countDistinct(key)
     row = changes.agg(
         F.collect_set(op_col).alias("ops"),
+        F.count(F.lit(1)).alias("nrows"),
         F.countDistinct(*keys, op_col).alias("key_ops"),
         F.countDistinct(*keys).alias("nkeys"),
     ).collect()[0]
@@ -131,11 +132,18 @@ def apply_changes(
     if bad:
         raise ValueError(f"unknown CDC ops: {sorted(bad)} (expected 'U'/'D')")
     if row["key_ops"] > row["nkeys"]:
-        # also catches duplicate same-op keys, which merge_upsert's
-        # uniqueness precondition forbids anyway
         raise ValueError(
             "a key carries more than one change row in one batch "
             "(e.g. both upserted and deleted)"
+        )
+    if row["nrows"] > row["key_ops"]:
+        # two change rows with the same (key, op) — countDistinct collapses
+        # them, so this needs the raw row count: merge_upsert would fan the
+        # matched target row out once per duplicate (ANSI MERGE's own
+        # cardinality violation, same check the SQL frontend's _merge does)
+        raise ValueError(
+            "duplicate change rows for the same key and op in one batch "
+            "(MERGE cardinality violation — each key may change at most once)"
         )
     dels = changes.where(F.col(op_col) == "D").select(*keys)
     ups = changes.where(F.col(op_col) == "U").drop(op_col)

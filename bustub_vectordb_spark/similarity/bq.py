@@ -103,7 +103,9 @@ class BQModel:
     def encode_words(self, vec: Column | str) -> Column:
         """Pack sign bits MSB-first into ``array<bigint>`` words.
 
-        word[w] = fold over bits[w*64 .. w*64+63] of acc*2 + bit. The HOF
+        word[w] = fold over bits[w*32 .. w*32+31] (WORD_BITS=32 per word —
+        NOT 64: the MSB-first acc*2+b fold would overflow signed int64 at
+        the 64th bit under ANSI mode) of acc*2 + bit. The HOF
         chain keeps the generated expression O(n_words) regardless of
         dimensionality."""
         bits = self._bits(vec)

@@ -83,11 +83,18 @@ class StreamUpsertSink:
             # resuming with different n_buckets OR different/reordered key
             # columns would route keys to the wrong partition dirs and
             # silently duplicate them on merge — both are restored from
-            # the manifest, the caller's values ignored
+            # the manifest, the caller's values ignored. bucket_fn guards
+            # the hash itself: pre-fix manifests (pmod over a long cast for
+            # single keys) keep their legacy routing; new tables always
+            # hash with xxhash64
             self.n_buckets = m["n_buckets"]
             self.key_cols = m["key_cols"]
+            self.bucket_fn = m.get("bucket_fn", "pmod_long")
+            self.vacuum_floor = m.get("vacuum_floor")
             return
         self.schema = base.select(*self.columns).schema
+        self.bucket_fn = "xxhash64"
+        self.vacuum_floor = None
         (
             base.withColumn(BUCKET_COL, self._bucket())
             .write.mode("overwrite")
@@ -100,8 +107,17 @@ class StreamUpsertSink:
         self._write_manifest()
 
     def _bucket(self) -> F.Column:
-        if len(self.key_cols) == 1:
-            return F.pmod(F.col(self.key_cols[0]).cast("long"), F.lit(self.n_buckets))
+        # xxhash64 for ANY key shape (single or composite, numeric or
+        # string): a long cast of a non-numeric string key yields NULL,
+        # which parquet's partitionBy writes under __HIVE_DEFAULT_PARTITION__
+        # — a dir _resolve never looks at, i.e. silent full-table row loss.
+        # xxhash64 never returns NULL (even NULL inputs hash to a value),
+        # so no NULL-bucket dir can exist. Legacy manifests keep their
+        # recorded pmod routing so existing dirs stay addressable.
+        if self.bucket_fn == "pmod_long":
+            if len(self.key_cols) == 1:
+                return F.pmod(F.col(self.key_cols[0]).cast("long"), F.lit(self.n_buckets))
+            return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
         return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
 
     def _write_manifest(self) -> None:
@@ -113,6 +129,8 @@ class StreamUpsertSink:
                     "schema": self.schema.json(),
                     "n_buckets": self.n_buckets,
                     "key_cols": self.key_cols,
+                    "bucket_fn": self.bucket_fn,
+                    "vacuum_floor": self.vacuum_floor,
                 },
                 f,
             )
@@ -143,6 +161,15 @@ class StreamUpsertSink:
 
     def state_df(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: current)."""
+        if version is not None and self.vacuum_floor is not None and version < self.vacuum_floor:
+            # below the floor, SOME dirs may still resolve (e.g. the v0
+            # base survives because newer versions reference it) — reading
+            # them would fabricate a snapshot that never existed (base
+            # without its vacuumed deltas). Hard-refuse instead.
+            raise ValueError(
+                f"version {version} is below the vacuum floor "
+                f"{self.vacuum_floor} — its snapshot is no longer complete"
+            )
         paths = self._resolve(version)
         if not paths and version is not None and version < self.versions[0]["v"]:
             raise ValueError(f"no committed version at or before {version}")
@@ -233,6 +260,13 @@ class StreamUpsertSink:
                 shutil.rmtree(vdir, ignore_errors=True)
                 self.versions.remove(entry)
                 removed.append(entry["v"])
+        # record the floor even when nothing was removable: time travel
+        # below retain_from is no longer guaranteed-complete either way
+        self.vacuum_floor = (
+            retain_from
+            if self.vacuum_floor is None
+            else max(self.vacuum_floor, retain_from)
+        )
         self._write_manifest()
         return removed
 

@@ -151,3 +151,19 @@ def test_scd2_first_row_null_attr(spark):
     rows_out = scd2_intervals(df, "user_id", "st", "ts", tie_col="event_id").collect()
     got = sorted(((r["st"], r["valid_from"]) for r in rows_out), key=lambda t: t[1])
     assert got == [(None, 100), ("a", 300)]
+
+
+def test_apply_changes_refuses_duplicate_same_op_key(spark, base):
+    """Two 'U' rows for one key (different payloads) must be refused —
+    countDistinct(key, op) alone collapses them and merge_upsert would fan
+    the matched target row out (ADVICE r7 medium)."""
+    from bustub_vectordb_spark.operators.cdc import apply_changes
+
+    dup = spark.createDataFrame(
+        [(2, "B", 9.0, "U"), (2, "C", 8.0, "U")],
+        "id bigint, tag string, val double, _op string",
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        apply_changes(base, dup, ["id"])
+    with pytest.raises(ValueError, match="cardinality"):
+        apply_changes(base, dup, ["id"], broadcast_source=True)

@@ -37,15 +37,24 @@ def test_stream_state_matches_batch_merge(spark, base, tmp_path):
 
 
 def test_append_only_touched_buckets(spark, base, tmp_path):
-    """A delta whose keys all hash to bucket 1 writes a new version dir
-    containing ONLY bucket 1; every v0 file stays byte-identical."""
+    """A delta writes a new version dir containing ONLY the buckets its
+    keys hash to; every v0 file stays byte-identical."""
     d = str(tmp_path / "st")
     sink = StreamUpsertSink(spark, base, "k", d, n_buckets=4)
     v0 = {f: os.stat(f).st_mtime_ns for f in glob.glob(f"{d}/v0/*/*.parquet")}
-    _apply(sink, spark, [(5, "u", 0.0), (9, "u", 0.0)])  # 5%4==1, 9%4==1
+    _apply(sink, spark, [(5, "u", 0.0), (9, "u", 0.0)])
     assert {f: os.stat(f).st_mtime_ns for f in glob.glob(f"{d}/v0/*/*.parquet")} == v0
+    want = sorted(
+        {
+            f"{BUCKET_COL}={r['b']}"
+            for r in spark.createDataFrame([(5,), (9,)], "k bigint")
+            .select(sink._bucket().alias("b"))
+            .collect()
+        }
+    )
     new_buckets = sorted(os.path.basename(p) for p in glob.glob(f"{d}/v1/{BUCKET_COL}=*"))
-    assert new_buckets == [f"{BUCKET_COL}=1"]
+    assert new_buckets == want
+    assert len(new_buckets) <= 2 < sink.n_buckets  # a strict subset was touched
     got = {r["k"]: r["st"] for r in sink.state_df().collect()}
     assert got[5] == "u" and got[9] == "u" and got[4] == "s"
 
@@ -177,3 +186,53 @@ def test_multi_key_sink(spark, tmp_path):
     sink.process_batch(ch, 0)
     got = {(r["k1"], r["k2"]): r["v"] for r in sink.state_df().collect()}
     assert got == {(1, "a"): 99.0, (1, "b"): 20.0, (3, "c"): 1.0}
+
+
+def test_string_key_sink(spark, tmp_path):
+    """A non-numeric STRING key must bucket correctly — the old long-cast
+    bucketing yielded NULL buckets, landing the whole base under
+    __HIVE_DEFAULT_PARTITION__ where _resolve never looks (silent
+    full-table row loss; ADVICE r7)."""
+    base = spark.createDataFrame(
+        [("alice", 1.0), ("bob", 2.0), ("carol", 3.0)], "name string, v double"
+    )
+    d = str(tmp_path / "st")
+    sink = StreamUpsertSink(spark, base, "name", d, n_buckets=4)
+    assert sink.bucket_fn == "xxhash64"
+    # every base row is visible (no NULL-bucket dir exists)
+    assert sink.state_df().count() == 3
+    assert not glob.glob(f"{d}/v0/*HIVE_DEFAULT*")
+    sink.process_batch(
+        spark.createDataFrame([("bob", 99.0), ("dave", 4.0)], "name string, v double"), 0
+    )
+    got = {r["name"]: r["v"] for r in sink.state_df().collect()}
+    assert got == {"alice": 1.0, "bob": 99.0, "carol": 3.0, "dave": 4.0}
+
+
+def test_vacuum_floor_blocks_partial_snapshots(spark, tmp_path):
+    """After vacuum(retain_from=N), state_df(version<N) must raise even
+    when SOME older dirs still resolve (e.g. the v0 base survives because
+    newer versions reference its untouched buckets) — reading them would
+    fabricate a snapshot that never existed (ADVICE r7)."""
+    base = spark.createDataFrame(
+        [(i, "s", float(i)) for i in range(40)], "k bigint, st string, v double"
+    )
+    d = str(tmp_path / "st")
+    sink = StreamUpsertSink(spark, base, "k", d, n_buckets=4)
+    _apply(sink, spark, [(1, "a", 1.0)], batch_id=0)   # v1: one bucket
+    _apply(sink, spark, [(2, "b", 2.0)], batch_id=1)   # v2: one bucket
+    removed = sink.vacuum(retain_from=2)
+    # v0 must survive (v2's resolution still reads its untouched buckets)
+    assert os.path.exists(f"{d}/v0") and sink.vacuum_floor == 2
+    for v in (0, 1):
+        with pytest.raises(ValueError, match="vacuum floor"):
+            sink.state_df(version=v)
+    # the floor survives a resume
+    resumed = StreamUpsertSink(spark, base.limit(0), "k", d, n_buckets=4)
+    assert resumed.vacuum_floor == 2
+    with pytest.raises(ValueError, match="vacuum floor"):
+        resumed.state_df(version=1)
+    # at-or-above the floor still works (both deltas updated existing keys)
+    assert resumed.state_df(version=2).count() == 40
+    got = {r["k"]: r["st"] for r in resumed.state_df(version=2).collect()}
+    assert got[1] == "a" and got[2] == "b" and got[3] == "s"
