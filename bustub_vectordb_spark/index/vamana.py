@@ -113,26 +113,69 @@ def _robust_prune(
     sets are bit-identical by construction (fold-exact distances, fresh
     np.array buffers per the NOTES alignment rule).
 
-    Returns the kept external ids in SELECTION order (DiskANN keeps the
-    prune order as the adjacency rank)."""
-    if not len(cand_ids):
+    LONG-EDGE QUOTA (round 8): inside a dense high-dim cluster the
+    α-occlusion test almost never fires (pairwise distances concentrate),
+    so with ≫R same-cluster candidates every slot fills before the walk
+    reaches the first cross-cluster proposal and the merged graph's
+    "expressway" edges starve — measured recall@10 0.96 at 117 rows/cluster
+    → 0.104 at 4.7k rows/cluster on identical 256-cluster geometry (r7
+    scale drill). When candidates overflow R, max(1, R//4) slots are
+    RESERVED for the nearest candidate of each of the farthest distinct
+    distance bands (geometric log2 bands over d/d_min — one edge per
+    length scale, the skip-list spacing a greedy walk needs); the reserved
+    picks are seeded as occluders so the remaining slots stay diverse.
+    With ≤R candidates the behavior is unchanged (plain α-occlusion).
+
+    Returns the kept external ids sorted by (distance, id) — identical to
+    the selection order of the plain walk, which visits candidates in that
+    order."""
+    n = len(cand_ids)
+    if not n:
         return []
     sv = np.array(src_vec, dtype=np.float64)
     mat = np.array(cand_mat, dtype=np.float64)
     d_src = _fold_l2_rows(mat, sv)
-    order = sorted(range(len(cand_ids)), key=lambda i: (d_src[i], cand_ids[i]))
-    kept: list = []
-    occluded = np.zeros(len(cand_ids), dtype=bool)
+    order = sorted(range(n), key=lambda i: (d_src[i], cand_ids[i]))
+    kept_idx: list = []
+    occluded = np.zeros(n, dtype=bool)
+    if n > r:
+        quota = max(1, r // 4)
+        pos = d_src[d_src > 0.0]
+        if len(pos):
+            d0 = float(pos.min())
+            # integer band per candidate: floor(log2(d/d0)); d==0 rows are
+            # nearest anyway and band-exempt
+            bands = np.full(n, -1, dtype=np.int64)
+            nz = d_src > 0.0
+            bands[nz] = np.floor(np.log2(d_src[nz] / d0)).astype(np.int64)
+            # nearest (d, id) candidate per band, visiting the sorted order
+            # once; then reserve the farthest `quota` bands' representatives
+            band_first: dict = {}
+            for i in order:
+                b = int(bands[i])
+                if b >= 0 and b not in band_first:
+                    band_first[b] = i
+            for b in sorted(band_first, reverse=True)[:quota]:
+                i = band_first[b]
+                if occluded[i]:
+                    continue
+                kept_idx.append(i)
+                d_kept = _fold_l2_rows(mat, mat[i])
+                occluded |= alpha * d_kept <= d_src
+                occluded[i] = True
     for i in order:
+        if len(kept_idx) >= r:
+            break
         if occluded[i]:
             continue
-        kept.append(cand_ids[i])
-        if len(kept) >= r:
+        kept_idx.append(i)
+        if len(kept_idx) >= r:
             break
         d_kept = _fold_l2_rows(mat, mat[i])
         occluded |= alpha * d_kept <= d_src
         occluded[i] = True
-    return kept
+    kept_idx.sort(key=lambda i: (d_src[i], cand_ids[i]))
+    return [cand_ids[i] for i in kept_idx]
 
 
 def _normalize_expr(vec):
