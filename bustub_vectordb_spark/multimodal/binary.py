@@ -51,10 +51,15 @@ def attach_fake_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFr
         F.lit(kind).alias("format"),
         (F.pmod(F.col(id_col), F.lit(4)) * 64 + 64).cast("int").alias("width"),
         (F.pmod(F.col(id_col), F.lit(3)) * 64 + 64).cast("int").alias("height"),
-        F.when(F.lit(kind) == "video", (F.pmod(F.col(id_col), F.lit(30)) + 1).cast("int"))
-        .otherwise(F.lit(1))
-        .alias("n_frames"),
-        F.when(F.lit(kind) == "audio", F.lit(16000)).otherwise(F.lit(0)).alias("sample_rate"),
+        # kind is a plan-time Python constant — branch here, not in a
+        # literal==literal Column (which warns "trivially true equals
+        # predicate" on every run)
+        (
+            (F.pmod(F.col(id_col), F.lit(30)) + 1).cast("int")
+            if kind == "video"
+            else F.lit(1).cast("int")
+        ).alias("n_frames"),
+        (F.lit(16000) if kind == "audio" else F.lit(0)).alias("sample_rate"),
     )
     return df.withColumn("media", payload).withColumn("media_meta", meta)
 
