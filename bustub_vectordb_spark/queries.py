@@ -6272,6 +6272,132 @@ def q_cdc_time_travel(spark, sf_dir):
 
 
 @_register(
+    "stream_cdc_compacted",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 8 = 5 THEN 'B'
+                WHEN o_orderkey % 4 = 1 THEN 'A'
+                ELSE o_orderstatus END AS o_orderstatus,
+           round(CASE WHEN o_orderkey % 8 = 5 THEN o_totalprice + 2.0
+                      WHEN o_orderkey % 4 = 1 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 8 IN (1, 3, 5) AND o_orderkey % 16 <> 13
+    """,
+)
+def q_stream_cdc_compacted(spark, sf_dir):
+    # AUTO-COMPACTING CDC sink (round 8): compact_every=1 + auto_vacuum
+    # folds the bucket state into ONE full version after every commit and
+    # vacuums the superseded dirs — the bounded-footprint Delta OPTIMIZE
+    # cadence a 100 TB table needs (unbounded small per-version files are
+    # an operational hazard). Three Debezium-shaped batches (updates,
+    # overriding updates + replay-watermark exercise, tombstones) fold to
+    # the same last-writer-wins CASE oracle; the compaction machinery must
+    # be content-invisible, which is exactly what this gate checks.
+    import tempfile
+
+    from .streaming.cdc_apply import StreamUpsertSink, apply_stream
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    up = lambda st, dp: [  # noqa: E731
+        F.lit(st).alias("o_orderstatus"),
+        (F.col("o_totalprice") + dp).alias("o_totalprice"),
+    ]
+    d0 = base.where(k % 4 == 1).select("o_orderkey", *up("A", 1.0), F.lit("U").alias("_op"))
+    d1 = base.where(k % 8 == 5).select("o_orderkey", *up("B", 2.0), F.lit("U").alias("_op"))
+    d2 = base.where(k % 16 == 13).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit("D").alias("_op")
+    )
+    stage = tempfile.mkdtemp(prefix="cdcc_stage_")
+    _stage_stream_parts(stage, [("d0", d0), ("d1", d1), ("d2", d2)])
+    sink = StreamUpsertSink(
+        spark, base, "o_orderkey", tempfile.mkdtemp(prefix="cdcc_state_"),
+        compact_every=1, auto_vacuum=True,
+    )
+    stream = (
+        spark.readStream.schema(d0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/d*")
+    )
+    apply_stream(stream, sink, tempfile.mkdtemp(prefix="cdcc_ckpt_")).awaitTermination()
+    # the chain really is compacted: one full version survives per fold
+    assert all(len(e["buckets"]) == sink.n_buckets for e in sink.versions[-1:])
+    return sink.state_df().where((k % 8).isin(1, 3, 5)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@_register(
+    "merge_into_stream",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey < 30000000 AND o_orderkey % 4 = 1 THEN 'A'
+                ELSE o_orderstatus END AS o_orderstatus,
+           round(CASE WHEN o_orderkey < 30000000 AND o_orderkey % 4 = 1
+                      THEN o_totalprice + 1.0
+                      ELSE o_totalprice END, 2) AS o_totalprice
+    FROM (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderkey + 30000000, 'S', o_totalprice
+      FROM orders WHERE o_orderkey % 200 = 17
+    )
+    WHERE o_orderkey % 8 IN (2, 5) OR o_orderkey >= 30000000
+    """,
+)
+def q_merge_into_stream(spark, sf_dir):
+    # SQL surface for streaming MERGE (round 8): MERGE INTO t USING s
+    # where s is a REGISTERED STREAMING relation — the frontend routes
+    # through the versioned foreachBatch sink (availableNow drain) and
+    # re-registers the merged state as the target. Two staged delta files
+    # (updates for %4==1, inserts) arrive as separate micro-batches.
+    import tempfile
+
+    from .sql import SqlEngine
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    d0 = base.where(k % 4 == 1).select(
+        "o_orderkey",
+        F.lit("A").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+    )
+    d1 = base.where(k % 200 == 17).select(
+        (k + 30000000).alias("o_orderkey"),
+        F.lit("S").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    stage = tempfile.mkdtemp(prefix="mis_stage_")
+    _stage_stream_parts(stage, [("d0", d0), ("d1", d1)])
+    eng = SqlEngine(spark)
+    eng.catalog.register("mis_orders", base)
+    eng.catalog.register(
+        "mis_delta",
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/d*"),
+    )
+    eng.execute(
+        "MERGE INTO mis_orders USING mis_delta ON "
+        "mis_orders.o_orderkey = mis_delta.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    out = eng.catalog.tables["mis_orders"].df
+    return out.where((k % 8).isin(2, 5) | (k >= 30000000)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@_register(
     "documents_data_card",
     """
     WITH tok AS (
@@ -6828,10 +6954,10 @@ _GATE_WINDOW = [
     "knn_inner_product",
     "events_sessionize",
     "multimodal_decode_features",
-    # --- 3 slots held by stale re-gates until round-8 entries land (they
-    # yield to new never-gated entries as those register) ---
-    "knn_subquery_alias",
-    "sample_deterministic",
+    # --- new in round 8 ---
+    "stream_cdc_compacted",
+    "merge_into_stream",
+    # (1 slot held by a stale re-gate until the BQ-rotation entry lands)
     "layout_bucketed_join",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",

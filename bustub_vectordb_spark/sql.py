@@ -25,6 +25,7 @@ dispatch (bustub_instance.cpp:295-331).
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -702,6 +703,30 @@ class SqlEngine:
             self.catalog.register(target, remaining, t.vector_lengths)
             return n
         from .operators.cdc import merge_upsert
+
+        if s.df.isStreaming:
+            # MERGE INTO t USING <stream>: the source is a STREAMING
+            # relation — route through the versioned foreachBatch sink
+            # (streaming/cdc_apply) instead of a one-shot join. Each
+            # micro-batch broadcast-merges into bucket-partitioned state
+            # (availableNow: drain what's staged, then stop — the same
+            # trigger contract as the other streaming entries); the final
+            # state re-registers as the target table. Per-batch duplicate
+            # keys are refused by the sink's merge validation (the
+            # streaming analogue of the cardinality check below).
+            import tempfile as _tf
+
+            from .streaming.cdc_apply import StreamUpsertSink, apply_stream
+
+            workdir = _tf.mkdtemp(prefix=f"merge_stream_{target}_")
+            sink = StreamUpsertSink(
+                self.spark, t.df, keys, os.path.join(workdir, "state")
+            )
+            q = apply_stream(s.df, sink, os.path.join(workdir, "ckpt"))
+            q.awaitTermination()
+            merged = sink.state_df()
+            self.catalog.register(target, merged, t.vector_lengths)
+            return merged.count()
 
         # ANSI MERGE cardinality rule: a target row matching more than one
         # source row is an error, not a silent fan-out

@@ -62,7 +62,20 @@ class StreamUpsertSink:
         key_col: "str | list[str]",
         state_dir: str,
         n_buckets: int = 8,
+        compact_every: "int | None" = None,
+        auto_vacuum: bool = False,
     ):
+        # operational policy, not table identity: how many delta versions
+        # may accumulate before process_batch folds them into one full
+        # version (bounding both the resolver chain and the small-file
+        # count — the Delta OPTIMIZE cadence), and whether the fold also
+        # vacuums the now-unreferenced older dirs (trading time travel
+        # below the fold for a bounded on-disk footprint). Exactly-once
+        # replay detection survives vacuum via the max_batch_id watermark
+        # (structured streaming batch ids are monotonic; a replay
+        # redelivers an id <= the watermark).
+        self.compact_every = compact_every
+        self.auto_vacuum = auto_vacuum
         self.spark = spark
         # composite keys bucket by xxhash64 over all key columns —
         # deterministic and resume-stable (recorded via n_buckets in the
@@ -91,10 +104,20 @@ class StreamUpsertSink:
             self.key_cols = m["key_cols"]
             self.bucket_fn = m.get("bucket_fn", "pmod_long")
             self.vacuum_floor = m.get("vacuum_floor")
+            # pre-watermark manifests: recover the high-water mark from
+            # the surviving version entries (their batch ids)
+            self.max_batch_id = m.get(
+                "max_batch_id",
+                max(
+                    (e["batch_id"] for e in self.versions if e["batch_id"] is not None),
+                    default=None,
+                ),
+            )
             return
         self.schema = base.select(*self.columns).schema
         self.bucket_fn = "xxhash64"
         self.vacuum_floor = None
+        self.max_batch_id = None
         (
             base.withColumn(BUCKET_COL, self._bucket())
             .write.mode("overwrite")
@@ -131,6 +154,7 @@ class StreamUpsertSink:
                     "key_cols": self.key_cols,
                     "bucket_fn": self.bucket_fn,
                     "vacuum_floor": self.vacuum_floor,
+                    "max_batch_id": self.max_batch_id,
                 },
                 f,
             )
@@ -176,8 +200,15 @@ class StreamUpsertSink:
         return self._read(paths.values())
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once redelivery: structured streaming batch ids are
+        # monotonic, so anything at or below the committed high-water mark
+        # is a replay. The watermark (persisted in the manifest) survives
+        # vacuum, which drops old version entries along with their
+        # recorded batch ids.
+        if self.max_batch_id is not None and batch_id <= self.max_batch_id:
+            return
         if any(e["batch_id"] == batch_id for e in self.versions):
-            return  # at-least-once redelivery of an already-committed batch
+            return  # pre-watermark manifests only
         # a batch carrying an _op column is a full Debezium-shaped change
         # set (upserts + tombstones); without it, every row is an upsert
         has_ops = "_op" in batch_df.columns
@@ -214,7 +245,22 @@ class StreamUpsertSink:
         )
         # commit point: readers see the new version only after this replace
         self.versions.append({"v": v, "buckets": touched, "batch_id": batch_id})
+        self.max_batch_id = (
+            batch_id if self.max_batch_id is None else max(self.max_batch_id, batch_id)
+        )
         self._write_manifest()
+        if self.compact_every is not None:
+            # versions since the last FULL version (one that carries every
+            # bucket — v0 or a prior compaction)
+            since_full = 0
+            for e in reversed(self.versions):
+                if len(e["buckets"]) == self.n_buckets:
+                    break
+                since_full += 1
+            if since_full >= self.compact_every:
+                cv = self.compact()
+                if self.auto_vacuum:
+                    self.vacuum(retain_from=cv)
 
     def compact(self) -> int:
         """Fold the current view into one full version (bounds the version

@@ -472,3 +472,26 @@ def test_merge_delete_form(engine):
     assert n == 1
     got = {r["k"] for r in engine.execute("select k from mdd").collect()}
     assert got == {1, 3}
+
+
+def test_merge_into_streaming_source(engine, tmp_path):
+    """MERGE INTO t USING <stream>: a STREAMING source relation routes
+    through the versioned foreachBatch sink (availableNow drain) and the
+    merged state re-registers as the target (VERDICT r7 #6)."""
+    spark = engine.spark
+    engine.execute("create table smt(k int, v int);")
+    engine.execute("insert into smt values (1, 10), (2, 20), (3, 30);")
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame([(2, 99), (4, 40)], "k int, v int").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir))
+    stream = spark.readStream.schema("k int, v int").parquet(str(src_dir))
+    engine.catalog.register("sms", stream)
+    n = engine.execute(
+        "merge into smt using sms on smt.k = sms.k "
+        "when matched then update set * when not matched then insert *;"
+    )
+    assert n == 4
+    got = {(r["k"], r["v"]) for r in engine.execute("select k, v from smt").collect()}
+    assert got == {(1, 10), (2, 99), (3, 30), (4, 40)}

@@ -236,3 +236,45 @@ def test_vacuum_floor_blocks_partial_snapshots(spark, tmp_path):
     assert resumed.state_df(version=2).count() == 40
     got = {r["k"]: r["st"] for r in resumed.state_df(version=2).collect()}
     assert got[1] == "a" and got[2] == "b" and got[3] == "s"
+
+
+def test_auto_compaction_bounds_files_and_versions(spark, tmp_path):
+    """compact_every + auto_vacuum: over N batches the on-disk parquet
+    file count and the resolver's version chain stay bounded (the Delta
+    OPTIMIZE cadence), while contents keep matching the sequential merge
+    fold and replay detection survives the vacuum (VERDICT r7 #6)."""
+    base = spark.createDataFrame(
+        [(i, "s", float(i)) for i in range(40)], "k bigint, st string, v double"
+    )
+    d = str(tmp_path / "st")
+    sink = StreamUpsertSink(
+        spark, base, "k", d, n_buckets=4, compact_every=3, auto_vacuum=True
+    )
+    import pyspark.sql as psql
+
+    expect = {i: ("s", float(i)) for i in range(40)}
+    max_files, max_versions = 0, 0
+    for b in range(12):
+        rows = [(b * 3 + j, f"b{b}", float(b)) for j in range(2)]
+        for k, st, v in rows:
+            expect[k] = (st, v)
+        _apply(sink, spark, rows, batch_id=b)
+        nfiles = len(glob.glob(f"{d}/v*/*/*.parquet"))
+        max_files = max(max_files, nfiles)
+        max_versions = max(max_versions, len(sink.versions))
+    # chain: at most one full version + compact_every deltas (+1 in-flight)
+    assert max_versions <= sink.compact_every + 2, max_versions
+    # file bound: a full version is <= n_buckets dirs of files; deltas add
+    # a handful each — well under the unbounded ~12-version accumulation
+    assert max_files <= (sink.compact_every + 2) * 4 * 4, max_files
+    got = {r["k"]: (r["st"], r["v"]) for r in sink.state_df().collect()}
+    assert got == expect
+    # replays of long-vacuumed batches are still recognized (watermark,
+    # not version-entry membership)
+    before = [e["v"] for e in sink.versions]
+    _apply(sink, spark, [(0, "REPLAY", 0.0)], batch_id=0)
+    assert [e["v"] for e in sink.versions] == before
+    assert {r["k"]: r["st"] for r in sink.state_df().collect()}[0] != "REPLAY"
+    # watermark survives a resume
+    resumed = StreamUpsertSink(spark, base.limit(0), "k", d, n_buckets=4)
+    assert resumed.max_batch_id == 11
