@@ -37,6 +37,33 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
+def _rotate_rows_exact(mat: np.ndarray, rot: np.ndarray) -> np.ndarray:
+    """Rotated rows out[i, d] = sum_j mat[i, j] * rot[d, j], accumulated
+    per-INPUT-dim sequentially (vectorized across rows and output dims) —
+    the identical IEEE op sequence to similarity/bq.rotate_vec's driver
+    loop and rotate_col's Spark fold, and NOT a BLAS matmul: matmul
+    summation order is buffer-alignment-dependent (see _dist_many), and
+    the rotated values feed sign comparisons against thresholds derived in
+    a different process (worker build vs offline oracle replay)."""
+    mat = np.asarray(mat, dtype=np.float64)
+    out = np.zeros((mat.shape[0], rot.shape[0]), dtype=np.float64)
+    for j in range(mat.shape[1]):
+        out += mat[:, j : j + 1] * rot[:, j]
+    return out
+
+
+def _rotate_bounds(mins, maxs, rot: np.ndarray) -> tuple[list, list]:
+    """Exact interval-arithmetic enclosure of the rotated per-dim box —
+    the rotated-space frozen fallback for shards born empty: any vector
+    inside [mins, maxs] rotates to inside these bounds, so the fallback
+    thresholds are sane without a second data pass."""
+    mn = np.asarray(mins, dtype=np.float64)
+    mx = np.asarray(maxs, dtype=np.float64)
+    c = _rotate_rows_exact(((mn + mx) / 2.0)[None, :], rot)[0]
+    h = _rotate_rows_exact(((mx - mn) / 2.0)[None, :], np.abs(rot))[0]
+    return (c - h).tolist(), (c + h).tolist()
+
+
 def _one_dist(dist: str, a, b) -> float:
     """Single-pair distance in index-internal orientation (smaller = nearer)."""
     if dist == "l2":
@@ -133,6 +160,10 @@ class _Graph:
         self.bq_lo: np.ndarray | None = None  # per-dim 0-bit reconstruction
         self.bq_hi: np.ndarray | None = None  # per-dim 1-bit reconstruction
         self.bq_dim: int | None = None
+        # optional seeded orthonormal rotation applied before sign-taking
+        # (RaBitQ-style); when set, codes/lo/hi/thresholds live in ROTATED
+        # space and search() rotates the query at entry
+        self.bq_rot: np.ndarray | None = None
 
     # -- serialization / packed adjacency ---------------------------------
     def __getstate__(self):
@@ -228,10 +259,12 @@ class _Graph:
         self._norms_sq = (dec * dec).sum(axis=1)
 
     def _encode_bq(self, mat: np.ndarray) -> np.ndarray:
+        if getattr(self, "bq_rot", None) is not None:
+            mat = _rotate_rows_exact(mat, self.bq_rot)
         thr = (self.bq_lo + self.bq_hi) / 2.0  # == the midrange threshold
         return np.packbits(mat > thr, axis=-1)
 
-    def quantize_bq(self, mins, maxs) -> None:
+    def quantize_bq(self, mins, maxs, rot: np.ndarray | None = None) -> None:
         """Swap the float64 matrix for 1-bit sign codes: dim/8 bytes per
         stored vector — 8x denser than SQ8, the similarity/bq.BQModel
         trade lifted into shard blobs. bit d = (x_d > midrange_d); walks
@@ -240,7 +273,17 @@ class _Graph:
         reconstruction distance in the same float pipeline as SQ8/PQ — no
         separate Hamming kernel, and the exact rerank recipe
         (probe(rerank=src)) is unchanged. Reconstruction params derive
-        from exact per-dim min/max: deterministic on both engines."""
+        from exact per-dim min/max: deterministic on both engines.
+
+        ``rot`` (optional, RaBitQ-style): a seeded orthonormal matrix; the
+        stored vectors rotate (fold-exactly) BEFORE sign-taking and
+        ``mins``/``maxs`` are then interpreted in ROTATED space — pass
+        ``None, None`` to derive them from this graph's own rotated
+        vectors (the local-thresholds mode). L2 geometry is rotation-
+        invariant, so walks and the rerank recipe are unchanged; only the
+        1-bit code quality improves on clustered data (the rotation
+        spreads a shard's internal structure across every dim instead of
+        leaving whole dims on one side of their threshold)."""
         if (
             getattr(self, "pq_codes", None) is not None
             or getattr(self, "codes", None) is not None
@@ -249,6 +292,19 @@ class _Graph:
             # incl. BQ-after-BQ: vecs is already None, so a second call
             # would silently replace the codes with an empty array
             raise ValueError("graph is already quantized; BQ must start from floats")
+        self.bq_rot = (
+            np.asarray(rot, dtype=np.float64) if rot is not None else None
+        )
+        if mins is None:
+            if self.bq_rot is None:
+                raise ValueError("quantize_bq: mins/maxs required without a rotation")
+            if self.vecs is None or not len(self.ids):
+                raise ValueError(
+                    "rotated local BQ needs vectors; pass rotated-space "
+                    "bounds for an empty graph"
+                )
+            vr = _rotate_rows_exact(self.vecs, self.bq_rot)
+            mins, maxs = vr.min(axis=0).tolist(), vr.max(axis=0).tolist()
         mn = np.asarray(mins, dtype=np.float64)
         mx = np.asarray(maxs, dtype=np.float64)
         thr = (mn + mx) / 2.0
@@ -542,6 +598,13 @@ class _Graph:
         that can come up short."""
         if self.entry is None:
             return []
+        if getattr(self, "bq_rot", None) is not None:
+            # rotated-BQ graph: codes/decodes live in rotated space, so the
+            # query enters the same frame ONCE here (inserts need no hook:
+            # _insert walks with the vertex's own decoded representation)
+            q = _rotate_rows_exact(
+                np.asarray(q, dtype=np.float64)[None, :], self.bq_rot
+            )[0]
         ef = max(ef or self.efs, k)
         ep = [self.entry]
         for lv in range(len(self.edges) - 1, 0, -1):
@@ -1199,7 +1262,13 @@ class ShardedHNSW:
             default_n_probe=self.default_n_probe, params=params,
         )
 
-    def quantize_bq(self, mins, maxs, local: bool = True) -> "ShardedHNSW":
+    def quantize_bq(
+        self,
+        mins,
+        maxs,
+        local: bool = True,
+        rotation_seed: int | None = None,
+    ) -> "ShardedHNSW":
         """1-bit-compress every shard graph (the BQ twin of :meth:`quantize`):
         one distributed pass swaps each shard's float64 matrix for packbits
         sign codes (_Graph.quantize_bq — dim/8 bytes per stored vector, 8x
@@ -1220,7 +1289,19 @@ class ShardedHNSW:
         The caller-supplied global ``mins``/``maxs`` are still recorded in
         params as the FROZEN fallback for shards born empty after an
         insert. ``local=False`` applies the global thresholds everywhere
-        (the bit-exact-oracle mode the gated entries replay)."""
+        (the bit-exact-oracle mode the gated entries replay).
+
+        ``rotation_seed`` (RaBitQ-style, lifts the 1-bit resolution bound):
+        every shard additionally applies the SAME seeded orthonormal
+        rotation before sign-taking (_Graph.quantize_bq(rot=...)). A
+        multi-modal shard's unrotated midrange bits can only encode mode
+        identity (the 2.2M drill's finding — recall stuck at 0.20 with 64
+        shards over 256 clusters); the rotation mixes every input dim into
+        every code bit, so coarse shards regain within-mode resolution
+        without finer sharding. Frozen fallback bounds for empty shards
+        are the exact interval-arithmetic enclosure of the rotated raw
+        box; the seed rides in params so save/load and insert re-derive
+        the identical matrix."""
         import pickle
 
         import pandas as pd
@@ -1230,18 +1311,35 @@ class ShardedHNSW:
         ensure_package_on_workers(self._spark)
         mins = [float(x) for x in mins]
         maxs = [float(x) for x in maxs]
+        rot_list = None
+        if rotation_seed is not None:
+            from ..similarity.bq import rotation_matrix
+
+            rot_list = rotation_matrix(len(mins), int(rotation_seed))
+            # params record ROTATED-space fallback bounds: that is the
+            # space the frozen thresholds live in for empty-born shards
+            mins, maxs = _rotate_bounds(mins, maxs, np.asarray(rot_list))
 
         def run(batches):
+            rot = (
+                np.asarray(rot_list, dtype=np.float64)
+                if rot_list is not None
+                else None
+            )
             for pdf in batches:
                 out_s, out_b = [], []
                 for shard, blob in zip(pdf["shard"], pdf["blob"]):
                     g = pickle.loads(blob)
                     if local and g.vecs is not None and len(g.ids):
-                        g.quantize_bq(
-                            g.vecs.min(axis=0).tolist(), g.vecs.max(axis=0).tolist()
-                        )
+                        if rot is not None:
+                            g.quantize_bq(None, None, rot=rot)
+                        else:
+                            g.quantize_bq(
+                                g.vecs.min(axis=0).tolist(),
+                                g.vecs.max(axis=0).tolist(),
+                            )
                     else:
-                        g.quantize_bq(mins, maxs)
+                        g.quantize_bq(mins, maxs, rot=rot)
                     out_s.append(shard)
                     out_b.append(pickle.dumps(g))
                 yield pd.DataFrame({"shard": out_s, "blob": out_b})
@@ -1252,6 +1350,8 @@ class ShardedHNSW:
         params = dict(
             self.params or {}, bq_mins=mins, bq_maxs=maxs, bq_local=bool(local)
         )
+        if rotation_seed is not None:
+            params["bq_rot_seed"] = int(rotation_seed)
         return ShardedHNSW(
             self.vec_col, self.id_col, self.dist, blobs, self._spark,
             centroids=self.centroids, id_type=self.id_type,
@@ -1622,7 +1722,18 @@ class ShardedHNSW:
                 elif "sq8_mins" in p:
                     g.quantize_sq8(p["sq8_mins"], p["sq8_maxs"])
                 elif "bq_mins" in p:
-                    g.quantize_bq(p["bq_mins"], p["bq_maxs"])
+                    rot = None
+                    if p.get("bq_rot_seed") is not None:
+                        from ..similarity.bq import rotation_matrix
+
+                        rot = np.asarray(
+                            rotation_matrix(len(p["bq_mins"]), p["bq_rot_seed"]),
+                            dtype=np.float64,
+                        )
+                    # bq_mins/bq_maxs are already rotated-space when a
+                    # rotation seed is recorded (quantize_bq froze the
+                    # interval-arithmetic enclosure of the rotated box)
+                    g.quantize_bq(p["bq_mins"], p["bq_maxs"], rot=rot)
             new_pdf = new_pdf.sort_values("__nid")  # id-sorted: deterministic
             g.add_all(
                 new_pdf["__nid"].tolist(),
@@ -1959,15 +2070,29 @@ def offline_routed_sq8_probe(
     )
 
 
-def _quantize_bq_like_sharded(graphs, mins, maxs) -> None:
+def _quantize_bq_like_sharded(graphs, mins, maxs, rotation_seed=None) -> None:
     """The exact quantization rule ShardedHNSW.quantize_bq(local=True)
     applies per shard: own exact min/max when the graph has vectors,
-    caller-supplied global stats otherwise."""
+    caller-supplied global stats otherwise. With ``rotation_seed``, the
+    same seeded orthonormal rotation (and rotated-space fallback bounds)
+    the distributed path derives — bit-identical, since both sides call
+    rotation_matrix/_rotate_rows_exact on the same inputs."""
+    rot = None
+    if rotation_seed is not None:
+        from ..similarity.bq import rotation_matrix
+
+        rot = np.asarray(
+            rotation_matrix(len(mins), int(rotation_seed)), dtype=np.float64
+        )
+        mins, maxs = _rotate_bounds(mins, maxs, rot)
     for g in graphs.values():
         if g.vecs is not None and len(g.ids):
-            g.quantize_bq(g.vecs.min(axis=0).tolist(), g.vecs.max(axis=0).tolist())
+            if rot is not None:
+                g.quantize_bq(None, None, rot=rot)
+            else:
+                g.quantize_bq(g.vecs.min(axis=0).tolist(), g.vecs.max(axis=0).tolist())
         else:
-            g.quantize_bq(mins, maxs)
+            g.quantize_bq(mins, maxs, rot=rot)
 
 
 def offline_routed_bq_probe(
@@ -1981,14 +2106,16 @@ def offline_routed_bq_probe(
     maxs: list[float],
     dist: str = "l2",
     rerank_mult: int = 16,
+    rotation_seed: int | None = None,
 ) -> list[tuple]:
     """Replay ``ShardedHNSW.quantize_bq(mins, maxs).probe(..., rerank=src)``
     — the 1-bit twin of :func:`offline_routed_sq8_probe`. Mirrors the
     distributed default (local=True): each replayed graph quantizes with
     its OWN exact per-dim min/max (bit-identical to the worker's, since
     the replayed build produces the same vectors); the global stats serve
-    only the empty-graph fallback."""
-    _quantize_bq_like_sharded(graphs, mins, maxs)
+    only the empty-graph fallback. ``rotation_seed`` mirrors
+    ``quantize_bq(rotation_seed=...)``."""
+    _quantize_bq_like_sharded(graphs, mins, maxs, rotation_seed)
     return _offline_quantized_probe(
         centroids, graphs, vectors_by_id, query, k, n_probe, dist, rerank_mult
     )
@@ -2075,11 +2202,12 @@ def offline_routed_bq_batch(
     mins: list[float],
     maxs: list[float],
     rerank_mult: int = 16,
+    rotation_seed: int | None = None,
 ) -> list[tuple]:
     """Replay ``ShardedHNSW.quantize_bq(...).search_batch(..., rerank=src)``
     — the 1-bit twin of :func:`offline_routed_sq8_batch` (local-threshold
     default, see :func:`offline_routed_bq_probe`)."""
-    _quantize_bq_like_sharded(graphs, mins, maxs)
+    _quantize_bq_like_sharded(graphs, mins, maxs, rotation_seed)
     return _offline_quantized_batch(
         centroids, graphs, vectors_by_id, queries, k, n_probe, rerank_mult
     )

@@ -2211,6 +2211,63 @@ def q_ann_bq_batch(spark, sf_dir):
     return model.hamming_join(queries, "embedding", "vec_id", e, "embedding", "vec_id", 5)
 
 
+# Fixed seed for the rotated-BQ entries: the orthonormal matrix is
+# regenerated from it at plan time and inlined into BOTH engines, exactly
+# like embedding_neardup_lsh's seeded hyperplanes.
+BQ_ROT_SEED = 2026
+
+
+def _bq_rot() -> list:
+    from .similarity.bq import rotation_matrix
+
+    return rotation_matrix(64, BQ_ROT_SEED)
+
+
+def _bq_rotated_hamming_oracle() -> str:
+    from .similarity.bq import bq_rotated_hamming_oracle_sql
+
+    return bq_rotated_hamming_oracle_sql(
+        "embeddings", "embedding", "vec_id", QUERY_VEC, 10, _bq_rot()
+    )
+
+
+@_register("ann_bq_rotated_hamming", _bq_rotated_hamming_oracle())
+def q_ann_bq_rotated_hamming(spark, sf_dir):
+    # RaBitQ-style rotated binary quantization (similarity/bq.py): a seeded
+    # ORTHONORMAL rotation before sign-taking spreads cluster structure
+    # across every dim, lifting the 1-bit resolution bound on clustered
+    # corpora (the 2.2M drill's finding) without finer sharding. The
+    # rotated coordinate is a fold-exact sequential accumulation in all
+    # three engines (Spark aggregate / driver loop / DuckDB list_reduce),
+    # so the sign bits — and therefore the integer Hamming scores — are
+    # bit-identical across the oracle boundary.
+    from .similarity.bq import BQModel
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = BQModel.train(e, "embedding", rotation=_bq_rot())
+    return model.hamming_topk(e, "embedding", "vec_id", QUERY_VEC, 10)
+
+
+def _bq_rotated_rerank_oracle() -> str:
+    from .similarity.bq import bq_rotated_rerank_oracle_sql
+
+    return bq_rotated_rerank_oracle_sql(
+        "embeddings", "embedding", "vec_id", QUERY_VEC, 10, _bq_rot(), shortlist=50
+    )
+
+
+@_register("ann_bq_rotated_rerank", _bq_rotated_rerank_oracle())
+def q_ann_bq_rotated_rerank(spark, sf_dir):
+    # the full rotated-BQ serving recipe: rotated-sign Hamming top-50
+    # shortlist -> exact L2 on the RAW vectors (rotation only decides the
+    # shortlist; final distances are original-space, 6dp-rounded).
+    from .similarity.bq import BQModel
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = BQModel.train(e, "embedding", rotation=_bq_rot())
+    return model.rerank_topk(e, "embedding", "vec_id", QUERY_VEC, 10, shortlist=50)
+
+
 @_register("ann_bq_rerank", _bq_rerank_oracle())
 def q_ann_bq_rerank(spark, sf_dir):
     # the standard binary-quantization recipe: Hamming top-50 shortlist
@@ -3157,6 +3214,72 @@ def q_ann_hnsw_routed_bq_batch(spark, sf_dir):
     )
     out = idx.search_batch(queries, "embedding", "qid", k=5, n_probe=2, rerank=emb)
     return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
+def _routed_bqr_cached(spark, sf_dir):
+    """Routed shards with ROTATED 1-bit codes (quantize_bq(rotation_seed)):
+    the RaBitQ-style tier — same storage density as plain BQ, better code
+    quality on clustered/anisotropic data."""
+    from .index.hnsw import HNSWIndex
+    from .similarity.quantize import dim_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "hnsw_routed_bqr")
+    if key not in _INDEX_CACHE:
+        rkey = (sf_dir, "hnsw_routed")
+        if rkey not in _INDEX_CACHE:
+            _INDEX_CACHE[rkey] = HNSWIndex.build_routed(
+                emb, "embedding", "vec_id", **_routed_params()
+            )
+        stats = dim_stats(emb, "embedding").orderBy("dim").collect()
+        _INDEX_CACHE[key] = _INDEX_CACHE[rkey].quantize_bq(
+            [r["mn"] for r in stats],
+            [r["mx"] for r in stats],
+            rotation_seed=BQ_ROT_SEED,
+        )
+    return emb, _INDEX_CACHE[key]
+
+
+def _hnsw_routed_bqr_oracle() -> str:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed_bq_probe
+
+    path = f"{_oracle_sf()}/embeddings.parquet"
+    cents, graphs = _offline_routed_cached(mutable=True)
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    mat = np.asarray(vecs, dtype=np.float64)
+    hits = offline_routed_bq_probe(
+        cents, graphs, dict(zip(ids, vecs)), QUERY_VEC, 10, 2,
+        mat.min(axis=0).tolist(), mat.max(axis=0).tolist(),
+        rotation_seed=BQ_ROT_SEED,
+    )
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_hnsw_routed_bqr_rerank", _hnsw_routed_bqr_oracle)
+def q_ann_hnsw_routed_bqr_rerank(spark, sf_dir):
+    # ROTATED 1-bit codes inside the routed shard graphs: each shard
+    # applies the same seeded orthonormal rotation before sign-taking
+    # (ShardedHNSW.quantize_bq(rotation_seed=...)), spreading cluster
+    # structure across every code bit — the RaBitQ-style lift of the
+    # 1-bit resolution bound without finer sharding. Same ADC walk +
+    # exact-rerank recipe as plain BQ; exact offline-replay oracle
+    # (offline_routed_bq_probe(rotation_seed=...), fold-exact rotation
+    # shared verbatim by both sides).
+    emb, idx = _routed_bqr_cached(spark, sf_dir)
+    probe = idx.probe(QUERY_VEC, 10, n_probe=2, rerank=emb)
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
 
 
 _OFFLINE_VAMANA_L2_MEMO: dict = {}
@@ -6957,8 +7080,7 @@ _GATE_WINDOW = [
     # --- new in round 8 ---
     "stream_cdc_compacted",
     "merge_into_stream",
-    # (1 slot held by a stale re-gate until the BQ-rotation entry lands)
-    "layout_bucketed_join",
+    "ann_bq_rotated_rerank",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

@@ -44,6 +44,21 @@ IVF residual encoding. The flat corpus-wide tier keeps global thresholds
 (across clusters Hamming still separates; within-cluster resolution is
 what the routed/bucketed variants exist for).
 
+SEEDED ROTATION (r8, measured): an orthonormal rotation before
+sign-taking (train(rotation=rotation_matrix(dim, seed)) / ShardedHNSW.
+quantize_bq(rotation_seed=...)) fixes a DIFFERENT failure mode than
+local thresholds: AXIS-ALIGNED ANISOTROPY. When variance concentrates in
+few dims (real embeddings' decaying PCA spectrum), the dominant dims get
+one bit each while the many near-constant dims burn theirs on noise;
+rotating spreads the dominant directions across every bit (numpy sweep:
+shortlist recall 0.46 -> 0.92 with 4-dominant-of-64 dims, 0.45 -> 0.84
+on a 1/d power-law spectrum, pinned by
+tests/test_hnsw.py::test_bq_rotation_recovers_anisotropic_recall). On
+ISOTROPIC cluster mixtures rotation measures recall-NEUTRAL — it does
+not substitute for unimodal sharding; the two levers are orthogonal and
+compose. Oracle exactness survives because the rotated coordinate is a
+sequential fold in all three engines (see rotation_matrix below).
+
 The reference stores raw doubles in all its indexes
 (src/storage/index/ivfflat_index.cpp, hnsw_index.cpp); compression tiers
 are this repo's north-star scale extension alongside SQ8/PQ.
@@ -51,7 +66,7 @@ are this repo's north-star scale extension alongside SQ8/PQ.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -63,16 +78,105 @@ from .quantize import dim_stats
 WORD_BITS = 32
 
 
+# --- seeded rotation (the RaBitQ-style fix for the 1-bit resolution
+# bound): a random ORTHONORMAL rotation applied before sign-taking spreads
+# cluster structure across every dim, so a multi-modal shard's midrange
+# thresholds carry within-mode position instead of only mode identity.
+# L2 geometry is rotation-invariant, so the downstream Hamming/ADC
+# semantics are unchanged — only the code quality improves.
+#
+# Oracle exactness contract (the reason for the fold shapes below): the
+# rotated coordinate x'_d = sum_j R[d][j]*x_j is computed as a SEQUENTIAL
+# LEFT FOLD with 0.0 init in all three engines — Spark F.aggregate,
+# driver Python loop, DuckDB list_reduce(list_transform(...)) — which are
+# bit-identical IEEE op sequences (verified: same 64-dim dot product
+# returns the same double in all three). BLAS matmuls are NOT used for
+# any value that crosses the engine boundary (their summation order is
+# buffer-alignment-dependent — see index/hnsw._dist_many).
+
+
+def rotation_matrix(dim: int, seed: int) -> list[list[float]]:
+    """Seeded random orthonormal rotation (QR of a Gaussian, columns
+    sign-fixed by diag(R) so the decomposition is unique). Returned as
+    plain floats: the matrix is INLINED into both the Spark plan and the
+    oracle SQL, so both engines consume literally identical values."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.standard_normal((dim, dim))
+    q, r = np.linalg.qr(a)
+    q = q * np.sign(np.diag(r))
+    return [[float(x) for x in row] for row in q]
+
+
+def rotate_col(vec: Column | str, rotation: list[list[float]]) -> Column:
+    """array<double> of rotated coordinates, one sequential fold per output
+    dim. The matrix rides as ONE nested-array literal (a single foldable
+    Literal node — not a CreateArray re-evaluated per lambda iteration),
+    and row dimensionality is enforced: zip_with would silently NULL-pad a
+    short row into wrong-but-plausible rotated values."""
+    dim = len(rotation)
+    v = (F.col(vec) if isinstance(vec, str) else vec).cast("array<double>")
+    rot = F.lit([[float(x) for x in row] for row in rotation])
+    ok = F.assert_true(
+        F.size(v) == F.lit(dim),
+        F.lit(f"rotate: vector must have {dim} dims"),
+    )
+    out = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda d: F.aggregate(
+            F.zip_with(v, F.element_at(rot, d), lambda x, r: x * r),
+            F.lit(0.0),
+            lambda s, y: s + y,
+        ),
+    )
+    return F.when(ok.isNull(), out)  # assert_true is NULL on success
+
+
+def rotate_vec(vec, rotation: list[list[float]]) -> list[float]:
+    """Driver-side rotation with the SAME sequential-fold op order as
+    rotate_col / the oracle's list_reduce — bit-identical results."""
+    if len(vec) != len(rotation):
+        raise ValueError(f"query dims {len(vec)} != rotation dims {len(rotation)}")
+    out = []
+    for row in rotation:
+        acc = 0.0
+        for x, r in zip(vec, row):
+            acc = acc + float(x) * float(r)
+        out.append(acc)
+    return out
+
+
 @dataclass
 class BQModel:
-    """Per-dimension midrange thresholds (driver-resident, O(dims))."""
+    """Per-dimension midrange thresholds (driver-resident, O(dims)).
+
+    ``rotation`` (optional): a seeded orthonormal matrix applied BEFORE
+    sign-taking (train with ``rotation=rotation_matrix(dim, seed)``). When
+    set, thresholds live in ROTATED space and every encode path — row
+    column, query, batch query side — rotates first with the shared
+    fold-exact kernel, so all downstream Hamming machinery is unchanged.
+    Driver state stays O(dims²) ≈ 32 KB at 64 dims (centroid-sized)."""
 
     thresholds: list[float]
+    rotation: list[list[float]] | None = field(default=None)
 
     @classmethod
-    def train(cls, df: DataFrame, vec_col: str) -> "BQModel":
-        rows = dim_stats(df, vec_col).orderBy("dim").collect()
-        return cls([(r["mn"] + r["mx"]) / 2.0 for r in rows])
+    def train(
+        cls,
+        df: DataFrame,
+        vec_col: str,
+        rotation: list[list[float]] | None = None,
+    ) -> "BQModel":
+        src = (
+            df.select(rotate_col(vec_col, rotation).alias("__rv"))
+            if rotation is not None
+            else df
+        )
+        rows = dim_stats(src, "__rv" if rotation is not None else vec_col).orderBy(
+            "dim"
+        ).collect()
+        return cls([(r["mn"] + r["mx"]) / 2.0 for r in rows], rotation)
 
     @property
     def dims(self) -> int:
@@ -89,6 +193,16 @@ class BQModel:
         short/long row with NULLs, which when().otherwise(0) would silently
         turn into plausible-looking zero bits — a wrong Hamming distance
         with no error anywhere. encode_query raises the same way."""
+        if self.rotation is not None:
+            # rotate_col enforces dimensionality itself (same assert_true
+            # pattern), and its output is exactly self.dims wide
+            v = rotate_col(vec, self.rotation)
+            thr = F.array(*[F.lit(float(t)) for t in self.thresholds])
+            return F.zip_with(
+                v,
+                thr,
+                lambda x, t: F.when(x > t, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+            )
         v = (F.col(vec) if isinstance(vec, str) else vec).cast("array<double>")
         ok = F.assert_true(
             F.size(v) == F.lit(self.dims),
@@ -119,9 +233,12 @@ class BQModel:
         )
 
     def encode_query(self, query: list[float]) -> list[int]:
-        """Driver-side packing of the query — same MSB-first layout."""
+        """Driver-side packing of the query — same MSB-first layout (and
+        the same fold-exact rotation as the row side when one is set)."""
         if len(query) != self.dims:
             raise ValueError(f"query dims {len(query)} != model dims {self.dims}")
+        if self.rotation is not None:
+            query = rotate_vec(query, self.rotation)
         bits = [1 if float(x) > t else 0 for x, t in zip(query, self.thresholds)]
         # no tail padding: the Spark fold packs a short final word without
         # shifting, so the driver must fold over exactly the same bits
@@ -441,6 +558,101 @@ class IVFBQIndex:
             .orderBy(order, F.col(self.id_col).asc())
             .limit(k)
         )
+
+
+def _rot_cte(table: str, vec_col: str, id_col: str, rotation: list[list[float]]) -> str:
+    """CTEs producing (id, dim, x) in ROTATED space plus rotated-space
+    midrange thresholds. The rotated coordinate is a DuckDB list_reduce
+    left fold over list_transform products — the IEEE-identical op
+    sequence to Spark's F.aggregate(zip_with(...), 0.0, +) and the
+    driver's rotate_vec loop (0.0 + y1 == y1 exactly), so a sign bit can
+    never flip across the engine boundary."""
+    dim = len(rotation)
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in rotation
+    )
+    return f"""rmat AS (SELECT [{rows}]::DOUBLE[][] AS m),
+    relems AS (
+        SELECT {id_col}, t.d AS dim,
+               list_reduce(list_transform(range(1, {dim + 1}),
+                           i -> ({vec_col}::DOUBLE[])[i] * m[t.d][i]),
+                           (a, b) -> a + b) AS x
+        FROM {table}, rmat, range(1, {dim + 1}) t(d)
+    ),
+    dims AS (SELECT dim, (min(x) + max(x)) / 2.0 AS thr FROM relems GROUP BY dim)"""
+
+
+def bq_rotated_hamming_oracle_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int,
+    rotation: list[list[float]],
+    dist_col: str = "hamming",
+) -> str:
+    """DuckDB replica of the ROTATED train -> encode -> Hamming -> top-k:
+    rows rotate in SQL (fold-exact, matrix inlined), the query arrives
+    pre-rotated by the same driver kernel the Spark side uses."""
+    rq = rotate_vec(query, rotation)
+    rqvals = ", ".join(repr(float(x)) for x in rq)
+    return f"""
+    WITH {_rot_cte(table, vec_col, id_col, rotation)},
+    q AS (SELECT unnest([{rqvals}]) AS qx,
+                 generate_subscripts([{rqvals}], 1) AS dim)
+    SELECT {id_col},
+           sum(CASE WHEN (e.x > d.thr) <> (q.qx > d.thr)
+                    THEN 1 ELSE 0 END)::BIGINT AS {dist_col}
+    FROM relems e JOIN dims d USING (dim) JOIN q USING (dim)
+    GROUP BY {id_col}
+    ORDER BY {dist_col} ASC, {id_col} ASC
+    LIMIT {k}
+    """
+
+
+def bq_rotated_rerank_oracle_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int,
+    rotation: list[list[float]],
+    shortlist: int = 50,
+    dist_col: str = "dist",
+) -> str:
+    """Rotated Hamming shortlist -> exact L2 rerank on the RAW vectors
+    (rotation affects only which rows make the shortlist; the final
+    distances are original-space, same 6dp round as rerank_topk)."""
+    rq = rotate_vec(query, rotation)
+    rqvals = ", ".join(repr(float(x)) for x in rq)
+    qvals = ", ".join(repr(float(x)) for x in query)
+    return f"""
+    WITH {_rot_cte(table, vec_col, id_col, rotation)},
+    q AS (SELECT unnest([{rqvals}]) AS qx,
+                 generate_subscripts([{rqvals}], 1) AS dim),
+    short AS (
+        SELECT {id_col}
+        FROM relems e JOIN dims d USING (dim) JOIN q USING (dim)
+        GROUP BY {id_col}
+        ORDER BY sum(CASE WHEN (e.x > d.thr) <> (q.qx > d.thr)
+                          THEN 1 ELSE 0 END) ASC, {id_col} ASC
+        LIMIT {shortlist}
+    ),
+    elems AS (
+        SELECT {id_col}, generate_subscripts({vec_col}, 1) AS dim,
+               unnest({vec_col}::DOUBLE[]) AS x
+        FROM {table}
+    ),
+    qraw AS (SELECT unnest([{qvals}]) AS qx,
+                    generate_subscripts([{qvals}], 1) AS dim)
+    SELECT {id_col},
+           round(sqrt(sum((e.x - qraw.qx) * (e.x - qraw.qx))), 6) AS {dist_col}
+    FROM elems e JOIN qraw USING (dim)
+    WHERE {id_col} IN (SELECT {id_col} FROM short)
+    GROUP BY {id_col}
+    ORDER BY {dist_col} ASC, {id_col} ASC
+    LIMIT {k}
+    """
 
 
 def _dims_cte(table: str, vec_col: str) -> str:

@@ -633,15 +633,21 @@ class SqlEngine:
                         idx = idx.quantize_pq(model)
                         idx.default_n_probe = n_probe
                     elif opts.get("bq"):
-                        # WITH (bq=1) on a routed build: shard graphs store
-                        # 1-bit sign codes (dim/8 bytes/vector, the densest
-                        # tier); serve via probe(rerank=source)
+                        # WITH (bq=1[, bq_rot_seed=S]) on a routed build:
+                        # shard graphs store 1-bit sign codes (dim/8
+                        # bytes/vector, the densest tier); serve via
+                        # probe(rerank=source). bq_rot_seed adds the
+                        # seeded orthonormal rotation before sign-taking —
+                        # the anisotropy fix for corpora whose variance
+                        # concentrates in few dims (decaying PCA spectra).
                         from .similarity.quantize import dim_stats
 
                         stats = dim_stats(df, col).orderBy("dim").collect()
                         n_probe = idx.default_n_probe
                         idx = idx.quantize_bq(
-                            [r["mn"] for r in stats], [r["mx"] for r in stats]
+                            [r["mn"] for r in stats],
+                            [r["mx"] for r in stats],
+                            rotation_seed=opts.get("bq_rot_seed"),
                         )
                         idx.default_n_probe = n_probe
                 else:

@@ -1183,3 +1183,89 @@ def test_bq_local_thresholds_need_unimodal_shards(spark):
 
     assert bq_recall(CL) >= 0.8  # unimodal shards: codes discriminate
     assert bq_recall(2) <= 0.5   # multi-modal shards: inherent 1-bit bound
+
+
+def test_bq_rotation_recovers_anisotropic_recall(spark):
+    """What the seeded rotation actually fixes (measured, r8): BQ's 1 bit
+    per dim mis-spends its budget on AXIS-ALIGNED ANISOTROPY — when the
+    variance concentrates in a few dims (real embeddings' decaying PCA
+    spectrum), the many low-variance dims each burn a bit on noise while
+    the dominant dims get the same single bit. A seeded orthonormal
+    rotation spreads the dominant directions across every code bit, so
+    each bit thresholds a balanced mixture (numpy sweep: 0.46 -> 0.92 on
+    8-dominant-of-64 dims, 0.45 -> 0.84 on a 1/d power-law spectrum).
+
+    NOT a multi-modality fix: on isotropic cluster mixtures (the 2.2M
+    drill's geometry) rotation measures recall-neutral — unimodal
+    sharding (test above) remains that lever; the two compose."""
+    import numpy as np
+
+    from bustub_vectordb_spark.similarity.bq import BQModel, rotation_matrix
+    from bustub_vectordb_spark.similarity.brute import knn
+
+    rng = np.random.RandomState(3)
+    n, dim = 2000, 64
+    scale = np.where(np.arange(dim) < 8, 1.0, 0.05)  # 8 dominant dims
+    centers = rng.standard_normal((8, dim)) * 4.0 * scale
+    X = centers[np.arange(n) % 8] + rng.standard_normal((n, dim)) * scale
+    rows = [(i, X[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = [
+        (X[qi] + 0.25 * rng.standard_normal(dim) * scale).tolist()
+        for qi in (42, 137, 555)
+    ]
+    exacts = [
+        {r["vec_id"] for r in knn(df, "embedding", q, 10).collect()}
+        for q in queries
+    ]
+
+    def bq_recall(rotation):
+        model = BQModel.train(df, "embedding", rotation=rotation)
+        total = 0.0
+        for q, exact in zip(queries, exacts):
+            got = {
+                r["vec_id"]
+                for r in model.rerank_topk(
+                    df, "embedding", "vec_id", q, 10, shortlist=100
+                ).collect()
+            }
+            total += len(got & exact) / 10
+        return total / len(queries)
+
+    plain = bq_recall(None)
+    rotated = bq_recall(rotation_matrix(dim, 11))
+    assert rotated >= 0.8, (plain, rotated)
+    assert rotated >= plain + 0.3, (plain, rotated)
+
+
+def test_routed_bq_rotation_roundtrip(spark, emb):
+    """Rotated 1-bit shards stay a working index end to end: an exact
+    corpus row is its own nearest hit through the rotated-code walk +
+    exact rerank; inserts into the rotated index encode with the FROZEN
+    seed (params carry bq_rot_seed) and are immediately findable."""
+    from bustub_vectordb_spark.similarity.quantize import dim_stats
+
+    stats = dim_stats(emb, "embedding").orderBy("dim").collect()
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8,
+        ef_construction=48, ef_search=48,
+    )
+    bqr = routed.quantize_bq(
+        [r["mn"] for r in stats], [r["mx"] for r in stats], rotation_seed=5
+    )
+    assert bqr.params["bq_rot_seed"] == 5
+    row = emb.filter(F.col("vec_id") == 17).collect()[0]
+    hits = bqr.probe(list(row["embedding"]), 5, n_probe=2, rerank=emb).collect()
+    assert hits[0]["vec_id"] == 17 and hits[0]["distance"] == 0.0
+
+    new = spark.createDataFrame(
+        [(9001, [float(x) + 0.001 for x in row["embedding"]])],
+        "vec_id bigint, embedding array<double>",
+    )
+    bqr2 = bqr.insert(new)
+    src = emb.select("vec_id", "embedding").unionByName(new)
+    got = {
+        r["vec_id"]
+        for r in bqr2.probe(list(row["embedding"]), 5, n_probe=2, rerank=src).collect()
+    }
+    assert {17, 9001} <= got

@@ -447,6 +447,31 @@ def test_create_index_hnsw_routed_bq(spark):
     assert len(hits) == 2
 
 
+def test_create_index_hnsw_routed_bq_rotated(spark):
+    """WITH (bq=1, bq_rot_seed=S): the routed build rotates before
+    sign-taking with the seeded orthonormal matrix, records the seed in
+    params (save/load + insert re-derive the identical rotation), and the
+    registered index probes correctly with exact rerank."""
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE mbqr(v1 VECTOR(3), v2 integer)")
+    e.execute(
+        "INSERT INTO mbqr VALUES (ARRAY [1.0,2.0,3.0], 1),"
+        " (ARRAY [2.0,2.0,3.0], 2), (ARRAY [3.0,2.0,3.0], 3),"
+        " (ARRAY [9.0,9.0,9.0], 4)"
+    )
+    e.execute(
+        "CREATE INDEX mbqr1 ON mbqr USING hnsw (v1 vector_l2_ops)"
+        " WITH (m = 4, ef_construction = 8, ef_search = 8, shards = 2,"
+        " bq = 1, bq_rot_seed = 7)"
+    )
+    idx = next(i for i in e.indexes.lookup("mbqr", "v1") if i.name == "mbqr1").index
+    assert idx.params["bq_rot_seed"] == 7 and "bq_mins" in idx.params
+    hits = idx.probe([1.0, 2.0, 3.0], 2, rerank=e.catalog.tables["mbqr"].df).collect()
+    assert len(hits) == 2 and hits[0]["distance"] == 0.0
+
+
 def test_merge_rejects_duplicate_source_keys(engine):
     engine.execute("create table mdt(k int, v int);")
     engine.execute("insert into mdt values (1, 10);")
