@@ -3032,6 +3032,55 @@ def q_ann_ivfpq_rerank(spark, sf_dir):
     )
 
 
+def _ivfpq_residual_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.ivfflat import offline_centroids
+    from .similarity.pq import offline_ivfpq_residual_probe
+
+    cents = offline_centroids(
+        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id", 8, 5
+    )
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    rows = [
+        (int(i), float(d))
+        for i, d in offline_ivfpq_residual_probe(
+            cents, vecs, QUERY_VEC, 10, probe_lists=4, rerank=40, m=16, k_codes=32
+        )
+    ]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_ivfpq_residual_rerank", _ivfpq_residual_oracle)
+def q_ann_ivfpq_residual_rerank(spark, sf_dir):
+    # TRUE IVFADC (Jégou 2011 §III-D): PQ codes quantize the RESIDUAL
+    # x − centroid[bucket], so the codebook budget resolves within-bucket
+    # structure instead of re-separating the clusters the coarse quantizer
+    # already separated (global-codebook PQ measured 0.44 recall@10 at
+    # rerank 4x on the clustered drill corpus — the PQ twin of the BQ
+    # global-threshold collapse). The query's LUT differs per probed
+    # bucket (q − centroid[b]) and rides a probe_lists-sized broadcast
+    # join. Deterministic end to end → offline-replay oracle.
+    from .similarity.pq import IVFPQIndex
+
+    key = (sf_dir, "ivfpq_residual")
+    if key not in _INDEX_CACHE:
+        idx = _ivfflat_for(spark, sf_dir)
+        _INDEX_CACHE[key] = IVFPQIndex.build(
+            idx, "embedding", "vec_id", m=16, k=32, residual=True
+        )
+    top = _INDEX_CACHE[key].probe(QUERY_VEC, 10, rerank=40, probe_lists=4)
+    return top.select("vec_id", F.round("distance", 8).alias("distance")).orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+
+
 def _hnsw_routed_sq8_batch_oracle() -> str:
     import numpy as np
     import pyarrow.parquet as pq

@@ -243,6 +243,27 @@ def pq_rerank_topk(
     )
 
 
+def _residual_df(ivf_index, vec_col: str, id_col: str) -> DataFrame:
+    """(id, bucket, __res = x − centroid[bucket]) — the centroid table is
+    bucket-count-sized and broadcasts; the subtraction is elementwise
+    (no reduction order to vary → bit-identical to the numpy replay)."""
+    from ..index.ivfflat import BUCKET_COL
+
+    spark = ivf_index.assignments.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(b, [float(x) for x in c]) for b, c in enumerate(ivf_index.centroids)],
+            f"{BUCKET_COL} int, __cent array<double>",
+        )
+    )
+    res = F.zip_with(
+        F.col(vec_col).cast("array<double>"), F.col("__cent"), lambda x, c: x - c
+    )
+    return ivf_index.assignments.join(cents, BUCKET_COL).select(
+        F.col(id_col), F.col(BUCKET_COL), res.alias("__res")
+    )
+
+
 @dataclass
 class IVFPQIndex:
     """IVF routing over PQ codes — the FAISS IVFPQ layout (Jégou 2011 §V):
@@ -259,20 +280,42 @@ class IVFPQIndex:
     codes: DataFrame  # (id_col, BUCKET_COL, codes) — no raw vectors
     vec_col: str
     id_col: str
+    # residual=True (IVFADC, Jégou 2011 §III-D): codes quantize the
+    # RESIDUAL x − centroid[bucket(x)], not x itself. On clustered corpora
+    # global codebooks spend their k centroids separating CLUSTERS, so all
+    # of a bucket's codes collapse toward the same few codewords and the
+    # shallow shortlist loses within-bucket resolution (the same failure
+    # mode the per-bucket BQ thresholds fix one tier down; measured in the
+    # r8 drill smoke: global-PQ recall@10 0.44 at rerank 4x). Residuals
+    # re-center every bucket at the origin, so the full codebook budget
+    # resolves LOCAL structure. The query's LUT then differs per probed
+    # bucket (q − centroid[b]) and rides a broadcast (bucket, lut) join.
+    residual: bool = False
 
     @classmethod
     def build(
-        cls, ivf_index, vec_col: str, id_col: str, m: int = 16, k: int = 32
+        cls,
+        ivf_index,
+        vec_col: str,
+        id_col: str,
+        m: int = 16,
+        k: int = 32,
+        residual: bool = False,
     ) -> "IVFPQIndex":
         from ..index.ivfflat import BUCKET_COL
 
         if ivf_index.dist != "l2":
             raise ValueError("IVFPQIndex supports l2 indexes (ADC LUT is l2)")
-        model = PQModel.train(ivf_index.assignments, vec_col, id_col, m=m, k=k)
-        codes = model.encode(
-            ivf_index.assignments, vec_col, id_col, keep=(BUCKET_COL,)
-        ).persist()
-        return cls(ivf_index, model, codes, vec_col, id_col)
+        if residual:
+            src = _residual_df(ivf_index, vec_col, id_col)
+            model = PQModel.train(src, "__res", id_col, m=m, k=k)
+            codes = model.encode(src, "__res", id_col, keep=(BUCKET_COL,)).persist()
+        else:
+            model = PQModel.train(ivf_index.assignments, vec_col, id_col, m=m, k=k)
+            codes = model.encode(
+                ivf_index.assignments, vec_col, id_col, keep=(BUCKET_COL,)
+            ).persist()
+        return cls(ivf_index, model, codes, vec_col, id_col, residual)
 
     @property
     def assignments(self) -> DataFrame:
@@ -303,13 +346,48 @@ class IVFPQIndex:
         if where is not None:
             allowed = self.ivf.assignments.filter(where).select(self.id_col)
             cand = cand.join(allowed, self.id_col, "left_semi")
-        shortlist = (
-            cand.select(
-                F.col(self.id_col), self.model.adc_dist("codes", query).alias("__adc")
+        if self.residual:
+            # per-bucket LUT: codes are residuals against THEIR bucket's
+            # centroid, so the query's table is built from (q − centroid[b])
+            # for each probed b — a probe_lists-sized broadcast join, the
+            # same shape as IVFBQIndex's per-bucket query words
+            spark = self.codes.sparkSession
+            q = np.asarray(query, dtype=np.float64)
+            lut_rows = []
+            for b in buckets:
+                qr = [float(x) for x in (q - np.asarray(self.ivf.centroids[b]))]
+                lut_rows.append((int(b), self.model.lut(qr)))
+            lut_df = F.broadcast(
+                spark.createDataFrame(
+                    lut_rows, f"{BUCKET_COL} int, __lut array<array<double>>"
+                )
             )
-            .orderBy(F.col("__adc").asc(), F.col(self.id_col).asc())
-            .limit(rerank)
-        )
+            adc = F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__lut"),
+                        F.col("codes"),
+                        lambda row, c: F.element_at(row, c + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+            )
+            shortlist = (
+                cand.join(lut_df, BUCKET_COL)
+                .select(F.col(self.id_col), adc.alias("__adc"))
+                .orderBy(F.col("__adc").asc(), F.col(self.id_col).asc())
+                .limit(rerank)
+            )
+        else:
+            shortlist = (
+                cand.select(
+                    F.col(self.id_col),
+                    self.model.adc_dist("codes", query).alias("__adc"),
+                )
+                .orderBy(F.col("__adc").asc(), F.col(self.id_col).asc())
+                .limit(rerank)
+            )
         raw = self.ivf.assignments.filter(F.col(BUCKET_COL).isin(buckets)).select(
             F.col(self.id_col), F.col(self.vec_col)
         )
@@ -342,8 +420,8 @@ class IVFPQIndex:
             rows, "subspace int, code int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
         spark.createDataFrame(
-            [(self.vec_col, self.id_col, int(self.ivf.probe_lists))],
-            "vec_col string, id_col string, probe_lists int",
+            [(self.vec_col, self.id_col, int(self.ivf.probe_lists), int(self.residual))],
+            "vec_col string, id_col string, probe_lists int, residual int",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
         self.ivf.save(f"{path}/ivf")
 
@@ -364,7 +442,9 @@ class IVFPQIndex:
             spark, f"{path}/ivf", meta["vec_col"], meta["probe_lists"]
         )
         codes = spark.read.parquet(f"{path}/codes").persist()
-        return cls(ivf, model, codes, meta["vec_col"], meta["id_col"])
+        # pre-upgrade saves carry no residual column -> global-codebook mode
+        residual = bool(meta.asDict().get("residual", 0))
+        return cls(ivf, model, codes, meta["vec_col"], meta["id_col"], residual)
 
 
 # -- offline replay (oracle) ----------------------------------------------
@@ -453,6 +533,71 @@ def offline_ivfpq_probe(
     for rid, row in zip(ids, codes):
         if assign[rid] not in probed:
             continue
+        s = 0.0
+        for i, c in enumerate(row):
+            s = s + lut[i][int(c)]
+        adc.append((rid, math.sqrt(s)))
+    adc.sort(key=lambda t: (t[1], t[0]))
+    out = []
+    for rid, _ in adc[:rerank]:
+        s = 0.0
+        for x, y in zip(vectors_by_id[rid], query):
+            d = float(x) - y
+            s = s + d * d
+        out.append((rid, math.sqrt(s)))
+    out.sort(key=lambda t: (t[1], t[0]))
+    return out[:k]
+
+
+def offline_ivfpq_residual_probe(
+    centroids: list[list[float]],
+    vectors_by_id: dict,
+    query: list[float],
+    k: int,
+    probe_lists: int,
+    rerank: int,
+    m: int = 16,
+    k_codes: int = 32,
+) -> list[tuple]:
+    """Replay ``IVFPQIndex.build(residual=True).probe``: same fold-argmin
+    bucket assignment, residuals x − centroid[bucket] (elementwise —
+    order-free), PQ TRAINED ON THE ID-SORTED RESIDUALS (mirroring
+    PQModel.train's full-table path over _residual_df), per-bucket query
+    LUT from q − centroid[b], left-fold ADC, exact l2 re-rank."""
+    import math
+
+    def fold_l2_sq(v, c):
+        s = 0.0
+        for x, y in zip(v, c):
+            d = x - y
+            s = s + d * d
+        return s
+
+    ids = sorted(vectors_by_id)
+    cents = np.asarray(centroids, dtype=np.float64)
+    assign = {}
+    res_rows = []
+    for rid in ids:
+        v = [float(x) for x in vectors_by_id[rid]]
+        dists = [fold_l2_sq(v, c) for c in centroids]
+        b = dists.index(min(dists))
+        assign[rid] = b
+        res_rows.append(np.asarray(v, dtype=np.float64) - cents[b])
+    res_mat = np.asarray(res_rows, dtype=np.float64)
+    model = PQModel.train_rows(res_mat, m=m, k=k_codes)
+    codes = model.encode_rows(res_mat)
+
+    ranked = sorted(range(len(centroids)), key=lambda i: math.dist(centroids[i], query))
+    probed = ranked[:probe_lists]
+    q = np.asarray(query, dtype=np.float64)
+    luts = {b: model.lut([float(x) for x in (q - cents[b])]) for b in probed}
+    probed_set = set(probed)
+    adc = []
+    for rid, row in zip(ids, codes):
+        b = assign[rid]
+        if b not in probed_set:
+            continue
+        lut = luts[b]
         s = 0.0
         for i, c in enumerate(row):
             s = s + lut[i][int(c)]

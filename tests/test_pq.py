@@ -187,3 +187,77 @@ def test_ivfpq_save_load_roundtrip(emb, spark, tmp_path):
         for r in loaded.probe(QUERY, 10, rerank=40).collect()
     ]
     assert after == before
+
+
+def test_ivfpq_residual_beats_global_on_clustered(spark):
+    """TRUE IVFADC (residual=True): on a clustered corpus, global PQ
+    codebooks re-separate the clusters the coarse quantizer already
+    separated, collapsing within-bucket resolution (the PQ twin of the BQ
+    global-threshold collapse); residual encoding re-centers every bucket
+    so the codebook budget resolves local structure. Offline numpy sweep
+    (6 queries): global 0.70 avg recall@10 vs residual 0.98."""
+    from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+    from bustub_vectordb_spark.similarity.pq import IVFPQIndex
+
+    rng = np.random.RandomState(7)
+    CL, dim, n = 8, 16, 3000
+    centers = rng.uniform(-10, 10, size=(CL, dim))
+    X = centers[np.arange(n) % CL] + rng.normal(0, 0.3, (n, dim))
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivf = IVFFlatIndex.build(
+        df, "embedding", lists=8, probe_lists=2, max_iter=5, init_order="vec_id"
+    )
+    queries = [
+        (X[qi] + rng.normal(0, 0.1, dim)).tolist() for qi in (5, 777, 2222)
+    ]
+    exacts = [
+        {r["vec_id"] for r in knn(df, "embedding", q, 10).collect()}
+        for q in queries
+    ]
+
+    def avg_recall(residual):
+        idx = IVFPQIndex.build(
+            ivf, "embedding", "vec_id", m=8, k=32, residual=residual
+        )
+        total = 0.0
+        for q, exact in zip(queries, exacts):
+            got = {
+                r["vec_id"]
+                for r in idx.probe(q, 10, rerank=40, probe_lists=2).collect()
+            }
+            total += len(got & exact) / 10
+        return total / len(queries)
+
+    glob, res = avg_recall(False), avg_recall(True)
+    assert res >= 0.8, (glob, res)
+    assert res >= glob, (glob, res)
+
+
+def test_ivfpq_residual_save_load_roundtrip(spark, tmp_path):
+    """The residual flag survives save/load: a reloaded residual index
+    probes with per-bucket LUTs (wrong — global — LUTs would produce
+    garbage distances against residual codes)."""
+    from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+    from bustub_vectordb_spark.similarity.pq import IVFPQIndex
+
+    rng = np.random.RandomState(3)
+    X = rng.uniform(-5, 5, size=(400, 16))
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(400)],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivf = IVFFlatIndex.build(
+        df, "embedding", lists=4, probe_lists=2, max_iter=5, init_order="vec_id"
+    )
+    idx = IVFPQIndex.build(ivf, "embedding", "vec_id", m=8, k=16, residual=True)
+    q = X[7].tolist()
+    want = [(r["vec_id"], r["distance"]) for r in idx.probe(q, 5).collect()]
+    path = str(tmp_path / "ivfpq_res")
+    idx.save(path)
+    back = IVFPQIndex.load(spark, path)
+    assert back.residual is True
+    got = [(r["vec_id"], r["distance"]) for r in back.probe(q, 5).collect()]
+    assert got == want

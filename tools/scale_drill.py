@@ -156,6 +156,10 @@ def main():
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--skip-vamana", action="store_true")
     ap.add_argument("--skip-hnsw", action="store_true")
+    # opt-in: the compressed IVF tiers (IVF-SQ8 / IVF-PQ) at scale —
+    # VERDICT r7 #7; run in its own process like the other tiers
+    ap.add_argument("--ivf", action="store_true")
+    ap.add_argument("--ivf-lists", type=int, default=256)
     args = ap.parse_args()
 
     from bustub_vectordb_spark.session import get_spark
@@ -307,6 +311,60 @@ def main():
         probed = set(qids[:10])
         tf = {q: t for q, t in truth_f.items() if q in probed}
         report["recall_vamana_filtered"] = round(recall(tf, fhits), 4)
+
+    if args.ivf:
+        # ---- compressed IVF tiers (the reference's externally-graded
+        # recall role, test/sql/vector.04/.05.slt, at 10x+ its scale):
+        # route -> ADC over materialized codes -> exact rerank ----
+        from bustub_vectordb_spark.index.ivfflat import IVFFlatIndex
+        from bustub_vectordb_spark.similarity.pq import IVFPQIndex
+        from bustub_vectordb_spark.similarity.quantize import IVFSQ8Index
+
+        report["ivf_lists"] = args.ivf_lists
+        t0 = time.time()
+        ivf = IVFFlatIndex.build(
+            emb, "embedding", lists=args.ivf_lists,
+            probe_lists=args.n_probe * 2, init_order="vec_id",
+        )
+        ivf.assignments.cache().count()
+        times["ivf_build"] = round(time.time() - t0, 1)
+        _log(f"ivf build done {times['ivf_build']}s")
+
+        t0 = time.time()
+        sq8 = IVFSQ8Index.build(ivf, "embedding", "vec_id")
+        sq8.codes.cache().count()
+        times["ivf_sq8_encode"] = round(time.time() - t0, 1)
+        _log(f"sq8 encode done {times['ivf_sq8_encode']}s")
+
+        t0 = time.time()
+        pq = IVFPQIndex.build(ivf, "embedding", "vec_id", m=16, k=32)
+        pq.codes.cache().count()
+        times["ivf_pq_encode"] = round(time.time() - t0, 1)
+        _log(f"pq encode done {times['ivf_pq_encode']}s")
+
+        t0 = time.time()
+        pqr = IVFPQIndex.build(ivf, "embedding", "vec_id", m=16, k=32, residual=True)
+        pqr.codes.cache().count()
+        times["ivf_pq_residual_encode"] = round(time.time() - t0, 1)
+        _log(f"pq residual encode done {times['ivf_pq_residual_encode']}s")
+
+        for name, idx, rr in (
+            ("ivf_sq8", sq8, 4 * K),
+            ("ivf_sq8_deep", sq8, 16 * K),
+            ("ivf_pq", pq, 4 * K),
+            ("ivf_pq_deep", pq, 16 * K),
+            ("ivf_pq_residual", pqr, 4 * K),
+            ("ivf_pq_residual_deep", pqr, 16 * K),
+        ):
+            t0 = time.time()
+            hits = []
+            for q, v in zip(qids, qmat):
+                h = idx.probe(v.tolist(), K, rerank=rr).collect()
+                hits.extend([{"qid": q, "vec_id": r["vec_id"]} for r in h])
+            times[f"{name}_probe_{N_QUERIES}"] = round(time.time() - t0, 1)
+            report[f"recall_{name}"] = round(recall(truth, hits), 4)
+            _log(f"{name} probes done {times[f'{name}_probe_{N_QUERIES}']}s "
+                 f"recall={report[f'recall_{name}']}")
 
     report["times_sec"] = times
     print(json.dumps(report))
