@@ -334,7 +334,30 @@ class SqlEngine:
     # IVF-routed sharded build (no whole-table driver collect); below it the
     # exact single-graph driver build is both faster and higher-recall.
     HNSW_DRIVER_BUILD_MAX_ROWS = 500_000
-    HNSW_SHARD_TARGET_ROWS = 250_000
+    # Auto-shard granularity, chosen from data (was 250k): the r7 2.2M
+    # drill built 3.5x faster at ~8.6k rows/shard than at ~34k with
+    # IDENTICAL recall (0.856), and the r8 600k A/B (tools/shard_ab.py)
+    # has 8k/75-shards dominating 25k/24-shards on EVERY axis — build
+    # 355 vs 398s, batch serve 6.7 vs 15.5s, recall 0.912 vs 0.724 at a
+    # 3x SMALLER probed fraction (coarser configs only looked competitive
+    # because the 60k straggler cap silently re-split them and n_probe=4
+    # covered >=33% of the corpus). Small shard graphs are where HNSW
+    # build cost (superlinear in shard size) and walk recall (fixed
+    # ef_search) both want to live; the IVF routing layer absorbs the
+    # extra shard count as O(shards) driver centroids.
+    HNSW_SHARD_TARGET_ROWS = 25_000
+    # ... clamped: a fixed target would mint millions of shards at 10^9+
+    # rows (driver centroid k-means and the routing table would become
+    # their own problem). Past the clamp, shards grow instead.
+    HNSW_MAX_AUTO_SHARDS = 1024
+
+    def _auto_shards(self, n_rows: int) -> int:
+        import math as _math
+
+        return max(
+            2,
+            min(self.HNSW_MAX_AUTO_SHARDS, _math.ceil(n_rows / self.HNSW_SHARD_TARGET_ROWS)),
+        )
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -574,13 +597,8 @@ class SqlEngine:
                     # machinery (to_partitioned) — same build quality tier,
                     # no node ever materializes the whole graph. WITH
                     # (cells=N[, n_probe=P]) opts in at any size.
-                    import math as _math
-
                     idx = idx.to_partitioned(
-                        cells=opts.get(
-                            "cells",
-                            max(2, _math.ceil(n_rows / self.HNSW_SHARD_TARGET_ROWS)),
-                        ),
+                        cells=opts.get("cells", self._auto_shards(n_rows)),
                         n_probe=opts.get("n_probe", 2),
                     )
             else:
@@ -599,12 +617,7 @@ class SqlEngine:
                     # big table: never collect() it to the driver — IVF-routed
                     # sharded build, probes pruned to the n_probe nearest
                     # shards (the 100 TB shape; hnsw.build_routed)
-                    import math as _math
-
-                    shards = opts.get(
-                        "shards",
-                        max(2, _math.ceil(n / self.HNSW_SHARD_TARGET_ROWS)),
-                    )
+                    shards = opts.get("shards", self._auto_shards(n))
                     idx = HNSWIndex.build_routed(df, col, id_col, shards=shards, **common)
                     idx.default_n_probe = opts.get("n_probe", max(2, shards // 4))
                     if opts.get("sq8"):

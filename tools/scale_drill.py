@@ -263,6 +263,24 @@ def main():
         _log(f"bq deep batch done {times['hnsw_routed_bq_batch_deep']}s")
         report["recall_hnsw_routed_bq_deep16"] = round(recall(truth, hits), 4)
 
+        # rotated BQ (r8): the seeded-rotation tier at the same shard
+        # granularity — records whether rotation moves recall on THIS
+        # (isotropic-mixture) geometry; the measured mechanism says it
+        # should be ~neutral here and win on anisotropic spectra
+        t0 = time.time()
+        bqr = routed.quantize_bq(
+            [r["mn"] for r in stats], [r["mx"] for r in stats],
+            rotation_seed=2026,
+        )
+        times["hnsw_routed_bqr_quantize"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        hits = bqr.search_batch(
+            qdf, "embedding", "qid", K, n_probe=4, rerank=emb, rerank_mult=16
+        ).collect()
+        times["hnsw_routed_bqr_batch_deep"] = round(time.time() - t0, 1)
+        _log(f"bq rotated deep batch done {times['hnsw_routed_bqr_batch_deep']}s")
+        report["recall_hnsw_routed_bqr_deep16"] = round(recall(truth, hits), 4)
+
     if not args.skip_vamana:
         # ---- merged vamana → partitioned serving (the frozen tier) ----
         t0 = time.time()
