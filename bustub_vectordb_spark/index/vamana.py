@@ -563,6 +563,7 @@ class VamanaIndex:
         alpha: float = 1.2,
         max_lists: int = 4,
         max_cell_rows: int | None = None,
+        entry_points: int | None = None,
     ) -> "VamanaIndex":
         if dist not in ("l2", "cosine", "ip"):
             raise ValueError(
@@ -756,6 +757,54 @@ class VamanaIndex:
             .collect()[0]
         )
 
+        # MULTI-ENTRY serving seeds (r8): one vertex per entry cell. A
+        # single-medoid greedy walk must cross cluster basins through
+        # long-range edges alone, and on dense clustered corpora those
+        # starve even with RobustPrune's long-edge quota — 1.2M drill:
+        # merged recall@10 0.368 single-entry vs 0.88 with one seed per
+        # distinct mode at the SAME ef=48 (seeding costs |entries| extra
+        # distance evals, nothing else). Entry cells are a dedicated
+        # k-means (same deterministic recipe as the routing clusters,
+        # finer: default 4x shards capped at 512) and each cell's seed is
+        # its member nearest the centroid ((distance, id) ties) — the
+        # to_partitioned entry rule, reused. Frozen into
+        # params["entry_ids"]; offline_vamana replays identically;
+        # entry_points=1 restores the single-medoid walk.
+        if entry_points is None:
+            entry_points = min(512, 4 * shards)
+        entry_points = min(int(entry_points), n)
+        entry_ids: list = []
+        if entry_points > 1:
+            einit = [list(row["v"]) for row in srows[:entry_points]]
+            ecents = _lloyds_numpy(
+                [list(row["v"]) for row in srows], einit, max_iter
+            )
+            from .ivfflat import assign_nearest
+
+            ecdf = F.broadcast(
+                df.sparkSession.createDataFrame(
+                    [(b, [float(x) for x in c]) for b, c in enumerate(ecents)],
+                    "__ecell int, __ec array<double>",
+                )
+            )
+            w = Window.partitionBy("__ecell").orderBy(
+                F.col("__ed").asc(), F.col(id_col).asc()
+            )
+            erows = (
+                assign_nearest(base, "__v", ecents, "__ecell")
+                .join(ecdf, "__ecell")
+                .select(
+                    F.col(id_col),
+                    F.col("__ecell"),
+                    l2_dist(F.col("__v"), F.col("__ec")).alias("__ed"),
+                )
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .orderBy("__ecell")
+                .collect()
+            )
+            entry_ids = [row[id_col] for row in erows]
+
         vertices = df.select(F.col(id_col), vec.alias("vec"))
         params = dict(
             shards=shards, m=m, ef_construction=ef_construction,
@@ -766,6 +815,11 @@ class VamanaIndex:
             dim=len(init[0]),
             **extra_params,
         )
+        if entry_ids:
+            params["entry_ids"] = [
+                int(i) if isinstance(i, (int, np.integer)) else i
+                for i in entry_ids
+            ]
         return cls(
             vec_col, id_col, dist, vertices, pruned, entry_row[id_col],
             df.sparkSession, id_type=idt, params=params,
@@ -1027,6 +1081,12 @@ class VamanaIndex:
             ]
         g.edges = [layer0]
         g.entry = idmap[self.entry]
+        eids = (self.params or {}).get("entry_ids")
+        if eids:
+            # multi-entry beam seeds (see build): _Graph.search picks
+            # these up automatically; batch serving broadcasts them
+            # inside the pickled graph
+            g.entry_points = [idmap[e] for e in eids if e in idmap]
         # packed serving form: edge lists as offsets+flat int32 (and int
         # ids as an int64 array) — the R×n edge dicts, not the PQ codes,
         # would otherwise dominate the search node / broadcast footprint
@@ -1318,13 +1378,16 @@ def offline_vamana(
     min_lists: int = 2,
     alpha: float = 1.2,
     max_lists: int = 4,
+    entry_points: int | None = None,
 ) -> _Graph:
     """Replay ``VamanaIndex.build`` without Spark: same centroids, same
     overlap routing fold arithmetic (eps-ball ∪ min_lists closest, (d, b)
     tie order), same id-sorted sub-graph builds, same
     symmetrized union, the SAME ``_robust_prune`` kernel the Spark
     workers run (shared function — bit-identical edge sets by
-    construction), same pseudo-medoid entry. ``dist="cosine"``
+    construction), same pseudo-medoid entry, same multi-entry seed cells
+    (dedicated k-means at 4x shards capped 512, per-cell (distance, id)
+    medoid — the r8 navigability fix). ``dist="cosine"``
     replays the normalize-then-l2 build (same _normalize_row floats the
     Spark expression stores). Returns the driver-serving _Graph shell —
     probes on it match probe() bit-exactly. Valid only on inputs small
@@ -1390,6 +1453,24 @@ def offline_vamana(
     pm = _centroid_mean(centroids)
     entry_ext = min(ids, key=lambda i: (fold_l2(by_id[i], pm), i))
 
+    # multi-entry seeds — same recipe as build(): dedicated k-means
+    # (id-ordered init prefix, full-table training on this replay path),
+    # first-min fold owner assignment, per-cell (l2 distance, id) medoid
+    if entry_points is None:
+        entry_points = min(512, 4 * shards)
+    entry_points = min(int(entry_points), n)
+    entry_point_exts: list = []
+    if entry_points > 1:
+        ecents = _lloyds_numpy(vecs, [list(v) for v in vecs[:entry_points]], max_iter)
+        best: dict[int, tuple] = {}
+        for i, v in zip(ids, vecs):
+            ds = [_l2_sq_fold(v, c) for c in ecents]
+            cell = ds.index(min(ds))
+            key = (fold_l2(v, ecents[cell]), i)
+            if cell not in best or key < best[cell]:
+                best[cell] = key
+        entry_point_exts = [best[c][1] for c in sorted(best)]
+
     g = _Graph(r, ef_construction, ef_search, "l2", seed)
     order = sorted(ids)
     g.ids = list(order)
@@ -1402,6 +1483,8 @@ def offline_vamana(
         layer0[idmap[s]] = [idmap[d] for d in nbs]
     g.edges = [layer0]
     g.entry = idmap[entry_ext]
+    if entry_point_exts:
+        g.entry_points = [idmap[e] for e in entry_point_exts]
     return g
 
 

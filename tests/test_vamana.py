@@ -659,3 +659,45 @@ def test_clustered_corpus_recall_needs_diverse_prune(spark):
         got = {r["vec_id"] for r in idx.probe(q.tolist(), 10).collect()}
         recalls.append(len(got & exact) / 10)
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_multi_entry_rescues_basin_trapped_walks(tmp_path):
+    """Regression pin for the r8 1.2M drill finding: a SINGLE-medoid
+    greedy walk over the merged graph can get trapped in the entry's
+    cluster basin (one query here collapses to recall 0.0; at 1.2M the
+    aggregate was 0.368). The default multi-entry seeds (dedicated
+    entry-cell k-means, one (distance, id)-medoid vertex per cell —
+    params["entry_ids"], replayed by offline_vamana) seed the beam in
+    every basin: same ef, +|entries| distance evals, no trapped walks.
+    entry_points=1 restores the single-medoid walk (the contrast)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    CL, dim, n = 32, 16, 12000
+    centers = rng.standard_normal((CL, dim)) * 4.0
+    X = centers[np.arange(n) % CL] + rng.standard_normal((n, dim))
+    path = str(tmp_path / "me.parquet")
+    pq.write_table(
+        pa.table({"vec_id": np.arange(n), "embedding": list(X.tolist())}), path
+    )
+    single = offline_vamana(path, "embedding", "vec_id", shards=8, r=16,
+                            entry_points=1)
+    multi = offline_vamana(path, "embedding", "vec_id", shards=8, r=16)
+
+    def recalls(g):
+        out = []
+        for qi in range(0, n, 997):
+            q = X[qi] + 0.3 * np.random.RandomState(qi).standard_normal(dim)
+            exact = set(
+                np.argsort(np.linalg.norm(X - q, axis=1), kind="stable")[:10].tolist()
+            )
+            hits = {h for h, _ in g.search(np.asarray(q, dtype=np.float64), 10)}
+            out.append(len(hits & exact) / 10)
+        return out
+
+    rs, rm = recalls(single), recalls(multi)
+    assert min(rs) == 0.0  # the basin trap is REAL on this geometry
+    assert min(rm) >= 0.5, rm  # ...and multi-entry rescues it
+    assert sum(rm) >= sum(rs), (rs, rm)
+    assert sum(rm) / len(rm) >= 0.95, rm

@@ -2,11 +2,16 @@
 
 The 2.2M scale drill found 256 shards (≈8.6k rows each) built 3.5× faster
 than 64 shards (≈34k rows each) at IDENTICAL float recall — suggesting the
-SQL frontend's HNSW_SHARD_TARGET_ROWS=250k default leaves a large
+SQL frontend's then-250k HNSW_SHARD_TARGET_ROWS default left a large
 build-time win on the table for every big CREATE INDEX. This script sweeps
 rows-per-shard over a clustered corpus (the scale_drill generator) and
 reports build wall-clock, batch-serving wall-clock, and recall@10 per
-granularity so the default can be chosen from data.
+granularity so the default can be chosen from data. The r8 600k sweep
+(drills/shard_ab_600k.json) set the default to 25k (clamped at 1024
+shards); NOTE when reading its output that configs coarser than
+max_shard_rows=60k get silently re-split by the straggler cap, and fixed
+n_probe means the probed FRACTION varies across granularities — the
+clean head-to-head is between configs under the cap.
 
 Usage: python tools/shard_ab.py [--rows 600000] [--dim 64]
        [--targets 8000,25000,50000,100000] [--out /tmp/shard_ab]
