@@ -54,10 +54,16 @@ rotating spreads the dominant directions across every bit (numpy sweep:
 shortlist recall 0.46 -> 0.92 with 4-dominant-of-64 dims, 0.45 -> 0.84
 on a 1/d power-law spectrum, pinned by
 tests/test_hnsw.py::test_bq_rotation_recovers_anisotropic_recall). On
-ISOTROPIC cluster mixtures rotation measures recall-NEUTRAL — it does
-not substitute for unimodal sharding; the two levers are orthogonal and
-compose. Oracle exactness survives because the rotated coordinate is a
-sequential fold in all three engines (see rotation_matrix below).
+ISOTROPIC cluster mixtures rotation measures recall-NEUTRAL (1.2M drill:
+0.394 plain vs 0.408 rotated at 64 multi-modal shards) — it does not
+substitute for unimodal sharding; the two levers are orthogonal and
+compose. And on UNIFORM-BOX data (bounded per-dim, already balanced —
+the sf0.01 testdata) rotation can mildly HURT (recall report: 0.635 →
+0.555): sums of uniforms concentrate near the midrange threshold, so
+more bits sit borderline. Rotation is an opt-in lever for decaying
+spectra, not a default. Oracle exactness survives in every mode because
+the rotated coordinate is a sequential fold in all three engines (see
+rotation_matrix below).
 
 The reference stores raw doubles in all its indexes
 (src/storage/index/ivfflat_index.cpp, hnsw_index.cpp); compression tiers

@@ -53,6 +53,8 @@ def main():
     sq8 = IVFSQ8Index.build(ivf, "embedding", "vec_id",
                             model=SQ8Model.train(emb, "embedding"))
     ivfpq = IVFPQIndex.build(ivf, "embedding", "vec_id", m=16, k=32)
+    ivfpq_res = IVFPQIndex.build(ivf, "embedding", "vec_id", m=16, k=32,
+                                 residual=True)
     pqm = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
     pq_codes = pqm.encode(emb, "embedding", "vec_id").cache()
     hnsw = HNSWIndex.build(emb, "embedding", "vec_id", m=8,
@@ -66,6 +68,9 @@ def main():
     from bustub_vectordb_spark.similarity.bq import BQModel
 
     bq = BQModel.train(emb, "embedding")
+    from bustub_vectordb_spark.similarity.bq import rotation_matrix
+
+    bqr = BQModel.train(emb, "embedding", rotation=rotation_matrix(dim, 2026))
     from bustub_vectordb_spark.index.vamana import VamanaIndex
 
     vamana = VamanaIndex.build(emb, "embedding", "vec_id", shards=4,
@@ -83,10 +88,14 @@ def main():
          lambda q: {r["vec_id"] for r in sq8.probe(list(q), K, rerank=4 * K, probe_lists=4).collect()}),
         ("ivf+pq rerank", "16 B/vec codes",
          lambda q: {r["vec_id"] for r in ivfpq.probe(list(q), K, rerank=4 * K, probe_lists=4).collect()}),
+        ("ivf+pq RESIDUAL rerank", "16 B/vec codes",
+         lambda q: {r["vec_id"] for r in ivfpq_res.probe(list(q), K, rerank=4 * K, probe_lists=4).collect()}),
         ("flat pq rerank", "16 B/vec codes",
          lambda q: {r["vec_id"] for r in pq_rerank_topk(pqm, pq_codes, emb, "embedding", "vec_id", list(q), K).collect()}),
         ("flat bq hamming+rerank", f"{(dim + 7) // 8} B/vec codes",
          lambda q: {r["vec_id"] for r in bq.rerank_topk(emb, "embedding", "vec_id", list(q), K, shortlist=4 * K).collect()}),
+        ("flat bq ROTATED hamming+rerank", f"{(dim + 7) // 8} B/vec codes",
+         lambda q: {r["vec_id"] for r in bqr.rerank_topk(emb, "embedding", "vec_id", list(q), K, shortlist=4 * K).collect()}),
         ("hnsw driver", f"{dim * 8} B/vec",
          lambda q: {r["vec_id"] for r in hnsw.probe(list(q), K).collect()}),
         ("hnsw routed 2/4", f"{dim * 8} B/vec",
