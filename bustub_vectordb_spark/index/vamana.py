@@ -178,6 +178,44 @@ def _robust_prune(
     return [cand_ids[i] for i in kept_idx]
 
 
+def _cell_entry_points(
+    mat: "np.ndarray", ids: list, max_entries: int = 16, max_iter: int = 5
+) -> list[int]:
+    """INTERNAL-index multi-entry seeds for one partitioned-cell shell —
+    the same basin-trap fix as the merged graph's entry cells, one level
+    down: a cell holds several modes when cells are coarser than the
+    corpus's cluster structure, and its single medoid entry traps the
+    in-cell walk exactly like the global medoid trapped the merged walk.
+    Dedicated sub-k-means (id-ordered init prefix — ``mat`` arrives
+    id-sorted), fold-exact per-dim distance accumulation (deterministic
+    across processes; no BLAS matvec ordering in the comparison surface),
+    first-min assignment, per-subcell (distance, lowest-id) medoid.
+    Shared VERBATIM by to_partitioned's worker closure and
+    offline_vamana_partitioned, so seeds are identical by construction."""
+    from .ivfflat import _lloyds_numpy
+
+    e = min(max_entries, len(ids))
+    if e <= 1:
+        return []
+    ecents = np.asarray(
+        _lloyds_numpy(mat.tolist(), mat[:e].tolist(), max_iter), dtype=np.float64
+    )
+    d = np.zeros((len(mat), len(ecents)), dtype=np.float64)
+    for j in range(mat.shape[1]):
+        diff = mat[:, j : j + 1] - ecents[:, j]
+        d += diff * diff
+    assign = np.argmin(d, axis=1)  # first-min ties, like the codegen argmin
+    out: list[int] = []
+    for c in range(len(ecents)):
+        members = np.nonzero(assign == c)[0]
+        if not len(members):
+            continue
+        # argmin over members is first-min; members ascend in internal
+        # (id-sorted) order, so ties break to the lowest id
+        out.append(int(members[np.argmin(d[members, c])]))
+    return out
+
+
 def _normalize_expr(vec):
     """Unit-normalize an array<double> column with REPLAYABLE arithmetic:
     sequential square fold → sqrt → 1e-300-guarded divide, mirrored
@@ -981,6 +1019,9 @@ class VamanaIndex:
             c = np.asarray(centroids[int(key[0])], dtype=np.float64)
             d = np.linalg.norm(mat - c, axis=1)
             g.entry = min(range(len(ids)), key=lambda i: (d[i], ids[i]))
+            eps = _cell_entry_points(mat, ids)
+            if eps:
+                g.entry_points = eps
             if books is not None:
                 g.quantize_pq(books, bounds)
             g.pack()
@@ -1564,6 +1605,9 @@ def offline_vamana_partitioned(
         c = np.asarray(centroids[b], dtype=np.float64)
         d = np.linalg.norm(mat - c, axis=1)
         sg.entry = min(range(len(mids)), key=lambda k: (d[k], mids[k]))
+        eps = _cell_entry_points(mat, mids)
+        if eps:
+            sg.entry_points = eps
         if model is not None:
             sg.quantize_pq(books, bnds)
         graphs[b] = sg
