@@ -813,35 +813,53 @@ class VamanaIndex:
         entry_points = min(int(entry_points), n)
         entry_ids: list = []
         if entry_points > 1:
-            einit = [list(row["v"]) for row in srows[:entry_points]]
-            ecents = _lloyds_numpy(
-                [list(row["v"]) for row in srows], einit, max_iter
-            )
-            from .ivfflat import assign_nearest
+            if frac >= 1.0:
+                # full-table training path: srows IS the id-sorted corpus,
+                # so the entry medoids compute driver-side with the SAME
+                # fold-exact kernel the partitioned cells and the offline
+                # replay use — zero extra Spark jobs (the distributed pass
+                # below costs ~3s of scheduling at bench scale for the
+                # same answer; measured vamana_build 6.0 -> 9.1s)
+                smat = np.asarray(
+                    [list(row["v"]) for row in srows], dtype=np.float64
+                )
+                sids = [row["__id"] for row in srows]
+                eidx = _cell_entry_points(
+                    smat, sids, max_entries=entry_points, max_iter=max_iter
+                )
+                entry_ids = [sids[i] for i in eidx]
+            else:
+                # sampled (big-table) path: train on the sample, pick each
+                # entry cell's medoid with one distributed pass
+                einit = [list(row["v"]) for row in srows[:entry_points]]
+                ecents = _lloyds_numpy(
+                    [list(row["v"]) for row in srows], einit, max_iter
+                )
+                from .ivfflat import assign_nearest
 
-            ecdf = F.broadcast(
-                df.sparkSession.createDataFrame(
-                    [(b, [float(x) for x in c]) for b, c in enumerate(ecents)],
-                    "__ecell int, __ec array<double>",
+                ecdf = F.broadcast(
+                    df.sparkSession.createDataFrame(
+                        [(b, [float(x) for x in c]) for b, c in enumerate(ecents)],
+                        "__ecell int, __ec array<double>",
+                    )
                 )
-            )
-            w = Window.partitionBy("__ecell").orderBy(
-                F.col("__ed").asc(), F.col(id_col).asc()
-            )
-            erows = (
-                assign_nearest(base, "__v", ecents, "__ecell")
-                .join(ecdf, "__ecell")
-                .select(
-                    F.col(id_col),
-                    F.col("__ecell"),
-                    l2_dist(F.col("__v"), F.col("__ec")).alias("__ed"),
+                w = Window.partitionBy("__ecell").orderBy(
+                    F.col("__ed").asc(), F.col(id_col).asc()
                 )
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .orderBy("__ecell")
-                .collect()
-            )
-            entry_ids = [row[id_col] for row in erows]
+                erows = (
+                    assign_nearest(base, "__v", ecents, "__ecell")
+                    .join(ecdf, "__ecell")
+                    .select(
+                        F.col(id_col),
+                        F.col("__ecell"),
+                        l2_dist(F.col("__v"), F.col("__ec")).alias("__ed"),
+                    )
+                    .withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .orderBy("__ecell")
+                    .collect()
+                )
+                entry_ids = [row[id_col] for row in erows]
 
         vertices = df.select(F.col(id_col), vec.alias("vec"))
         params = dict(
@@ -1494,23 +1512,20 @@ def offline_vamana(
     pm = _centroid_mean(centroids)
     entry_ext = min(ids, key=lambda i: (fold_l2(by_id[i], pm), i))
 
-    # multi-entry seeds — same recipe as build(): dedicated k-means
-    # (id-ordered init prefix, full-table training on this replay path),
-    # first-min fold owner assignment, per-cell (l2 distance, id) medoid
+    # multi-entry seeds — the SAME shared kernel the Spark build's
+    # full-table path runs (_cell_entry_points: id-ordered k-means init,
+    # fold-exact first-min assignment, lowest-id medoid ties), so the
+    # seeds are identical by construction
     if entry_points is None:
         entry_points = min(512, 4 * shards)
     entry_points = min(int(entry_points), n)
     entry_point_exts: list = []
     if entry_points > 1:
-        ecents = _lloyds_numpy(vecs, [list(v) for v in vecs[:entry_points]], max_iter)
-        best: dict[int, tuple] = {}
-        for i, v in zip(ids, vecs):
-            ds = [_l2_sq_fold(v, c) for c in ecents]
-            cell = ds.index(min(ds))
-            key = (fold_l2(v, ecents[cell]), i)
-            if cell not in best or key < best[cell]:
-                best[cell] = key
-        entry_point_exts = [best[c][1] for c in sorted(best)]
+        smat = np.asarray(vecs, dtype=np.float64)
+        eidx = _cell_entry_points(
+            smat, list(ids), max_entries=entry_points, max_iter=max_iter
+        )
+        entry_point_exts = [ids[i] for i in eidx]
 
     g = _Graph(r, ef_construction, ef_search, "l2", seed)
     order = sorted(ids)
