@@ -155,6 +155,12 @@ class _Graph:
         self.pq_codes: np.ndarray | None = None
         self.pq_books: list | None = None  # m arrays of (k, dsub_i)
         self.pq_bounds: list | None = None  # m (start, end) subspace bounds
+        # residual PQ (IVFADC in-graph): codes quantize x − centers[cell[x]]
+        # and decode adds the center back — centers are FROZEN floats (a
+        # routing centroid per shard, or entry-cell medoid vectors on a
+        # merged graph), never re-derived on workers
+        self.pq_centers: np.ndarray | None = None  # (C, dim) float64
+        self.pq_cell: np.ndarray | None = None  # (n,) per-vertex center row
         # BQ storage (quantize_bq): packbits sign codes + reconstruction
         self.bq_codes: np.ndarray | None = None  # (n, ceil(dim/8)) uint8
         self.bq_lo: np.ndarray | None = None  # per-dim 0-bit reconstruction
@@ -217,10 +223,15 @@ class _Graph:
             return self.vecs[idxs]
         if getattr(self, "pq_codes", None) is not None:
             c = self.pq_codes[idxs]
-            return np.concatenate(
+            dec = np.concatenate(
                 [self.pq_books[s][c[:, s]] for s in range(len(self.pq_books))],
                 axis=1,
             )
+            if getattr(self, "pq_centers", None) is not None:
+                # residual codes: reconstruction = codeword + frozen center
+                # (elementwise — no reduction order to vary)
+                dec = dec + self.pq_centers[self.pq_cell[idxs]]
+            return dec
         if getattr(self, "bq_codes", None) is not None:
             bits = np.unpackbits(self.bq_codes[idxs], axis=-1, count=self.bq_dim)
             return np.where(bits.astype(bool), self.bq_hi, self.bq_lo)
@@ -324,11 +335,18 @@ class _Graph:
         self._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
         self._norms_sq = (dec * dec).sum(axis=1)
 
-    def _encode_pq(self, mat: np.ndarray) -> np.ndarray:
+    def _encode_pq(self, mat: np.ndarray, cells: np.ndarray | None = None) -> np.ndarray:
         """Per-subspace nearest-codebook-centroid codes (first-min ties) —
         the same argmin arithmetic as similarity/pq.PQModel.encode_rows, so
         a graph quantized with a PQModel's codebooks assigns codes
         identically to that model."""
+        if getattr(self, "pq_centers", None) is not None:
+            # residual graph: quantize x − centers[cell(x)] (cells assigned
+            # fold-exactly against the frozen centers; callers that store
+            # the assignment pass it in so the two never diverge)
+            if cells is None:
+                cells = self._pq_assign_cells(mat)
+            mat = mat - self.pq_centers[cells]
         out = np.empty((len(mat), len(self.pq_books)), dtype=np.uint8)
         for i, (s, e) in enumerate(self.pq_bounds):
             sub = mat[:, s:e]
@@ -337,7 +355,20 @@ class _Graph:
             out[:, i] = np.argmin(d, axis=1)
         return out
 
-    def quantize_pq(self, books, bounds) -> None:
+    def _pq_assign_cells(self, mat: np.ndarray) -> np.ndarray:
+        """Nearest pq_center per row, per-dim elementwise accumulation
+        (first-min ties) — the same no-BLAS rule as vamana's entry-cell
+        assignment, so worker encodes and offline replays agree bit-wise."""
+        cents = self.pq_centers
+        if len(cents) == 1:
+            return np.zeros(len(mat), dtype=np.int64)
+        d = np.zeros((len(mat), len(cents)), dtype=np.float64)
+        for j in range(mat.shape[1]):
+            diff = mat[:, j : j + 1] - cents[:, j]
+            d += diff * diff
+        return np.argmin(d, axis=1)
+
+    def quantize_pq(self, books, bounds, centers=None) -> None:
         """Swap the float64 matrix for product-quantization codes: with
         m=16 subspaces one stored vector is 16 bytes instead of 8·dim —
         denser than SQ8 (1 byte/dim) whenever dim > m. ``books`` is a list
@@ -347,7 +378,14 @@ class _Graph:
         demand, so every distance is the reconstruction (ADC) distance;
         norms recompute from the DECODED values for internally-consistent
         cosine/ip orientation. Pair with an exact rerank
-        (ShardedHNSW.probe(rerank=...)) for serving, exactly like SQ8."""
+        (ShardedHNSW.probe(rerank=...)) for serving, exactly like SQ8.
+
+        ``centers`` (residual mode — IVFADC in-graph): a (C, dim) list of
+        FROZEN float centers; codes quantize x − centers[nearest] and
+        decode adds the center back, so the codebook budget resolves
+        LOCAL structure instead of re-separating clusters the routing
+        already separated. For a routed shard C=1 (its routing centroid);
+        the codebooks should then be trained on residuals."""
         # guards run BEFORE any mutation: a caller catching the error must
         # not be left with stale pq_books attached to an unquantized graph
         if getattr(self, "bq_codes", None) is not None:
@@ -360,10 +398,19 @@ class _Graph:
             raise ValueError("graph is SQ8-quantized; PQ must start from floats")
         self.pq_books = [np.asarray(b, dtype=np.float64) for b in books]
         self.pq_bounds = [(int(s), int(e)) for s, e in bounds]
+        self.pq_centers = (
+            np.asarray(centers, dtype=np.float64) if centers is not None else None
+        )
         if self.vecs is None:
             self.pq_codes = np.zeros((0, len(self.pq_books)), dtype=np.uint8)
+            if self.pq_centers is not None:
+                self.pq_cell = np.zeros(0, dtype=np.int64)
         else:
-            self.pq_codes = self._encode_pq(self.vecs)
+            if self.pq_centers is not None:
+                self.pq_cell = self._pq_assign_cells(self.vecs)
+                self.pq_codes = self._encode_pq(self.vecs, self.pq_cell)
+            else:
+                self.pq_codes = self._encode_pq(self.vecs)
         self.vecs = None
         dec = self._mat_rows(slice(None))
         self._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
@@ -542,9 +589,15 @@ class _Graph:
         if getattr(self, "pq_codes", None) is not None:
             # quantized graph: encode new rows with the FROZEN codebooks
             # (same frozen-quantizer contract as IVF's frozen centroids)
-            self.pq_codes = np.vstack(
-                [self.pq_codes, self._encode_pq(np.asarray(mat, dtype=np.float64))]
-            )
+            new = np.asarray(mat, dtype=np.float64)
+            if getattr(self, "pq_centers", None) is not None:
+                cells = self._pq_assign_cells(new)
+                self.pq_cell = np.concatenate([self.pq_cell, cells])
+                self.pq_codes = np.vstack(
+                    [self.pq_codes, self._encode_pq(new, cells)]
+                )
+            else:
+                self.pq_codes = np.vstack([self.pq_codes, self._encode_pq(new)])
             dec = self._mat_rows(slice(None))
             self._norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-300)
             self._norms_sq = (dec * dec).sum(axis=1)
@@ -618,6 +671,19 @@ class _Graph:
         # multi-entry at the same ef). Multi-layer HNSW graphs never set
         # this; their upper layers already provide the coarse routing.
         ep = list(getattr(self, "entry_points", None) or [self.entry])
+        if len(ep) > ef:
+            # Seeding cost honesty (ADVICE r8): an untrimmed seed set makes
+            # _search_layer's result heap start at |entries| and never
+            # shrink below it, so layer-0 silently runs at
+            # ef' = max(ef, |entries|) — recall lift bought by a hidden ef
+            # increase. Keep only the ef nearest seeds (ties broken by
+            # vertex index, same ordering the walk heaps use): the walk
+            # then runs at the requested ef, seeds beyond the ef-th-best
+            # could never have expanded anyway once the bound tightened,
+            # and the |entries| distance evals remain the only extra cost.
+            qq = float(q @ q) if self.dist == "l2" else 0.0
+            ranked = sorted(zip(self._walk_dists(q, ep, qq), ep))
+            ep = [v for _, v in ranked[:ef]]
         for lv in range(len(self.edges) - 1, 0, -1):
             ep = self._search_layer(q, ep, 1, lv)[:1]
         if allowed_ids is None:
@@ -1363,13 +1429,21 @@ class ShardedHNSW:
         )
         if rotation_seed is not None:
             params["bq_rot_seed"] = int(rotation_seed)
+            # FREEZE the rotation floats (O(dim²) ≈ 32 KB at 64 dims, the
+            # same footprint class as pq_books): LAPACK QR output is not
+            # guaranteed bit-identical across BLAS builds, so a worker
+            # re-deriving the matrix from the seed (empty-born-shard
+            # insert) could encode with ULP-different floats than the rest
+            # of the index and the offline replay. Every downstream
+            # consumer reads these floats; the seed stays for provenance.
+            params["bq_rot"] = rot_list
         return ShardedHNSW(
             self.vec_col, self.id_col, self.dist, blobs, self._spark,
             centroids=self.centroids, id_type=self.id_type,
             default_n_probe=self.default_n_probe, params=params,
         )
 
-    def quantize_pq(self, model) -> "ShardedHNSW":
+    def quantize_pq(self, model, residual: bool = False) -> "ShardedHNSW":
         """PQ-compress every shard graph (the PQ twin of :meth:`quantize`):
         one distributed pass swaps each shard's float64 matrix for (n, m)
         uint8 codes against ``model``'s codebooks (_Graph.quantize_pq) —
@@ -1380,7 +1454,11 @@ class ShardedHNSW:
         (JSON, O(m·k·dim) driver state — same order as the routing
         centroids) so save/load and insert-into-empty-shard encode
         consistently. Walk distances become codebook-reconstruction (ADC)
-        approximations — serve with probe(rerank=source_df)."""
+        approximations — serve with probe(rerank=source_df).
+
+        ``residual=True``: per-shard residual codes against the routing
+        centroid (train ``model`` with :func:`routed_residual_df`) — the
+        clustered-corpus fix; see the inline note below."""
         import pickle
 
         import pandas as pd
@@ -1390,13 +1468,29 @@ class ShardedHNSW:
         ensure_package_on_workers(self._spark)
         books = [[[float(x) for x in row] for row in b] for b in model.centroids]
         bounds = [[int(s), int(e)] for s, e in model.bounds]
+        cent_rows = None
+        if residual:
+            # residual (IVFADC in-graph): each shard's codes quantize
+            # x − its ROUTING centroid — already-frozen floats, shipped
+            # through the closure (never re-derived on workers). A k-means
+            # shard is one cluster; global codebooks re-separate the
+            # clusters the routing already separated, so within-shard code
+            # resolution collapses at density (1.2M IVF drill: 0.128 vs
+            # 0.906 recall@10 deep — drills/drill_1200k_ivf_tiers.json).
+            # Train ``model`` on residuals (routed_residual_df).
+            if self.centroids is None:
+                raise ValueError("residual PQ needs a routed build (centroids)")
+            cent_rows = [[float(x) for x in c] for c in self.centroids]
 
         def run(batches):
             for pdf in batches:
                 out_s, out_b = [], []
                 for shard, blob in zip(pdf["shard"], pdf["blob"]):
                     g = pickle.loads(blob)
-                    g.quantize_pq(books, bounds)
+                    if cent_rows is not None:
+                        g.quantize_pq(books, bounds, centers=[cent_rows[int(shard)]])
+                    else:
+                        g.quantize_pq(books, bounds)
                     out_s.append(shard)
                     out_b.append(pickle.dumps(g))
                 yield pd.DataFrame({"shard": out_s, "blob": out_b})
@@ -1405,6 +1499,8 @@ class ShardedHNSW:
             eager=True
         )
         params = dict(self.params or {}, pq_books=books, pq_bounds=bounds)
+        if residual:
+            params["pq_residual"] = 1
         return ShardedHNSW(
             self.vec_col, self.id_col, self.dist, blobs, self._spark,
             centroids=self.centroids, id_type=self.id_type,
@@ -1706,6 +1802,13 @@ class ShardedHNSW:
         efs = p.get("ef_search", 64)
         seed = p.get("seed", 42)
         dist = self.dist
+        # residual-PQ index: empty-born shards need THEIR routing centroid
+        # as the frozen residual center (same frozen-floats rule as bq_rot)
+        res_cents = (
+            [[float(x) for x in c] for c in self.centroids]
+            if p.get("pq_residual") and self.centroids is not None
+            else None
+        )
 
         def upsert(key, new_pdf, blob_pdf):
             shard = key[0]
@@ -1729,12 +1832,25 @@ class ShardedHNSW:
                 # quantized with the frozen params if the index is
                 g = _Graph(m, efc, efs, dist, seed)
                 if "pq_books" in p:
-                    g.quantize_pq(p["pq_books"], p["pq_bounds"])
+                    g.quantize_pq(
+                        p["pq_books"], p["pq_bounds"],
+                        centers=(
+                            [res_cents[int(shard)]] if res_cents is not None else None
+                        ),
+                    )
                 elif "sq8_mins" in p:
                     g.quantize_sq8(p["sq8_mins"], p["sq8_maxs"])
                 elif "bq_mins" in p:
                     rot = None
-                    if p.get("bq_rot_seed") is not None:
+                    if p.get("bq_rot") is not None:
+                        # frozen floats from quantize_bq — NOT re-derived
+                        # via QR here: LAPACK output can differ by ULPs
+                        # across BLAS builds, and this closure runs on
+                        # workers while the index's codes were cut with
+                        # the driver's matrix
+                        rot = np.asarray(p["bq_rot"], dtype=np.float64)
+                    elif p.get("bq_rot_seed") is not None:
+                        # pre-freeze save: best-effort re-derivation
                         from ..similarity.bq import rotation_matrix
 
                         rot = np.asarray(
@@ -2086,8 +2202,11 @@ def _quantize_bq_like_sharded(graphs, mins, maxs, rotation_seed=None) -> None:
     applies per shard: own exact min/max when the graph has vectors,
     caller-supplied global stats otherwise. With ``rotation_seed``, the
     same seeded orthonormal rotation (and rotated-space fallback bounds)
-    the distributed path derives — bit-identical, since both sides call
-    rotation_matrix/_rotate_rows_exact on the same inputs."""
+    the distributed path derives — bit-identical HERE because quantize_bq
+    derives its matrix DRIVER-side and this replay runs in that same
+    process (same LAPACK build). Worker-side consumers must NOT re-run
+    QR: they read the frozen floats in params["bq_rot"] (the insert
+    upsert closure does — see ShardedHNSW.insert)."""
     rot = None
     if rotation_seed is not None:
         from ..similarity.bq import rotation_matrix
@@ -2252,6 +2371,39 @@ def _offline_quantized_batch(
     return out
 
 
+def routed_residual_df(df, vec_col: str, id_col: str, centroids):
+    """(id, __shard, __res = x − centroid[nearest shard]) — the training
+    source for ``ShardedHNSW.quantize_pq(model, residual=True)``: train
+    the PQModel on ``__res`` so the codebook budget resolves WITHIN-shard
+    structure (similarity/pq._residual_df's shape, against routing
+    centroids instead of IVF buckets). Assignment is the deterministic
+    codegen fold (ivfflat.assign_nearest); the subtraction is elementwise
+    (no reduction order to vary)."""
+    from pyspark.sql import functions as F
+
+    from .ivfflat import assign_nearest
+
+    spark = df.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "__shard long, __cent array<double>",
+        )
+    )
+    assigned = assign_nearest(
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        ),
+        vec_col,
+        [list(c) for c in centroids],
+        "__shard",
+    ).withColumn("__shard", F.col("__shard").cast("long"))
+    res = F.zip_with(F.col(vec_col), F.col("__cent"), lambda x, c: x - c)
+    return assigned.join(cents, "__shard").select(
+        F.col(id_col), F.col("__shard"), res.alias("__res")
+    )
+
+
 def offline_routed_pq_probe(
     centroids: list[list[float]],
     graphs: dict[int, _Graph],
@@ -2262,17 +2414,30 @@ def offline_routed_pq_probe(
     model,
     dist: str = "l2",
     rerank_mult: int = 4,
+    residual: bool = False,
+    pq_centers=None,
 ) -> list[tuple]:
     """Replay ``ShardedHNSW.quantize_pq(model).probe(..., rerank=src)`` —
     the PQ twin of :func:`offline_routed_sq8_probe`: quantize the replayed
     graphs with the same codebooks, walk each probed shard for
     k·rerank_mult reconstruction-distance candidates, rerank the candidate
     ids with the exact left-fold arithmetic Spark's functions.vector
-    expressions evaluate. Returns [(id, exact_distance)]."""
+    expressions evaluate. ``residual`` mirrors
+    ``quantize_pq(model, residual=True)`` (per-shard routing-centroid
+    centers). ``pq_centers`` instead ships ONE frozen multi-center set
+    into every graph (the vamana entry-cell residual mode).
+    Returns [(id, exact_distance)]."""
     books = [[[float(x) for x in row] for row in b] for b in model.centroids]
     bounds = [[int(s), int(e)] for s, e in model.bounds]
-    for g in graphs.values():
-        g.quantize_pq(books, bounds)
+    for b, g in graphs.items():
+        g.quantize_pq(
+            books, bounds,
+            centers=(
+                pq_centers
+                if pq_centers is not None
+                else [[float(x) for x in centroids[b]]] if residual else None
+            ),
+        )
 
     def score(c: list[float]) -> float:
         if dist == "l2":
@@ -2325,16 +2490,27 @@ def offline_routed_pq_batch(
     n_probe: int,
     model,
     rerank_mult: int = 4,
+    residual: bool = False,
+    pq_centers=None,
 ) -> list[tuple]:
     """Replay ``ShardedHNSW.quantize_pq(model).search_batch(..., rerank=src)``
     for l2 routed builds — the PQ twin of :func:`offline_routed_sq8_batch`:
     same routing fold arithmetic, reconstruction-distance walks for
     k·rerank_mult candidates, exact left-fold l2 rerank, (d, id)-ordered
-    top-k. Returns [(qid, id, d)]."""
+    top-k. ``residual`` mirrors ``quantize_pq(model, residual=True)``;
+    ``pq_centers`` the vamana entry-cell multi-center mode.
+    Returns [(qid, id, d)]."""
     books = [[[float(x) for x in row] for row in b] for b in model.centroids]
     bounds = [[int(s), int(e)] for s, e in model.bounds]
-    for g in graphs.values():
-        g.quantize_pq(books, bounds)
+    for b, g in graphs.items():
+        g.quantize_pq(
+            books, bounds,
+            centers=(
+                pq_centers
+                if pq_centers is not None
+                else [[float(x) for x in centroids[b]]] if residual else None
+            ),
+        )
     out = []
     for qid, qv in queries:
         ranked = sorted((_l2_sq_fold(qv, c), b) for b, c in enumerate(centroids))

@@ -178,6 +178,39 @@ def _robust_prune(
     return [cand_ids[i] for i in kept_idx]
 
 
+def _lloyds_fold_exact(
+    x: "np.ndarray", init: "np.ndarray", max_iter: int
+) -> "np.ndarray":
+    """Lloyd's k-means with the SAME semantics as ivfflat._lloyds_numpy
+    (first-min argmin ties, empty buckets keep their centroid, fixed
+    iteration cap, 1e-9 movement stop) but with the assignment distances
+    accumulated per-dim elementwise instead of a BLAS matmul: the matmul
+    kernel's summation order is buffer-alignment/architecture-dependent
+    (see the module's _sims_for_ids note), and a ULP flip in an argmin
+    here changes which rows form a sub-cell — and therefore the entry
+    seeds — between a Spark worker and the driver-side offline replay.
+    Elementwise accumulation has no reduction order to vary; the centroid
+    update means run over fresh mask-copied buffers (numpy pairwise
+    reduction, deterministic for equal shapes)."""
+    cents = init.copy()
+    for _ in range(max_iter):
+        d = np.zeros((len(x), len(cents)), dtype=np.float64)
+        for j in range(x.shape[1]):
+            diff = x[:, j : j + 1] - cents[:, j]
+            d += diff * diff
+        assign = np.argmin(d, axis=1)
+        new = cents.copy()
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        moved = float(np.abs(new - cents).max())
+        cents = new
+        if moved < 1e-9:
+            break
+    return cents
+
+
 def _cell_entry_points(
     mat: "np.ndarray", ids: list, max_entries: int = 16, max_iter: int = 5
 ) -> list[int]:
@@ -187,18 +220,19 @@ def _cell_entry_points(
     corpus's cluster structure, and its single medoid entry traps the
     in-cell walk exactly like the global medoid trapped the merged walk.
     Dedicated sub-k-means (id-ordered init prefix — ``mat`` arrives
-    id-sorted), fold-exact per-dim distance accumulation (deterministic
-    across processes; no BLAS matvec ordering in the comparison surface),
-    first-min assignment, per-subcell (distance, lowest-id) medoid.
-    Shared VERBATIM by to_partitioned's worker closure and
-    offline_vamana_partitioned, so seeds are identical by construction."""
-    from .ivfflat import _lloyds_numpy
-
+    id-sorted) via :func:`_lloyds_fold_exact` (per-dim elementwise
+    accumulation end-to-end: neither the iteration distances nor the
+    final assignment touch a BLAS matmul, so worker and driver derive
+    bit-identical seeds), first-min assignment, per-subcell
+    (distance, lowest-id) medoid. Shared VERBATIM by to_partitioned's
+    worker closure and offline_vamana_partitioned, so seeds are
+    identical by construction."""
     e = min(max_entries, len(ids))
     if e <= 1:
         return []
-    ecents = np.asarray(
-        _lloyds_numpy(mat.tolist(), mat[:e].tolist(), max_iter), dtype=np.float64
+    ecents = _lloyds_fold_exact(
+        np.asarray(mat, dtype=np.float64), np.asarray(mat[:e], dtype=np.float64),
+        max_iter,
     )
     d = np.zeros((len(mat), len(ecents)), dtype=np.float64)
     for j in range(mat.shape[1]):
@@ -881,7 +915,7 @@ class VamanaIndex:
             df.sparkSession, id_type=idt, params=params,
         )
 
-    def quantize_pq(self, model) -> "VamanaIndex":
+    def quantize_pq(self, model, residual: bool = False) -> "VamanaIndex":
         """PQ-compress the SERVING side of the merged graph: the search
         node collects (id, codes) — m bytes/vector instead of 8·dim — so
         one node holds a ~32× larger corpus under the same memory (the
@@ -892,7 +926,20 @@ class VamanaIndex:
         shortlist EXACTLY via a distributed join against the parquet
         vertices (codegen l2 fold) — output distances are exact.
         ``model`` is a similarity/pq.PQModel; its codebooks freeze into
-        params so save/load round-trips."""
+        params so save/load round-trips.
+
+        ``residual=True`` (the r9 IVFADC threading): codes quantize
+        x − center[cell(x)] against the ENTRY-CELL medoid vectors (the
+        multi-entry seeds build froze into params["entry_ids"] — already
+        one medoid per mode, exactly the coarse structure residuals must
+        remove). On clustered corpora global codebooks re-separate the
+        modes and within-mode code resolution collapses (the 1.2M IVF
+        drill's 0.128-vs-0.906); entry-cell residuals re-center every
+        mode at the origin. Train ``model`` on :meth:`residual_source`'s
+        ``__res`` column. Centers freeze into params["pq_centers"]
+        (≤512·dim floats, the same footprint class as pq_books) so
+        serving, to_partitioned shells, and offline replays all consume
+        identical floats."""
         if max(len(b) for b in model.centroids) > 256:
             # same guard as _Graph.quantize_pq: codes are uint8, and serving
             # assigns them directly — without this a pq_k>512 model would
@@ -917,9 +964,57 @@ class VamanaIndex:
         books = [[[float(x) for x in row] for row in b] for b in model.centroids]
         bounds = [[int(s), int(e)] for s, e in model.bounds]
         params = dict(self.params or {}, pq_books=books, pq_bounds=bounds)
+        if residual:
+            params["pq_centers"] = self._entry_centers()
         return VamanaIndex(
             self.vec_col, self.id_col, self.dist, self.vertices, self.edges,
             self.entry, self._spark, id_type=self.id_type, params=params,
+        )
+
+    def _entry_centers(self) -> list[list[float]]:
+        """The entry-cell medoid VECTORS in entry_ids order — the frozen
+        residual centers (bounded: ≤512 rows collect)."""
+        from pyspark.sql import functions as F
+
+        eids = (self.params or {}).get("entry_ids")
+        if not eids:
+            raise ValueError(
+                "residual PQ needs multi-entry seeds (params['entry_ids']) "
+                "— build with entry_points > 1 (the default)"
+            )
+        rows = {
+            r[self.id_col]: list(r["vec"])
+            for r in self.vertices.filter(
+                F.col(self.id_col).isin(list(eids))
+            ).collect()
+        }
+        return [[float(x) for x in rows[e]] for e in eids]
+
+    def residual_source(self):
+        """(id, __ecell, __res = vec − entry_center[nearest]) — the
+        training source for ``quantize_pq(model, residual=True)`` (train
+        the PQModel on ``__res``). Assignment is the deterministic codegen
+        fold (assign_nearest); subtraction is elementwise."""
+        from pyspark.sql import functions as F
+
+        from .ivfflat import assign_nearest
+
+        # frozen floats first: after quantize_pq(residual=True) the centers
+        # in params are the single source of truth
+        centers = (self.params or {}).get("pq_centers") or self._entry_centers()
+        cdf = F.broadcast(
+            self._spark.createDataFrame(
+                [(i, c) for i, c in enumerate(centers)],
+                "__ecell long, __ecent array<double>",
+            )
+        )
+        assigned = assign_nearest(
+            self.vertices.select(F.col(self.id_col), F.col("vec")),
+            "vec", centers, "__ecell",
+        ).withColumn("__ecell", F.col("__ecell").cast("long"))
+        res = F.zip_with(F.col("vec"), F.col("__ecent"), lambda x, c: x - c)
+        return assigned.join(cdf, "__ecell").select(
+            F.col(self.id_col), F.col("__ecell"), res.alias("__res")
         )
 
     def to_partitioned(
@@ -1018,6 +1113,7 @@ class VamanaIndex:
         efs = p.get("ef_search", 48)
         seed = p.get("seed", 42)
         books, bounds = p.get("pq_books"), p.get("pq_bounds")
+        pq_centers = p.get("pq_centers")  # residual PQ: frozen entry-cell centers
 
         def build_shell(key, pdf):  # no hints: partial hints trip a pyspark eval-type warning
             pdf = pdf.sort_values(id_col)
@@ -1041,7 +1137,10 @@ class VamanaIndex:
             if eps:
                 g.entry_points = eps
             if books is not None:
-                g.quantize_pq(books, bounds)
+                # pq_centers (residual): the FULL frozen center set rides
+                # into every shell — per-member cells assign fold-exactly
+                # inside _Graph, matching the distributed __ecell fold
+                g.quantize_pq(books, bounds, centers=pq_centers)
             g.pack()
             return pd.DataFrame(
                 {"shard": [int(key[0])], "blob": [pickle.dumps(g)]}
@@ -1059,6 +1158,8 @@ class VamanaIndex:
             params["ip_m2"] = p["ip_m2"]
         if books is not None:
             params.update(pq_books=books, pq_bounds=bounds)
+            if pq_centers is not None:
+                params["pq_centers"] = pq_centers
         inner = ShardedHNSW(
             self.vec_col, id_col, "l2", blobs.cache(), spark,
             centroids=centroids, id_type=self.id_type,
@@ -1109,10 +1210,26 @@ class VamanaIndex:
                 [np.asarray(b, dtype=np.float64) for b in p["pq_books"]],
                 [(int(s), int(e)) for s, e in p["pq_bounds"]],
             )
-            rows = sorted(
-                model.encode(self.vertices, "vec", self.id_col).collect(),
-                key=lambda row: row[self.id_col],
-            )
+            if p.get("pq_centers") is not None:
+                # residual codes: encode x − entry_center[cell(x)]
+                # distributed, collect (id, cell, codes) — decode adds the
+                # frozen center back (_Graph._mat_rows)
+                rows = sorted(
+                    model.encode(
+                        self.residual_source(), "__res", self.id_col,
+                        keep=("__ecell",),
+                    ).collect(),
+                    key=lambda row: row[self.id_col],
+                )
+                g.pq_centers = np.asarray(p["pq_centers"], dtype=np.float64)
+                g.pq_cell = np.asarray(
+                    [int(row["__ecell"]) for row in rows], dtype=np.int64
+                )
+            else:
+                rows = sorted(
+                    model.encode(self.vertices, "vec", self.id_col).collect(),
+                    key=lambda row: row[self.id_col],
+                )
             g.ids = [row[self.id_col] for row in rows]
             g.pq_books = model.centroids
             g.pq_bounds = model.bounds
@@ -1552,6 +1669,7 @@ def offline_vamana_partitioned(
     cells_max_iter: int = 5,
     model=None,
     graph: _Graph | None = None,
+    pq_centers=None,
     **build_kw,
 ) -> tuple[list, dict]:
     """Replay ``VamanaIndex.build(...).to_partitioned(cells=...)`` without
@@ -1624,7 +1742,9 @@ def offline_vamana_partitioned(
         if eps:
             sg.entry_points = eps
         if model is not None:
-            sg.quantize_pq(books, bnds)
+            # pq_centers mirrors the residual to_partitioned shells (the
+            # full frozen center set rides into every shell)
+            sg.quantize_pq(books, bnds, centers=pq_centers)
         graphs[b] = sg
     return centroids, graphs
 
@@ -1636,16 +1756,20 @@ def offline_vamana_pq_probe(
     k: int,
     model,
     rerank_mult: int = 4,
+    centers=None,
 ) -> list[tuple]:
     """Replay ``VamanaIndex.quantize_pq(model).probe(query, k)`` on an
     offline_vamana graph: quantize with the same codebooks (same argmin as
     the distributed PQModel.encode), walk for k·rerank_mult ADC
     candidates, and rerank the ids with the exact left-fold l2 Spark's
-    codegen evaluates, (d, id)-ordered. Returns [(id, exact_distance)].
+    codegen evaluates, (d, id)-ordered. ``centers`` mirrors
+    ``quantize_pq(model, residual=True)`` (the frozen entry-cell centers;
+    per-vertex cells assign fold-exactly inside _Graph, matching the
+    distributed __ecell fold). Returns [(id, exact_distance)].
     Mutates ``g`` (quantizes it) — pass a fresh replay."""
     books = [[[float(x) for x in row] for row in b] for b in model.centroids]
     bounds = [[int(s), int(e)] for s, e in model.bounds]
-    g.quantize_pq(books, bounds)
+    g.quantize_pq(books, bounds, centers=centers)
     hits = g.search(np.asarray(query, dtype=np.float64), k * rerank_mult)
 
     def fold_l2(a, b) -> float:
@@ -1680,14 +1804,16 @@ def offline_vamana_pq_batch(
     k: int,
     model,
     rerank_mult: int = 4,
+    centers=None,
 ) -> list[tuple]:
     """Replay ``VamanaIndex.quantize_pq(model).search_batch(...)``:
     quantize once, per-query ADC walk for k·rerank_mult candidates, exact
-    left-fold l2 rerank, (d, id)-ordered per-query top-k. Returns
+    left-fold l2 rerank, (d, id)-ordered per-query top-k. ``centers``
+    mirrors ``quantize_pq(model, residual=True)``. Returns
     [(qid, id, d)]. Mutates ``g`` — pass a fresh replay."""
     books = [[[float(x) for x in row] for row in b] for b in model.centroids]
     bounds = [[int(s), int(e)] for s, e in model.bounds]
-    g.quantize_pq(books, bounds)
+    g.quantize_pq(books, bounds, centers=centers)
 
     def fold_l2(a, b) -> float:
         s = 0.0

@@ -3025,7 +3025,12 @@ def q_ann_ivfpq_rerank(spark, sf_dir):
     key = (sf_dir, "ivfpq")
     if key not in _INDEX_CACHE:
         idx = _ivfflat_for(spark, sf_dir)
-        _INDEX_CACHE[key] = IVFPQIndex.build(idx, "embedding", "vec_id", m=16, k=32)
+        # residual=False EXPLICITLY: this entry pins the single-LUT
+        # global-codebook mode (ann_ivfpq_residual_rerank covers the
+        # residual default — IVFADC, the r9 default flip)
+        _INDEX_CACHE[key] = IVFPQIndex.build(
+            idx, "embedding", "vec_id", m=16, k=32, residual=False
+        )
     top = _INDEX_CACHE[key].probe(QUERY_VEC, 10, rerank=40, probe_lists=4)
     return top.select("vec_id", F.round("distance", 8).alias("distance")).orderBy(
         F.col("distance").asc(), F.col("vec_id").asc()
@@ -3703,6 +3708,153 @@ def q_ann_vamana_partitioned_pq_batch(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
 
 
+_VAMANA_PQR_MEMO: dict = {}
+
+
+def _offline_vamana_pqr_model_cached():
+    """(model, centers) — oracle twin of the Spark residual-vamana PQ
+    train: centers are the replayed graph's entry-cell medoid vectors (in
+    entry_points order == params['entry_ids'] order), assignment is the
+    sequential fold argmin, residuals are elementwise, and the model
+    trains on the ID-SORTED residual matrix (PQModel.train's full-table
+    path over VamanaIndex.residual_source)."""
+    import numpy as np
+
+    from .similarity.pq import PQModel
+
+    key = _oracle_sf()
+    if key not in _VAMANA_PQR_MEMO:
+        g = _offline_vamana_l2_cached()
+        centers = [[float(x) for x in g.vecs[i]] for i in (g.entry_points or [])]
+
+        def fold_l2_sq(v, c):
+            s = 0.0
+            for x, y in zip(v, c):
+                d = x - y
+                s = s + d * d
+            return s
+
+        cmat = np.asarray(centers, dtype=np.float64)
+        res_rows = []
+        for i in range(len(g.ids)):
+            v = [float(x) for x in g.vecs[i]]
+            dists = [fold_l2_sq(v, c) for c in centers]
+            b = dists.index(min(dists))
+            res_rows.append(np.asarray(v, dtype=np.float64) - cmat[b])
+        model = PQModel.train_rows(
+            np.asarray(res_rows, dtype=np.float64), m=16, k=32
+        )
+        _VAMANA_PQR_MEMO[key] = (model, centers)
+    return _VAMANA_PQR_MEMO[key]
+
+
+def _vamana_pqr_for(spark, sf_dir):
+    """Merged vamana with RESIDUAL PQ serving (entry-cell centers) —
+    cached once per sf_dir."""
+    from .index.vamana import VamanaIndex
+    from .similarity.pq import PQModel
+
+    key = (sf_dir, "vamana_pqr")
+    if key not in _INDEX_CACHE:
+        vkey = (sf_dir, "vamana")
+        if vkey not in _INDEX_CACHE:
+            emb = _t(spark, sf_dir, "embeddings")
+            _INDEX_CACHE[vkey] = VamanaIndex.build(
+                emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+            )
+        model = PQModel.train(
+            _INDEX_CACHE[vkey].residual_source(), "__res", "vec_id", m=16, k=32
+        )
+        _INDEX_CACHE[key] = _INDEX_CACHE[vkey].quantize_pq(model, residual=True)
+    return _INDEX_CACHE[key]
+
+
+def _vamana_pqr_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.vamana import offline_vamana_pq_probe
+
+    g = _offline_vamana_l2_cached(mutable=True)
+    model, centers = _offline_vamana_pqr_model_cached()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    hits = offline_vamana_pq_probe(g, vecs, QUERY_VEC, 10, model, centers=centers)
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_vamana_pqr_rerank", _vamana_pqr_oracle)
+def q_ann_vamana_pqr_rerank(spark, sf_dir):
+    # RESIDUAL PQ serving of the merged graph (the r9 IVFADC threading):
+    # codes quantize x − entry-cell center — the multi-entry seeds' cells
+    # are one medoid per mode, exactly the coarse structure residuals
+    # must remove, so the codebook budget resolves WITHIN-mode structure
+    # instead of re-separating modes (1.2M drill: global 0.128 vs
+    # residual 0.906 recall@10 deep). Decode adds the frozen center back
+    # (_Graph._mat_rows); exact rerank against the parquet vertices.
+    # Exact offline replay (offline_vamana_pq_probe(centers=...)).
+    probe = _vamana_pqr_for(spark, sf_dir).probe(QUERY_VEC, 10)
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
+def _vamana_partitioned_pqr_batch_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed_pq_batch
+
+    cents, graphs = _offline_vamana_part_cached(mutable=True)
+    model, centers = _offline_vamana_pqr_model_cached()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    qs = [(qid, qv) for qid, qv in zip(ids, vecs) if qid % 97 == 0]
+    rows = [
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_pq_batch(
+            cents, graphs, dict(zip(ids, vecs)), qs, 5, 2, model,
+            pq_centers=centers,
+        )
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_vamana_partitioned_pqr_batch", _vamana_partitioned_pqr_batch_oracle)
+def q_ann_vamana_partitioned_pqr_batch(spark, sf_dir):
+    # Residual PQ inside cell-partitioned vamana shells: the FULL frozen
+    # entry-cell center set rides into every shell (per-member cells
+    # assign fold-exactly inside _Graph, matching the distributed __ecell
+    # fold), so partitioned serving keeps the same 16-byte codes AND the
+    # same reconstruction quality as the merged residual tier. Exact
+    # offline replay (offline_routed_pq_batch(pq_centers=...) over
+    # offline_vamana_partitioned shells).
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "vamana_part_pqr")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = _vamana_pqr_for(spark, sf_dir).to_partitioned(
+            cells=4, n_probe=2
+        )
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = _INDEX_CACHE[key].search_batch(
+        queries, "embedding", "qid", k=5, n_probe=2, rerank=emb
+    )
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
 _OFFLINE_VAMANA_COS_MEMO: dict = {}
 
 
@@ -4315,6 +4467,121 @@ def q_ann_hnsw_routed_pq_rerank(spark, sf_dir):
             )
         model, _codes = _pq_for(spark, sf_dir)
         _INDEX_CACHE[key] = _INDEX_CACHE[rkey].quantize_pq(model)
+    probe = _INDEX_CACHE[key].probe(QUERY_VEC, 10, n_probe=2, rerank=emb)
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
+_PQR_MEMO: dict = {}
+
+
+def _offline_pqr_model_cached():
+    """Oracle twin of :func:`_pqr_for`: fold-argmin shard assignment
+    against the replayed routing centroids, elementwise residuals, PQ
+    trained on the ID-SORTED residual matrix (mirroring PQModel.train's
+    full-table path over routed_residual_df)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .similarity.pq import PQModel
+
+    key = _oracle_sf()
+    if key not in _PQR_MEMO:
+        cents, _graphs = _offline_routed_cached()
+        t = pq.read_table(
+            f"{key}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+
+        def fold_l2_sq(v, c):
+            s = 0.0
+            for x, y in zip(v, c):
+                d = x - y
+                s = s + d * d
+            return s
+
+        cmat = np.asarray(cents, dtype=np.float64)
+        res_rows = []
+        for rid in sorted(vecs):
+            v = [float(x) for x in vecs[rid]]
+            dists = [fold_l2_sq(v, c) for c in cents]
+            b = dists.index(min(dists))
+            res_rows.append(np.asarray(v, dtype=np.float64) - cmat[b])
+        _PQR_MEMO[key] = PQModel.train_rows(
+            np.asarray(res_rows, dtype=np.float64), m=16, k=32
+        )
+    return _PQR_MEMO[key]
+
+
+def _pqr_for(spark, sf_dir):
+    """Residual PQModel (codebooks over x − routing-centroid[shard]) for
+    the routed build — cached once per sf_dir."""
+    key = (sf_dir, "pqr_model")
+    if key not in _INDEX_CACHE:
+        from .index.hnsw import HNSWIndex, routed_residual_df
+        from .similarity.pq import PQModel
+
+        emb = _t(spark, sf_dir, "embeddings")
+        rkey = (sf_dir, "hnsw_routed")
+        if rkey not in _INDEX_CACHE:
+            _INDEX_CACHE[rkey] = HNSWIndex.build_routed(
+                emb, "embedding", "vec_id", **_routed_params()
+            )
+        _INDEX_CACHE[key] = PQModel.train(
+            routed_residual_df(
+                emb, "embedding", "vec_id", _INDEX_CACHE[rkey].centroids
+            ),
+            "__res", "vec_id", m=16, k=32,
+        )
+    return _INDEX_CACHE[key]
+
+
+def _hnsw_routed_pqr_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed_pq_probe
+
+    cents, graphs = _offline_routed_cached(mutable=True)
+    model = _offline_pqr_model_cached()
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    hits = offline_routed_pq_probe(
+        cents, graphs, vecs, QUERY_VEC, 10, 2, model, residual=True
+    )
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_hnsw_routed_pqr_rerank", _hnsw_routed_pqr_oracle)
+def q_ann_hnsw_routed_pqr_rerank(spark, sf_dir):
+    # RESIDUAL PQ codes inside the routed shard graphs (the r9 IVFADC
+    # threading the 1.2M drill demanded): each shard's codes quantize
+    # x − its routing centroid — a k-means shard is one cluster, so
+    # global codebooks spend their budget re-separating clusters the
+    # routing already separated and within-shard resolution collapses at
+    # density (drills/drill_1200k_ivf_tiers.json: 0.128 global vs 0.906
+    # residual recall@10 deep). Codebooks train on routed_residual_df;
+    # walks decode codeword + frozen centroid; exact rerank against the
+    # source. Exact offline replay (offline_routed_pq_probe(residual)).
+    from .index.hnsw import HNSWIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "hnsw_routed_pqr")
+    if key not in _INDEX_CACHE:
+        rkey = (sf_dir, "hnsw_routed")
+        if rkey not in _INDEX_CACHE:
+            _INDEX_CACHE[rkey] = HNSWIndex.build_routed(
+                emb, "embedding", "vec_id", **_routed_params()
+            )
+        model = _pqr_for(spark, sf_dir)
+        _INDEX_CACHE[key] = _INDEX_CACHE[rkey].quantize_pq(model, residual=True)
     probe = _INDEX_CACHE[key].probe(QUERY_VEC, 10, n_probe=2, rerank=emb)
     return (
         probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())

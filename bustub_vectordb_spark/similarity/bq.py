@@ -111,7 +111,9 @@ def rotation_matrix(dim: int, seed: int) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     a = rng.standard_normal((dim, dim))
     q, r = np.linalg.qr(a)
-    q = q * np.sign(np.diag(r))
+    # np.where, not np.sign: sign(0.0) == 0 would silently zero a whole
+    # column and break orthonormality if an R diagonal were exactly 0.
+    q = q * np.where(np.diag(r) >= 0, 1.0, -1.0)
     return [[float(x) for x in row] for row in q]
 
 

@@ -280,17 +280,22 @@ class IVFPQIndex:
     codes: DataFrame  # (id_col, BUCKET_COL, codes) — no raw vectors
     vec_col: str
     id_col: str
-    # residual=True (IVFADC, Jégou 2011 §III-D): codes quantize the
-    # RESIDUAL x − centroid[bucket(x)], not x itself. On clustered corpora
-    # global codebooks spend their k centroids separating CLUSTERS, so all
-    # of a bucket's codes collapse toward the same few codewords and the
+    # residual=True (IVFADC, Jégou 2011 §III-D — the DEFAULT, and the
+    # published standard): codes quantize the RESIDUAL
+    # x − centroid[bucket(x)], not x itself. On clustered corpora global
+    # codebooks spend their k centroids separating CLUSTERS, so all of a
+    # bucket's codes collapse toward the same few codewords and the
     # shallow shortlist loses within-bucket resolution (the same failure
-    # mode the per-bucket BQ thresholds fix one tier down; measured in the
-    # r8 drill smoke: global-PQ recall@10 0.44 at rerank 4x). Residuals
-    # re-center every bucket at the origin, so the full codebook budget
-    # resolves LOCAL structure. The query's LUT then differs per probed
-    # bucket (q − centroid[b]) and rides a broadcast (bucket, lut) join.
-    residual: bool = False
+    # mode the per-bucket BQ thresholds fix one tier down; measured at
+    # 1.2M clustered rows: global-PQ recall@10 0.128 vs residual 0.906,
+    # drills/drill_1200k_ivf_tiers.json — global collapses at density).
+    # Residuals re-center every bucket at the origin, so the full codebook
+    # budget resolves LOCAL structure. The query's LUT then differs per
+    # probed bucket (q − centroid[b]) and rides a broadcast (bucket, lut)
+    # join. residual=False keeps the single-LUT global-codebook mode
+    # (uniform corpora measure the two equal — sf0.01 recall report:
+    # 0.785 residual vs 0.795 global — and pre-upgrade saves load as it).
+    residual: bool = True
 
     @classmethod
     def build(
@@ -300,7 +305,7 @@ class IVFPQIndex:
         id_col: str,
         m: int = 16,
         k: int = 32,
-        residual: bool = False,
+        residual: bool = True,
     ) -> "IVFPQIndex":
         from ..index.ivfflat import BUCKET_COL
 

@@ -538,9 +538,13 @@ class SqlEngine:
                     sq.default_rerank = opts.get("rerank")
                     idx = sq
                 elif opts.get("pq"):
-                    # WITH (pq=1[, pq_m=M, pq_k=K]): product-quantized
-                    # codes per bucket (m small ints per vector — the
-                    # deepest compression tier); l2 ops class only
+                    # WITH (pq=1[, pq_m=M, pq_k=K, pq_residual=0]): product-
+                    # quantized codes per bucket (m small ints per vector —
+                    # the deepest compression tier); l2 ops class only.
+                    # Residual (IVFADC) by default — global codebooks
+                    # collapse on clustered corpora (0.128 vs 0.906
+                    # recall@10 at 1.2M, drills/drill_1200k_ivf_tiers.json);
+                    # pq_residual=0 opts back into the single-LUT mode.
                     from .similarity.pq import IVFPQIndex
 
                     names = self.catalog.tables[table].schema.names
@@ -548,6 +552,7 @@ class SqlEngine:
                     idx = IVFPQIndex.build(
                         idx, col, id_col,
                         m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
+                        residual=bool(opts.get("pq_residual", 1)),
                     )
             elif method == "vamana":
                 # engine extension (no reference analogue): distributed
@@ -573,20 +578,33 @@ class SqlEngine:
                     alpha=float(opts.get("alpha", 1.2)),
                 )
                 if opts.get("pq"):
-                    # WITH (pq=1[, pq_m=M, pq_k=K]): PQ-compressed serving
-                    # — the search node collects only m-byte codes; probes
-                    # rerank exactly against the parquet vertices. Train on
-                    # the index's OWN vertices: cosine/ip builds transform
-                    # rows (unit / MIPS-augmented), and codebooks must
-                    # cover what the walks decode (quantize_pq enforces)
+                    # WITH (pq=1[, pq_m=M, pq_k=K, pq_residual=0]):
+                    # PQ-compressed serving — the search node collects only
+                    # m-byte codes; probes rerank exactly against the
+                    # parquet vertices. Train on the index's OWN vertices:
+                    # cosine/ip builds transform rows (unit/MIPS-augmented),
+                    # and codebooks must cover what the walks decode
+                    # (quantize_pq enforces). Residual by default (r9):
+                    # codes quantize x − entry-cell center, so the codebook
+                    # budget resolves within-mode structure instead of
+                    # re-separating the modes (the 1.2M drill's
+                    # 0.128-vs-0.906 collapse); pq_residual=0 opts out.
                     from .similarity.pq import PQModel
 
-                    idx = idx.quantize_pq(
-                        PQModel.train(
+                    res = bool(opts.get("pq_residual", 1)) and bool(
+                        (idx.params or {}).get("entry_ids")
+                    )
+                    if res:
+                        model = PQModel.train(
+                            idx.residual_source(), "__res", id_col,
+                            m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
+                        )
+                    else:
+                        model = PQModel.train(
                             idx.vertices, "vec", id_col,
                             m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
                         )
-                    )
+                    idx = idx.quantize_pq(model, residual=res)
                 n_rows = df.count()
                 # width-aware hand-off: the one-node ceiling depends on
                 # what the node holds (PQ codes vs float64 vectors)
@@ -633,17 +651,33 @@ class SqlEngine:
                         )
                         idx.default_n_probe = n_probe
                     elif opts.get("pq"):
-                        # WITH (pq=1[, pq_m=M, pq_k=K]) on a routed build:
-                        # shard graphs store product-quantization codes
-                        # (m bytes/vector); serve via probe(rerank=source)
+                        # WITH (pq=1[, pq_m=M, pq_k=K, pq_residual=0]) on a
+                        # routed build: shard graphs store product-
+                        # quantization codes (m bytes/vector); serve via
+                        # probe(rerank=source). Residual by default (r9):
+                        # a k-means shard is one cluster, and global
+                        # codebooks re-separate the clusters the routing
+                        # already separated — codes collapse at density
+                        # (the 1.2M IVF drill's 0.128-vs-0.906 finding,
+                        # same mechanism in-graph). Codebooks train on
+                        # x − centroid[shard]; pq_residual=0 opts out.
+                        from .index.hnsw import routed_residual_df
                         from .similarity.pq import PQModel
 
-                        model = PQModel.train(
-                            df, col, id_col,
-                            m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
-                        )
+                        res = bool(opts.get("pq_residual", 1))
+                        if res:
+                            model = PQModel.train(
+                                routed_residual_df(df, col, id_col, idx.centroids),
+                                "__res", id_col,
+                                m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
+                            )
+                        else:
+                            model = PQModel.train(
+                                df, col, id_col,
+                                m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
+                            )
                         n_probe = idx.default_n_probe
-                        idx = idx.quantize_pq(model)
+                        idx = idx.quantize_pq(model, residual=res)
                         idx.default_n_probe = n_probe
                     elif opts.get("bq"):
                         # WITH (bq=1[, bq_rot_seed=S]) on a routed build:
