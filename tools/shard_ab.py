@@ -39,6 +39,17 @@ def main():
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--targets", default="8000,25000,50000,100000")
     ap.add_argument("--n-probe", dest="n_probe", type=int, default=4)
+    # --ddl-n-probe: per-config n_probe = max(2, shards // 4), the SQL
+    # frontend's default serving geometry — every config then probes the
+    # same ~25% corpus fraction, removing the fixed-n_probe confound the
+    # r8 sweep suffered (4 of 12 shards probed 33% while 4 of 75 probed 5%)
+    ap.add_argument("--ddl-n-probe", dest="ddl_n_probe", action="store_true")
+    # --max-shard-rows 0 disables the straggler cap entirely (the r8 sweep's
+    # >=50k configs were silently re-split by the 60k cap, contaminating
+    # the coarse points)
+    ap.add_argument(
+        "--max-shard-rows", dest="max_shard_rows", type=int, default=60_000
+    )
     ap.add_argument("--out", default="/tmp/shard_ab")
     ap.add_argument("--skip-gen", action="store_true")
     args = ap.parse_args()
@@ -76,20 +87,24 @@ def main():
         import math
 
         shards = max(2, math.ceil(n / target))
+        n_probe = (
+            max(2, shards // 4) if args.ddl_n_probe else args.n_probe
+        )
         t0 = time.time()
         routed = HNSWIndex.build_routed(
             emb, "embedding", "vec_id", shards=shards, m=8,
             ef_construction=48, ef_search=48, replicate_eps=0.2,
-            max_shard_rows=60_000,
+            max_shard_rows=args.max_shard_rows or None,
         )
         routed.blobs.cache().count()
         t_build = round(time.time() - t0, 1)
         t0 = time.time()
-        hits = routed.search_batch(qdf, "embedding", "qid", K, n_probe=args.n_probe).collect()
+        hits = routed.search_batch(qdf, "embedding", "qid", K, n_probe=n_probe).collect()
         t_batch = round(time.time() - t0, 1)
         rec = round(recall(truth, hits), 4)
         row = {
             "rows_per_shard_target": target, "shards": shards,
+            "n_probe": n_probe,
             "build_sec": t_build, "batch_sec": t_batch, "recall": rec,
         }
         routed.blobs.unpersist()
