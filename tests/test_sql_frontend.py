@@ -537,3 +537,56 @@ def test_merge_into_streaming_source(engine, tmp_path):
     assert n == 4
     got = {(r["k"], r["v"]) for r in engine.execute("select k, v from smt").collect()}
     assert got == {(1, 10), (2, 99), (3, 30), (4, 40)}
+
+
+def test_ddl_pq_residual_defaults(spark):
+    """r9 default flip: WITH (pq=1) builds RESIDUAL codes on every tier
+    (IVFADC for ivfflat, routing-centroid centers for routed hnsw,
+    entry-cell centers for vamana); pq_residual=0 opts back into the
+    global-codebook mode."""
+    from bustub_vectordb_spark.similarity.pq import IVFPQIndex
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE pr(v1 VECTOR(4), v2 integer)")
+    rows = ", ".join(
+        f"(ARRAY [{i}.0, {i % 3}.0, {i % 5}.0, {i % 7}.0], {i})" for i in range(40)
+    )
+    e.execute(f"INSERT INTO pr VALUES {rows}")
+
+    # ivfflat: residual by default, opt-out honored
+    e.execute(
+        "CREATE INDEX pr1 ON pr USING ivfflat (v1 vector_l2_ops)"
+        " WITH (lists = 2, probe_lists = 2, pq = 1, pq_m = 2, pq_k = 4)"
+    )
+    idx = next(i for i in e.indexes.lookup("pr", "v1") if i.name == "pr1").index
+    assert isinstance(idx, IVFPQIndex) and idx.residual is True
+    assert len(idx.probe([1.0, 1.0, 1.0, 1.0], 3).collect()) == 3
+    e.execute(
+        "CREATE INDEX pr2 ON pr USING ivfflat (v1 vector_l2_ops)"
+        " WITH (lists = 2, probe_lists = 2, pq = 1, pq_m = 2, pq_k = 4,"
+        " pq_residual = 0)"
+    )
+    idx2 = next(i for i in e.indexes.lookup("pr", "v1") if i.name == "pr2").index
+    assert idx2.residual is False
+
+    # routed hnsw: params record the residual mode
+    e.execute(
+        "CREATE INDEX pr3 ON pr USING hnsw (v1 vector_l2_ops)"
+        " WITH (m = 4, ef_construction = 8, ef_search = 8, shards = 2,"
+        " pq = 1, pq_m = 2, pq_k = 4)"
+    )
+    idx3 = next(i for i in e.indexes.lookup("pr", "v1") if i.name == "pr3").index
+    assert idx3.params.get("pq_residual") == 1
+    hits = idx3.probe([1.0, 1.0, 1.0, 1.0], 2, rerank=e.catalog.tables["pr"].df)
+    assert len(hits.collect()) == 2
+
+    # vamana: entry-cell centers frozen into params
+    e.execute(
+        "CREATE INDEX pr4 ON pr USING vamana (v1 vector_l2_ops)"
+        " WITH (shards = 2, m = 4, ef_construction = 16, ef_search = 16,"
+        " r = 6, overlap_eps = 0.3, pq = 1, pq_m = 2, pq_k = 4)"
+    )
+    idx4 = next(i for i in e.indexes.lookup("pr", "v1") if i.name == "pr4").index
+    assert idx4.params.get("pq_centers")
+    assert len(idx4.probe([1.0, 1.0, 1.0, 1.0], 3).collect()) == 3

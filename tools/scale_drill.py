@@ -160,6 +160,13 @@ def main():
     # VERDICT r7 #7; run in its own process like the other tiers
     ap.add_argument("--ivf", action="store_true")
     ap.add_argument("--ivf-lists", type=int, default=256)
+    # opt-in: in-graph PQ over the routed shards (global vs residual) —
+    # the r9 IVFADC-threading validation; composes with the hnsw section
+    ap.add_argument("--pq-graph", dest="pq_graph", action="store_true")
+    # opt-in: serve the partitioned-vamana tier at several n_probe values
+    # (comma list) so the DDL default can be chosen from the
+    # recall/latency surface (VERDICT r8 #6)
+    ap.add_argument("--vamana-nprobe-sweep", dest="vamana_nprobe_sweep", default="")
     args = ap.parse_args()
 
     from bustub_vectordb_spark.session import get_spark
@@ -281,6 +288,46 @@ def main():
         _log(f"bq rotated deep batch done {times['hnsw_routed_bqr_batch_deep']}s")
         report["recall_hnsw_routed_bqr_deep16"] = round(recall(truth, hits), 4)
 
+        if args.pq_graph:
+            # ---- in-graph PQ over the same shards: global codebooks vs
+            # residual (x − routing centroid) — the r9 IVFADC threading.
+            # Same serving recipe as BQ: ADC walks + exact deep rerank.
+            from bustub_vectordb_spark.index.hnsw import routed_residual_df
+            from bustub_vectordb_spark.similarity.pq import PQModel
+
+            t0 = time.time()
+            gmodel = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+            gpq = routed.quantize_pq(gmodel)
+            times["hnsw_routed_pq_quantize"] = round(time.time() - t0, 1)
+            _log(f"pq global quantize done {times['hnsw_routed_pq_quantize']}s")
+            t0 = time.time()
+            hits = gpq.search_batch(
+                qdf, "embedding", "qid", K, n_probe=4, rerank=emb,
+                rerank_mult=16,
+            ).collect()
+            times["hnsw_routed_pq_batch_deep"] = round(time.time() - t0, 1)
+            report["recall_hnsw_routed_pq_deep16"] = round(recall(truth, hits), 4)
+            _log(f"pq global deep batch done recall="
+                 f"{report['recall_hnsw_routed_pq_deep16']}")
+
+            t0 = time.time()
+            rmodel = PQModel.train(
+                routed_residual_df(emb, "embedding", "vec_id", routed.centroids),
+                "__res", "vec_id", m=16, k=32,
+            )
+            rpq = routed.quantize_pq(rmodel, residual=True)
+            times["hnsw_routed_pqr_quantize"] = round(time.time() - t0, 1)
+            _log(f"pq residual quantize done {times['hnsw_routed_pqr_quantize']}s")
+            t0 = time.time()
+            hits = rpq.search_batch(
+                qdf, "embedding", "qid", K, n_probe=4, rerank=emb,
+                rerank_mult=16,
+            ).collect()
+            times["hnsw_routed_pqr_batch_deep"] = round(time.time() - t0, 1)
+            report["recall_hnsw_routed_pqr_deep16"] = round(recall(truth, hits), 4)
+            _log(f"pq residual deep batch done recall="
+                 f"{report['recall_hnsw_routed_pqr_deep16']}")
+
     if not args.skip_vamana:
         # ---- merged vamana → partitioned serving (the frozen tier) ----
         t0 = time.time()
@@ -316,6 +363,24 @@ def main():
         times["vamana_partitioned_batch"] = round(time.time() - t0, 1)
         _log(f"partitioned batch done {times['vamana_partitioned_batch']}s")
         report["recall_vamana_partitioned"] = round(recall(truth, hits), 4)
+
+        if args.vamana_nprobe_sweep:
+            # recall/latency surface over n_probe at fixed cells — serving
+            # only (no rebuilds), so the sweep is cheap relative to builds
+            sweep = []
+            for np_i in [int(x) for x in args.vamana_nprobe_sweep.split(",")]:
+                t0 = time.time()
+                hits = part.search_batch(
+                    qdf, "embedding", "qid", K, n_probe=np_i
+                ).collect()
+                row = {
+                    "n_probe": np_i,
+                    "batch_sec": round(time.time() - t0, 1),
+                    "recall": round(recall(truth, hits), 4),
+                }
+                sweep.append(row)
+                _log(f"nprobe sweep {row}")
+            report["vamana_nprobe_sweep"] = sweep
 
         # filtered probe: 1-in-7 allowed set through the partitioned path
         t0 = time.time()
@@ -355,7 +420,9 @@ def main():
         _log(f"sq8 encode done {times['ivf_sq8_encode']}s")
 
         t0 = time.time()
-        pq = IVFPQIndex.build(ivf, "embedding", "vec_id", m=16, k=32)
+        # residual=False EXPLICIT: this is the global-codebook contrast row
+        # (residual became the build default in r9)
+        pq = IVFPQIndex.build(ivf, "embedding", "vec_id", m=16, k=32, residual=False)
         pq.codes.cache().count()
         times["ivf_pq_encode"] = round(time.time() - t0, 1)
         _log(f"pq encode done {times['ivf_pq_encode']}s")
