@@ -175,6 +175,11 @@ class _Graph:
         # layers do the coarse routing a flat graph lacks)
         self.entry_points: list[int] | None = None
 
+    # filtered walks seed with at most this many entries (nearest-first):
+    # see the cap note in search() — per-seed frontier cost with no
+    # measured filtered-recall benefit
+    FILTERED_SEED_CAP = 4
+
     # -- serialization / packed adjacency ---------------------------------
     def __getstate__(self):
         state = self.__dict__.copy()
@@ -671,6 +676,18 @@ class _Graph:
         # multi-entry at the same ef). Multi-layer HNSW graphs never set
         # this; their upper layers already provide the coarse routing.
         ep = list(getattr(self, "entry_points", None) or [self.entry])
+        if allowed_ids is not None and len(ep) > self.FILTERED_SEED_CAP:
+            # Filtered walks pay per-seed frontier cost with none of the
+            # multi-basin recall benefit measured for them (r8 1.2M drill:
+            # per-cell seeds left partitioned filtered recall at 0.9 while
+            # slowing 10 filtered probes 28.8s -> 50.5s — every probed
+            # cell expanded all its seeds through the allowed-set check).
+            # Keep only the nearest few seeds; the unfiltered batch path
+            # keeps the full set (free there, and it carries the merged
+            # tier's 0.966 recall).
+            qq0 = float(q @ q) if self.dist == "l2" else 0.0
+            ranked = sorted(zip(self._walk_dists(q, ep, qq0), ep))
+            ep = [v for _, v in ranked[: self.FILTERED_SEED_CAP]]
         if len(ep) > ef:
             # Seeding cost honesty (ADVICE r8): an untrimmed seed set makes
             # _search_layer's result heap start at |entries| and never

@@ -233,7 +233,7 @@ def main():
         _log(f"hnsw routed build done {times['hnsw_routed_build']}s")
         t0 = time.time()
         hits = routed.search_batch(
-            qdf, "embedding", "qid", K, n_probe=4
+            qdf, "embedding", "qid", K, n_probe=args.n_probe
         ).collect()
         times["hnsw_routed_batch"] = round(time.time() - t0, 1)
         _log(f"hnsw routed batch done {times['hnsw_routed_batch']}s")
@@ -254,7 +254,7 @@ def main():
         # rerank_mult=4 EXPLICIT: bq-quantized indexes now default to 16,
         # so the shallow baseline must pin the old depth to stay a contrast
         hits = bq.search_batch(
-            qdf, "embedding", "qid", K, n_probe=4, rerank=emb, rerank_mult=4
+            qdf, "embedding", "qid", K, n_probe=args.n_probe, rerank=emb, rerank_mult=4
         ).collect()
         times["hnsw_routed_bq_batch"] = round(time.time() - t0, 1)
         _log(f"bq batch done {times['hnsw_routed_bq_batch']}s")
@@ -264,7 +264,7 @@ def main():
         # broadcast-sized: n_probe x k x mult rows per query)
         t0 = time.time()
         hits = bq.search_batch(
-            qdf, "embedding", "qid", K, n_probe=4, rerank=emb, rerank_mult=16
+            qdf, "embedding", "qid", K, n_probe=args.n_probe, rerank=emb, rerank_mult=16
         ).collect()
         times["hnsw_routed_bq_batch_deep"] = round(time.time() - t0, 1)
         _log(f"bq deep batch done {times['hnsw_routed_bq_batch_deep']}s")
@@ -282,7 +282,7 @@ def main():
         times["hnsw_routed_bqr_quantize"] = round(time.time() - t0, 1)
         t0 = time.time()
         hits = bqr.search_batch(
-            qdf, "embedding", "qid", K, n_probe=4, rerank=emb, rerank_mult=16
+            qdf, "embedding", "qid", K, n_probe=args.n_probe, rerank=emb, rerank_mult=16
         ).collect()
         times["hnsw_routed_bqr_batch_deep"] = round(time.time() - t0, 1)
         _log(f"bq rotated deep batch done {times['hnsw_routed_bqr_batch_deep']}s")
@@ -302,7 +302,7 @@ def main():
             _log(f"pq global quantize done {times['hnsw_routed_pq_quantize']}s")
             t0 = time.time()
             hits = gpq.search_batch(
-                qdf, "embedding", "qid", K, n_probe=4, rerank=emb,
+                qdf, "embedding", "qid", K, n_probe=args.n_probe, rerank=emb,
                 rerank_mult=16,
             ).collect()
             times["hnsw_routed_pq_batch_deep"] = round(time.time() - t0, 1)
@@ -320,7 +320,7 @@ def main():
             _log(f"pq residual quantize done {times['hnsw_routed_pqr_quantize']}s")
             t0 = time.time()
             hits = rpq.search_batch(
-                qdf, "embedding", "qid", K, n_probe=4, rerank=emb,
+                qdf, "embedding", "qid", K, n_probe=args.n_probe, rerank=emb,
                 rerank_mult=16,
             ).collect()
             times["hnsw_routed_pqr_batch_deep"] = round(time.time() - t0, 1)
