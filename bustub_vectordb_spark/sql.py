@@ -334,17 +334,20 @@ class SqlEngine:
     # IVF-routed sharded build (no whole-table driver collect); below it the
     # exact single-graph driver build is both faster and higher-recall.
     HNSW_DRIVER_BUILD_MAX_ROWS = 500_000
-    # Auto-shard granularity, chosen from data (was 250k): the r7 2.2M
-    # drill built 3.5x faster at ~8.6k rows/shard than at ~34k with
-    # IDENTICAL recall (0.856), and the r8 600k A/B (tools/shard_ab.py)
-    # has 8k/75-shards dominating 25k/24-shards on EVERY axis — build
-    # 355 vs 398s, batch serve 6.7 vs 15.5s, recall 0.912 vs 0.724 at a
-    # 3x SMALLER probed fraction (coarser configs only looked competitive
-    # because the 60k straggler cap silently re-split them and n_probe=4
-    # covered >=33% of the corpus). Small shard graphs are where HNSW
-    # build cost (superlinear in shard size) and walk recall (fixed
-    # ef_search) both want to live; the IVF routing layer absorbs the
-    # extra shard count as O(shards) driver centroids.
+    # Auto-shard granularity, chosen from data (was 250k). The r9 CLEAN
+    # 600k sweep (drills/shard_ab_600k_clean_r9.json: straggler cap
+    # disabled, n_probe following THIS frontend's serving rule
+    # max(2, shards//4) so every config probes ~25% of the corpus)
+    # settles the r8 contradiction: 25k/24-shards is the RECALL winner
+    # (0.984 vs 0.946 at 8k/75-shards) at equal serving time, while 8k
+    # keeps only a 2x build-time edge (501 vs 1012s — finer shards dodge
+    # the superlinear per-shard build) at a 3.8pt recall cost. The r8
+    # "8k dominates every axis" was an n_probe artifact: with n_probe
+    # FIXED at 4, 8k probed 5% of the corpus vs 33% for coarse configs
+    # and still won — a different contest than what default DDL serves.
+    # Coarser than 25k is strictly dominated (recall <=0.83, builds
+    # 1.5-1.9x slower uncapped with single-core giant-shard stragglers);
+    # the 60k max_shard_rows cap stays essential for exactly that reason.
     HNSW_SHARD_TARGET_ROWS = 25_000
     # ... clamped: a fixed target would mint millions of shards at 10^9+
     # rows (driver centroid k-means and the routing table would become
