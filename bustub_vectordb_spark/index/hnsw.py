@@ -1524,6 +1524,55 @@ class ShardedHNSW:
             default_n_probe=self.default_n_probe, params=params,
         )
 
+    def quantize_pq_local(
+        self, m: int = 16, k: int = 32, max_iter: int = 5
+    ) -> "ShardedHNSW":
+        """PQ-compress every shard with codebooks trained on ITS OWN rows
+        (:func:`train_local_pq`) — the multi-modal-shard fix, mirroring
+        quantize_bq's per-shard thresholds: no global model exists, each
+        pickled graph carries its own books (O(m·k·dsub) floats per shard
+        — smaller than one row batch). Insert into an existing shard
+        encodes against its frozen books (the frozen-quantizer contract);
+        a shard born EMPTY trains its books on its first arriving batch
+        (id-sorted — deterministic, replayed identically offline). Serve
+        with probe(rerank=source) exactly like the other compressed
+        tiers."""
+        import pickle
+
+        import pandas as pd
+
+        from ..shipping import ensure_package_on_workers
+
+        ensure_package_on_workers(self._spark)
+        m_i, k_i, it_i = int(m), int(k), int(max_iter)
+
+        def run(batches):
+            for pdf in batches:
+                out_s, out_b = [], []
+                for shard, blob in zip(pdf["shard"], pdf["blob"]):
+                    g = pickle.loads(blob)
+                    if g.vecs is not None and len(g.ids):
+                        books, bounds = train_local_pq(g.vecs, m_i, k_i, it_i)
+                        g.quantize_pq(books, bounds)
+                    # empty graphs stay float — the insert path trains
+                    # their books on the first arriving batch
+                    out_s.append(shard)
+                    out_b.append(pickle.dumps(g))
+                yield pd.DataFrame({"shard": out_s, "blob": out_b})
+
+        blobs = self.blobs.mapInPandas(run, "shard long, blob binary").localCheckpoint(
+            eager=True
+        )
+        params = dict(
+            self.params or {}, pq_local=1, pq_local_m=m_i, pq_local_k=k_i,
+            pq_local_iter=it_i,
+        )
+        return ShardedHNSW(
+            self.vec_col, self.id_col, self.dist, blobs, self._spark,
+            centroids=self.centroids, id_type=self.id_type,
+            default_n_probe=self.default_n_probe, params=params,
+        )
+
     def rank_shards(self, query: list[float]) -> list[int]:
         """Nearest-centroid shard order (driver-side, |shards| entries) —
         same scoring orientation as IVFFlat.rank_buckets."""
@@ -1883,6 +1932,20 @@ class ShardedHNSW:
                 new_pdf["__nid"].tolist(),
                 np.asarray(new_pdf["__nv"].tolist(), dtype=np.float64),
             )
+            if (
+                blob is None
+                and p.get("pq_local")
+                and g.vecs is not None
+                and len(g.ids)
+            ):
+                # local-PQ index, shard born empty: its books train on
+                # this first (id-sorted) batch — deterministic, and the
+                # frozen-quantizer contract holds for later inserts
+                books, bounds = train_local_pq(
+                    g.vecs, p.get("pq_local_m", 16), p.get("pq_local_k", 32),
+                    p.get("pq_local_iter", 5),
+                )
+                g.quantize_pq(books, bounds)
             return pd.DataFrame({"shard": [shard], "blob": [pickle.dumps(g)]})
 
         # DELTA upsert via COGROUP: each touched shard's new rows arrive as
@@ -2388,6 +2451,35 @@ def _offline_quantized_batch(
     return out
 
 
+def train_local_pq(mat: "np.ndarray", m: int, k: int, max_iter: int = 5):
+    """Per-SHARD PQ codebooks trained on the shard's OWN rows — the PQ
+    twin of quantize_bq(local=True), and the multi-modal-shard fix the
+    1.2M drill demanded: at DDL-default granularity a shard holds several
+    modes, so one global codebook (even residual against the shard
+    centroid — a point BETWEEN the modes) spends its budget re-separating
+    them and within-mode resolution collapses (measured deep-rerank
+    recall 0.308 global / 0.51 residual at 48 shards over 256 clusters).
+    A codebook trained on just this shard's rows covers its local modes
+    by construction. Fold-exact Lloyd's (no BLAS in the train surface),
+    id-ordered init prefix (``mat`` arrives id-sorted from the
+    deterministic shard build) — workers and offline replays derive
+    identical books. k clamps to the shard size.
+
+    Returns (books, bounds) in _Graph.quantize_pq's format."""
+    from ..similarity.pq import _split
+    from .vamana import _lloyds_fold_exact
+
+    n, dim = mat.shape
+    k_eff = max(1, min(k, n))
+    bounds = [[int(s), int(e)] for s, e in _split(dim, m)]
+    books = []
+    for s, e in bounds:
+        sub = np.ascontiguousarray(mat[:, s:e], dtype=np.float64)
+        cents = _lloyds_fold_exact(sub, sub[:k_eff].copy(), max_iter)
+        books.append([[float(x) for x in row] for row in cents])
+    return books, bounds
+
+
 def routed_residual_df(df, vec_col: str, id_col: str, centroids):
     """(id, __shard, __res = x − centroid[nearest shard]) — the training
     source for ``ShardedHNSW.quantize_pq(model, residual=True)``: train
@@ -2421,29 +2513,21 @@ def routed_residual_df(df, vec_col: str, id_col: str, centroids):
     )
 
 
-def offline_routed_pq_probe(
-    centroids: list[list[float]],
-    graphs: dict[int, _Graph],
-    vectors_by_id: dict,
-    query: list[float],
-    k: int,
-    n_probe: int,
-    model,
-    dist: str = "l2",
-    rerank_mult: int = 4,
-    residual: bool = False,
-    pq_centers=None,
-) -> list[tuple]:
-    """Replay ``ShardedHNSW.quantize_pq(model).probe(..., rerank=src)`` —
-    the PQ twin of :func:`offline_routed_sq8_probe`: quantize the replayed
-    graphs with the same codebooks, walk each probed shard for
-    k·rerank_mult reconstruction-distance candidates, rerank the candidate
-    ids with the exact left-fold arithmetic Spark's functions.vector
-    expressions evaluate. ``residual`` mirrors
-    ``quantize_pq(model, residual=True)`` (per-shard routing-centroid
-    centers). ``pq_centers`` instead ships ONE frozen multi-center set
-    into every graph (the vamana entry-cell residual mode).
-    Returns [(id, exact_distance)]."""
+def _quantize_pq_like_sharded(
+    graphs, centroids, model, residual, pq_centers, local_mk
+) -> None:
+    """The exact PQ-quantization rule the distributed paths apply, shared
+    by both offline replays: global codebooks, per-shard routing-centroid
+    residual, frozen multi-center (vamana entry cells), or per-graph
+    LOCAL books (quantize_pq_local's train_local_pq, run verbatim on the
+    replayed graphs — the shard build is id-sorted both sides)."""
+    if local_mk is not None:
+        m_i, k_i, it_i = local_mk
+        for g in graphs.values():
+            if g.vecs is not None and len(g.ids):
+                books, bounds = train_local_pq(g.vecs, m_i, k_i, it_i)
+                g.quantize_pq(books, bounds)
+        return
     books = [[[float(x) for x in row] for row in b] for b in model.centroids]
     bounds = [[int(s), int(e)] for s, e in model.bounds]
     for b, g in graphs.items():
@@ -2455,6 +2539,35 @@ def offline_routed_pq_probe(
                 else [[float(x) for x in centroids[b]]] if residual else None
             ),
         )
+
+
+def offline_routed_pq_probe(
+    centroids: list[list[float]],
+    graphs: dict[int, _Graph],
+    vectors_by_id: dict,
+    query: list[float],
+    k: int,
+    n_probe: int,
+    model=None,
+    dist: str = "l2",
+    rerank_mult: int = 4,
+    residual: bool = False,
+    pq_centers=None,
+    local_mk=None,
+) -> list[tuple]:
+    """Replay ``ShardedHNSW.quantize_pq(model).probe(..., rerank=src)`` —
+    the PQ twin of :func:`offline_routed_sq8_probe`: quantize the replayed
+    graphs with the same codebooks, walk each probed shard for
+    k·rerank_mult reconstruction-distance candidates, rerank the candidate
+    ids with the exact left-fold arithmetic Spark's functions.vector
+    expressions evaluate. ``residual`` mirrors
+    ``quantize_pq(model, residual=True)`` (per-shard routing-centroid
+    centers). ``pq_centers`` instead ships ONE frozen multi-center set
+    into every graph (the vamana entry-cell residual mode). ``local_mk``
+    = (m, k, max_iter) replays ``quantize_pq_local`` — per-graph books
+    trained on the replayed graph's own rows (``model`` unused).
+    Returns [(id, exact_distance)]."""
+    _quantize_pq_like_sharded(graphs, centroids, model, residual, pq_centers, local_mk)
 
     def score(c: list[float]) -> float:
         if dist == "l2":
@@ -2505,29 +2618,21 @@ def offline_routed_pq_batch(
     queries: list[tuple],
     k: int,
     n_probe: int,
-    model,
+    model=None,
     rerank_mult: int = 4,
     residual: bool = False,
     pq_centers=None,
+    local_mk=None,
 ) -> list[tuple]:
     """Replay ``ShardedHNSW.quantize_pq(model).search_batch(..., rerank=src)``
     for l2 routed builds — the PQ twin of :func:`offline_routed_sq8_batch`:
     same routing fold arithmetic, reconstruction-distance walks for
     k·rerank_mult candidates, exact left-fold l2 rerank, (d, id)-ordered
     top-k. ``residual`` mirrors ``quantize_pq(model, residual=True)``;
-    ``pq_centers`` the vamana entry-cell multi-center mode.
+    ``pq_centers`` the vamana entry-cell multi-center mode; ``local_mk``
+    the per-graph local-books mode (quantize_pq_local).
     Returns [(qid, id, d)]."""
-    books = [[[float(x) for x in row] for row in b] for b in model.centroids]
-    bounds = [[int(s), int(e)] for s, e in model.bounds]
-    for b, g in graphs.items():
-        g.quantize_pq(
-            books, bounds,
-            centers=(
-                pq_centers
-                if pq_centers is not None
-                else [[float(x) for x in centroids[b]]] if residual else None
-            ),
-        )
+    _quantize_pq_like_sharded(graphs, centroids, model, residual, pq_centers, local_mk)
     out = []
     for qid, qv in queries:
         ranked = sorted((_l2_sq_fold(qv, c), b) for b, c in enumerate(centroids))

@@ -4589,6 +4589,56 @@ def q_ann_hnsw_routed_pqr_rerank(spark, sf_dir):
     )
 
 
+def _hnsw_routed_pql_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed_pq_probe
+
+    cents, graphs = _offline_routed_cached(mutable=True)
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    hits = offline_routed_pq_probe(
+        cents, graphs, vecs, QUERY_VEC, 10, 2, local_mk=(16, 32, 5)
+    )
+    rows = [(int(i), float(d)) for i, d in hits]
+    return (
+        f"SELECT vec_id, round(CAST(d AS DOUBLE), 8) AS distance "
+        f"FROM {_hits_values_sql(rows, 'vec_id, d')} ORDER BY d ASC, vec_id ASC"
+    )
+
+
+@_register("ann_hnsw_routed_pql_rerank", _hnsw_routed_pql_oracle)
+def q_ann_hnsw_routed_pql_rerank(spark, sf_dir):
+    # LOCAL per-shard PQ codebooks (quantize_pq_local) — the PQ twin of
+    # BQ's per-shard thresholds, and the multi-modal-shard fix: at
+    # DDL-default granularity a shard holds several modes, so even
+    # residual codes against the shard centroid (a point BETWEEN modes)
+    # collapse (1.2M drill: 0.308 global / 0.51 residual deep recall at
+    # 48 shards over 256 clusters); books trained on just this shard's
+    # rows cover its local modes by construction. No global model — each
+    # pickled graph carries its own books. Exact offline replay
+    # (offline_routed_pq_probe(local_mk), fold-exact per-shard training
+    # both sides).
+    from .index.hnsw import HNSWIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "hnsw_routed_pql")
+    if key not in _INDEX_CACHE:
+        rkey = (sf_dir, "hnsw_routed")
+        if rkey not in _INDEX_CACHE:
+            _INDEX_CACHE[rkey] = HNSWIndex.build_routed(
+                emb, "embedding", "vec_id", **_routed_params()
+            )
+        _INDEX_CACHE[key] = _INDEX_CACHE[rkey].quantize_pq_local(m=16, k=32)
+    probe = _INDEX_CACHE[key].probe(QUERY_VEC, 10, n_probe=2, rerank=emb)
+    return (
+        probe.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", F.round("distance", 8).alias("distance"))
+    )
+
+
 def _hnsw_routed_insert_oracle() -> str:
     import pyarrow.parquet as pq
 

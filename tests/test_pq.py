@@ -347,3 +347,93 @@ def test_routed_residual_pq_insert_uses_frozen_center(spark):
     pqx2 = pqx.insert(new)
     got = {r["vec_id"] for r in pqx2.probe(b[0].tolist(), 3, rerank=None).collect()}
     assert got & {1000 + i for i in range(8)}, got
+
+
+def test_routed_local_pq_beats_centroid_residual_on_multimodal_shards(spark):
+    """When shards are COARSER than the cluster structure (the DDL-default
+    geometry at scale), even residual codes against the shard centroid
+    collapse — the centroid sits BETWEEN the shard's modes, so residuals
+    keep the multi-modal offsets and the global codebook budget
+    re-separates them (1.2M drill: 0.308 global / 0.51 residual deep
+    recall at 48 shards over 256 clusters). Per-shard LOCAL books
+    (quantize_pq_local) train on the shard's own rows and cover its modes
+    by construction. Planted miniature: 2 shards over 8 clusters."""
+    from bustub_vectordb_spark.index.hnsw import (
+        HNSWIndex,
+        routed_residual_df,
+    )
+    from bustub_vectordb_spark.similarity.brute import knn
+
+    rng = np.random.RandomState(23)
+    CL = 8
+    centers = rng.uniform(-20, 20, size=(CL, 16))
+    rows = [
+        (i, (centers[i % CL] + rng.normal(0, 0.1, 16)).tolist())
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    routed = HNSWIndex.build_routed(
+        df, "embedding", "vec_id", shards=2, m=8,
+        ef_construction=48, ef_search=48,
+    )
+    queries = [rows[i][1] for i in (5, 100, 201)]
+    exact = {
+        i: {r["vec_id"] for r in knn(df, "embedding", q, 10).collect()}
+        for i, q in enumerate(queries)
+    }
+
+    def recall(idx):
+        # deep shortlist (the serving default for 1-bit codes, and the
+        # geometry the drill measures): within a tight cluster ADC decodes
+        # collapse toward the codewords, so shortlist DEPTH, not order,
+        # carries the recall
+        tot = 0.0
+        for i, q in enumerate(queries):
+            got = {
+                r["vec_id"]
+                for r in idx.probe(
+                    q, 10, n_probe=1, rerank=df, rerank_mult=16
+                ).collect()
+            }
+            tot += len(got & exact[i]) / 10
+        return tot / len(queries)
+
+    model = PQModel.train(
+        routed_residual_df(df, "embedding", "vec_id", routed.centroids),
+        "__res", "vec_id", m=4, k=16,
+    )
+    r_res = recall(routed.quantize_pq(model, residual=True))
+    r_loc = recall(routed.quantize_pq_local(m=4, k=16))
+    # the miniature can't reproduce the drill's 20pt gap (3 queries, deep
+    # rerank covers much of a 1.5k-row shard) — pin the floor and
+    # no-regression-vs-residual; the 1.2M drill row carries the ordering
+    assert r_loc >= 0.8, (r_loc, r_res)
+    assert r_loc >= r_res - 0.05, (r_loc, r_res)
+
+
+def test_routed_local_pq_insert_trains_empty_shard_books(spark):
+    """Insert routing rows to a shard born empty on a local-PQ index:
+    the shard's books train on the arriving (id-sorted) batch and the
+    rows are findable afterward."""
+    from bustub_vectordb_spark.index.hnsw import HNSWIndex
+
+    rng = np.random.RandomState(29)
+    a = rng.normal(0, 0.2, size=(300, 8))
+    b = rng.normal(30, 0.2, size=(20, 8))
+    df_a = spark.createDataFrame(
+        [(i, a[i].tolist()) for i in range(300)],
+        "vec_id bigint, embedding array<double>",
+    )
+    routed = HNSWIndex.build_routed(
+        df_a, "embedding", "vec_id", shards=2, m=4,
+        ef_construction=16, ef_search=16,
+    )
+    pql = routed.quantize_pq_local(m=4, k=8)
+    assert pql.params.get("pq_local") == 1
+    new = spark.createDataFrame(
+        [(1000 + i, b[i].tolist()) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    pql2 = pql.insert(new)
+    got = {r["vec_id"] for r in pql2.probe(b[0].tolist(), 3).collect()}
+    assert got & {1000 + i for i in range(20)}, got

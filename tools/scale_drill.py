@@ -163,6 +163,10 @@ def main():
     # opt-in: in-graph PQ over the routed shards (global vs residual) —
     # the r9 IVFADC-threading validation; composes with the hnsw section
     ap.add_argument("--pq-graph", dest="pq_graph", action="store_true")
+    # which in-graph PQ tiers the --pq-graph section runs (comma list of
+    # global,residual,local) — re-drills of one tier skip the others'
+    # expensive training passes
+    ap.add_argument("--pq-tiers", dest="pq_tiers", default="global,residual,local")
     # opt-in: serve the partitioned-vamana tier at several n_probe values
     # (comma list) so the DDL default can be chosen from the
     # recall/latency surface (VERDICT r8 #6)
@@ -295,38 +299,69 @@ def main():
             from bustub_vectordb_spark.index.hnsw import routed_residual_df
             from bustub_vectordb_spark.similarity.pq import PQModel
 
-            t0 = time.time()
-            gmodel = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
-            gpq = routed.quantize_pq(gmodel)
-            times["hnsw_routed_pq_quantize"] = round(time.time() - t0, 1)
-            _log(f"pq global quantize done {times['hnsw_routed_pq_quantize']}s")
-            t0 = time.time()
-            hits = gpq.search_batch(
-                qdf, "embedding", "qid", K, n_probe=args.n_probe, rerank=emb,
-                rerank_mult=16,
-            ).collect()
-            times["hnsw_routed_pq_batch_deep"] = round(time.time() - t0, 1)
-            report["recall_hnsw_routed_pq_deep16"] = round(recall(truth, hits), 4)
-            _log(f"pq global deep batch done recall="
-                 f"{report['recall_hnsw_routed_pq_deep16']}")
+            tiers = set(args.pq_tiers.split(","))
+            if "global" in tiers:
+                t0 = time.time()
+                gmodel = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
+                gpq = routed.quantize_pq(gmodel)
+                times["hnsw_routed_pq_quantize"] = round(time.time() - t0, 1)
+                _log(f"pq global quantize done {times['hnsw_routed_pq_quantize']}s")
+                t0 = time.time()
+                hits = gpq.search_batch(
+                    qdf, "embedding", "qid", K, n_probe=args.n_probe,
+                    rerank=emb, rerank_mult=16,
+                ).collect()
+                times["hnsw_routed_pq_batch_deep"] = round(time.time() - t0, 1)
+                report["recall_hnsw_routed_pq_deep16"] = round(
+                    recall(truth, hits), 4
+                )
+                _log(f"pq global deep batch done recall="
+                     f"{report['recall_hnsw_routed_pq_deep16']}")
 
-            t0 = time.time()
-            rmodel = PQModel.train(
-                routed_residual_df(emb, "embedding", "vec_id", routed.centroids),
-                "__res", "vec_id", m=16, k=32,
-            )
-            rpq = routed.quantize_pq(rmodel, residual=True)
-            times["hnsw_routed_pqr_quantize"] = round(time.time() - t0, 1)
-            _log(f"pq residual quantize done {times['hnsw_routed_pqr_quantize']}s")
-            t0 = time.time()
-            hits = rpq.search_batch(
-                qdf, "embedding", "qid", K, n_probe=args.n_probe, rerank=emb,
-                rerank_mult=16,
-            ).collect()
-            times["hnsw_routed_pqr_batch_deep"] = round(time.time() - t0, 1)
-            report["recall_hnsw_routed_pqr_deep16"] = round(recall(truth, hits), 4)
-            _log(f"pq residual deep batch done recall="
-                 f"{report['recall_hnsw_routed_pqr_deep16']}")
+            if "residual" in tiers:
+                t0 = time.time()
+                rmodel = PQModel.train(
+                    routed_residual_df(
+                        emb, "embedding", "vec_id", routed.centroids
+                    ),
+                    "__res", "vec_id", m=16, k=32,
+                )
+                rpq = routed.quantize_pq(rmodel, residual=True)
+                times["hnsw_routed_pqr_quantize"] = round(time.time() - t0, 1)
+                _log(f"pq residual quantize done "
+                     f"{times['hnsw_routed_pqr_quantize']}s")
+                t0 = time.time()
+                hits = rpq.search_batch(
+                    qdf, "embedding", "qid", K, n_probe=args.n_probe,
+                    rerank=emb, rerank_mult=16,
+                ).collect()
+                times["hnsw_routed_pqr_batch_deep"] = round(time.time() - t0, 1)
+                report["recall_hnsw_routed_pqr_deep16"] = round(
+                    recall(truth, hits), 4
+                )
+                _log(f"pq residual deep batch done recall="
+                     f"{report['recall_hnsw_routed_pqr_deep16']}")
+
+            if "local" in tiers:
+                # per-shard LOCAL books (quantize_pq_local) — the
+                # multi-modal-shard fix; no global model, no training pass
+                # over the corpus (each worker trains on its own shard)
+                t0 = time.time()
+                lpq = routed.quantize_pq_local(m=16, k=32)
+                times["hnsw_routed_pql_quantize"] = round(time.time() - t0, 1)
+                _log(f"pq local quantize done "
+                     f"{times['hnsw_routed_pql_quantize']}s")
+                t0 = time.time()
+                hits = lpq.search_batch(
+                    qdf, "embedding", "qid", K, n_probe=args.n_probe,
+                    rerank=emb, rerank_mult=16,
+                ).collect()
+                times["hnsw_routed_pql_batch_deep"] = round(time.time() - t0, 1)
+                report["recall_hnsw_routed_pql_deep16"] = round(
+                    recall(truth, hits), 4
+                )
+                _log(f"pq local deep batch done recall="
+                     f"{report['recall_hnsw_routed_pql_deep16']}")
 
     if not args.skip_vamana:
         # ---- merged vamana → partitioned serving (the frozen tier) ----
