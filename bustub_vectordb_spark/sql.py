@@ -353,13 +353,30 @@ class SqlEngine:
     # rows (driver centroid k-means and the routing table would become
     # their own problem). Past the clamp, shards grow instead.
     HNSW_MAX_AUTO_SHARDS = 1024
+    # QUANTIZED in-graph tiers (bq=1 / pq=1) auto-shard much finer: 1-bit
+    # and coded shards are mode-limited — a shard holding several clusters
+    # collapses the code resolution no matter how the codes are cut
+    # (r9 1.2M × 256-cluster drill at ~25% probed fraction, deep rerank:
+    # 25k/48sh BQ 0.406 / local-PQ 0.678; 8k/150sh 0.586 / 0.818;
+    # 4.7k/256sh = shards≈clusters: BQ 0.798, local-PQ 0.900 — and the
+    # fine build is 4.7x FASTER, 146s vs 680s;
+    # drills/drill_1200k_r9_pq_graph_*.json). SQ8 keeps the float target
+    # (its decode error is sub-mode: recall 1.0 at every density
+    # measured). Same 1024 clamp; past it shards grow and rerank depth is
+    # the remaining knob.
+    HNSW_SHARD_TARGET_ROWS_QUANTIZED = 5_000
 
-    def _auto_shards(self, n_rows: int) -> int:
+    def _auto_shards(self, n_rows: int, quantized: bool = False) -> int:
         import math as _math
 
+        target = (
+            self.HNSW_SHARD_TARGET_ROWS_QUANTIZED
+            if quantized
+            else self.HNSW_SHARD_TARGET_ROWS
+        )
         return max(
             2,
-            min(self.HNSW_MAX_AUTO_SHARDS, _math.ceil(n_rows / self.HNSW_SHARD_TARGET_ROWS)),
+            min(self.HNSW_MAX_AUTO_SHARDS, _math.ceil(n_rows / target)),
         )
 
     def __init__(self, spark: SparkSession):
@@ -638,7 +655,14 @@ class SqlEngine:
                     # big table: never collect() it to the driver — IVF-routed
                     # sharded build, probes pruned to the n_probe nearest
                     # shards (the 100 TB shape; hnsw.build_routed)
-                    shards = opts.get("shards", self._auto_shards(n))
+                    # bq/pq in-graph codes are mode-limited: default to the
+                    # finer quantized shard target (see the constant note)
+                    shards = opts.get(
+                        "shards",
+                        self._auto_shards(
+                            n, quantized=bool(opts.get("bq") or opts.get("pq"))
+                        ),
+                    )
                     idx = HNSWIndex.build_routed(df, col, id_col, shards=shards, **common)
                     idx.default_n_probe = opts.get("n_probe", max(2, shards // 4))
                     if opts.get("sq8"):
@@ -654,33 +678,41 @@ class SqlEngine:
                         )
                         idx.default_n_probe = n_probe
                     elif opts.get("pq"):
-                        # WITH (pq=1[, pq_m=M, pq_k=K, pq_residual=0]) on a
-                        # routed build: shard graphs store product-
+                        # WITH (pq=1[, pq_m=M, pq_k=K, pq_residual=0|1]) on
+                        # a routed build: shard graphs store product-
                         # quantization codes (m bytes/vector); serve via
-                        # probe(rerank=source). Residual by default (r9):
-                        # a k-means shard is one cluster, and global
-                        # codebooks re-separate the clusters the routing
-                        # already separated — codes collapse at density
-                        # (the 1.2M IVF drill's 0.128-vs-0.906 finding,
-                        # same mechanism in-graph). Codebooks train on
-                        # x − centroid[shard]; pq_residual=0 opts out.
+                        # probe(rerank=source). Default = per-shard LOCAL
+                        # codebooks (quantize_pq_local): the r9 1.2M drill
+                        # ordered the tiers local > residual-vs-shard-
+                        # centroid > global at every geometry (0.678/0.51/
+                        # 0.308 at 48 shards; 0.900 local at the quantized
+                        # default granularity) — a shard's own books cover
+                        # its modes by construction, and there is no
+                        # corpus-wide training pass. pq_residual=1 selects
+                        # the global-model residual mode, pq_residual=0
+                        # the plain global-codebook mode.
                         from .index.hnsw import routed_residual_df
                         from .similarity.pq import PQModel
 
-                        res = bool(opts.get("pq_residual", 1))
-                        if res:
-                            model = PQModel.train(
-                                routed_residual_df(df, col, id_col, idx.centroids),
-                                "__res", id_col,
-                                m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
-                            )
-                        else:
-                            model = PQModel.train(
-                                df, col, id_col,
-                                m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
-                            )
                         n_probe = idx.default_n_probe
-                        idx = idx.quantize_pq(model, residual=res)
+                        if "pq_residual" in opts:
+                            res = bool(opts.get("pq_residual"))
+                            if res:
+                                model = PQModel.train(
+                                    routed_residual_df(df, col, id_col, idx.centroids),
+                                    "__res", id_col,
+                                    m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
+                                )
+                            else:
+                                model = PQModel.train(
+                                    df, col, id_col,
+                                    m=opts.get("pq_m", 16), k=opts.get("pq_k", 32),
+                                )
+                            idx = idx.quantize_pq(model, residual=res)
+                        else:
+                            idx = idx.quantize_pq_local(
+                                m=opts.get("pq_m", 16), k=opts.get("pq_k", 32)
+                            )
                         idx.default_n_probe = n_probe
                     elif opts.get("bq"):
                         # WITH (bq=1[, bq_rot_seed=S]) on a routed build:

@@ -253,7 +253,9 @@ def test_create_index_hnsw_routed_pq(spark):
         " pq = 1, pq_m = 3, pq_k = 4)"
     )
     idx = next(i for i in e.indexes.lookup("mtpq", "v1") if i.name == "mpq1").index
-    assert "pq_books" in idx.params and idx.default_n_probe == 2
+    # r9: routed pq=1 defaults to per-shard LOCAL books (books live in the
+    # blobs; params record the mode + train knobs)
+    assert idx.params.get("pq_local") == 1 and idx.default_n_probe == 2
     hits = idx.probe([1.0, 2.0, 3.0], 2, rerank=e.catalog.tables["mtpq"].df).collect()
     assert len(hits) == 2
 
@@ -473,11 +475,15 @@ def test_create_index_hnsw_routed_bq_rotated(spark):
 
 
 def test_ddl_auto_shard_granularity(spark):
-    """The auto-shard default is DATA-CHOSEN (r7 2.2M drill: 3.5x faster
-    build at ~8.6k rows/shard, identical recall; r8 600k A/B: 8k/75sh
-    dominates 25k/24sh on build/serve/recall): 25k rows per shard, shard
-    count clamped at 1024 so 10^9-row tables don't mint millions of
-    driver centroids — past the clamp, shards grow instead."""
+    """The auto-shard default is DATA-CHOSEN. Float tier: 25k rows/shard
+    (r9 clean 600k sweep, drills/shard_ab_600k_clean_r9.json — at the DDL
+    n_probe rule 25k is the recall winner, 0.984 vs 0.946 at 8k).
+    QUANTIZED tiers (bq/pq): 5k rows/shard — 1-bit and coded shards are
+    mode-limited, and the r9 1.2M drill measured BQ 0.406 -> 0.798 and
+    local-PQ 0.678 -> 0.900 going 25k -> ~5k granularity with a 4.7x
+    FASTER build (drills/drill_1200k_r9_pq_graph_*.json). Both clamp at
+    1024 shards so 10^9-row tables don't mint millions of driver
+    centroids — past the clamp, shards grow instead."""
     from bustub_vectordb_spark.sql import SqlEngine
 
     e = SqlEngine(spark)
@@ -487,6 +493,10 @@ def test_ddl_auto_shard_granularity(spark):
     assert e._auto_shards(2_200_000) == 88
     assert e._auto_shards(100_000_000) == 1024  # clamped
     assert e._auto_shards(10) == 2  # floor
+    assert e.HNSW_SHARD_TARGET_ROWS_QUANTIZED == 5_000
+    assert e._auto_shards(1_200_000, quantized=True) == 240
+    assert e._auto_shards(600_000, quantized=True) == 120
+    assert e._auto_shards(100_000_000, quantized=True) == 1024  # clamped
 
 
 def test_merge_rejects_duplicate_source_keys(engine):
@@ -570,16 +580,24 @@ def test_ddl_pq_residual_defaults(spark):
     idx2 = next(i for i in e.indexes.lookup("pr", "v1") if i.name == "pr2").index
     assert idx2.residual is False
 
-    # routed hnsw: params record the residual mode
+    # routed hnsw: per-shard LOCAL books by default (r9 drill ordering);
+    # pq_residual=1 still selects the global-model residual mode
     e.execute(
         "CREATE INDEX pr3 ON pr USING hnsw (v1 vector_l2_ops)"
         " WITH (m = 4, ef_construction = 8, ef_search = 8, shards = 2,"
         " pq = 1, pq_m = 2, pq_k = 4)"
     )
     idx3 = next(i for i in e.indexes.lookup("pr", "v1") if i.name == "pr3").index
-    assert idx3.params.get("pq_residual") == 1
+    assert idx3.params.get("pq_local") == 1
     hits = idx3.probe([1.0, 1.0, 1.0, 1.0], 2, rerank=e.catalog.tables["pr"].df)
     assert len(hits.collect()) == 2
+    e.execute(
+        "CREATE INDEX pr3r ON pr USING hnsw (v1 vector_l2_ops)"
+        " WITH (m = 4, ef_construction = 8, ef_search = 8, shards = 2,"
+        " pq = 1, pq_m = 2, pq_k = 4, pq_residual = 1)"
+    )
+    idx3r = next(i for i in e.indexes.lookup("pr", "v1") if i.name == "pr3r").index
+    assert idx3r.params.get("pq_residual") == 1
 
     # vamana: entry-cell centers frozen into params
     e.execute(

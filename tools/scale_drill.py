@@ -171,6 +171,9 @@ def main():
     # (comma list) so the DDL default can be chosen from the
     # recall/latency surface (VERDICT r8 #6)
     ap.add_argument("--vamana-nprobe-sweep", dest="vamana_nprobe_sweep", default="")
+    # opt-in: residual PQ (entry-cell centers) on the merged/partitioned
+    # vamana tiers — the r9 graph-blob threading validation
+    ap.add_argument("--vamana-pq", dest="vamana_pq", action="store_true")
     args = ap.parse_args()
 
     from bustub_vectordb_spark.session import get_spark
@@ -398,6 +401,50 @@ def main():
         times["vamana_partitioned_batch"] = round(time.time() - t0, 1)
         _log(f"partitioned batch done {times['vamana_partitioned_batch']}s")
         report["recall_vamana_partitioned"] = round(recall(truth, hits), 4)
+
+        if args.vamana_pq:
+            # ---- residual PQ on the graph blobs (entry-cell centers):
+            # merged driver-walk serving + partitioned shells, both with
+            # exact deep rerank — the r9 IVFADC graph-blob threading ----
+            from bustub_vectordb_spark.similarity.pq import PQModel
+
+            t0 = time.time()
+            vmodel = PQModel.train(
+                vam.residual_source(), "__res", "vec_id", m=16, k=32
+            )
+            vpq = vam.quantize_pq(vmodel, residual=True)
+            times["vamana_pqr_train"] = round(time.time() - t0, 1)
+            _log(f"vamana pqr train done {times['vamana_pqr_train']}s "
+                 f"(centers={len(vpq.params['pq_centers'])})")
+            if n <= vpq.serve_cap():
+                t0 = time.time()
+                mhits = []
+                for q, v in zip(qids, qmat):
+                    h = vpq.probe(v.tolist(), K).collect()
+                    mhits.extend(
+                        [{"qid": q, "vec_id": r["vec_id"]} for r in h]
+                    )
+                times["vamana_pqr_merged_probe_50"] = round(time.time() - t0, 1)
+                report["recall_vamana_pqr_merged"] = round(
+                    recall(truth, mhits), 4
+                )
+                _log(f"vamana pqr merged probes done recall="
+                     f"{report['recall_vamana_pqr_merged']}")
+            t0 = time.time()
+            vpart = vpq.to_partitioned(cells=args.cells, n_probe=args.n_probe)
+            vpart.blobs.cache().count()
+            times["vamana_pqr_to_partitioned"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            hits = vpart.search_batch(
+                qdf, "embedding", "qid", K, n_probe=args.n_probe, rerank=emb,
+                rerank_mult=16,
+            ).collect()
+            times["vamana_pqr_partitioned_batch"] = round(time.time() - t0, 1)
+            report["recall_vamana_pqr_partitioned"] = round(
+                recall(truth, hits), 4
+            )
+            _log(f"vamana pqr partitioned batch done recall="
+                 f"{report['recall_vamana_pqr_partitioned']}")
 
         if args.vamana_nprobe_sweep:
             # recall/latency surface over n_probe at fixed cells — serving
