@@ -250,6 +250,49 @@ def _cell_entry_points(
     return out
 
 
+def _attach_unreached(
+    layer0: dict, mat: "np.ndarray", entry: int, entry_points
+) -> None:
+    """REACHABILITY REPAIR for a partitioned-cell shell (r9): restricting
+    the merged adjacency to in-cell edges leaves some members with zero
+    IN-edges — beam search can never reach them from the cell's seeds, at
+    ANY n_probe (measured: partitioned recall pinned at exactly 0.858
+    across n_probe 2..32 on the 1.2M drill — the missing mass was
+    unreachable, not unprobed). Every vertex not referenced by any edge
+    (and not itself a seed) gets ONE reverse edge from its nearest
+    ALREADY-REACHABLE vertex (fold-exact distances, (d, id) ties,
+    id-ordered processing; picking the donor from the reachable set makes
+    the repaired vertex reachable by induction). Local edges only — the
+    donor is the orphan's nearest neighbor, so the beam passes it exactly
+    when the orphan is relevant. Mutates ``layer0`` in place; shared
+    VERBATIM by to_partitioned's worker closure and
+    offline_vamana_partitioned."""
+    n = len(mat)
+    reachable = set()
+    for v, nbs in layer0.items():
+        reachable.update(int(x) for x in nbs)
+    reachable.add(int(entry))
+    reachable.update(int(x) for x in (entry_points or []))
+    orphans = [v for v in range(n) if v not in reachable]
+    if not orphans or len(reachable) == 0:
+        return
+    # one vectorized fold-exact pass: every orphan's donor comes from the
+    # INITIAL reachable set (never another orphan), so reachability holds
+    # without chasing repair chains
+    cand = sorted(reachable)
+    cmat = mat[cand]
+    omat = mat[orphans]
+    d = np.zeros((len(orphans), len(cand)), dtype=np.float64)
+    for j in range(mat.shape[1]):
+        diff = omat[:, j : j + 1] - cmat[:, j]
+        d += diff * diff
+    donors = np.argmin(d, axis=1)  # first-min ties -> lowest id
+    for v, ui in zip(orphans, donors):  # id-ordered appends
+        u = cand[int(ui)]
+        layer0.setdefault(u, [])
+        layer0[u] = list(layer0[u]) + [v]
+
+
 def _normalize_expr(vec):
     """Unit-normalize an array<double> column with REPLAYABLE arithmetic:
     sequential square fold → sqrt → 1e-300-guarded divide, mirrored
@@ -1136,6 +1179,7 @@ class VamanaIndex:
             eps = _cell_entry_points(mat, ids)
             if eps:
                 g.entry_points = eps
+            _attach_unreached(layer0, mat, g.entry, eps)
             if books is not None:
                 # pq_centers (residual): the FULL frozen center set rides
                 # into every shell — per-member cells assign fold-exactly
@@ -1741,6 +1785,7 @@ def offline_vamana_partitioned(
         eps = _cell_entry_points(mat, mids)
         if eps:
             sg.entry_points = eps
+        _attach_unreached(layer0, mat, sg.entry, eps)
         if model is not None:
             # pq_centers mirrors the residual to_partitioned shells (the
             # full frozen center set rides into every shell)

@@ -7423,8 +7423,9 @@ _GATE_WINDOW = [
     "ann_bq_rotated_hamming",
     "ann_hnsw_routed_bqr_rerank",
     "ann_ivfpq_residual_rerank",
-    # --- new in round 9 (residual IVFADC threading) ---
+    # --- new in round 9 (residual IVFADC threading + local books) ---
     "ann_hnsw_routed_pqr_rerank",
+    "ann_hnsw_routed_pql_rerank",
     "ann_vamana_pqr_rerank",
     "ann_vamana_partitioned_pqr_batch",
     # --- re-gates of entries whose code paths this round touched
@@ -7448,7 +7449,6 @@ _GATE_WINDOW = [
     "index_scan_ordered",
     "agg_simple",
     "topn",
-    "source_csv_roundtrip",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

@@ -1271,11 +1271,15 @@ def test_routed_bq_rotation_roundtrip(spark, emb):
     assert {17, 9001} <= got
 
 
-def test_entry_seed_trim_respects_ef():
-    """Multi-entry seeding must not inflate the effective ef: with
-    |entries| > ef the walk runs as if seeded by only the ef nearest
-    seeds (the ADVICE-r8 honesty fix). Equivalence check: searching with
-    the full seed set equals searching with the pre-trimmed top-ef set."""
+def test_entry_seed_policy_floors_unfiltered_caps_filtered():
+    """Seed-set policy, stated and pinned (ADVICE r8 + r9 re-drill):
+    UNFILTERED walks keep the full seed set — the beam is intentionally
+    floored at |seeds| (trimming to ef cost the 1.2M merged tier 33pt of
+    recall: 0.966 -> 0.638); FILTERED walks cap at FILTERED_SEED_CAP
+    nearest seeds (per-seed frontier cost through the allowed-set check
+    with no measured recall benefit). Pin: filtered search with many
+    seeds equals filtered search pre-capped to the nearest
+    FILTERED_SEED_CAP."""
     import numpy as np
 
     from bustub_vectordb_spark.index.hnsw import _Graph
@@ -1288,13 +1292,21 @@ def test_entry_seed_trim_respects_ef():
     g.entry = 0
     g.entry_points = list(range(64))  # 64 seeds >> ef=8
     q = mat[123] + 0.01
-    full = g.search(q, 5, ef=8)
+    allowed = frozenset(range(0, 400, 2))
+    full = g.search(q, 5, ef=8, allowed_ids=allowed)
 
     qq = float(q @ q)
     ranked = sorted(zip(g._walk_dists(q, list(range(64)), qq), range(64)))
-    g.entry_points = [v for _, v in ranked[:8]]
-    trimmed = g.search(q, 5, ef=8)
-    assert full == trimmed
+    g.entry_points = [v for _, v in ranked[: g.FILTERED_SEED_CAP]]
+    capped = g.search(q, 5, ef=8, allowed_ids=allowed)
+    assert full == capped
+
+    # unfiltered: the full seed set must NOT be silently trimmed — with
+    # 64 seeds the result set includes hits a 4-seed walk misses on a
+    # graph this sparse (floor behavior; exact sets differ run-free)
+    g.entry_points = list(range(64))
+    wide = g.search(q, 20, ef=8)
+    assert len(wide) == 20
 
 
 def test_bq_rotation_frozen_in_params(spark):

@@ -738,3 +738,44 @@ def test_vamana_residual_pq_save_load_and_partitioned_parity(spark, tmp_path):
     assert back.params.get("pq_centers") == idxq.params["pq_centers"]
     got = [(r["vec_id"], round(r["distance"], 9)) for r in back.probe(q, 5).collect()]
     assert got == want
+
+
+def test_partitioned_cells_fully_reachable(spark):
+    """The in-cell edge restriction must not strand members: after the r9
+    reachability repair every cell vertex is BFS-reachable from the
+    cell's seeds (entry + entry_points). Measured before the fix:
+    partitioned recall pinned at exactly 0.858 across n_probe 2..32 on
+    the 1.2M drill — the missing mass was unreachable at any n_probe."""
+    import pickle
+    from collections import deque
+
+    import numpy as np
+
+    from bustub_vectordb_spark.index.vamana import VamanaIndex
+
+    rng = np.random.RandomState(31)
+    CL = 16
+    centers = rng.uniform(-12, 12, size=(CL, 10))
+    rows = [
+        (i, (centers[i % CL] + rng.normal(0, 0.2, 10)).tolist())
+        for i in range(1200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = VamanaIndex.build(df, "embedding", "vec_id", shards=4,
+                            overlap_eps=0.2, r=8)
+    part = idx.to_partitioned(cells=3, n_probe=2)
+    for row in part.blobs.collect():
+        g = pickle.loads(row["blob"])
+        lay = g.edges[0]
+        n = len(g.ids)
+        seeds = set(getattr(g, "entry_points", None) or []) | {g.entry}
+        seen = set(seeds)
+        dq = deque(seeds)
+        while dq:
+            v = dq.popleft()
+            for nb in lay.get(v, []):
+                nb = int(nb)
+                if nb not in seen:
+                    seen.add(nb)
+                    dq.append(nb)
+        assert len(seen) == n, (row["shard"], n - len(seen), "unreachable")

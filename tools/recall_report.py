@@ -52,7 +52,10 @@ def main():
                              max_iter=5, init_order="vec_id")
     sq8 = IVFSQ8Index.build(ivf, "embedding", "vec_id",
                             model=SQ8Model.train(emb, "embedding"))
-    ivfpq = IVFPQIndex.build(ivf, "embedding", "vec_id", m=16, k=32)
+    # residual=False explicit: this row is the global-codebook contrast
+    # (residual became the build default in r9)
+    ivfpq = IVFPQIndex.build(ivf, "embedding", "vec_id", m=16, k=32,
+                             residual=False)
     ivfpq_res = IVFPQIndex.build(ivf, "embedding", "vec_id", m=16, k=32,
                                  residual=True)
     pqm = PQModel.train(emb, "embedding", "vec_id", m=16, k=32)
@@ -64,6 +67,7 @@ def main():
     stats = dim_stats(emb, "embedding").orderBy("dim").collect()
     routed_sq8 = routed.quantize([r["mn"] for r in stats], [r["mx"] for r in stats])
     routed_pq = routed.quantize_pq(pqm)
+    routed_pql = routed.quantize_pq_local(m=16, k=32)
     routed_bq = routed.quantize_bq([r["mn"] for r in stats], [r["mx"] for r in stats])
     from bustub_vectordb_spark.similarity.bq import BQModel
 
@@ -104,6 +108,8 @@ def main():
          lambda q: {r["vec_id"] for r in routed_sq8.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
         ("hnsw routed pq+rerank", "16 B/vec in-graph",
          lambda q: {r["vec_id"] for r in routed_pq.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
+        ("hnsw routed pq LOCAL books+rerank", "16 B/vec in-graph",
+         lambda q: {r["vec_id"] for r in routed_pql.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
         ("hnsw routed bq+rerank", f"{(dim + 7) // 8} B/vec in-graph",
          lambda q: {r["vec_id"] for r in routed_bq.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
         ("vamana merged graph", f"{dim * 8} B/vec",
