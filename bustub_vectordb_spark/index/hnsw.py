@@ -401,6 +401,20 @@ class _Graph:
             # already SQ8-quantized: re-encoding the lossy decode would
             # silently compound two quantizers' errors
             raise ValueError("graph is SQ8-quantized; PQ must start from floats")
+        if self.vecs is not None and len(self.vecs):
+            dim = self.vecs.shape[1]
+            if centers is not None:
+                cshape = np.asarray(centers, dtype=np.float64).shape
+                if len(cshape) != 2 or cshape[1] != dim:
+                    raise ValueError(
+                        f"residual centers shape {cshape} does not match "
+                        f"vector dim {dim}"
+                    )
+            if bounds and int(bounds[-1][1]) != dim:
+                raise ValueError(
+                    f"pq bounds cover [0, {int(bounds[-1][1])}) but vectors "
+                    f"have dim {dim}"
+                )
         self.pq_books = [np.asarray(b, dtype=np.float64) for b in books]
         self.pq_bounds = [(int(s), int(e)) for s, e in bounds]
         self.pq_centers = (
@@ -1312,10 +1326,16 @@ class ShardedHNSW:
         16x for 1-bit BQ — the 2.2M drill measured recall 0.478 -> 0.718
         at IDENTICAL serving wall-clock (the rerank join is broadcast-
         sized either way); a coarse 1-bit ADC ranking needs the deeper
-        exact pass."""
+        exact pass. params['rerank_mult_default'] overrides the tier
+        default (the DDL stamps it past the 1024-shard clamp, where
+        shards grow beyond mode granularity and rerank depth is the
+        remaining recall knob); an explicit argument always wins."""
         if rerank_mult is not None:
             return rerank_mult
-        return 16 if "bq_mins" in (self.params or {}) else 4
+        p = self.params or {}
+        if p.get("rerank_mult_default"):
+            return int(p["rerank_mult_default"])
+        return 16 if "bq_mins" in p else 4
 
     def quantize(self, mins, maxs) -> "ShardedHNSW":
         """SQ8-compress every shard graph: one distributed pass unpickles
@@ -1544,6 +1564,20 @@ class ShardedHNSW:
 
         from ..shipping import ensure_package_on_workers
 
+        # mirror the _Graph-level double-quantization guards: quantized
+        # graphs carry vecs=None, so the map below would silently no-op on
+        # every shard yet still stamp pq_local=1 next to the existing
+        # tier's params — a self-contradictory index whose insert-path
+        # quantizer selection becomes ambiguous
+        prior = [
+            key for key in ("pq_books", "sq8_mins", "bq_mins", "pq_local")
+            if key in (self.params or {})
+        ]
+        if prior:
+            raise ValueError(
+                f"shards already carry a quantized tier ({prior[0]}); "
+                "quantize_pq_local must start from float shards"
+            )
         ensure_package_on_workers(self._spark)
         m_i, k_i, it_i = int(m), int(k), int(max_iter)
 

@@ -253,44 +253,70 @@ def _cell_entry_points(
 def _attach_unreached(
     layer0: dict, mat: "np.ndarray", entry: int, entry_points
 ) -> None:
-    """REACHABILITY REPAIR for a partitioned-cell shell (r9): restricting
-    the merged adjacency to in-cell edges leaves some members with zero
-    IN-edges — beam search can never reach them from the cell's seeds, at
+    """REACHABILITY REPAIR for a partitioned-cell shell (r9, hardened
+    r10): restricting the merged adjacency to in-cell edges strands some
+    members — beam search can never reach them from the cell's seeds, at
     ANY n_probe (measured: partitioned recall pinned at exactly 0.858
-    across n_probe 2..32 on the 1.2M drill — the missing mass was
-    unreachable, not unprobed). Every vertex not referenced by any edge
-    (and not itself a seed) gets ONE reverse edge from its nearest
-    ALREADY-REACHABLE vertex (fold-exact distances, (d, id) ties,
-    id-ordered processing; picking the donor from the reachable set makes
-    the repaired vertex reachable by induction). Local edges only — the
-    donor is the orphan's nearest neighbor, so the beam passes it exactly
-    when the orphan is relevant. Mutates ``layer0`` in place; shared
-    VERBATIM by to_partitioned's worker closure and
-    offline_vamana_partitioned."""
+    across n_probe 2..32 on the 1.2M drill). The r9 repair classified
+    'has an in-edge' as reachable, which misses mutually-linked
+    components whose only paths from the seeds crossed cell boundaries
+    (every vertex there has in-degree >= 1 yet none is reachable, and a
+    donor picked from such a component kept it unreachable). r10 computes
+    TRUE reachability — BFS from entry + entry_points over the directed
+    out-edges — then walks unreached ids ascending: each still-unreached
+    vertex gets ONE edge from its nearest INITIALLY-reachable vertex
+    (fold-exact distances, first-min ties over id-sorted donors), after
+    which everything its out-edges can reach is absorbed, so one edge
+    repairs a whole component. Donors come only from the pre-repair
+    reachable set, so the guarantee holds by induction. Local edges only
+    — the donor is the component's nearest reachable neighbor, so the
+    beam passes it exactly when the component is relevant. Mutates
+    ``layer0`` in place; shared VERBATIM by to_partitioned's worker
+    closure and offline_vamana_partitioned."""
     n = len(mat)
-    reachable = set()
-    for v, nbs in layer0.items():
-        reachable.update(int(x) for x in nbs)
-    reachable.add(int(entry))
-    reachable.update(int(x) for x in (entry_points or []))
-    orphans = [v for v in range(n) if v not in reachable]
-    if not orphans or len(reachable) == 0:
+    reached = {int(entry)}
+    reached.update(int(x) for x in (entry_points or []))
+    stack = list(reached)
+    while stack:
+        v = stack.pop()
+        for nb in layer0.get(v, ()):
+            nb = int(nb)
+            if nb not in reached:
+                reached.add(nb)
+                stack.append(nb)
+    unreached = [v for v in range(n) if v not in reached]
+    if not unreached:
         return
-    # one vectorized fold-exact pass: every orphan's donor comes from the
-    # INITIAL reachable set (never another orphan), so reachability holds
-    # without chasing repair chains
-    cand = sorted(reachable)
+    # one vectorized fold-exact pass against the INITIAL reachable set:
+    # donors never come from another unreached component, so attaching
+    # donor -> v makes v (and v's whole out-component) truly reachable
+    cand = sorted(reached)
     cmat = mat[cand]
-    omat = mat[orphans]
-    d = np.zeros((len(orphans), len(cand)), dtype=np.float64)
+    omat = mat[unreached]
+    d = np.zeros((len(unreached), len(cand)), dtype=np.float64)
     for j in range(mat.shape[1]):
         diff = omat[:, j : j + 1] - cmat[:, j]
         d += diff * diff
-    donors = np.argmin(d, axis=1)  # first-min ties -> lowest id
-    for v, ui in zip(orphans, donors):  # id-ordered appends
-        u = cand[int(ui)]
+    donors = np.argmin(d, axis=1)  # first-min ties -> lowest donor id
+    remaining = set(unreached)
+    pos = {v: i for i, v in enumerate(unreached)}
+    for v in unreached:  # id-ordered: lowest-id member anchors a component
+        if v not in remaining:
+            continue
+        u = cand[int(donors[pos[v]])]
         layer0.setdefault(u, [])
         layer0[u] = list(layer0[u]) + [v]
+        # absorb v's out-component — those vertices are now reachable
+        # through the new edge and need no edge of their own
+        remaining.discard(v)
+        stack = [v]
+        while stack:
+            w = stack.pop()
+            for nb in layer0.get(w, ()):
+                nb = int(nb)
+                if nb in remaining:
+                    remaining.discard(nb)
+                    stack.append(nb)
 
 
 def _normalize_expr(vec):
@@ -640,6 +666,12 @@ class VamanaIndex:
     # per-artifact ceiling; SERVE_MAX_ROWS alone applies to the PQ tier.
     SERVE_MAX_ROWS = 8_000_000
     SERVE_MAX_FLOAT_BYTES = 12 << 30  # ≈2M rows at dim-768, the old cap
+    # sampled big-table builds train the ENTRY k-means on a dedicated
+    # sample this many times the routing budget (entries are <=512 means;
+    # their training collect tolerates far more rows than the routing
+    # k-means) — the 450k A/B's 3pt sampled-vs-full recall delta traced
+    # to sample-starved entry centers (drills/entries_ab_450k.json)
+    ENTRY_TRAIN_SAMPLE_MULT = 4
 
     def serve_cap(self) -> int:
         """Max rows this artifact may serve driver-materialized: the flat
@@ -906,11 +938,28 @@ class VamanaIndex:
                 )
                 entry_ids = [sids[i] for i in eidx]
             else:
-                # sampled (big-table) path: train on the sample, pick each
-                # entry cell's medoid with one distributed pass
-                einit = [list(row["v"]) for row in srows[:entry_points]]
+                # sampled (big-table) path: train the entry k-means on a
+                # DEDICATED larger sample (r10), then pick each cell's
+                # medoid with one distributed pass over the FULL table.
+                # Entries are <=512 means — their training collect
+                # tolerates far more rows than the routing k-means (whose
+                # budget bounds the shards x dim driver matrix), and the
+                # 450k A/B measured a 3pt sampled-vs-full recall delta
+                # traced to sample-starved entry CENTERS
+                # (drills/entries_ab_450k.json). 4x the routing budget,
+                # still O(1) driver state relative to n.
+                efrac = min(1.0, cls.ENTRY_TRAIN_SAMPLE_MULT * frac)
+                esample = (
+                    df.select(F.col(id_col).alias("__id"), vec.alias("v"))
+                    if efrac >= 1.0
+                    else df.sample(fraction=efrac, seed=seed).select(
+                        F.col(id_col).alias("__id"), vec.alias("v")
+                    )
+                )
+                erows_s = sorted(esample.collect(), key=lambda row: row["__id"])
+                einit = [list(row["v"]) for row in erows_s[:entry_points]]
                 ecents = _lloyds_numpy(
-                    [list(row["v"]) for row in srows], einit, max_iter
+                    [list(row["v"]) for row in erows_s], einit, max_iter
                 )
                 from .ivfflat import assign_nearest
 

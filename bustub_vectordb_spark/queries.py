@@ -7417,38 +7417,37 @@ def q_layout_zorder_skipping(spark, sf_dir):
 # check_oracle.py (full registry) in tests/CI — see COVERAGE.md.
 
 _GATE_WINDOW = [
-    # --- r9 rotation (VERDICT r8 task 3): the 3 r8 entries never
-    # driver-gated — after this window every pre-r9 entry has a
-    # driver-recorded CORRECTNESS row at least once ---
-    "ann_bq_rotated_hamming",
-    "ann_hnsw_routed_bqr_rerank",
-    "ann_ivfpq_residual_rerank",
-    # --- new in round 9 (residual IVFADC threading + local books) ---
-    "ann_hnsw_routed_pqr_rerank",
-    "ann_hnsw_routed_pql_rerank",
-    "ann_vamana_pqr_rerank",
-    "ann_vamana_partitioned_pqr_batch",
-    # --- re-gates of entries whose code paths this round touched
-    # (fold-exact entry-seed k-means, ef-trimmed multi-entry seeding,
-    # explicit residual=False pin on the global-codebook IVFPQ entry) ---
-    "ann_vamana_merged",
-    "ann_vamana_batch",
-    "ann_vamana_filtered",
+    # --- r10 rotation (VERDICT r9 task 7): every entry now has at least
+    # one driver row, so the window = touched paths + the stalest rows.
+    # Touched this round: the partitioned-vamana reachability repair went
+    # from in-degree to true-BFS component attachment (_attach_unreached)
+    # — every entry serving through partitioned cell shells re-gates ---
     "ann_vamana_partitioned_batch",
-    "ann_vamana_pq_rerank",
     "ann_vamana_partitioned_pq_batch",
-    "ann_hnsw_routed_pq_rerank",
-    "ann_ivfpq_rerank",
-    # --- stale re-gates (oldest driver rows, r1-r5 vintage) ---
-    "distinct",
-    "agg_having",
-    "knn_subquery_alias",
-    "sample_deterministic",
-    "string_lower_upper",
-    "cross_join",
-    "index_scan_ordered",
-    "agg_simple",
-    "topn",
+    "ann_vamana_partitioned_pqr_batch",
+    "ann_vamana_filtered",
+    # --- stale re-gates: the r3-vintage rows (oldest in any CORRECTNESS
+    # file) + the stalest r4 row, refreshed in last-gated order ---
+    "ann_hnsw_probe",
+    "ann_hnsw_routed_probe",
+    "ann_index_selection",
+    "ann_ivf_sq8_rerank",
+    "ann_ivfflat_batch_probe",
+    "ann_lsh_probe",
+    "bm25_search",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "embedding_neardup_lsh",
+    "events_asof_attribution",
+    "heavy_hitters",
+    "langid",
+    "layout_bucketed_join",
+    "multimodal_metadata",
+    "sample_stratified",
+    "text_quality",
+    "text_repetition",
+    "agg_corr",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

@@ -363,7 +363,9 @@ class SqlEngine:
     # drills/drill_1200k_r9_pq_graph_*.json). SQ8 keeps the float target
     # (its decode error is sub-mode: recall 1.0 at every density
     # measured). Same 1024 clamp; past it shards grow and rerank depth is
-    # the remaining knob.
+    # the remaining knob — the DDL automates that (r10): rows/shard over
+    # this target stamps params['rerank_mult_default'] scaled to the
+    # excess (see the escalation block in _create_index).
     HNSW_SHARD_TARGET_ROWS_QUANTIZED = 5_000
 
     def _auto_shards(self, n_rows: int, quantized: bool = False) -> int:
@@ -596,6 +598,12 @@ class SqlEngine:
                     # corpus recall fix: ℓ-closest routing floor + α-prune
                     min_lists=int(opts.get("min_lists", 2)),
                     alpha=float(opts.get("alpha", 1.2)),
+                    # multi-entry seed count (default min(512, 4·shards));
+                    # entry_points=1 restores the single-medoid walk
+                    entry_points=(
+                        int(opts["entry_points"])
+                        if "entry_points" in opts else None
+                    ),
                 )
                 if opts.get("pq"):
                     # WITH (pq=1[, pq_m=M, pq_k=K, pq_residual=0]):
@@ -611,9 +619,21 @@ class SqlEngine:
                     # 0.128-vs-0.906 collapse); pq_residual=0 opts out.
                     from .similarity.pq import PQModel
 
-                    res = bool(opts.get("pq_residual", 1)) and bool(
-                        (idx.params or {}).get("entry_ids")
-                    )
+                    has_entries = bool((idx.params or {}).get("entry_ids"))
+                    if "pq_residual" in opts and bool(opts["pq_residual"]) and not has_entries:
+                        # an EXPLICIT residual request must not silently
+                        # downgrade to global codebooks (a single-entry
+                        # build has no frozen centers to residualize
+                        # against) — fail loud so the user raises
+                        # entry_points instead of serving non-residual
+                        # codes unawares
+                        raise ValueError(
+                            "pq_residual=1 requires a multi-entry vamana "
+                            "build (entry_points > 1 so entry-cell centers "
+                            "exist); this build has none — raise "
+                            "entry_points or drop pq_residual"
+                        )
+                    res = bool(opts.get("pq_residual", 1)) and has_entries
                     if res:
                         model = PQModel.train(
                             idx.residual_source(), "__res", id_col,
@@ -732,6 +752,34 @@ class SqlEngine:
                             rotation_seed=opts.get("bq_rot_seed"),
                         )
                         idx.default_n_probe = n_probe
+                    if opts.get("pq") or opts.get("bq"):
+                        # past-clamp rerank escalation (r10): at the
+                        # 1024-shard clamp, shards grow past the quantized
+                        # mode-granularity target again and rerank depth is
+                        # the remaining recall knob — measured at 2.2M rows:
+                        # BQ rerank_mult 4->16 lifted recall 0.478->0.718 at
+                        # IDENTICAL serving wall-clock (the rerank join is
+                        # broadcast-sized either way). Scale the default in
+                        # proportion to the rows/shard excess, capped at 64;
+                        # WITH (rerank_mult=N) pins it, and an explicit
+                        # probe-time argument always wins. SQ8 is exempt —
+                        # its decode error is sub-mode (recall 1.0 at every
+                        # density measured).
+                        import math as _math
+
+                        if "rerank_mult" in opts:
+                            idx.params["rerank_mult_default"] = int(
+                                opts["rerank_mult"]
+                            )
+                        else:
+                            ratio = (n / max(1, shards)) / float(
+                                self.HNSW_SHARD_TARGET_ROWS_QUANTIZED
+                            )
+                            if ratio > 1.0:
+                                base = 16 if opts.get("bq") else 4
+                                idx.params["rerank_mult_default"] = min(
+                                    64, base * int(_math.ceil(ratio))
+                                )
                 else:
                     idx = HNSWIndex.build(df, col, id_col, **common)
             self.indexes.create(

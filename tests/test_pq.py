@@ -437,3 +437,56 @@ def test_routed_local_pq_insert_trains_empty_shard_books(spark):
     pql2 = pql.insert(new)
     got = {r["vec_id"] for r in pql2.probe(b[0].tolist(), 3).collect()}
     assert got & {1000 + i for i in range(20)}, got
+
+
+def test_quantize_pq_local_rejects_already_quantized(spark):
+    """r10 guard: quantize_pq_local on an already-quantized index must
+    raise, mirroring the _Graph-level double-quantization guards —
+    quantized graphs carry vecs=None, so the per-shard retrain would
+    silently no-op yet stamp pq_local=1 next to the existing tier's
+    params (self-contradictory index, ambiguous insert quantizer)."""
+    import pytest
+
+    from bustub_vectordb_spark.index.hnsw import HNSWIndex
+
+    rng = np.random.RandomState(7)
+    df = spark.createDataFrame(
+        [(i, rng.normal(0, 1, 8).tolist()) for i in range(120)],
+        "vec_id bigint, embedding array<double>",
+    )
+    routed = HNSWIndex.build_routed(
+        df, "embedding", "vec_id", shards=2, m=4,
+        ef_construction=16, ef_search=16,
+    )
+    pql = routed.quantize_pq_local(m=4, k=8)
+    with pytest.raises(ValueError, match="already carry a quantized tier"):
+        pql.quantize_pq_local(m=4, k=8)
+    sq8 = routed.quantize(
+        [-5.0] * 8, [5.0] * 8
+    )  # SQ8 tier (params carry sq8_mins)
+    with pytest.raises(ValueError, match="already carry a quantized tier"):
+        sq8.quantize_pq_local(m=4, k=8)
+
+
+def test_graph_quantize_pq_guards_run_before_mutation():
+    """r10 guard: a residual-centers/vector dim mismatch (or bounds that
+    do not cover the vector dim) must raise in the guard block BEFORE any
+    attribute assignment — not mid-mutation with stale pq_books attached
+    while vecs is still set."""
+    import pytest
+
+    from bustub_vectordb_spark.index.hnsw import _Graph
+
+    g = _Graph(4, 8, 8, "l2", 42)
+    mat = np.asarray([[float(i), float(i % 3)] for i in range(20)])
+    g.add_all(list(range(20)), mat)
+    books = [np.zeros((4, 1)), np.zeros((4, 1))]
+    bounds = [(0, 1), (1, 2)]
+    with pytest.raises(ValueError, match="does not match"):
+        g.quantize_pq(books, bounds, centers=[[0.0, 0.0, 0.0]])
+    with pytest.raises(ValueError, match="bounds cover"):
+        g.quantize_pq(books, [(0, 1)], centers=None)
+    # the failed calls left the graph unmutated and still quantizable
+    assert g.vecs is not None and getattr(g, "pq_books", None) is None
+    g.quantize_pq(books, bounds)
+    assert g.vecs is None and g.pq_codes.shape == (20, 2)

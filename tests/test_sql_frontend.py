@@ -608,3 +608,89 @@ def test_ddl_pq_residual_defaults(spark):
     idx4 = next(i for i in e.indexes.lookup("pr", "v1") if i.name == "pr4").index
     assert idx4.params.get("pq_centers")
     assert len(idx4.probe([1.0, 1.0, 1.0, 1.0], 3).collect()) == 3
+
+
+def test_ddl_explicit_pq_residual_needs_multi_entry(spark):
+    """r10 guard: WITH (pq_residual = 1) on a single-entry vamana build
+    (entry_points = 1 — no frozen entry-cell centers) must fail loud
+    instead of silently training global codebooks; the implicit default
+    still downgrades gracefully."""
+    import pytest
+
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE prx(v1 VECTOR(4), v2 integer)")
+    rows = ", ".join(
+        f"(ARRAY [{i}.0, {i % 3}.0, {i % 5}.0, {i % 7}.0], {i})" for i in range(40)
+    )
+    e.execute(f"INSERT INTO prx VALUES {rows}")
+    with pytest.raises(ValueError, match="pq_residual=1 requires"):
+        e.execute(
+            "CREATE INDEX prx1 ON prx USING vamana (v1 vector_l2_ops)"
+            " WITH (shards = 2, r = 6, entry_points = 1,"
+            " pq = 1, pq_m = 2, pq_k = 4, pq_residual = 1)"
+        )
+    # implicit default on the same single-entry build: graceful global-book
+    # downgrade, probes still serve
+    e.execute(
+        "CREATE INDEX prx2 ON prx USING vamana (v1 vector_l2_ops)"
+        " WITH (shards = 2, r = 6, entry_points = 1, pq = 1, pq_m = 2, pq_k = 4)"
+    )
+    idx = next(i for i in e.indexes.lookup("prx", "v1") if i.name == "prx2").index
+    assert not (idx.params or {}).get("entry_ids")
+    assert len(idx.probe([1.0, 1.0, 1.0, 1.0], 3).collect()) == 3
+
+
+def test_ddl_past_clamp_rerank_escalation(spark, monkeypatch):
+    """r10: past the 1024-shard clamp, quantized shards grow beyond mode
+    granularity again and rerank depth is the remaining recall knob
+    (measured at 2.2M rows: BQ rerank_mult 4->16 lifted recall
+    0.478->0.718 at identical serving wall-clock). The DDL must stamp
+    params['rerank_mult_default'] scaled to the rows/shard excess; WITH
+    (rerank_mult=N) pins it; the target is monkeypatched so a tiny table
+    exercises the past-clamp geometry."""
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    monkeypatch.setattr(SqlEngine, "HNSW_SHARD_TARGET_ROWS_QUANTIZED", 10)
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE rk(v1 VECTOR(4), v2 integer)")
+    rows = ", ".join(
+        f"(ARRAY [{i}.0, {i % 3}.0, {i % 5}.0, {i % 7}.0], {i})" for i in range(40)
+    )
+    e.execute(f"INSERT INTO rk VALUES {rows}")
+
+    # 40 rows / 2 shards = 20 rows/shard over a target of 10 -> ratio 2:
+    # BQ escalates 16 -> 32
+    e.execute(
+        "CREATE INDEX rk1 ON rk USING hnsw (v1 vector_l2_ops)"
+        " WITH (m = 4, ef_construction = 8, ef_search = 8, shards = 2, bq = 1)"
+    )
+    idx = next(i for i in e.indexes.lookup("rk", "v1") if i.name == "rk1").index
+    assert idx.params.get("rerank_mult_default") == 32
+    assert idx._rerank_mult(None) == 32
+    assert idx._rerank_mult(4) == 4  # explicit probe-time arg always wins
+
+    # PQ escalates from base 4 -> 8 at the same ratio
+    e.execute(
+        "CREATE INDEX rk2 ON rk USING hnsw (v1 vector_l2_ops)"
+        " WITH (m = 4, ef_construction = 8, ef_search = 8, shards = 2,"
+        " pq = 1, pq_m = 2, pq_k = 4)"
+    )
+    idx2 = next(i for i in e.indexes.lookup("rk", "v1") if i.name == "rk2").index
+    assert idx2.params.get("rerank_mult_default") == 8
+
+    # WITH (rerank_mult=N) pins the default regardless of geometry
+    e.execute(
+        "CREATE INDEX rk3 ON rk USING hnsw (v1 vector_l2_ops)"
+        " WITH (m = 4, ef_construction = 8, ef_search = 8, shards = 2,"
+        " bq = 1, rerank_mult = 24)"
+    )
+    idx3 = next(i for i in e.indexes.lookup("rk", "v1") if i.name == "rk3").index
+    assert idx3.params.get("rerank_mult_default") == 24
+    assert idx3._rerank_mult(None) == 24
+
+    # a probe over the escalated index still serves (the deep shortlist is
+    # broadcast-sized: n_probe x k x mult rows)
+    hits = idx.probe([1.0, 1.0, 1.0, 1.0], 3, rerank=e.catalog.tables["rk"].df)
+    assert len(hits.collect()) == 3

@@ -779,3 +779,37 @@ def test_partitioned_cells_fully_reachable(spark):
                     seen.add(nb)
                     dq.append(nb)
         assert len(seen) == n, (row["shard"], n - len(seen), "unreachable")
+
+
+def test_attach_unreached_repairs_linked_components():
+    """r10 hardening: a mutually-linked in-cell component whose only paths
+    from the seeds crossed cell boundaries has in-degree >= 1 on every
+    vertex — the r9 in-degree heuristic never classified it as orphaned
+    and it stayed unreachable at any n_probe. The repair must compute TRUE
+    reachability (BFS from entry + entry_points) and attach one edge per
+    unreached component from an INITIALLY-reachable donor."""
+    from collections import deque
+
+    from bustub_vectordb_spark.index.vamana import _attach_unreached
+
+    # vertices 0-2: seed-side chain; 3-4: 2-cycle (both have in-degree 1,
+    # neither reachable from 0); 5: isolated singleton (in-degree 0)
+    mat = np.asarray(
+        [[0.0], [1.0], [2.0], [10.0], [11.0], [20.0]], dtype=np.float64
+    )
+    layer0 = {0: [1], 1: [2], 2: [0], 3: [4], 4: [3], 5: []}
+    _attach_unreached(layer0, mat, entry=0, entry_points=[])
+
+    seen, dq = {0}, deque([0])
+    while dq:
+        v = dq.popleft()
+        for nb in layer0.get(v, []):
+            if nb not in seen:
+                seen.add(nb)
+                dq.append(nb)
+    assert seen == set(range(6)), layer0
+    # one edge per component, donor from the initially-reachable set:
+    # 3 hangs off 2 (nearest of {0,1,2} to 10.0) and 4 is absorbed
+    # through the 3->4 edge; 5 hangs off 2
+    assert 3 in layer0[2] and 5 in layer0[2]
+    assert all(4 not in layer0[u] for u in (0, 1, 2)), layer0

@@ -68,6 +68,15 @@ def main():
     routed_sq8 = routed.quantize([r["mn"] for r in stats], [r["mx"] for r in stats])
     routed_pq = routed.quantize_pq(pqm)
     routed_pql = routed.quantize_pq_local(m=16, k=32)
+    from bustub_vectordb_spark.index.hnsw import routed_residual_df
+
+    routed_pqr = routed.quantize_pq(
+        PQModel.train(
+            routed_residual_df(emb, "embedding", "vec_id", routed.centroids),
+            "__res", "vec_id", m=16, k=32,
+        ),
+        residual=True,
+    )
     routed_bq = routed.quantize_bq([r["mn"] for r in stats], [r["mx"] for r in stats])
     from bustub_vectordb_spark.similarity.bq import BQModel
 
@@ -80,8 +89,13 @@ def main():
     vamana = VamanaIndex.build(emb, "embedding", "vec_id", shards=4,
                                overlap_eps=0.2, r=16)
     vamana_pq = vamana.quantize_pq(pqm)
+    vamana_pqr = vamana.quantize_pq(
+        PQModel.train(vamana.residual_source(), "__res", "vec_id", m=16, k=32),
+        residual=True,
+    )
     vamana_part = vamana.to_partitioned(cells=4, n_probe=3)
     vamana_part_pq = vamana_pq.to_partitioned(cells=4, n_probe=3)
+    vamana_part_pqr = vamana_pqr.to_partitioned(cells=4, n_probe=3)
 
     tiers = [
         ("exact scan", f"{dim * 8} B/vec",
@@ -110,16 +124,22 @@ def main():
          lambda q: {r["vec_id"] for r in routed_pq.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
         ("hnsw routed pq LOCAL books+rerank", "16 B/vec in-graph",
          lambda q: {r["vec_id"] for r in routed_pql.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
+        ("hnsw routed pq RESIDUAL+rerank", "16 B/vec in-graph",
+         lambda q: {r["vec_id"] for r in routed_pqr.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
         ("hnsw routed bq+rerank", f"{(dim + 7) // 8} B/vec in-graph",
          lambda q: {r["vec_id"] for r in routed_bq.probe(list(q), K, n_probe=2, rerank=emb).collect()}),
         ("vamana merged graph", f"{dim * 8} B/vec",
          lambda q: {r["vec_id"] for r in vamana.probe(list(q), K).collect()}),
         ("vamana pq+rerank", "16 B/vec in-graph",
          lambda q: {r["vec_id"] for r in vamana_pq.probe(list(q), K).collect()}),
+        ("vamana pq RESIDUAL+rerank", "16 B/vec in-graph",
+         lambda q: {r["vec_id"] for r in vamana_pqr.probe(list(q), K).collect()}),
         ("vamana partitioned 3/4", f"{dim * 8} B/vec",
          lambda q: {r["vec_id"] for r in vamana_part.probe(list(q), K).collect()}),
         ("vamana part pq+rerank", "16 B/vec in-cell",
          lambda q: {r["vec_id"] for r in vamana_part_pq.probe(list(q), K, rerank=emb).collect()}),
+        ("vamana part pq RESIDUAL+rerank", "16 B/vec in-cell",
+         lambda q: {r["vec_id"] for r in vamana_part_pqr.probe(list(q), K, rerank=emb).collect()}),
     ]
     print(f"# recall@{K} over {len(qidx)} queries, {n} vectors x {dim} dims ({SF_DIR})")
     print(f"{'tier':<26} {'vector storage':<18} recall@10")
