@@ -813,3 +813,71 @@ def test_attach_unreached_repairs_linked_components():
     # through the 3->4 edge; 5 hangs off 2
     assert 3 in layer0[2] and 5 in layer0[2]
     assert all(4 not in layer0[u] for u in (0, 1, 2)), layer0
+
+
+def test_r9_tier_recall_floors_at_sf01(spark):
+    """VERDICT r9 #4 — pinned sf0.1 regression floors for the r9 tiers
+    (routed local-books PQ, routed residual PQ, vamana residual PQ,
+    partitioned residual PQ). Measured via tools/recall_report.py at
+    sf0.1 (r10): routed pql 0.695, routed pqr 0.655, vamana pqr 0.685,
+    partitioned pqr 0.635. NOTE the geometry caveat: sf0.1 is a UNIFORM
+    box, so residual codebooks trail global ones here (nothing to
+    re-center — the clustered-density ordering where residual wins by
+    0.78 points lives in drills/drill_1200k_*.json); these floors catch
+    REGRESSIONS, they are not the quality story."""
+    from bustub_vectordb_spark.catalog import read_table
+    from bustub_vectordb_spark.index.hnsw import HNSWIndex, routed_residual_df
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    emb = read_table(spark, "/root/testdata/sf0.1", "embeddings").cache()
+
+    routed = HNSWIndex.build_routed(
+        emb, "embedding", "vec_id", shards=4, m=8,
+        ef_construction=48, ef_search=48,
+    )
+    routed_pql = routed.quantize_pq_local(m=16, k=32)
+    routed_pqr = routed.quantize_pq(
+        PQModel.train(
+            routed_residual_df(emb, "embedding", "vec_id", routed.centroids),
+            "__res", "vec_id", m=16, k=32,
+        ),
+        residual=True,
+    )
+    vam = VamanaIndex.build(
+        emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+    )
+    vam_pqr = vam.quantize_pq(
+        PQModel.train(vam.residual_source(), "__res", "vec_id", m=16, k=32),
+        residual=True,
+    )
+    part_pqr = vam_pqr.to_partitioned(cells=4, n_probe=3)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 3).limit(20).collect()
+    assert len(queries) == 20
+    rec = {"routed_pql": [], "routed_pqr": [], "vamana_pqr": [], "part_pqr": []}
+    for row in queries:
+        q = [float(x) for x in row["embedding"]]
+        exact = {x["vec_id"] for x in knn(emb, "embedding", q, 10).collect()}
+        rec["routed_pql"].append(
+            len({x["vec_id"] for x in
+                 routed_pql.probe(q, 10, n_probe=2, rerank=emb).collect()}
+                & exact) / 10
+        )
+        rec["routed_pqr"].append(
+            len({x["vec_id"] for x in
+                 routed_pqr.probe(q, 10, n_probe=2, rerank=emb).collect()}
+                & exact) / 10
+        )
+        rec["vamana_pqr"].append(
+            len({x["vec_id"] for x in vam_pqr.probe(q, 10).collect()}
+                & exact) / 10
+        )
+        rec["part_pqr"].append(
+            len({x["vec_id"] for x in
+                 part_pqr.probe(q, 10, rerank=emb).collect()} & exact) / 10
+        )
+    avgs = {k: sum(v) / len(v) for k, v in rec.items()}
+    assert avgs["routed_pql"] >= 0.64, avgs
+    assert avgs["routed_pqr"] >= 0.60, avgs
+    assert avgs["vamana_pqr"] >= 0.63, avgs
+    assert avgs["part_pqr"] >= 0.58, avgs
