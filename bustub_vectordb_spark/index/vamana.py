@@ -287,27 +287,21 @@ def _attach_unreached(
     unreached = [v for v in range(n) if v not in reached]
     if not unreached:
         return
-    # one vectorized fold-exact pass against the INITIAL reachable set:
-    # donors never come from another unreached component, so attaching
-    # donor -> v makes v (and v's whole out-component) truly reachable
-    cand = sorted(reached)
-    cmat = mat[cand]
-    omat = mat[unreached]
-    d = np.zeros((len(unreached), len(cand)), dtype=np.float64)
-    for j in range(mat.shape[1]):
-        diff = omat[:, j : j + 1] - cmat[:, j]
-        d += diff * diff
-    donors = np.argmin(d, axis=1)  # first-min ties -> lowest donor id
+    # components of the UNREACHED subgraph first, donors only for their
+    # anchors: BFS-unreached sets can be large (whole stranded clusters,
+    # not just in-degree-0 singletons), and an all-unreached x all-reached
+    # distance matrix blows up memory/compute on big cells. One anchor
+    # edge repairs a whole component; anchors are found in ascending-id
+    # order (lowest-id member anchors its component). Out-edges of an
+    # INITIALLY-reached vertex can only lead to initially-reached vertices
+    # (else the target would have been reached in the BFS above), so
+    # restricting the component walk to unreached vertices loses nothing.
     remaining = set(unreached)
-    pos = {v: i for i, v in enumerate(unreached)}
-    for v in unreached:  # id-ordered: lowest-id member anchors a component
+    anchors: list[int] = []
+    for v in unreached:  # ascending ids
         if v not in remaining:
             continue
-        u = cand[int(donors[pos[v]])]
-        layer0.setdefault(u, [])
-        layer0[u] = list(layer0[u]) + [v]
-        # absorb v's out-component — those vertices are now reachable
-        # through the new edge and need no edge of their own
+        anchors.append(v)
         remaining.discard(v)
         stack = [v]
         while stack:
@@ -317,6 +311,25 @@ def _attach_unreached(
                 if nb in remaining:
                     remaining.discard(nb)
                     stack.append(nb)
+    # fold-exact donor pass against the INITIAL reachable set (donors
+    # never come from another unreached component, so attaching
+    # donor -> anchor makes the whole component truly reachable), chunked
+    # so the (anchors x reached) matrix stays memory-bounded on big cells
+    cand = sorted(reached)
+    cmat = mat[cand]
+    CHUNK = 1024
+    for s in range(0, len(anchors), CHUNK):
+        sub = anchors[s : s + CHUNK]
+        omat = mat[sub]
+        d = np.zeros((len(sub), len(cand)), dtype=np.float64)
+        for j in range(mat.shape[1]):
+            diff = omat[:, j : j + 1] - cmat[:, j]
+            d += diff * diff
+        donors = np.argmin(d, axis=1)  # first-min ties -> lowest donor id
+        for v, ui in zip(sub, donors):  # id-ordered appends
+            u = cand[int(ui)]
+            layer0.setdefault(u, [])
+            layer0[u] = list(layer0[u]) + [v]
 
 
 def _normalize_expr(vec):
