@@ -1384,13 +1384,17 @@ class VamanaIndex:
         ef: int | None = None,
         dist_col: str = "distance",
         allowed=None,
+        rerank_mult: int = 4,
     ):
         """Top-k beam search over the merged graph → small DataFrame
         (id, dist_col), same output contract as HNSWIndex.probe.
         ``allowed`` (iterable of ids or a one-column DataFrame) runs the
         filtered walk — serving here is already driver-materialized and
         guarded by SERVE_MAX_ROWS, so an allowed set bounded by the same
-        cap collects consistently."""
+        cap collects consistently. ``rerank_mult`` sizes the ADC
+        shortlist on PQ-quantized graphs (k·rerank_mult walk hits before
+        the exact rerank; ignored unquantized) — the rerank join stays
+        broadcast-sized at any depth here."""
         g = self._graph()
         allowed_ids = None
         if allowed is not None:
@@ -1401,7 +1405,7 @@ class VamanaIndex:
         quantized = "pq_books" in (self.params or {})
         by_sim = self.dist in ("cosine", "ip")  # similarity ops classes
         q = _prep_query(self.dist, [float(x) for x in query])
-        n_walk = k * 4 if quantized else k
+        n_walk = k * rerank_mult if quantized else k
         hits = g.search(
             np.asarray(q, dtype=np.float64), n_walk, ef=ef,
             allowed_ids=allowed_ids,
