@@ -263,16 +263,12 @@ def _attach_unreached(
     (every vertex there has in-degree >= 1 yet none is reachable, and a
     donor picked from such a component kept it unreachable). r10 computes
     TRUE reachability — BFS from entry + entry_points over the directed
-    out-edges — then walks unreached ids ascending: each still-unreached
-    vertex gets ONE edge from its nearest INITIALLY-reachable vertex
-    (fold-exact distances, first-min ties over id-sorted donors), after
-    which everything its out-edges can reach is absorbed, so one edge
-    repairs a whole component. Donors come only from the pre-repair
-    reachable set, so the guarantee holds by induction. Local edges only
-    — the donor is the component's nearest reachable neighbor, so the
-    beam passes it exactly when the component is relevant. Mutates
-    ``layer0`` in place; shared VERBATIM by to_partitioned's worker
-    closure and offline_vamana_partitioned."""
+    out-edges — finds the unreached components, and hangs each component
+    (via its lowest-id anchor) off the anchor's nearest SEED (fold-exact
+    distances, first-min ties), so every component is visible in a beam's
+    first expansion. Seeds are always reachable, so the guarantee holds
+    by construction. Mutates ``layer0`` in place; shared VERBATIM by
+    to_partitioned's worker closure and offline_vamana_partitioned."""
     n = len(mat)
     reached = {int(entry)}
     reached.update(int(x) for x in (entry_points or []))
@@ -287,11 +283,9 @@ def _attach_unreached(
     unreached = [v for v in range(n) if v not in reached]
     if not unreached:
         return
-    # components of the UNREACHED subgraph first, donors only for their
-    # anchors: BFS-unreached sets can be large (whole stranded clusters,
-    # not just in-degree-0 singletons), and an all-unreached x all-reached
-    # distance matrix blows up memory/compute on big cells. One anchor
-    # edge repairs a whole component; anchors are found in ascending-id
+    # components of the UNREACHED subgraph first, one edge per component
+    # anchor: BFS-unreached sets can be large (whole stranded clusters,
+    # not just in-degree-0 singletons). Anchors are found in ascending-id
     # order (lowest-id member anchors its component). Out-edges of an
     # INITIALLY-reached vertex can only lead to initially-reached vertices
     # (else the target would have been reached in the BFS above), so
@@ -311,25 +305,29 @@ def _attach_unreached(
                 if nb in remaining:
                     remaining.discard(nb)
                     stack.append(nb)
-    # fold-exact donor pass against the INITIAL reachable set (donors
-    # never come from another unreached component, so attaching
-    # donor -> anchor makes the whole component truly reachable), chunked
-    # so the (anchors x reached) matrix stays memory-bounded on big cells
-    cand = sorted(reached)
-    cmat = mat[cand]
-    CHUNK = 1024
-    for s in range(0, len(anchors), CHUNK):
-        sub = anchors[s : s + CHUNK]
-        omat = mat[sub]
-        d = np.zeros((len(sub), len(cand)), dtype=np.float64)
-        for j in range(mat.shape[1]):
-            diff = omat[:, j : j + 1] - cmat[:, j]
-            d += diff * diff
-        donors = np.argmin(d, axis=1)  # first-min ties -> lowest donor id
-        for v, ui in zip(sub, donors):  # id-ordered appends
-            u = cand[int(ui)]
-            layer0.setdefault(u, [])
-            layer0[u] = list(layer0[u]) + [v]
+    # donor = the anchor's nearest SEED (entry + entry_points, <= ~17
+    # candidates), fold-exact, first-min ties -> lowest seed position in
+    # the id-sorted candidate list. The r10 1.2M re-drill measured that a
+    # nearest-REACHABLE-vertex donor buys zero recall over the pre-repair
+    # graphs (partitioned recall pinned at 0.858 either way) while its
+    # anchors x reached distance pass cost 11x on to_partitioned (1826s
+    # vs the r9 157s band) — donor quality is not the mechanism, so the
+    # repair keeps only its correctness role at O(anchors x seeds) cost.
+    # Seeds also make every component directly visible in a beam's FIRST
+    # expansion (walks start at the seeds), which dominates an arbitrary
+    # interior donor for discoverability at any ef.
+    seeds = sorted({int(entry), *(int(x) for x in (entry_points or []))})
+    smat = mat[seeds]
+    amat = mat[anchors]
+    d = np.zeros((len(anchors), len(seeds)), dtype=np.float64)
+    for j in range(mat.shape[1]):
+        diff = amat[:, j : j + 1] - smat[:, j]
+        d += diff * diff
+    donors = np.argmin(d, axis=1)  # first-min ties -> lowest seed id
+    for v, ui in zip(anchors, donors):  # id-ordered appends
+        u = seeds[int(ui)]
+        layer0.setdefault(u, [])
+        layer0[u] = list(layer0[u]) + [v]
 
 
 def _normalize_expr(vec):

@@ -787,7 +787,10 @@ def test_attach_unreached_repairs_linked_components():
     vertex — the r9 in-degree heuristic never classified it as orphaned
     and it stayed unreachable at any n_probe. The repair must compute TRUE
     reachability (BFS from entry + entry_points) and attach one edge per
-    unreached component from an INITIALLY-reachable donor."""
+    unreached component from a SEED donor (the 1.2M re-drill showed a
+    nearest-reachable-vertex donor buys no recall at 11x the cost, so
+    seeds carry the repair: components become visible in a beam's first
+    expansion)."""
     from collections import deque
 
     from bustub_vectordb_spark.index.vamana import _attach_unreached
@@ -798,7 +801,7 @@ def test_attach_unreached_repairs_linked_components():
         [[0.0], [1.0], [2.0], [10.0], [11.0], [20.0]], dtype=np.float64
     )
     layer0 = {0: [1], 1: [2], 2: [0], 3: [4], 4: [3], 5: []}
-    _attach_unreached(layer0, mat, entry=0, entry_points=[])
+    _attach_unreached(layer0, mat, entry=0, entry_points=[1])
 
     seen, dq = {0}, deque([0])
     while dq:
@@ -808,11 +811,12 @@ def test_attach_unreached_repairs_linked_components():
                 seen.add(nb)
                 dq.append(nb)
     assert seen == set(range(6)), layer0
-    # one edge per component, donor from the initially-reachable set:
-    # 3 hangs off 2 (nearest of {0,1,2} to 10.0) and 4 is absorbed
-    # through the 3->4 edge; 5 hangs off 2
-    assert 3 in layer0[2] and 5 in layer0[2]
+    # one edge per component, donor = the anchor's nearest SEED of {0, 1}:
+    # 3 hangs off 1 (nearest seed to 10.0) and 4 is absorbed through the
+    # 3->4 edge; 5 hangs off 1
+    assert 3 in layer0[1] and 5 in layer0[1]
     assert all(4 not in layer0[u] for u in (0, 1, 2)), layer0
+    assert 3 not in layer0[0] and 5 not in layer0[0], layer0
 
 
 def test_r9_tier_recall_floors_at_sf01(spark):
