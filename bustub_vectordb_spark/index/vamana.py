@@ -683,6 +683,12 @@ class VamanaIndex:
     # k-means) — the 450k A/B's 3pt sampled-vs-full recall delta traced
     # to sample-starved entry centers (drills/entries_ab_450k.json)
     ENTRY_TRAIN_SAMPLE_MULT = 4
+    # partitioned shells serve at this beam floor (vs the merged build's
+    # ef_search): in-cell edge restriction deletes cross-cell paths the
+    # prune budget was spent around, and the 1.2M ef sweep measured
+    # 0.86 -> 0.974 recall from ef 48 -> 192 at flat serving wall-clock
+    # (drills/drill_1200k_r10_part_ef_ab.json); ef_serve overrides
+    PARTITIONED_EF_SERVE = 192
 
     def serve_cap(self) -> int:
         """Max rows this artifact may serve driver-materialized: the flat
@@ -1125,6 +1131,7 @@ class VamanaIndex:
         cells: int = 8,
         n_probe: int | None = 2,
         max_iter: int = 5,
+        ef_serve: int | None = None,
     ) -> "object":
         """Cell-partitioned serving of the merged graph — the scale path
         PAST ``SERVE_MAX_ROWS``: nothing corpus-sized ever materializes on
@@ -1213,7 +1220,21 @@ class VamanaIndex:
         p = self.params or {}
         r_deg = p.get("r", 16)
         efc = p.get("ef_construction", 48)
-        efs = p.get("ef_search", 48)
+        # shells serve at a DEEPER beam than the merged build's ef_search:
+        # restricting the adjacency to in-cell edges deletes the
+        # cross-cell paths RobustPrune's degree budget was spent around,
+        # so at the same ef the restricted walk under-explores — measured
+        # at 1.2M x 64 cells (drills/drill_1200k_r10_part_ef_ab.json):
+        # recall 0.86 / 0.932 / 0.974 at ef 48 / 96 / 192 with flat batch
+        # wall-clock (reachability was fully repaired in every
+        # configuration; beam DEPTH was the binding constraint, and it
+        # recovers the merged graph's 0.978 at 192). WITH (ef_serve=N) /
+        # the ef_serve argument pins it.
+        efs = (
+            int(ef_serve)
+            if ef_serve is not None
+            else max(int(p.get("ef_search", 48)), self.PARTITIONED_EF_SERVE)
+        )
         seed = p.get("seed", 42)
         books, bounds = p.get("pq_books"), p.get("pq_bounds")
         pq_centers = p.get("pq_centers")  # residual PQ: frozen entry-cell centers
@@ -1382,7 +1403,7 @@ class VamanaIndex:
         ef: int | None = None,
         dist_col: str = "distance",
         allowed=None,
-        rerank_mult: int = 4,
+        rerank_mult: int = 48,
     ):
         """Top-k beam search over the merged graph → small DataFrame
         (id, dist_col), same output contract as HNSWIndex.probe.
@@ -1391,7 +1412,13 @@ class VamanaIndex:
         guarded by SERVE_MAX_ROWS, so an allowed set bounded by the same
         cap collects consistently. ``rerank_mult`` sizes the ADC
         shortlist on PQ-quantized graphs (k·rerank_mult walk hits before
-        the exact rerank; ignored unquantized) — the rerank join stays
+        the exact rerank; ignored unquantized). Default 48, measured at
+        the 1.2M clustered drill (drills/drill_1200k_r10_part_ef_ab.json
+        pqr_merged_grid): recall@10 0.56 / 0.864 / 0.948 at rerank 4 /
+        16 / 48 with FLAT serving wall-clock, while ef-scaling at shallow
+        rerank moved nothing (0.56 at ef 256) — within-cluster ADC
+        ordering, not walk exploration, is the quantized merged tier's
+        binding constraint at density — the rerank join stays
         broadcast-sized at any depth here."""
         g = self._graph()
         allowed_ids = None
@@ -1457,7 +1484,7 @@ class VamanaIndex:
         qid_col: str,
         k: int,
         dist_col: str = "distance",
-        rerank_mult: int = 4,
+        rerank_mult: int = 48,
     ):
         """Distributed batch serving over the merged graph: the (guarded)
         driver graph broadcasts ONCE — with PQ serving that broadcast is
@@ -1778,6 +1805,7 @@ def offline_vamana_partitioned(
     model=None,
     graph: _Graph | None = None,
     pq_centers=None,
+    ef_serve: int | None = None,
     **build_kw,
 ) -> tuple[list, dict]:
     """Replay ``VamanaIndex.build(...).to_partitioned(cells=...)`` without
@@ -1823,7 +1851,16 @@ def offline_vamana_partitioned(
     by_vec = dict(zip(ids, vecs))
     r_deg = build_kw.get("r", 16)
     efc = build_kw.get("ef_construction", 48)
-    efs = build_kw.get("ef_search", 48)
+    # same serving-beam floor derivation as to_partitioned (shells serve
+    # deeper than the merged build's ef_search — see PARTITIONED_EF_SERVE)
+    efs = (
+        int(ef_serve)
+        if ef_serve is not None
+        else max(
+            int(build_kw.get("ef_search", 48)),
+            VamanaIndex.PARTITIONED_EF_SERVE,
+        )
+    )
     seed = build_kw.get("seed", 42)
     if model is not None:
         books = [[[float(x) for x in row] for row in b] for b in model.centroids]
@@ -1864,7 +1901,7 @@ def offline_vamana_pq_probe(
     query: list[float],
     k: int,
     model,
-    rerank_mult: int = 4,
+    rerank_mult: int = 48,
     centers=None,
 ) -> list[tuple]:
     """Replay ``VamanaIndex.quantize_pq(model).probe(query, k)`` on an
@@ -1912,7 +1949,7 @@ def offline_vamana_pq_batch(
     queries: list[tuple],
     k: int,
     model,
-    rerank_mult: int = 4,
+    rerank_mult: int = 48,
     centers=None,
 ) -> list[tuple]:
     """Replay ``VamanaIndex.quantize_pq(model).search_batch(...)``:

@@ -658,6 +658,13 @@ class SqlEngine:
                     idx = idx.to_partitioned(
                         cells=opts.get("cells", self._auto_shards(n_rows)),
                         n_probe=opts.get("n_probe", 2),
+                        # shells serve at the PARTITIONED_EF_SERVE beam
+                        # floor unless pinned (the in-cell edge
+                        # restriction needs deeper beams — 1.2M ef sweep)
+                        ef_serve=(
+                            int(opts["ef_serve"])
+                            if "ef_serve" in opts else None
+                        ),
                     )
             else:
                 from .index.hnsw import HNSWIndex
