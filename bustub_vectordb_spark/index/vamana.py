@@ -1484,7 +1484,7 @@ class VamanaIndex:
         qid_col: str,
         k: int,
         dist_col: str = "distance",
-        rerank_mult: int = 48,
+        rerank_mult: int = 16,
     ):
         """Distributed batch serving over the merged graph: the (guarded)
         driver graph broadcasts ONCE — with PQ serving that broadcast is
@@ -1494,7 +1494,15 @@ class VamanaIndex:
         directly; PQ graphs emit a k·rerank_mult ADC shortlist that joins
         the parquet vertices + query vectors for EXACT distances and a
         per-query windowed top-k (the same serving shape as
-        ShardedHNSW.search_batch(rerank=...))."""
+        ShardedHNSW.search_batch(rerank=...)).
+
+        Default shortlist depth 16 here vs 48 on probe(): the walk beam
+        widens to k·rerank_mult (ef = max(ef, k_walk)), and on this
+        THROUGHPUT path walks dominate wall-clock — the sf0.1 bench key
+        ran 6.7x slower at 48 — while single probe() calls are
+        per-query-overhead-dominated, where the 1.2M grid measured 48
+        flat (recall 0.56/0.864/0.948 at 4/16/48; pass rerank_mult=48
+        for the deep-recall point at batch cost)."""
         import pandas as pd
         from pyspark.sql import Window, functions as F
 
@@ -1949,7 +1957,7 @@ def offline_vamana_pq_batch(
     queries: list[tuple],
     k: int,
     model,
-    rerank_mult: int = 48,
+    rerank_mult: int = 16,  # mirrors search_batch (probe's twin stays 48)
     centers=None,
 ) -> list[tuple]:
     """Replay ``VamanaIndex.quantize_pq(model).search_batch(...)``:

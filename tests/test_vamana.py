@@ -823,8 +823,10 @@ def test_r9_tier_recall_floors_at_sf01(spark):
     """VERDICT r9 #4 — pinned sf0.1 regression floors for the r9 tiers
     (routed local-books PQ, routed residual PQ, vamana residual PQ,
     partitioned residual PQ). Measured via tools/recall_report.py at
-    sf0.1 (r10): routed pql 0.695, routed pqr 0.655, vamana pqr 0.685,
-    partitioned pqr 0.635. NOTE the geometry caveat: sf0.1 is a UNIFORM
+    sf0.1 (r10): routed pql 0.695, routed pqr 0.655, vamana pqr 0.685
+    (pre-default-bump; the rerank-48 default lifts the vamana tiers —
+    vamana pq 0.995, partitioned pqr 0.675 on the post-bump rerun).
+    NOTE the geometry caveat: sf0.1 is a UNIFORM
     box, so residual codebooks trail global ones here (nothing to
     re-center — the clustered-density ordering where residual wins by
     0.78 points lives in drills/drill_1200k_*.json); these floors catch
