@@ -488,7 +488,21 @@ class _Graph:
         qn = float(np.linalg.norm(q)) or 1e-300
         return -dots / (self._norms[idxs] * qn)
 
-    def _search_layer(self, q: np.ndarray, entries: list[int], ef: int, level: int) -> list[int]:
+    def _search_layer(
+        self,
+        q: np.ndarray,
+        entries: list[int],
+        ef: int,
+        level: int,
+        seen: list | None = None,
+    ) -> list[int]:
+        """``seen`` (optional, the DiskANN serving trick): a caller-owned
+        list collecting (walk_dist, vertex) for EVERY vertex whose distance
+        this walk computes — each vertex exactly once (the visited-set
+        check gates distance evaluation). search(shortlist=...) harvests a
+        deep ADC candidate list from it WITHOUT widening the beam; the
+        walk itself is unchanged (same admissions, same termination), so
+        passing None keeps every existing path bit-identical."""
         edges = self.edges[level]
         qq = float(q @ q) if self.dist == "l2" else 0.0
         visited = set(entries)
@@ -497,6 +511,8 @@ class _Graph:
         for e, d in zip(entries, self._walk_dists(q, entries, qq)):
             heapq.heappush(cand, (d, e))
             heapq.heappush(result, (-d, e))
+            if seen is not None:
+                seen.append((float(d), e))
         while cand:
             d, v = heapq.heappop(cand)
             if d > -result[0][0]:
@@ -506,6 +522,8 @@ class _Graph:
                 continue
             visited.update(nbs)
             for nb, dn in zip(nbs, self._walk_dists(q, nbs, qq)):
+                if seen is not None:
+                    seen.append((float(dn), nb))
                 if len(result) < ef or dn < -result[0][0]:
                     heapq.heappush(cand, (dn, nb))
                     heapq.heappush(result, (-dn, nb))
@@ -515,7 +533,13 @@ class _Graph:
         return [v for _, v in out]
 
     def _search_layer_filtered(
-        self, q: np.ndarray, entries: list[int], ef: int, level: int, allowed: set
+        self,
+        q: np.ndarray,
+        entries: list[int],
+        ef: int,
+        level: int,
+        allowed: set,
+        seen: list | None = None,
     ) -> list[int]:
         """SearchLayer with an allowed-set: traversal visits every vertex for
         NAVIGATION (disallowed vertices still route the walk, so recall does
@@ -535,6 +559,8 @@ class _Graph:
             heapq.heappush(cand, (d, e))
             if e in allowed:
                 heapq.heappush(result, (-d, e))
+                if seen is not None:
+                    seen.append((float(d), e))
         while cand:
             d, v = heapq.heappop(cand)
             # stop only once ef allowed results exist AND the nearest
@@ -547,6 +573,11 @@ class _Graph:
                 continue
             visited.update(nbs)
             for nb, dn in zip(nbs, self._walk_dists(q, nbs, qq)):
+                if seen is not None and nb in allowed:
+                    # harvest collects ALLOWED visits only — the shortlist
+                    # is a candidate set for the exact rerank, and a
+                    # disallowed row must never reach it
+                    seen.append((float(dn), nb))
                 if len(result) < ef or dn < -result[0][0]:
                     heapq.heappush(cand, (dn, nb))
                     if nb in allowed:
@@ -666,12 +697,27 @@ class _Graph:
         k: int,
         ef: int | None = None,
         allowed_ids: set | None = None,
+        shortlist: int | None = None,
     ) -> list[tuple]:
         """Top-k graph walk. ``allowed_ids`` (a set of EXTERNAL ids) turns
         this into filtered vector search: upper layers navigate unfiltered
         (they only steer toward the query's region), the layer-0 beam admits
         only allowed vertices — top-k among matching rows, not a post-filter
-        that can come up short."""
+        that can come up short.
+
+        ``shortlist=N`` (the DiskANN serving split, r11): walk at the
+        CONFIGURED beam (ef = max(ef or efs, k) — k, not N) and return the
+        N nearest VISITED vertices instead of the beam's k — the deep ADC
+        candidate list a quantized rerank needs, decoupled from walk cost.
+        The pre-r11 coupling (callers passing k·rerank_mult as ``k``)
+        forced ef = max(ef, k·rerank_mult), widening the beam to buy
+        shortlist depth the visited set already contained — measured 2.39×
+        on the sf0.1 vamana_pq_batch key with zero recall benefit (the r10
+        1.2M grid: beam width moved nothing at any rerank depth; shortlist
+        ORDERING binds). Membership = top-N of every vertex the walk
+        touches (entries + expansions), (walk_dist, vertex)-ordered —
+        deterministic given the graph and query, replayed verbatim by the
+        offline oracles, filtered walks harvest allowed visits only."""
         if self.entry is None:
             return []
         if getattr(self, "bq_rot", None) is not None:
@@ -718,11 +764,23 @@ class _Graph:
         # no recall — r8/r9 drills).
         for lv in range(len(self.edges) - 1, 0, -1):
             ep = self._search_layer(q, ep, 1, lv)[:1]
+        seen: list | None = None
+        if shortlist is not None:
+            seen = []
         if allowed_ids is None:
-            found = self._search_layer(q, ep, ef, 0)[:k]
+            found = self._search_layer(q, ep, ef, 0, seen=seen)[:k]
         else:
             allowed = self._internal_allowed(allowed_ids)
-            found = self._search_layer_filtered(q, ep, ef, 0, allowed)[:k]
+            found = self._search_layer_filtered(
+                q, ep, ef, 0, allowed, seen=seen
+            )[:k]
+        if seen is not None:
+            # harvest: N nearest visited, (walk_dist, vertex) order — walk
+            # dists are squared l2 (monotone) so the ordering matches the
+            # true-distance ordering; ties break to the lower vertex index,
+            # the same canonical order every kernel here uses
+            seen.sort()
+            found = [v for _, v in seen[: max(int(shortlist), k)]]
         ids = self.ids
         return [
             # .item(): packed graphs hold ids as an int64 array — hits must
@@ -1213,6 +1271,18 @@ class ShardedHNSW:
     # row/Arrow-batch size and keeps task parallelism proportional to the
     # query batch, not capped at shard count
     QUERY_CHUNK = 1024
+    # quantized rerank paths (probe/search_batch with rerank=...) harvest
+    # the k·rerank_mult ADC shortlist from each shard walk's VISITED SET
+    # at the graph's configured ef (_Graph.search(shortlist=...)) instead
+    # of widening the beam to k·rerank_mult (r11). Bit-identical whenever
+    # k·rerank_mult <= the effective beam (the final result heap IS the
+    # top-ef of the visited set), so SQ8 4x and the partitioned-vamana
+    # shells (ef 192) are unchanged; where shortlists outrun the beam
+    # (BQ 16x+, past-clamp escalations) the walk no longer pays for
+    # depth the visited set already contains — A/B'd at the 1.2M BQ
+    # geometry before flipping (drills/drill_1200k_r11_harvest.json).
+    # Class-level so A/B tools and the offline replays flip in lockstep.
+    RERANK_HARVEST = True
 
     def members(self):
         """DataFrame[shard, id]: shard membership, extracted from the blobs
@@ -1333,7 +1403,11 @@ class ShardedHNSW:
         if rerank_mult is not None:
             return rerank_mult
         p = self.params or {}
-        if p.get("rerank_mult_default"):
+        if p.get("rerank_mult_default") is not None:
+            # `is not None`, not truthiness: an explicit (invalid) 0 stamp
+            # must surface as an error downstream, not silently fall
+            # through to the tier default (DDL validates >= 1 at stamp
+            # time; this read honors whatever was stamped)
             return int(p["rerank_mult_default"])
         return 16 if "bq_mins" in p else 4
 
@@ -1767,7 +1841,14 @@ class ShardedHNSW:
         out_schema = f"{qid_col} {qid_type}, {id_col} {id_type}, {dist_col} double"
 
         rerank_mult = self._rerank_mult(rerank_mult)
-        k_walk = k * rerank_mult if rerank is not None else k
+        if rerank is not None and self.RERANK_HARVEST:
+            # shortlist depth decoupled from the walk beam (see the class
+            # attr note) — resolved at plan time so worker closures and
+            # an A/B flip on the driver agree
+            k_walk, n_short = k, k * rerank_mult
+        else:
+            k_walk = k * rerank_mult if rerank is not None else k
+            n_short = None
 
         def run(batches):
             bset = bc_allowed.value if bc_allowed is not None else None
@@ -1781,7 +1862,9 @@ class ShardedHNSW:
                     aset = set(local.iloc[i]) if local is not None else bset
                     for q in qs:
                         arr = np.asarray(q["__qv"], dtype=np.float64)
-                        for hid, d in g.search(arr, k_walk, allowed_ids=aset):
+                        for hid, d in g.search(
+                            arr, k_walk, allowed_ids=aset, shortlist=n_short
+                        ):
                             recs_q.append(q[qid_col])
                             recs_i.append(hid)
                             recs_d.append(sign * d)
@@ -2081,7 +2164,12 @@ class ShardedHNSW:
         )
 
         rerank_mult = self._rerank_mult(rerank_mult)
-        k_walk = k * rerank_mult if rerank is not None else k
+        if rerank is not None and self.RERANK_HARVEST:
+            # visited-set shortlist harvest — see search_batch / class attr
+            k_walk, n_short = k, k * rerank_mult
+        else:
+            k_walk = k * rerank_mult if rerank is not None else k
+            n_short = None
 
         def search_shard(batches):
             bset = bc_allowed.value if bc_allowed is not None else None
@@ -2091,7 +2179,10 @@ class ShardedHNSW:
                 for i, blob in enumerate(pdf["blob"]):
                     g = pickle.loads(blob)
                     aset = set(local.iloc[i]) if local is not None else bset
-                    for hid, d in g.search(np.asarray(q), k_walk, allowed_ids=aset):
+                    for hid, d in g.search(
+                        np.asarray(q), k_walk, allowed_ids=aset,
+                        shortlist=n_short,
+                    ):
                         recs.append({id_col: hid, dist_col: sign * d})
                 yield pd.DataFrame(recs, columns=[id_col, dist_col])
 
@@ -2366,6 +2457,19 @@ def offline_routed_bq_probe(
     )
 
 
+def _offline_rerank_walk(g: _Graph, q: np.ndarray, k: int, rerank_mult: int):
+    """The quantized-rerank candidate walk, matching ShardedHNSW's serving
+    closures exactly: with RERANK_HARVEST on (the default) the walk runs
+    at the graph's configured ef and the k·rerank_mult shortlist is
+    harvested from its visited set; off replays the pre-r11 coupled walk
+    (beam widened to k·rerank_mult). One shared function so the offline
+    replays and any A/B flip of the class attr stay in lockstep with the
+    distributed paths."""
+    if ShardedHNSW.RERANK_HARVEST:
+        return g.search(q, k, shortlist=k * rerank_mult)
+    return g.search(q, k * rerank_mult)
+
+
 def _offline_quantized_probe(
     centroids, graphs, vectors_by_id, query, k, n_probe, dist, rerank_mult
 ) -> list[tuple]:
@@ -2390,7 +2494,7 @@ def _offline_quantized_probe(
         g = graphs.get(b)
         if g is None:
             continue
-        for hid, _d in g.search(q, k * rerank_mult):
+        for hid, _d in _offline_rerank_walk(g, q, k, rerank_mult):
             cand.add(hid)
 
     def fold(vals) -> float:
@@ -2469,7 +2573,9 @@ def _offline_quantized_batch(
             g = graphs.get(b)
             if g is None:
                 continue
-            for hid, _d in g.search(np.asarray(qv, dtype=np.float64), k * rerank_mult):
+            for hid, _d in _offline_rerank_walk(
+                g, np.asarray(qv, dtype=np.float64), k, rerank_mult
+            ):
                 cand.add(hid)
 
         def exact(v: list[float]) -> float:
@@ -2621,7 +2727,7 @@ def offline_routed_pq_probe(
         g = graphs.get(b)
         if g is None:
             continue
-        for hid, _d in g.search(q, k * rerank_mult):
+        for hid, _d in _offline_rerank_walk(g, q, k, rerank_mult):
             cand.add(hid)
 
     def fold(vals) -> float:
@@ -2676,7 +2782,9 @@ def offline_routed_pq_batch(
             g = graphs.get(b)
             if g is None:
                 continue
-            for hid, _d in g.search(np.asarray(qv, dtype=np.float64), k * rerank_mult):
+            for hid, _d in _offline_rerank_walk(
+                g, np.asarray(qv, dtype=np.float64), k, rerank_mult
+            ):
                 cand.add(hid)
 
         def exact(v: list[float]) -> float:

@@ -1411,15 +1411,20 @@ class VamanaIndex:
         filtered walk — serving here is already driver-materialized and
         guarded by SERVE_MAX_ROWS, so an allowed set bounded by the same
         cap collects consistently. ``rerank_mult`` sizes the ADC
-        shortlist on PQ-quantized graphs (k·rerank_mult walk hits before
-        the exact rerank; ignored unquantized). Default 48, measured at
-        the 1.2M clustered drill (drills/drill_1200k_r10_part_ef_ab.json
-        pqr_merged_grid): recall@10 0.56 / 0.864 / 0.948 at rerank 4 /
-        16 / 48 with FLAT serving wall-clock, while ef-scaling at shallow
-        rerank moved nothing (0.56 at ef 256) — within-cluster ADC
-        ordering, not walk exploration, is the quantized merged tier's
-        binding constraint at density — the rerank join stays
-        broadcast-sized at any depth here."""
+        shortlist on PQ-quantized graphs (k·rerank_mult candidates
+        HARVESTED FROM THE WALK'S VISITED SET before the exact rerank —
+        the beam itself stays at the configured ef; ignored unquantized).
+        Default 48, measured at the 1.2M clustered drill
+        (drills/drill_1200k_r10_part_ef_ab.json pqr_merged_grid):
+        recall@10 0.56 / 0.864 / 0.948 at rerank 4 / 16 / 48 with FLAT
+        serving wall-clock, while ef-scaling at shallow rerank moved
+        nothing (0.56 at ef 256) — within-cluster ADC ordering, not walk
+        exploration, is the quantized merged tier's binding constraint at
+        density — the rerank join stays broadcast-sized at any depth
+        here. (r11: shortlist depth no longer widens the beam —
+        _Graph.search(shortlist=...) harvests the visited set, so deep
+        rerank costs ~nothing extra; re-measured at 1.2M, see
+        drills/drill_1200k_r11_harvest.json.)"""
         g = self._graph()
         allowed_ids = None
         if allowed is not None:
@@ -1430,10 +1435,10 @@ class VamanaIndex:
         quantized = "pq_books" in (self.params or {})
         by_sim = self.dist in ("cosine", "ip")  # similarity ops classes
         q = _prep_query(self.dist, [float(x) for x in query])
-        n_walk = k * rerank_mult if quantized else k
         hits = g.search(
-            np.asarray(q, dtype=np.float64), n_walk, ef=ef,
+            np.asarray(q, dtype=np.float64), k, ef=ef,
             allowed_ids=allowed_ids,
+            shortlist=k * rerank_mult if quantized else None,
         )
         if not quantized:
             if by_sim:
@@ -1496,13 +1501,15 @@ class VamanaIndex:
         per-query windowed top-k (the same serving shape as
         ShardedHNSW.search_batch(rerank=...)).
 
-        Default shortlist depth 16 here vs 48 on probe(): the walk beam
-        widens to k·rerank_mult (ef = max(ef, k_walk)), and on this
-        THROUGHPUT path walks dominate wall-clock — the sf0.1 bench key
-        ran 6.7x slower at 48 — while single probe() calls are
-        per-query-overhead-dominated, where the 1.2M grid measured 48
-        flat (recall 0.56/0.864/0.948 at 4/16/48; pass rerank_mult=48
-        for the deep-recall point at batch cost)."""
+        Shortlist depth (``rerank_mult``, default 16 here vs 48 on
+        probe()) no longer prices into the walk: r11 harvests the
+        k·rerank_mult ADC candidates from the walk's VISITED SET at the
+        configured ef (_Graph.search(shortlist=...)) instead of widening
+        the beam to k·rerank_mult — the r10 coupling made the sf0.1 bench
+        key 2.4× slower for recall the visited set already contained
+        (the 1.2M grid measured beam width moving nothing at any rerank
+        depth; recall 0.56/0.864/0.948 at rerank 4/16/48 is shortlist
+        ordering). Deep rerank now costs only a larger broadcast join."""
         import pandas as pd
         from pyspark.sql import Window, functions as F
 
@@ -1515,7 +1522,7 @@ class VamanaIndex:
         bc = spark.sparkContext.broadcast(g)
         quantized = "pq_books" in (self.params or {})
         by_sim = self.dist in ("cosine", "ip")
-        n_walk = k * rerank_mult if quantized else k
+        n_short = k * rerank_mult if quantized else None
         id_col, idt = self.id_col, self.id_type
         qschema = {f.name: f.dataType.simpleString() for f in queries.schema}
         schema = f"{qid_col} {qschema[qid_col]}, {id_col} {idt}, __wd double"
@@ -1541,7 +1548,9 @@ class VamanaIndex:
                     # buffers — observed 1-ulp distance drift flipping
                     # round-8 oracle digits. A fresh allocation pins the
                     # same kernel everywhere.
-                    hits = graph.search(np.array(qv, dtype=np.float64), n_walk)
+                    hits = graph.search(
+                        np.array(qv, dtype=np.float64), k, shortlist=n_short
+                    )
                     ids_only = [h[0] for h in hits]
                     if by_sim and not quantized:
                         # exact similarities from the stored unit/augmented
@@ -1914,9 +1923,11 @@ def offline_vamana_pq_probe(
 ) -> list[tuple]:
     """Replay ``VamanaIndex.quantize_pq(model).probe(query, k)`` on an
     offline_vamana graph: quantize with the same codebooks (same argmin as
-    the distributed PQModel.encode), walk for k·rerank_mult ADC
-    candidates, and rerank the ids with the exact left-fold l2 Spark's
-    codegen evaluates, (d, id)-ordered. ``centers`` mirrors
+    the distributed PQModel.encode), harvest the k·rerank_mult ADC
+    shortlist from the visited set of a configured-ef walk (the same
+    _Graph.search(shortlist=...) call the Spark path makes), and rerank
+    the ids with the exact left-fold l2 Spark's codegen evaluates,
+    (d, id)-ordered. ``centers`` mirrors
     ``quantize_pq(model, residual=True)`` (the frozen entry-cell centers;
     per-vertex cells assign fold-exactly inside _Graph, matching the
     distributed __ecell fold). Returns [(id, exact_distance)].
@@ -1924,7 +1935,9 @@ def offline_vamana_pq_probe(
     books = [[[float(x) for x in row] for row in b] for b in model.centroids]
     bounds = [[int(s), int(e)] for s, e in model.bounds]
     g.quantize_pq(books, bounds, centers=centers)
-    hits = g.search(np.asarray(query, dtype=np.float64), k * rerank_mult)
+    hits = g.search(
+        np.asarray(query, dtype=np.float64), k, shortlist=k * rerank_mult
+    )
 
     def fold_l2(a, b) -> float:
         s = 0.0
@@ -1961,9 +1974,10 @@ def offline_vamana_pq_batch(
     centers=None,
 ) -> list[tuple]:
     """Replay ``VamanaIndex.quantize_pq(model).search_batch(...)``:
-    quantize once, per-query ADC walk for k·rerank_mult candidates, exact
-    left-fold l2 rerank, (d, id)-ordered per-query top-k. ``centers``
-    mirrors ``quantize_pq(model, residual=True)``. Returns
+    quantize once, per-query configured-ef walk harvesting a
+    k·rerank_mult visited-set ADC shortlist, exact left-fold l2 rerank,
+    (d, id)-ordered per-query top-k. ``centers`` mirrors
+    ``quantize_pq(model, residual=True)``. Returns
     [(qid, id, d)]. Mutates ``g`` — pass a fresh replay."""
     books = [[[float(x) for x in row] for row in b] for b in model.centroids]
     bounds = [[int(s), int(e)] for s, e in model.bounds]
@@ -1978,7 +1992,9 @@ def offline_vamana_pq_batch(
 
     out = []
     for qid, qv in queries:
-        hits = g.search(np.asarray(qv, dtype=np.float64), k * rerank_mult)
+        hits = g.search(
+            np.asarray(qv, dtype=np.float64), k, shortlist=k * rerank_mult
+        )
         scored = [
             (hid, fold_l2([float(x) for x in vectors_by_id[hid]], qv))
             for hid, _d in hits

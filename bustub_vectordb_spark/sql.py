@@ -759,7 +759,12 @@ class SqlEngine:
                             rotation_seed=opts.get("bq_rot_seed"),
                         )
                         idx.default_n_probe = n_probe
-                    if opts.get("pq") or opts.get("bq"):
+                    if (opts.get("pq") or opts.get("bq")) and not opts.get("sq8"):
+                        # NOTE the not-sq8 gate: the quantizer elif chain
+                        # above picks sq8 first, so WITH (sq8=1, pq=1)
+                        # builds an SQ8 index — stamping a pq/bq rerank
+                        # default onto it would contradict the SQ8
+                        # exemption documented below.
                         # past-clamp rerank escalation (r10): at the
                         # 1024-shard clamp, shards grow past the quantized
                         # mode-granularity target again and rerank depth is
@@ -775,9 +780,16 @@ class SqlEngine:
                         import math as _math
 
                         if "rerank_mult" in opts:
-                            idx.params["rerank_mult_default"] = int(
-                                opts["rerank_mult"]
-                            )
+                            rm = int(opts["rerank_mult"])
+                            if rm < 1:
+                                # fail at DDL time: a 0/negative stamp would
+                                # either silently fall through to the tier
+                                # default (pre-r11 truthiness read) or walk
+                                # for zero candidates
+                                raise ValueError(
+                                    f"rerank_mult must be >= 1 (got {rm})"
+                                )
+                            idx.params["rerank_mult_default"] = rm
                         else:
                             ratio = (n / max(1, shards)) / float(
                                 self.HNSW_SHARD_TARGET_ROWS_QUANTIZED

@@ -1153,7 +1153,17 @@ def test_bq_local_thresholds_need_unimodal_shards(spark):
     clusters (one threshold per dim can only encode mode identity), even
     with per-shard local thresholds. With shard count matching the
     cluster structure (unimodal shards), local-threshold BQ recovers.
-    Serving guidance lives in similarity/bq.py's module docstring."""
+    Serving guidance lives in similarity/bq.py's module docstring.
+
+    The multi-modal demonstration pins rerank_mult=4 (shortlist 40 of a
+    2000-row shard): at this depth harvest and coupled walks are
+    bit-identical, and the code-signal collapse shows cleanly. At the
+    r11 DEFAULT depth (16) the visited-set harvest actually rescues this
+    miniature (shortlist 160 ≈ 8% of the shard reaches the true
+    neighbors through the exact rerank — measured 0.8 here) — a real
+    serving property of deep-shortlist harvesting on SMALL shards, but
+    not one that survives real shard sizes (160 of 34k rows at the 2.2M
+    drill), so the granularity law stays the scale guidance."""
     import numpy as np
 
     from bustub_vectordb_spark.similarity.brute import knn
@@ -1172,17 +1182,24 @@ def test_bq_local_thresholds_need_unimodal_shards(spark):
     q = rows[3][1]
     exact = {r["vec_id"] for r in knn(df, "embedding", q, 10).collect()}
 
-    def bq_recall(shards):
+    def bq_recall(shards, rerank_mult=None):
         routed = HNSWIndex.build_routed(
             df, "embedding", "vec_id", shards=shards, m=8,
             ef_construction=48, ef_search=48,
         )
         bq = routed.quantize_bq(mins, maxs)
-        got = {r["vec_id"] for r in bq.probe(q, 10, n_probe=2, rerank=df).collect()}
+        got = {
+            r["vec_id"]
+            for r in bq.probe(
+                q, 10, n_probe=2, rerank=df, rerank_mult=rerank_mult
+            ).collect()
+        }
         return len(got & exact) / 10
 
     assert bq_recall(CL) >= 0.8  # unimodal shards: codes discriminate
-    assert bq_recall(2) <= 0.5   # multi-modal shards: inherent 1-bit bound
+    # multi-modal shards: inherent 1-bit bound (shallow shortlist — see
+    # the docstring for why the default depth no longer shows it here)
+    assert bq_recall(2, rerank_mult=4) <= 0.5
 
 
 def test_bq_rotation_recovers_anisotropic_recall(spark):

@@ -166,9 +166,12 @@ def main():
 
     for efs in (48, 96, 192):
         t0 = time.time()
-        vam.params["ef_search"] = efs  # shells freeze efs at cut time
-        part = part0 if efs == 48 else vam.to_partitioned(
-            cells=args.cells, n_probe=args.n_probe
+        # ef_serve EXPLICIT (ADVICE r10): to_partitioned floors shells at
+        # max(ef_search, PARTITIONED_EF_SERVE), so mutating
+        # params["ef_search"] alone would cut ef-192 shells at every sweep
+        # point and all three rows would measure the same configuration
+        part = vam.to_partitioned(
+            cells=args.cells, n_probe=args.n_probe, ef_serve=efs
         )
         part.blobs.cache().count()
         cut_sec = round(time.time() - t0, 1)
@@ -184,7 +187,6 @@ def main():
         }
         report["ef_sweep"].append(row)
         print(f"[ef-ab] {row}", file=sys.stderr, flush=True)
-    vam.params["ef_search"] = 48  # restore for the PQ section
 
     # ---- merged residual-PQ serving grid (shares the merged build):
     # separates shortlist-ordering (rerank_mult axis) from walk
