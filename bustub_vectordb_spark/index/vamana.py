@@ -560,6 +560,21 @@ class PartitionedVamanaServing:
     def insert(self, rows):
         return self.inner.insert(rows)  # raises: frozen serving artifact
 
+    def quantize_pq_local(
+        self, m: int = 16, k: int = 32, max_iter: int = 5
+    ) -> "PartitionedVamanaServing":
+        """Per-CELL local PQ codebooks (ShardedHNSW.quantize_pq_local one
+        tier over, r11): each cell shell trains books on ITS OWN
+        (transformed) member rows — the multi-modal fix applied at cell
+        granularity, where a frozen global/residual codebook's centers sit
+        between a cell's modes exactly as shard centroids did in r9. The
+        ops-class facade re-wraps the quantized inner artifact so raw
+        queries and exact transformed-space rerank keep working."""
+        return PartitionedVamanaServing(
+            self.inner.quantize_pq_local(m=m, k=k, max_iter=max_iter),
+            self.dist, self.ip_m2, vertices=self._vertices,
+        )
+
     def to_routed_ingest(
         self,
         shards: int = 8,

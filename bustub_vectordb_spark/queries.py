@@ -3855,6 +3855,64 @@ def q_ann_vamana_partitioned_pqr_batch(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
 
 
+def _vamana_partitioned_pql_batch_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed_pq_batch
+
+    cents, graphs = _offline_vamana_part_cached(mutable=True)
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    qs = [(qid, qv) for qid, qv in zip(ids, vecs) if qid % 97 == 0]
+    rows = [
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_pq_batch(
+            cents, graphs, dict(zip(ids, vecs)), qs, 5, 2,
+            local_mk=(16, 32, 5),
+        )
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register("ann_vamana_partitioned_pql_batch", _vamana_partitioned_pql_batch_oracle)
+def q_ann_vamana_partitioned_pql_batch(spark, sf_dir):
+    # Per-CELL local PQ codebooks inside cell-partitioned vamana shells
+    # (r11): each shell trains books on ITS OWN member rows
+    # (quantize_pq_local one tier over) — the multi-modal fix at cell
+    # granularity, where a frozen global/residual codebook's centers sit
+    # between a cell's modes exactly as shard centroids did in r9. No
+    # corpus-wide training pass; books are O(m·k·dsub) per shell. Exact
+    # offline replay (offline_routed_pq_batch(local_mk=...) over
+    # offline_vamana_partitioned shells — train_local_pq runs verbatim on
+    # the replayed id-sorted cells).
+    from .index.vamana import VamanaIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "vamana_part_pql")
+    if key not in _INDEX_CACHE:
+        bkey = (sf_dir, "vamana")
+        if bkey not in _INDEX_CACHE:
+            _INDEX_CACHE[bkey] = VamanaIndex.build(
+                emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+            )
+        _INDEX_CACHE[key] = _INDEX_CACHE[bkey].to_partitioned(
+            cells=4, n_probe=2
+        ).quantize_pq_local(m=16, k=32)
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = _INDEX_CACHE[key].search_batch(
+        queries, "embedding", "qid", k=5, n_probe=2, rerank=emb
+    )
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
 _OFFLINE_VAMANA_COS_MEMO: dict = {}
 
 

@@ -605,7 +605,20 @@ class SqlEngine:
                         if "entry_points" in opts else None
                     ),
                 )
-                if opts.get("pq"):
+                if opts.get("pq") and opts.get("pq_cell_books"):
+                    # WITH (pq=1, pq_cell_books=1[, cells=N]): per-CELL
+                    # local codebooks (r11) — the merged graph partitions
+                    # FIRST (float shells), then every cell shell trains
+                    # books on its own member rows (quantize_pq_local one
+                    # tier over). No corpus-wide training pass; the
+                    # multi-modal fix at cell granularity. Requires the
+                    # partitioned serving shape, so cells are implied.
+                    if "pq_residual" in opts and bool(opts["pq_residual"]):
+                        raise ValueError(
+                            "pq_cell_books=1 and pq_residual=1 are "
+                            "different codebook strategies — pick one"
+                        )
+                elif opts.get("pq"):
                     # WITH (pq=1[, pq_m=M, pq_k=K, pq_residual=0]):
                     # PQ-compressed serving — the search node collects only
                     # m-byte codes; probes rerank exactly against the
@@ -648,7 +661,9 @@ class SqlEngine:
                 n_rows = df.count()
                 # width-aware hand-off: the one-node ceiling depends on
                 # what the node holds (PQ codes vs float64 vectors)
-                if n_rows > idx.serve_cap() or "cells" in opts:
+                if n_rows > idx.serve_cap() or "cells" in opts or (
+                    opts.get("pq") and opts.get("pq_cell_books")
+                ):
                     # EXPLICIT serving hand-off above the one-node ceiling:
                     # the merged artifact is cut into disjoint k-means cell
                     # shells served through the routed ShardedHNSW
@@ -666,6 +681,12 @@ class SqlEngine:
                             if "ef_serve" in opts else None
                         ),
                     )
+                    if opts.get("pq") and opts.get("pq_cell_books"):
+                        # per-cell local books train AFTER the cut (each
+                        # shell on its own rows); serve with rerank
+                        idx = idx.quantize_pq_local(
+                            m=opts.get("pq_m", 16), k=opts.get("pq_k", 32)
+                        )
             else:
                 from .index.hnsw import HNSWIndex
 

@@ -642,6 +642,53 @@ def test_ddl_explicit_pq_residual_needs_multi_entry(spark):
     assert len(idx.probe([1.0, 1.0, 1.0, 1.0], 3).collect()) == 3
 
 
+def test_ddl_vamana_pq_cell_books(spark):
+    """r11: WITH (pq = 1, pq_cell_books = 1[, cells = N]) builds per-CELL
+    local codebooks — the merged graph partitions FIRST (float shells),
+    then each cell shell trains books on its own member rows. Implies the
+    partitioned serving shape; conflicts with pq_residual=1."""
+    import pytest
+
+    from bustub_vectordb_spark.index.hnsw import ShardedHNSW
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE pcb(v1 VECTOR(4), v2 integer)")
+    rows = ", ".join(
+        f"(ARRAY [{i}.0, {i % 3}.0, {i % 5}.0, {i % 7}.0], {i})" for i in range(40)
+    )
+    e.execute(f"INSERT INTO pcb VALUES {rows}")
+    e.execute(
+        "CREATE INDEX pcb1 ON pcb USING vamana (v1 vector_l2_ops)"
+        " WITH (shards = 2, m = 4, ef_construction = 16, ef_search = 16,"
+        " r = 6, overlap_eps = 0.3, cells = 2, n_probe = 2,"
+        " pq = 1, pq_m = 2, pq_k = 4, pq_cell_books = 1)"
+    )
+    idx = next(i for i in e.indexes.lookup("pcb", "v1") if i.name == "pcb1").index
+    assert isinstance(idx, ShardedHNSW)
+    assert idx.params.get("pq_local") == 1
+    assert "pq_books" not in (idx.params or {})  # no global/residual books
+    hits = idx.probe(
+        [1.0, 1.0, 1.0, 1.0], 3, rerank=e.catalog.tables["pcb"].df
+    )
+    assert len(hits.collect()) == 3
+    # cells omitted: pq_cell_books still implies the partitioned shape
+    e.execute(
+        "CREATE INDEX pcb2 ON pcb USING vamana (v1 vector_l2_ops)"
+        " WITH (shards = 2, m = 4, ef_construction = 16, ef_search = 16,"
+        " r = 6, overlap_eps = 0.3, pq = 1, pq_m = 2, pq_k = 4,"
+        " pq_cell_books = 1)"
+    )
+    idx2 = next(i for i in e.indexes.lookup("pcb", "v1") if i.name == "pcb2").index
+    assert isinstance(idx2, ShardedHNSW) and idx2.params.get("pq_local") == 1
+    with pytest.raises(ValueError, match="pq_cell_books"):
+        e.execute(
+            "CREATE INDEX pcb3 ON pcb USING vamana (v1 vector_l2_ops)"
+            " WITH (shards = 2, r = 6, cells = 2, pq = 1, pq_m = 2,"
+            " pq_k = 4, pq_cell_books = 1, pq_residual = 1)"
+        )
+
+
 def test_ddl_past_clamp_rerank_escalation(spark, monkeypatch):
     """r10: past the 1024-shard clamp, quantized shards grow beyond mode
     granularity again and rerank depth is the remaining recall knob

@@ -305,6 +305,57 @@ def test_partitioned_pq_serving_exact_rerank(emb, vamana, spark):
         assert r["distance"] == pytest.approx(true, abs=1e-9)
 
 
+def test_partitioned_pq_local_books(emb, vamana, spark, sf_dir, tmp_path):
+    """Per-CELL local PQ codebooks (r11): to_partitioned(...).
+    quantize_pq_local trains each cell shell's books on its OWN member
+    rows — offline replay parity (train_local_pq runs verbatim on the
+    replayed id-sorted cells), exact rerank distances, and save/load
+    parity through the partitioned loader."""
+    from bustub_vectordb_spark.index.hnsw import offline_routed_pq_batch
+    from bustub_vectordb_spark.index.vamana import (
+        load_partitioned,
+        offline_vamana_partitioned,
+    )
+
+    pql = vamana.to_partitioned(cells=4, n_probe=2).quantize_pq_local(
+        m=16, k=32
+    )
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = sorted(
+        (r["qid"], r["vec_id"], r["distance"])
+        for r in pql.search_batch(
+            queries, "embedding", "qid", k=5, n_probe=2, rerank=emb
+        ).collect()
+    )
+    cents, graphs = offline_vamana_partitioned(
+        f"{sf_dir}/embeddings.parquet", "embedding", "vec_id",
+        cells=4, shards=4, overlap_eps=0.2, r=16,
+    )
+    by_id = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    qs = [(r["qid"], list(r["embedding"])) for r in queries.collect()]
+    want = sorted(
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_pq_batch(
+            cents, graphs, by_id, qs, 5, 2, local_mk=(16, 32, 5)
+        )
+    )
+    assert got == want
+    # exact rerank distances are true distances
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    for r in pql.probe(q, 5, rerank=emb).collect():
+        true = float(np.linalg.norm(np.asarray(by_id[r["vec_id"]]) - np.asarray(q)))
+        assert r["distance"] == pytest.approx(true, abs=1e-9)
+    # save/load parity (params carry pq_local markers; blobs carry books)
+    pql.save(str(tmp_path / "pql"))
+    loaded = load_partitioned(spark, str(tmp_path / "pql"))
+    before = [(r["vec_id"], r["distance"]) for r in pql.probe(q, 5, rerank=emb).collect()]
+    after = [(r["vec_id"], r["distance"]) for r in loaded.probe(q, 5, rerank=emb).collect()]
+    assert after == before
+    assert (loaded.params or {}).get("pq_local") == 1
+
+
 def test_compressed_tier_recall_holds_at_sf01(spark):
     """VERDICT r5 task 8 — quantizer-saturation check at the bench scale
     factor: the PQ-compressed serving tiers must hold their recall@10 at

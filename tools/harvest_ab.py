@@ -131,6 +131,49 @@ def main() -> None:
             }
             report["legs"].append(leg)
             _log(f"{leg}")
+
+        # ---- partitioned quantized tiers: frozen residual books (r10's
+        # 0.856) vs per-CELL local books (the r11 lead) — same cells,
+        # same n_probe, same rerank depth ----
+        cells = 64
+        t0 = time.time()
+        part_pqr = vpq.to_partitioned(cells=cells, n_probe=args.n_probe)
+        part_pqr.blobs.cache().count()
+        times["pqr_to_partitioned"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        hits = part_pqr.search_batch(
+            qdf, "embedding", "qid", K, n_probe=args.n_probe, rerank=emb,
+            rerank_mult=16,
+        ).collect()
+        leg = {
+            "tier": "vamana_pqr_partitioned_batch", "mode": "harvest",
+            "rerank_mult": 16, "cells": cells,
+            "batch_sec": round(time.time() - t0, 1),
+            "recall": round(recall(truth, hits), 4),
+        }
+        report["legs"].append(leg)
+        _log(f"{leg}")
+
+        t0 = time.time()
+        part_pql = vam.to_partitioned(
+            cells=cells, n_probe=args.n_probe
+        ).quantize_pq_local(m=16, k=32)
+        part_pql.blobs.cache().count()
+        times["pql_to_partitioned_and_train"] = round(time.time() - t0, 1)
+        for mult in (16, 48):
+            t0 = time.time()
+            hits = part_pql.search_batch(
+                qdf, "embedding", "qid", K, n_probe=args.n_probe,
+                rerank=emb, rerank_mult=mult,
+            ).collect()
+            leg = {
+                "tier": "vamana_pql_partitioned_batch", "mode": "harvest",
+                "rerank_mult": mult, "cells": cells,
+                "batch_sec": round(time.time() - t0, 1),
+                "recall": round(recall(truth, hits), 4),
+            }
+            report["legs"].append(leg)
+            _log(f"{leg}")
     else:
         t0 = time.time()
         routed = HNSWIndex.build_routed(
