@@ -870,6 +870,63 @@ def test_attach_unreached_repairs_linked_components():
     assert 3 not in layer0[0] and 5 not in layer0[0], layer0
 
 
+def test_r10_serving_default_floors_at_sf01(spark):
+    """VERDICT r10 #6 — pinned sf0.1 floors for the r10/r11 serving
+    DEFAULTS, exercised with NO explicit ef/rerank overrides so a default
+    regression (PARTITIONED_EF_SERVE, the 48-probe/16-batch rerank split,
+    the r11 visited-set harvest) trips here:
+
+      - partitioned float serving through to_partitioned() defaults
+        (ef_serve floor 192): measured 0.885 at sf0.1, cells=4/n_probe=3
+        (the ceiling is cell assignment at 75% probed fraction, not beam)
+      - merged residual-PQ search_batch() default path (rerank 16,
+        harvest): measured 0.925 at sf0.1
+    """
+    from bustub_vectordb_spark.catalog import read_table
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    emb = read_table(spark, "/root/testdata/sf0.1", "embeddings").cache()
+    vam = VamanaIndex.build(
+        emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+    )
+    vam_pqr = vam.quantize_pq(
+        PQModel.train(vam.residual_source(), "__res", "vec_id", m=16, k=32),
+        residual=True,
+    )
+    part = vam.to_partitioned(cells=4, n_probe=3)  # default ef_serve
+    queries = emb.filter(F.col("vec_id") % 100 == 3).limit(20).collect()
+    assert len(queries) == 20
+    exact = {
+        row["vec_id"]: {
+            x["vec_id"]
+            for x in knn(emb, "embedding", list(row["embedding"]), 10).collect()
+        }
+        for row in queries
+    }
+    r_part = [
+        len(
+            {x["vec_id"] for x in part.probe(list(row["embedding"]), 10).collect()}
+            & exact[row["vec_id"]]
+        ) / 10
+        for row in queries
+    ]
+    qdf = spark.createDataFrame(
+        [(row["vec_id"], list(row["embedding"])) for row in queries],
+        "qid long, embedding array<double>",
+    )
+    got: dict = {}
+    for r in vam_pqr.search_batch(qdf, "embedding", "qid", 10).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    r_batch = [
+        len(got.get(row["vec_id"], set()) & exact[row["vec_id"]]) / 10
+        for row in queries
+    ]
+    avg_part = sum(r_part) / len(r_part)
+    avg_batch = sum(r_batch) / len(r_batch)
+    assert avg_part >= 0.80, (avg_part, r_part)
+    assert avg_batch >= 0.85, (avg_batch, r_batch)
+
+
 def test_r9_tier_recall_floors_at_sf01(spark):
     """VERDICT r9 #4 — pinned sf0.1 regression floors for the r9 tiers
     (routed local-books PQ, routed residual PQ, vamana residual PQ,
