@@ -7475,37 +7475,40 @@ def q_layout_zorder_skipping(spark, sf_dir):
 # check_oracle.py (full registry) in tests/CI — see COVERAGE.md.
 
 _GATE_WINDOW = [
-    # --- r10 rotation (VERDICT r9 task 7): every entry now has at least
-    # one driver row, so the window = touched paths + the stalest rows.
-    # Touched this round: the partitioned-vamana reachability repair went
-    # from in-degree to true-BFS component attachment (_attach_unreached)
-    # — every entry serving through partitioned cell shells re-gates ---
-    "ann_vamana_partitioned_batch",
+    # --- r11 rotation (VERDICT r10 task 5 + ADVICE r10 #3): touched
+    # paths re-gate. This round the quantized-rerank shortlist decoupled
+    # from the walk beam (visited-set harvest — _Graph.search(shortlist=),
+    # ShardedHNSW.RERANK_HARVEST, merged-vamana probe/search_batch), so
+    # every entry whose serving walks a quantized graph re-gates; plus
+    # the merged quantized-vamana entries whose r10 default bumps shipped
+    # without a driver row (ADVICE r10 #3), and the NEW per-cell-books
+    # tier ---
+    "ann_vamana_pq_rerank",
+    "ann_vamana_pqr_rerank",
+    "ann_vamana_pq_batch",
+    "ann_vamana_batch",
     "ann_vamana_partitioned_pq_batch",
     "ann_vamana_partitioned_pqr_batch",
-    "ann_vamana_filtered",
-    # --- stale re-gates: the r3-vintage rows (oldest in any CORRECTNESS
-    # file) + the stalest r4 row, refreshed in last-gated order ---
-    "ann_hnsw_probe",
-    "ann_hnsw_routed_probe",
-    "ann_index_selection",
-    "ann_ivf_sq8_rerank",
-    "ann_ivfflat_batch_probe",
-    "ann_lsh_probe",
-    "bm25_search",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "embedding_neardup_lsh",
-    "events_asof_attribution",
-    "heavy_hitters",
-    "langid",
-    "layout_bucketed_join",
-    "multimodal_metadata",
-    "sample_stratified",
-    "text_quality",
-    "text_repetition",
-    "agg_corr",
+    "ann_vamana_partitioned_pql_batch",
+    "ann_hnsw_routed_sq8_batch",
+    "ann_hnsw_routed_sq8_rerank",
+    "ann_hnsw_routed_bq_rerank",
+    "ann_hnsw_routed_bq_batch",
+    "ann_hnsw_routed_bqr_rerank",
+    "ann_hnsw_routed_pq_batch",
+    "ann_hnsw_routed_pq_rerank",
+    "ann_hnsw_routed_pqr_rerank",
+    "ann_hnsw_routed_pql_rerank",
+    # --- stale re-gates: the 8 stalest rows (r4-vintage, last-gated
+    # order then name) ---
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_quantiles",
+    "agg_rollup",
+    "agg_stddev_var",
+    "ann_hnsw_filtered_probe",
+    "ann_hnsw_routed_batch",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",
