@@ -55,6 +55,10 @@ def main() -> None:
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--mults", default="16,32")
     ap.add_argument("--vamana", action="store_true")
+    # follow-up legs (r11): merged-PQR rerank knee (32), deep rerank on
+    # the cells=64 PQR shells, and the granularity-law test for per-cell
+    # books (cells=256 == mode structure)
+    ap.add_argument("--vamana-extra", dest="vamana_extra", action="store_true")
     args = ap.parse_args()
 
     from bustub_vectordb_spark.session import get_spark
@@ -96,7 +100,100 @@ def main() -> None:
         "n_probe": args.n_probe, "legs": [],
     }
 
-    if args.vamana:
+    if args.vamana_extra:
+        from bustub_vectordb_spark.index.vamana import VamanaIndex
+        from bustub_vectordb_spark.similarity.pq import PQModel
+
+        t0 = time.time()
+        vam = VamanaIndex.build(
+            emb, "embedding", "vec_id", shards=64, overlap_eps=0.2,
+            r=16, ef_construction=48, ef_search=48, max_cell_rows=60_000,
+        )
+        vam.edges.cache().count()
+        times["vamana_merged_build"] = round(time.time() - t0, 1)
+        _log(f"merged build done {times['vamana_merged_build']}s")
+        t0 = time.time()
+        model = PQModel.train(
+            vam.residual_source(), "__res", "vec_id", m=16, k=32
+        )
+        vpq = vam.quantize_pq(model, residual=True)
+        times["pqr_train"] = round(time.time() - t0, 1)
+        _log(f"pqr train done {times['pqr_train']}s")
+        nq = min(25, len(qids))
+        sub = {q: truth[q] for q in qids[:nq]}
+        for mult in (24, 32):
+            t0 = time.time()
+            hits = []
+            for q, v in list(zip(qids, qmat))[:nq]:
+                h = vpq.probe(v.tolist(), K, rerank_mult=mult).collect()
+                hits.extend({"qid": q, "vec_id": r["vec_id"]} for r in h)
+            leg = {
+                "tier": "vamana_pqr_merged_probe", "mode": "harvest",
+                "rerank_mult": mult, "nq": nq,
+                "probe_sec_total": round(time.time() - t0, 1),
+                "recall": round(recall(sub, hits), 4),
+            }
+            report["legs"].append(leg)
+            _log(f"{leg}")
+        # deep rerank on the cells=64 PQR shells (VERDICT r10 #3 target)
+        t0 = time.time()
+        part_pqr = vpq.to_partitioned(cells=64, n_probe=args.n_probe)
+        part_pqr.blobs.cache().count()
+        times["pqr_to_partitioned_64"] = round(time.time() - t0, 1)
+        for mult in (32, 48):
+            t0 = time.time()
+            hits = part_pqr.search_batch(
+                qdf, "embedding", "qid", K, n_probe=args.n_probe,
+                rerank=emb, rerank_mult=mult,
+            ).collect()
+            leg = {
+                "tier": "vamana_pqr_partitioned_batch", "mode": "harvest",
+                "rerank_mult": mult, "cells": 64,
+                "batch_sec": round(time.time() - t0, 1),
+                "recall": round(recall(truth, hits), 4),
+            }
+            report["legs"].append(leg)
+            _log(f"{leg}")
+        # granularity-law test: per-cell books at cells == mode structure
+        t0 = time.time()
+        part_pql = vam.to_partitioned(
+            cells=256, n_probe=16
+        ).quantize_pq_local(m=16, k=32)
+        part_pql.blobs.cache().count()
+        times["pql_to_partitioned_and_train_256"] = round(time.time() - t0, 1)
+        for mult in (16, 48):
+            t0 = time.time()
+            hits = part_pql.search_batch(
+                qdf, "embedding", "qid", K, n_probe=16,
+                rerank=emb, rerank_mult=mult,
+            ).collect()
+            leg = {
+                "tier": "vamana_pql_partitioned_batch", "mode": "harvest",
+                "rerank_mult": mult, "cells": 256, "n_probe": 16,
+                "batch_sec": round(time.time() - t0, 1),
+                "recall": round(recall(truth, hits), 4),
+            }
+            report["legs"].append(leg)
+            _log(f"{leg}")
+        # frozen-residual books at the same fine cells, for the ordering
+        t0 = time.time()
+        part_pqr256 = vpq.to_partitioned(cells=256, n_probe=16)
+        part_pqr256.blobs.cache().count()
+        times["pqr_to_partitioned_256"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        hits = part_pqr256.search_batch(
+            qdf, "embedding", "qid", K, n_probe=16, rerank=emb,
+            rerank_mult=16,
+        ).collect()
+        leg = {
+            "tier": "vamana_pqr_partitioned_batch", "mode": "harvest",
+            "rerank_mult": 16, "cells": 256, "n_probe": 16,
+            "batch_sec": round(time.time() - t0, 1),
+            "recall": round(recall(truth, hits), 4),
+        }
+        report["legs"].append(leg)
+        _log(f"{leg}")
+    elif args.vamana:
         from bustub_vectordb_spark.index.vamana import VamanaIndex
         from bustub_vectordb_spark.similarity.pq import PQModel
 
