@@ -1676,6 +1676,13 @@ class ShardedHNSW:
             self.params or {}, pq_local=1, pq_local_m=m_i, pq_local_k=k_i,
             pq_local_iter=it_i,
         )
+        if params.get("frozen") == "vamana-partitioned":
+            # per-CELL books on vamana-partitioned shells join the other
+            # quantized vamana-partitioned tiers at the DEEP rerank
+            # default (see to_partitioned — harvest makes depth ~free;
+            # 1.2M: 0.918@16 -> 0.958@48). Routed-HNSW shards keep their
+            # own tier defaults (4/16 + the DDL past-clamp escalation).
+            params.setdefault("rerank_mult_default", 48)
         return ShardedHNSW(
             self.vec_col, self.id_col, self.dist, blobs, self._spark,
             centroids=self.centroids, id_type=self.id_type,

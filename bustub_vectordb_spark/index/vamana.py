@@ -1300,6 +1300,13 @@ class VamanaIndex:
             params.update(pq_books=books, pq_bounds=bounds)
             if pq_centers is not None:
                 params["pq_centers"] = pq_centers
+            # quantized vamana-partitioned shells default to the DEEP
+            # rerank shortlist (r11): with the visited-set harvest the
+            # depth no longer widens the walk beam, and the 1.2M drill
+            # measured 0.856@16 -> 0.944@48 at FLAT batch cost (5.7s ->
+            # 5.2s, drills/drill_1200k_r11_harvest.json vamana-extra
+            # legs). WITH (rerank_mult=N) / the serve-time arg still win.
+            params.setdefault("rerank_mult_default", 48)
         inner = ShardedHNSW(
             self.vec_col, id_col, "l2", blobs.cache(), spark,
             centroids=centroids, id_type=self.id_type,
@@ -1504,7 +1511,7 @@ class VamanaIndex:
         qid_col: str,
         k: int,
         dist_col: str = "distance",
-        rerank_mult: int = 16,
+        rerank_mult: int = 32,
     ):
         """Distributed batch serving over the merged graph: the (guarded)
         driver graph broadcasts ONCE — with PQ serving that broadcast is
@@ -1516,15 +1523,17 @@ class VamanaIndex:
         per-query windowed top-k (the same serving shape as
         ShardedHNSW.search_batch(rerank=...)).
 
-        Shortlist depth (``rerank_mult``, default 16 here vs 48 on
+        Shortlist depth (``rerank_mult``, default 32 here vs 48 on
         probe()) no longer prices into the walk: r11 harvests the
         k·rerank_mult ADC candidates from the walk's VISITED SET at the
         configured ef (_Graph.search(shortlist=...)) instead of widening
         the beam to k·rerank_mult — the r10 coupling made the sf0.1 bench
-        key 2.4× slower for recall the visited set already contained
-        (the 1.2M grid measured beam width moving nothing at any rerank
-        depth; recall 0.56/0.864/0.948 at rerank 4/16/48 is shortlist
-        ordering). Deep rerank now costs only a larger broadcast join."""
+        key 2.4× slower for recall the visited set already contained.
+        Deep rerank now costs only a larger broadcast join, so the batch
+        default sits at the measured knee: 1.2M harvest ladder recall
+        0.832/0.90/0.936/0.952 at rerank 16/24/32/48 with sf0.1 bench
+        1.93/1.95/2.26/3.08 s (drills/drill_1200k_r11_harvest.json) —
+        32 buys 10pt recall over the r10-shipped 16 for ~0.3 s."""
         import pandas as pd
         from pyspark.sql import Window, functions as F
 
@@ -1985,7 +1994,7 @@ def offline_vamana_pq_batch(
     queries: list[tuple],
     k: int,
     model,
-    rerank_mult: int = 16,  # mirrors search_batch (probe's twin stays 48)
+    rerank_mult: int = 32,  # mirrors search_batch (probe's twin stays 48)
     centers=None,
 ) -> list[tuple]:
     """Replay ``VamanaIndex.quantize_pq(model).search_batch(...)``:

@@ -3665,7 +3665,8 @@ def _vamana_partitioned_pq_batch_oracle() -> str:
     rows = [
         (int(qid), int(hid), float(d))
         for qid, hid, d in offline_routed_pq_batch(
-            cents, graphs, dict(zip(ids, vecs)), qs, 5, 2, model
+            cents, graphs, dict(zip(ids, vecs)), qs, 5, 2, model,
+            rerank_mult=48,  # the quantized vamana-partitioned default
         )
     ]
     return (
@@ -3822,7 +3823,7 @@ def _vamana_partitioned_pqr_batch_oracle() -> str:
         (int(qid), int(hid), float(d))
         for qid, hid, d in offline_routed_pq_batch(
             cents, graphs, dict(zip(ids, vecs)), qs, 5, 2, model,
-            pq_centers=centers,
+            pq_centers=centers, rerank_mult=48,
         )
     ]
     return (
@@ -3871,7 +3872,7 @@ def _vamana_partitioned_pql_batch_oracle() -> str:
         (int(qid), int(hid), float(d))
         for qid, hid, d in offline_routed_pq_batch(
             cents, graphs, dict(zip(ids, vecs)), qs, 5, 2,
-            local_mk=(16, 32, 5),
+            local_mk=(16, 32, 5), rerank_mult=48,
         )
     ]
     return (

@@ -338,7 +338,8 @@ def test_partitioned_pq_local_books(emb, vamana, spark, sf_dir, tmp_path):
     want = sorted(
         (int(qid), int(hid), float(d))
         for qid, hid, d in offline_routed_pq_batch(
-            cents, graphs, by_id, qs, 5, 2, local_mk=(16, 32, 5)
+            cents, graphs, by_id, qs, 5, 2, local_mk=(16, 32, 5),
+            rerank_mult=48,  # the quantized vamana-partitioned default
         )
     )
     assert got == want
