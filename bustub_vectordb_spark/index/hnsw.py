@@ -1734,6 +1734,22 @@ class ShardedHNSW:
             )
         )
 
+    def _serve_ef(self, ef: int | None) -> int | None:
+        """Serving-walk beam override for the quantized-rerank paths: an
+        explicit ``ef`` argument wins, else params['rerank_harvest_ef']
+        (the DDL past-clamp escalation stamps it — at tiny past-clamp
+        shards the visited set of a default-ef walk is too small to feed
+        a deep shortlist, so the ESCALATED tier deepens the walk too; the
+        6M drill measured the shortlist-only escalation losing 0.10
+        recall vs the r10 coupled walk), else None (the graph's own
+        frozen ef_search)."""
+        if ef is not None:
+            return int(ef)
+        p = self.params or {}
+        if p.get("rerank_harvest_ef") is not None:
+            return int(p["rerank_harvest_ef"])
+        return None
+
     def search_batch(
         self,
         queries,
@@ -1745,6 +1761,7 @@ class ShardedHNSW:
         allowed=None,
         rerank=None,
         rerank_mult: int | None = None,
+        ef: int | None = None,
     ):
         """Distributed batch ANN over the shards.
 
@@ -1856,6 +1873,7 @@ class ShardedHNSW:
         else:
             k_walk = k * rerank_mult if rerank is not None else k
             n_short = None
+        ef_walk = self._serve_ef(ef) if rerank is not None else ef
 
         def run(batches):
             bset = bc_allowed.value if bc_allowed is not None else None
@@ -1870,7 +1888,8 @@ class ShardedHNSW:
                     for q in qs:
                         arr = np.asarray(q["__qv"], dtype=np.float64)
                         for hid, d in g.search(
-                            arr, k_walk, allowed_ids=aset, shortlist=n_short
+                            arr, k_walk, ef=ef_walk, allowed_ids=aset,
+                            shortlist=n_short,
                         ):
                             recs_q.append(q[qid_col])
                             recs_i.append(hid)
@@ -2127,6 +2146,7 @@ class ShardedHNSW:
         allowed=None,
         rerank=None,
         rerank_mult: int | None = None,
+        ef: int | None = None,
     ):
         """``rerank`` (the source DataFrame carrying id + vector columns)
         turns the probe into ADC-shortlist + exact-rerank — the serving
@@ -2177,6 +2197,7 @@ class ShardedHNSW:
         else:
             k_walk = k * rerank_mult if rerank is not None else k
             n_short = None
+        ef_walk = self._serve_ef(ef) if rerank is not None else ef
 
         def search_shard(batches):
             bset = bc_allowed.value if bc_allowed is not None else None
@@ -2187,7 +2208,7 @@ class ShardedHNSW:
                     g = pickle.loads(blob)
                     aset = set(local.iloc[i]) if local is not None else bset
                     for hid, d in g.search(
-                        np.asarray(q), k_walk, allowed_ids=aset,
+                        np.asarray(q), k_walk, ef=ef_walk, allowed_ids=aset,
                         shortlist=n_short,
                     ):
                         recs.append({id_col: hid, dist_col: sign * d})
@@ -2464,17 +2485,21 @@ def offline_routed_bq_probe(
     )
 
 
-def _offline_rerank_walk(g: _Graph, q: np.ndarray, k: int, rerank_mult: int):
+def _offline_rerank_walk(
+    g: _Graph, q: np.ndarray, k: int, rerank_mult: int, ef: int | None = None
+):
     """The quantized-rerank candidate walk, matching ShardedHNSW's serving
     closures exactly: with RERANK_HARVEST on (the default) the walk runs
-    at the graph's configured ef and the k·rerank_mult shortlist is
-    harvested from its visited set; off replays the pre-r11 coupled walk
-    (beam widened to k·rerank_mult). One shared function so the offline
-    replays and any A/B flip of the class attr stay in lockstep with the
-    distributed paths."""
+    at the configured ef (the graph's frozen ef_search unless overridden
+    — replays of an index carrying params['rerank_harvest_ef'] must pass
+    it here) and the k·rerank_mult shortlist is harvested from its
+    visited set; off replays the pre-r11 coupled walk (beam widened to
+    k·rerank_mult). One shared function so the offline replays and any
+    A/B flip of the class attr stay in lockstep with the distributed
+    paths."""
     if ShardedHNSW.RERANK_HARVEST:
-        return g.search(q, k, shortlist=k * rerank_mult)
-    return g.search(q, k * rerank_mult)
+        return g.search(q, k, ef=ef, shortlist=k * rerank_mult)
+    return g.search(q, k * rerank_mult, ef=ef)
 
 
 def _offline_quantized_probe(
