@@ -820,6 +820,26 @@ class SqlEngine:
                                 idx.params["rerank_mult_default"] = min(
                                     64, base * int(_math.ceil(ratio))
                                 )
+                                # past-clamp escalation must deepen the
+                                # WALK too (r11): with the visited-set
+                                # harvest, a default-ef(48) walk on tiny
+                                # past-clamp shards cannot feed the
+                                # escalated shortlist — the 6M sweep
+                                # measured recall 0.666/0.732/0.762/0.762
+                                # at ef 48/96/160/320 (rerank 32), so the
+                                # stamp sits at the 160 saturation point:
+                                # 0.762 at 41s vs the r10 coupled walk's
+                                # 0.762 at 58s (drills/
+                                # clamp_rerank_6m_r11.json). WITH
+                                # (rerank_harvest_ef=N) pins it; an
+                                # explicit probe-time ef always wins.
+                                idx.params.setdefault(
+                                    "rerank_harvest_ef", 160
+                                )
+                        if "rerank_harvest_ef" in opts:
+                            idx.params["rerank_harvest_ef"] = int(
+                                opts["rerank_harvest_ef"]
+                            )
                 else:
                     idx = HNSWIndex.build(df, col, id_col, **common)
             self.indexes.create(

@@ -717,6 +717,12 @@ def test_ddl_past_clamp_rerank_escalation(spark, monkeypatch):
     assert idx.params.get("rerank_mult_default") == 32
     assert idx._rerank_mult(None) == 32
     assert idx._rerank_mult(4) == 4  # explicit probe-time arg always wins
+    # r11: past-clamp escalation deepens the WALK too (the visited-set
+    # harvest needs a wider visited set to feed the escalated shortlist
+    # — 6M sweep: recall saturates at ef 160)
+    assert idx.params.get("rerank_harvest_ef") == 160
+    assert idx._serve_ef(None) == 160
+    assert idx._serve_ef(96) == 96  # explicit probe-time ef always wins
 
     # PQ escalates from base 4 -> 8 at the same ratio
     e.execute(
@@ -735,6 +741,17 @@ def test_ddl_past_clamp_rerank_escalation(spark, monkeypatch):
     )
     idx3 = next(i for i in e.indexes.lookup("rk", "v1") if i.name == "rk3").index
     assert idx3.params.get("rerank_mult_default") == 24
+    # a pinned rerank_mult skips the escalation block entirely — no walk
+    # stamp; WITH (rerank_harvest_ef=N) sets it independently
+    assert idx3.params.get("rerank_harvest_ef") is None
+    e.execute(
+        "CREATE INDEX rk4 ON rk USING hnsw (v1 vector_l2_ops)"
+        " WITH (m = 4, ef_construction = 8, ef_search = 8, shards = 2,"
+        " bq = 1, rerank_mult = 24, rerank_harvest_ef = 96)"
+    )
+    idx4 = next(i for i in e.indexes.lookup("rk", "v1") if i.name == "rk4").index
+    assert idx4.params.get("rerank_harvest_ef") == 96
+    assert idx4._serve_ef(None) == 96
     assert idx3._rerank_mult(None) == 24
 
     # a probe over the escalated index still serves (the deep shortlist is
