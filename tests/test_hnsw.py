@@ -1347,3 +1347,87 @@ def test_bq_rotation_frozen_in_params(spark):
         [r["mn"] for r in stats], [r["mx"] for r in stats], rotation_seed=9
     )
     assert bq.params["bq_rot"] == rotation_matrix(8, 9)
+
+
+def test_harvest_equals_coupled_when_shortlist_fits_beam():
+    """The r11 bit-identity claim, pinned: when the shortlist fits the
+    effective beam (k_walk <= ef), the harvested top-N of the visited set
+    equals the coupled walk's returned prefix — because the final result
+    heap IS the top-ef of the visited set (pops only improve the worst,
+    so a vertex rejected at admission can never crack the returned
+    prefix). This is why SQ8 4x and the ef-192 partitioned shells
+    re-hashed unchanged when the harvest shipped."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.hnsw import _Graph
+
+    rng = np.random.RandomState(11)
+    mat = rng.standard_normal((600, 16))
+    g = _Graph(8, 32, 48, "l2", 42)
+    g.add_all(list(range(600)), mat)
+    for qi in range(5):
+        q = rng.standard_normal(16)
+        for k_walk in (12, 24, 48):  # all <= ef 48
+            coupled = [h for h, _ in g.search(q, k_walk, ef=48)]
+            harvested = [
+                h for h, _ in g.search(q, 4, ef=48, shortlist=k_walk)
+            ]
+            assert coupled == harvested, (qi, k_walk)
+
+
+def test_serve_ef_stamp_drives_rerank_walks(spark):
+    """params['rerank_harvest_ef'] (the past-clamp escalation stamp) must
+    actually steer the serving walks: results with the stamp equal an
+    explicit ef of the same value, and an explicit probe-time ef
+    overrides the stamp."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.hnsw import ShardedHNSW
+    from bustub_vectordb_spark.similarity.quantize import dim_stats
+
+    rng = np.random.RandomState(5)
+    CL = 6
+    centers = rng.uniform(-8, 8, size=(CL, 12))
+    rows = [
+        (i, (centers[i % CL] + rng.normal(0, 0.4, 12)).tolist())
+        for i in range(1200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    routed = HNSWIndex.build_routed(
+        df, "embedding", "vec_id", shards=3, m=4,
+        ef_construction=16, ef_search=16,
+    )
+    stats = dim_stats(df, "embedding").orderBy("dim").collect()
+    bq = routed.quantize_bq([r["mn"] for r in stats], [r["mx"] for r in stats])
+    q = rows[7][1]
+
+    def hits(idx, **kw):
+        return [
+            (r["vec_id"], r["distance"])
+            for r in idx.probe(q, 5, n_probe=2, rerank=df, **kw).collect()
+        ]
+
+    base16 = hits(bq)  # graph-frozen ef 16
+    explicit96 = hits(bq, ef=96)
+    stamped = ShardedHNSW(
+        bq.vec_col, bq.id_col, bq.dist, bq.blobs, bq._spark,
+        centroids=bq.centroids, id_type=bq.id_type,
+        params=dict(bq.params or {}, rerank_harvest_ef=96),
+    )
+    assert hits(stamped) == explicit96
+    assert hits(stamped, ef=16) == base16  # probe-time ef wins
+    # batch path resolves the same stamp
+    qdf = spark.createDataFrame([(1, q)], "qid long, embedding array<double>")
+    b_stamped = sorted(
+        (r["vec_id"], r["distance"])
+        for r in stamped.search_batch(
+            qdf, "embedding", "qid", 5, n_probe=2, rerank=df
+        ).collect()
+    )
+    b_explicit = sorted(
+        (r["vec_id"], r["distance"])
+        for r in bq.search_batch(
+            qdf, "embedding", "qid", 5, n_probe=2, rerank=df, ef=96
+        ).collect()
+    )
+    assert b_stamped == b_explicit
