@@ -671,7 +671,18 @@ class SqlEngine:
                     # no node ever materializes the whole graph. WITH
                     # (cells=N[, n_probe=P]) opts in at any size.
                     idx = idx.to_partitioned(
-                        cells=opts.get("cells", self._auto_shards(n_rows)),
+                        # per-cell books are mode-limited like every
+                        # quantized in-graph tier (granularity law): the
+                        # auto cell count uses the FINER quantized target
+                        # (1.2M drill: pql 0.918@16 at mode-granularity
+                        # cells vs 0.726 at 4-modes/cell)
+                        cells=opts.get(
+                            "cells",
+                            self._auto_shards(
+                                n_rows,
+                                quantized=bool(opts.get("pq_cell_books")),
+                            ),
+                        ),
                         n_probe=opts.get("n_probe", 2),
                         # shells serve at the PARTITIONED_EF_SERVE beam
                         # floor unless pinned (the in-cell edge
