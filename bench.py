@@ -310,7 +310,43 @@ def build_workloads(spark):
     ]
 
 
+def _settle(max_wait: float) -> None:
+    """Enforce the NOTES bench precondition INSIDE the harness (VERDICT
+    r11 #3: two rounds of official artifacts captured on loaded boxes):
+    wait — up to ``max_wait`` seconds, polling — until load1 < 0.5 AND
+    the 15-min average is settled (< 25% of cores). Capped so a driver
+    with a hard timeout still gets its artifact (annotated noisy=true)
+    rather than nothing. Disable with SPARK_GRAFT_BENCH_SETTLE=0."""
+    if not hasattr(os, "getloadavg"):
+        return
+    deadline = time.time() + max_wait
+    while time.time() < deadline:
+        l1, _l5, l15 = os.getloadavg()
+        if l1 < 0.5 and l15 < 0.25 * (os.cpu_count() or 32):
+            return
+        time.sleep(10)
+
+
+def _cpu_ref() -> float:
+    """Single-thread CPU reference (sec for a fixed pure-Python loop):
+    per-key bands are only comparable across rounds on equally-fast
+    boxes — r12 measured the same untouched keys ~35% above the r11
+    quiet bands on a container whose cores simply ran slower. Recording
+    the box's scalar speed in the artifact lets band comparisons
+    normalize (key_sec / cpu_ref) instead of mis-reading box variance
+    as code regressions."""
+    t0 = time.time()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return round(time.time() - t0, 3)
+
+
+_SETTLE_WAIT = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "600"))
+if _SETTLE_WAIT > 0:
+    _settle(_SETTLE_WAIT)
 _LOAD1_PREBENCH = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else 0.0
+_CPU_REF = _cpu_ref()
 
 
 def main() -> None:
@@ -345,6 +381,9 @@ def main() -> None:
         # measures external noise; noisy = pre-load exceeding 25% of cores.
         "load1_prebench": _LOAD1_PREBENCH,
         "noisy": _LOAD1_PREBENCH > 0.25 * (os.cpu_count() or 32),
+        # single-thread box-speed reference — normalize per-key bands
+        # across rounds as key_sec / cpu_ref_sec (see _cpu_ref)
+        "cpu_ref_sec": _CPU_REF,
     }
     print(json.dumps(out))
     spark.stop()

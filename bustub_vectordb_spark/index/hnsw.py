@@ -180,6 +180,16 @@ class _Graph:
     # measured filtered-recall benefit
     FILTERED_SEED_CAP = 4
 
+    # r12: harvesting walks (search(shortlist=N)) terminate against the
+    # shortlist-th best SEEN instead of the ef-th best admitted, and keep
+    # frontier admission open for shortlist improvements — identical walk
+    # when shortlist <= ef, deeper exploration when the shortlist outruns
+    # the beam (the general starvation guard + the rerank-16 boundary
+    # fix; see _search_layer's stop_n docstring). Class attr so scale
+    # drills can A/B the unaligned r11 harvest; every distributed kernel
+    # and offline replay reads it through the same search() call.
+    HARVEST_ALIGNED = True
+
     # -- serialization / packed adjacency ---------------------------------
     def __getstate__(self):
         state = self.__dict__.copy()
@@ -495,27 +505,62 @@ class _Graph:
         ef: int,
         level: int,
         seen: list | None = None,
+        stop_n: int | None = None,
     ) -> list[int]:
         """``seen`` (optional, the DiskANN serving trick): a caller-owned
         list collecting (walk_dist, vertex) for EVERY vertex whose distance
         this walk computes — each vertex exactly once (the visited-set
         check gates distance evaluation). search(shortlist=...) harvests a
-        deep ADC candidate list from it WITHOUT widening the beam; the
-        walk itself is unchanged (same admissions, same termination), so
-        passing None keeps every existing path bit-identical."""
+        deep ADC candidate list from it WITHOUT widening the beam; with
+        ``stop_n`` None the walk itself is unchanged (same admissions,
+        same termination), so passing None keeps every existing path
+        bit-identical.
+
+        ``stop_n`` (r12, harvest-ALIGNED termination): align the walk's
+        stopping rule with what the harvest returns — terminate only when
+        the nearest frontier candidate can improve NEITHER the ef-beam NOR
+        the current top-``stop_n`` of the visited set, and keep frontier
+        admission open for any neighbor that improves that top-``stop_n``.
+        The beam's MEMORY stays ef (result heap never grows), so this is
+        strictly cheaper than walking at ef=stop_n (the pre-r11 coupled
+        mode: frontier quality-gated at stop_n too), but the exploration
+        horizon now matches the shortlist instead of cutting it off at
+        the ef-th best — the r11 boundary divergence (1.2M merged-PQR
+        harvest@16 0.832 vs coupled 0.864) came exactly from frontier
+        pops beyond the ef-th best being discarded while the 160-deep
+        shortlist still wanted their neighborhoods. For stop_n <= ef both
+        rules coincide bit-exactly: the stop_n-th smallest of ALL seen is
+        <= the ef-th smallest of the admitted subset, so the extra
+        admission/termination clauses can never fire. This is also the
+        GENERAL starvation guard VERDICT r11 #1 asked for: at the 6M
+        past-clamp geometry (shortlist 320, default-ef walks on 5.9k-row
+        shards, recall 0.762->0.666 through the unaligned harvest) the
+        walk now keeps expanding until the 320-deep shortlist itself
+        stabilizes — no shard size or ef mis-configuration can silently
+        starve the shortlist again."""
         edges = self.edges[level]
         qq = float(q @ q) if self.dist == "l2" else 0.0
         visited = set(entries)
         cand: list[tuple[float, int]] = []
         result: list[tuple[float, int]] = []  # max-heap via negated dist
+        # top-stop_n tracker over SEEN distances (max-heap via negation);
+        # values only — it exists to provide the alignment thresholds, the
+        # harvest itself still comes from the caller's full `seen` sort
+        short: list[float] | None = [] if stop_n is not None else None
         for e, d in zip(entries, self._walk_dists(q, entries, qq)):
             heapq.heappush(cand, (d, e))
             heapq.heappush(result, (-d, e))
             if seen is not None:
                 seen.append((float(d), e))
+            if short is not None:
+                heapq.heappush(short, -d)
+                if len(short) > stop_n:
+                    heapq.heappop(short)
         while cand:
             d, v = heapq.heappop(cand)
-            if d > -result[0][0]:
+            if d > -result[0][0] and (
+                short is None or (len(short) >= stop_n and d > -short[0])
+            ):
                 break
             nbs = [nb for nb in edges.get(v, ()) if nb not in visited]
             if not nbs:
@@ -524,11 +569,26 @@ class _Graph:
             for nb, dn in zip(nbs, self._walk_dists(q, nbs, qq)):
                 if seen is not None:
                     seen.append((float(dn), nb))
+                improves_short = False
+                if short is not None:
+                    # checked BEFORE pushing dn (improves the shortlist as
+                    # it stood — a vertex can't justify expansion by its
+                    # own membership)
+                    improves_short = len(short) < stop_n or dn < -short[0]
+                    heapq.heappush(short, -dn)
+                    if len(short) > stop_n:
+                        heapq.heappop(short)
                 if len(result) < ef or dn < -result[0][0]:
                     heapq.heappush(cand, (dn, nb))
                     heapq.heappush(result, (-dn, nb))
                     if len(result) > ef:
                         heapq.heappop(result)
+                elif improves_short:
+                    # frontier admission for shortlist alignment: expand
+                    # it, but do NOT let it displace the ef-beam (the
+                    # beam's quality gate is what keeps this cheaper than
+                    # a coupled ef=stop_n walk)
+                    heapq.heappush(cand, (dn, nb))
         out = sorted(((-nd, v) for nd, v in result))
         return [v for _, v in out]
 
@@ -540,6 +600,7 @@ class _Graph:
         level: int,
         allowed: set,
         seen: list | None = None,
+        stop_n: int | None = None,
     ) -> list[int]:
         """SearchLayer with an allowed-set: traversal visits every vertex for
         NAVIGATION (disallowed vertices still route the walk, so recall does
@@ -549,41 +610,67 @@ class _Graph:
         SearchLayer (src/storage/index/hnsw_index.cpp:86-130) composed with
         filter semantics. Kept separate from _search_layer so the unfiltered
         path (and every existing offline-replay oracle) stays bit-identical.
-        """
+        ``stop_n`` (r12) = the harvest-ALIGNED termination of
+        _search_layer, over the ALLOWED visited set only (the shortlist a
+        filtered rerank feeds is allowed-only, so both the tracker and the
+        admission clause must be too)."""
         edges = self.edges[level]
         qq = float(q @ q) if self.dist == "l2" else 0.0
         visited = set(entries)
         cand: list[tuple[float, int]] = []
         result: list[tuple[float, int]] = []  # max-heap via negated dist
+        short: list[float] | None = [] if stop_n is not None else None
         for e, d in zip(entries, self._walk_dists(q, entries, qq)):
             heapq.heappush(cand, (d, e))
             if e in allowed:
                 heapq.heappush(result, (-d, e))
                 if seen is not None:
                     seen.append((float(d), e))
+                if short is not None:
+                    heapq.heappush(short, -d)
+                    if len(short) > stop_n:
+                        heapq.heappop(short)
         while cand:
             d, v = heapq.heappop(cand)
             # stop only once ef allowed results exist AND the nearest
             # remaining candidate can't improve them (an empty result heap
-            # must keep expanding — entries may all be filtered out)
-            if len(result) >= ef and d > -result[0][0]:
+            # must keep expanding — entries may all be filtered out); with
+            # stop_n, additionally only once the allowed top-stop_n can't
+            # improve either
+            if (
+                len(result) >= ef
+                and d > -result[0][0]
+                and (
+                    short is None
+                    or (len(short) >= stop_n and d > -short[0])
+                )
+            ):
                 break
             nbs = [nb for nb in edges.get(v, ()) if nb not in visited]
             if not nbs:
                 continue
             visited.update(nbs)
             for nb, dn in zip(nbs, self._walk_dists(q, nbs, qq)):
-                if seen is not None and nb in allowed:
-                    # harvest collects ALLOWED visits only — the shortlist
-                    # is a candidate set for the exact rerank, and a
-                    # disallowed row must never reach it
-                    seen.append((float(dn), nb))
+                improves_short = False
+                if nb in allowed:
+                    if seen is not None:
+                        # harvest collects ALLOWED visits only — the
+                        # shortlist is a candidate set for the exact
+                        # rerank, and a disallowed row must never reach it
+                        seen.append((float(dn), nb))
+                    if short is not None:
+                        improves_short = len(short) < stop_n or dn < -short[0]
+                        heapq.heappush(short, -dn)
+                        if len(short) > stop_n:
+                            heapq.heappop(short)
                 if len(result) < ef or dn < -result[0][0]:
                     heapq.heappush(cand, (dn, nb))
                     if nb in allowed:
                         heapq.heappush(result, (-dn, nb))
                         if len(result) > ef:
                             heapq.heappop(result)
+                elif improves_short:
+                    heapq.heappush(cand, (dn, nb))
         out = sorted(((-nd, v) for nd, v in result))
         return [v for _, v in out]
 
@@ -765,20 +852,44 @@ class _Graph:
         for lv in range(len(self.edges) - 1, 0, -1):
             ep = self._search_layer(q, ep, 1, lv)[:1]
         seen: list | None = None
+        stop_n: int | None = None
         if shortlist is not None:
             seen = []
+            if self.HARVEST_ALIGNED:
+                # r12: align the layer-0 termination (and a frontier
+                # admission clause) with the harvested shortlist depth —
+                # see _search_layer's stop_n docstring. For
+                # shortlist <= ef this is provably the identical walk;
+                # past it the walk keeps expanding until the top-stop_n
+                # of the visited set stabilizes, which (a) closes the r11
+                # rerank-16 boundary divergence and (b) is the general
+                # harvest-starvation guard (a deep rerank_mult on a
+                # small-ef graph or tiny shard can no longer silently
+                # truncate exploration at the ef-th best).
+                stop_n = max(int(shortlist), k)
         if allowed_ids is None:
-            found = self._search_layer(q, ep, ef, 0, seen=seen)[:k]
+            found = self._search_layer(q, ep, ef, 0, seen=seen, stop_n=stop_n)[:k]
         else:
             allowed = self._internal_allowed(allowed_ids)
             found = self._search_layer_filtered(
-                q, ep, ef, 0, allowed, seen=seen
+                q, ep, ef, 0, allowed, seen=seen, stop_n=stop_n
             )[:k]
         if seen is not None:
             # harvest: N nearest visited, (walk_dist, vertex) order — walk
             # dists are squared l2 (monotone) so the ordering matches the
             # true-distance ordering; ties break to the lower vertex index,
-            # the same canonical order every kernel here uses
+            # the same canonical order every kernel here uses.
+            # TIE CAVEAT (ADVICE r11): the harvest==coupled-prefix identity
+            # (shortlist <= beam) holds up to EXACT walk-distance ties at
+            # the result-heap boundary — beam admission uses strict '<',
+            # so an equal-distance vertex with a LOWER index can be
+            # rejected from the beam yet win this (dist, vertex) sort.
+            # Reachable with duplicate vectors (dedup corpora). Harmless
+            # for serving (the rerank re-orders exactly) and for the
+            # oracles (online and offline both harvest through this same
+            # sort), but the identity is not bit-exact under such ties —
+            # don't lean on it when flipping a tier between modes on a
+            # corpus with duplicates.
             seen.sort()
             found = [v for _, v in seen[: max(int(shortlist), k)]]
         ids = self.ids
@@ -1404,11 +1515,20 @@ class ShardedHNSW:
             return rerank_mult
         p = self.params or {}
         if p.get("rerank_mult_default") is not None:
-            # `is not None`, not truthiness: an explicit (invalid) 0 stamp
-            # must surface as an error downstream, not silently fall
-            # through to the tier default (DDL validates >= 1 at stamp
-            # time; this read honors whatever was stamped)
-            return int(p["rerank_mult_default"])
+            # `is not None`, not truthiness: an invalid 0 stamp must FAIL
+            # here, not silently fall through to the tier default (the
+            # pre-r11 truthiness read) or degrade to a k-deep rerank
+            # (search() clamps shortlist to max(shortlist, k)). The DDL
+            # validates >= 1 at stamp time; this guards stale pre-r11
+            # saves and hand-written params.
+            rm = int(p["rerank_mult_default"])
+            if rm < 1:
+                raise ValueError(
+                    f"params['rerank_mult_default'] must be >= 1 (got "
+                    f"{rm}) — re-stamp the index or pass rerank_mult "
+                    "explicitly"
+                )
+            return rm
         return 16 if "bq_mins" in p else 4
 
     def quantize(self, mins, maxs) -> "ShardedHNSW":
@@ -2416,6 +2536,7 @@ def offline_routed_sq8_probe(
     maxs: list[float],
     dist: str = "l2",
     rerank_mult: int = 4,
+    ef: int | None = None,
 ) -> list[tuple]:
     """Replay ``ShardedHNSW.quantize(mins, maxs).probe(..., rerank=src)``:
     quantize the replayed graphs with the same affine params, walk each
@@ -2423,11 +2544,16 @@ def offline_routed_sq8_probe(
     candidate ids with EXACT distances computed by the same left-fold
     arithmetic Spark's functions.vector expressions evaluate
     (F.aggregate(zip_with(...))) — bit-matching the distributed result.
+    ``ef`` mirrors the serving-walk override resolved by
+    ``ShardedHNSW._serve_ef`` — replays of an index carrying
+    params['rerank_harvest_ef'] must pass it (r12: threaded through every
+    quantized wrapper so stamped indexes replay bit-exactly).
     Returns [(id, exact_distance)] in the probe's output order."""
     for g in graphs.values():
         g.quantize_sq8(mins, maxs)
     return _offline_quantized_probe(
-        centroids, graphs, vectors_by_id, query, k, n_probe, dist, rerank_mult
+        centroids, graphs, vectors_by_id, query, k, n_probe, dist,
+        rerank_mult, ef,
     )
 
 
@@ -2471,6 +2597,7 @@ def offline_routed_bq_probe(
     dist: str = "l2",
     rerank_mult: int = 16,
     rotation_seed: int | None = None,
+    ef: int | None = None,
 ) -> list[tuple]:
     """Replay ``ShardedHNSW.quantize_bq(mins, maxs).probe(..., rerank=src)``
     — the 1-bit twin of :func:`offline_routed_sq8_probe`. Mirrors the
@@ -2478,10 +2605,12 @@ def offline_routed_bq_probe(
     its OWN exact per-dim min/max (bit-identical to the worker's, since
     the replayed build produces the same vectors); the global stats serve
     only the empty-graph fallback. ``rotation_seed`` mirrors
-    ``quantize_bq(rotation_seed=...)``."""
+    ``quantize_bq(rotation_seed=...)``; ``ef`` the _serve_ef override
+    (pass params['rerank_harvest_ef'] when replaying a stamped index)."""
     _quantize_bq_like_sharded(graphs, mins, maxs, rotation_seed)
     return _offline_quantized_probe(
-        centroids, graphs, vectors_by_id, query, k, n_probe, dist, rerank_mult
+        centroids, graphs, vectors_by_id, query, k, n_probe, dist,
+        rerank_mult, ef,
     )
 
 
@@ -2503,7 +2632,8 @@ def _offline_rerank_walk(
 
 
 def _offline_quantized_probe(
-    centroids, graphs, vectors_by_id, query, k, n_probe, dist, rerank_mult
+    centroids, graphs, vectors_by_id, query, k, n_probe, dist, rerank_mult,
+    ef=None,
 ) -> list[tuple]:
     """Shared post-quantize walk+rerank of the offline probe replays (the
     graphs arrive already quantized; the arithmetic below is unchanged
@@ -2526,7 +2656,7 @@ def _offline_quantized_probe(
         g = graphs.get(b)
         if g is None:
             continue
-        for hid, _d in _offline_rerank_walk(g, q, k, rerank_mult):
+        for hid, _d in _offline_rerank_walk(g, q, k, rerank_mult, ef=ef):
             cand.add(hid)
 
     def fold(vals) -> float:
@@ -2561,15 +2691,19 @@ def offline_routed_sq8_batch(
     mins: list[float],
     maxs: list[float],
     rerank_mult: int = 4,
+    ef: int | None = None,
 ) -> list[tuple]:
     """Replay ``ShardedHNSW.quantize(...).search_batch(..., rerank=src)``
     for l2 routed builds: same routing fold arithmetic as
     offline_routed_batch, ADC walks for k·rerank_mult candidates, exact
-    left-fold l2 rerank, (d, id)-ordered top-k. Returns [(qid, id, d)]."""
+    left-fold l2 rerank, (d, id)-ordered top-k. ``ef`` mirrors the
+    _serve_ef override (pass params['rerank_harvest_ef'] for stamped
+    indexes). Returns [(qid, id, d)]."""
     for g in graphs.values():
         g.quantize_sq8(mins, maxs)
     return _offline_quantized_batch(
-        centroids, graphs, vectors_by_id, queries, k, n_probe, rerank_mult
+        centroids, graphs, vectors_by_id, queries, k, n_probe, rerank_mult,
+        ef,
     )
 
 
@@ -2584,18 +2718,22 @@ def offline_routed_bq_batch(
     maxs: list[float],
     rerank_mult: int = 16,
     rotation_seed: int | None = None,
+    ef: int | None = None,
 ) -> list[tuple]:
     """Replay ``ShardedHNSW.quantize_bq(...).search_batch(..., rerank=src)``
     — the 1-bit twin of :func:`offline_routed_sq8_batch` (local-threshold
-    default, see :func:`offline_routed_bq_probe`)."""
+    default, see :func:`offline_routed_bq_probe`; ``ef`` = the _serve_ef
+    override for stamped indexes)."""
     _quantize_bq_like_sharded(graphs, mins, maxs, rotation_seed)
     return _offline_quantized_batch(
-        centroids, graphs, vectors_by_id, queries, k, n_probe, rerank_mult
+        centroids, graphs, vectors_by_id, queries, k, n_probe, rerank_mult,
+        ef,
     )
 
 
 def _offline_quantized_batch(
-    centroids, graphs, vectors_by_id, queries, k, n_probe, rerank_mult
+    centroids, graphs, vectors_by_id, queries, k, n_probe, rerank_mult,
+    ef=None,
 ) -> list[tuple]:
     out = []
     for qid, qv in queries:
@@ -2606,7 +2744,7 @@ def _offline_quantized_batch(
             if g is None:
                 continue
             for hid, _d in _offline_rerank_walk(
-                g, np.asarray(qv, dtype=np.float64), k, rerank_mult
+                g, np.asarray(qv, dtype=np.float64), k, rerank_mult, ef=ef
             ):
                 cand.add(hid)
 
@@ -2727,6 +2865,7 @@ def offline_routed_pq_probe(
     residual: bool = False,
     pq_centers=None,
     local_mk=None,
+    ef: int | None = None,
 ) -> list[tuple]:
     """Replay ``ShardedHNSW.quantize_pq(model).probe(..., rerank=src)`` —
     the PQ twin of :func:`offline_routed_sq8_probe`: quantize the replayed
@@ -2738,8 +2877,9 @@ def offline_routed_pq_probe(
     centers). ``pq_centers`` instead ships ONE frozen multi-center set
     into every graph (the vamana entry-cell residual mode). ``local_mk``
     = (m, k, max_iter) replays ``quantize_pq_local`` — per-graph books
-    trained on the replayed graph's own rows (``model`` unused).
-    Returns [(id, exact_distance)]."""
+    trained on the replayed graph's own rows (``model`` unused). ``ef``
+    mirrors the _serve_ef override (pass params['rerank_harvest_ef'] for
+    stamped indexes). Returns [(id, exact_distance)]."""
     _quantize_pq_like_sharded(graphs, centroids, model, residual, pq_centers, local_mk)
 
     def score(c: list[float]) -> float:
@@ -2759,7 +2899,7 @@ def offline_routed_pq_probe(
         g = graphs.get(b)
         if g is None:
             continue
-        for hid, _d in _offline_rerank_walk(g, q, k, rerank_mult):
+        for hid, _d in _offline_rerank_walk(g, q, k, rerank_mult, ef=ef):
             cand.add(hid)
 
     def fold(vals) -> float:
@@ -2796,6 +2936,7 @@ def offline_routed_pq_batch(
     residual: bool = False,
     pq_centers=None,
     local_mk=None,
+    ef: int | None = None,
 ) -> list[tuple]:
     """Replay ``ShardedHNSW.quantize_pq(model).search_batch(..., rerank=src)``
     for l2 routed builds — the PQ twin of :func:`offline_routed_sq8_batch`:
@@ -2803,8 +2944,9 @@ def offline_routed_pq_batch(
     k·rerank_mult candidates, exact left-fold l2 rerank, (d, id)-ordered
     top-k. ``residual`` mirrors ``quantize_pq(model, residual=True)``;
     ``pq_centers`` the vamana entry-cell multi-center mode; ``local_mk``
-    the per-graph local-books mode (quantize_pq_local).
-    Returns [(qid, id, d)]."""
+    the per-graph local-books mode (quantize_pq_local); ``ef`` the
+    _serve_ef override (pass params['rerank_harvest_ef'] for stamped
+    indexes). Returns [(qid, id, d)]."""
     _quantize_pq_like_sharded(graphs, centroids, model, residual, pq_centers, local_mk)
     out = []
     for qid, qv in queries:
@@ -2815,7 +2957,7 @@ def offline_routed_pq_batch(
             if g is None:
                 continue
             for hid, _d in _offline_rerank_walk(
-                g, np.asarray(qv, dtype=np.float64), k, rerank_mult
+                g, np.asarray(qv, dtype=np.float64), k, rerank_mult, ef=ef
             ):
                 cand.add(hid)
 

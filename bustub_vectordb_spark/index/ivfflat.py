@@ -752,6 +752,104 @@ class IVFFlatIndex:
         return cls(vec_col, len(centroids), probe_lists, dist, centroids, assignments)
 
 
+def estimate_modes(
+    df,
+    vec_col: str,
+    order_col: str,
+    max_modes: int = 1024,
+    sample_cells: int = 2_000_000,
+    seed: int = 42,
+    max_iter: int = 4,
+    flat_ratio: float = 0.82,
+) -> int:
+    """Mode-count estimate via a k-means inertia elbow on a bounded,
+    deterministic driver sample (VERDICT r11 #4 / NOTES r12 lead #2 — wire
+    per-cell-book cell counts to the corpus's MEASURED mode structure
+    instead of a pure rows/cell target).
+
+    Method: sweep k over a doubling grid (2, 4, ..., max_modes); inertia(k)
+    = mean squared distance of the sample to its nearest of k trained
+    centroids. Doublings that peel apart multi-mode cells drop inertia
+    hard; doublings past the mode count only split WITHIN-mode variance,
+    worth a vanishing fraction in high dim (isotropic gaussian one-split
+    gain ~2/(pi*d) of the cell variance). The estimate is the LAST k whose
+    incoming doubling still bought more than (1 - flat_ratio) — NOT the
+    first flat point: in high dim, distance concentration makes the curve
+    flat-then-drop-then-flat on many-mode corpora (random mode centers are
+    near-equidistant, so coarse clusterings buy little until k reaches M —
+    measured: a 64-mode dim-32 corpus shows ratio ~0.9 at k=2..8, the
+    cliff only at k~M), and a first-flat rule exits at the leading
+    plateau. Unclustered corpora never produce a significant doubling
+    (uniform data: ratio ~ (1/2)^(2/d) -> ~1) and return the grid floor 2,
+    so the caller's max(rows_target, modes) clamp falls back to the row
+    target. The sweep early-exits two consecutive flat doublings AFTER a
+    significant one (within-mode splits stay flat forever); estimates can
+    land one doubling HIGH (a budget-capped k-means at exactly k=M may
+    under-converge, making the next doubling look significant) — safe for
+    the clamp, whose requirement is cells >= modes (finer cells stay
+    unimodal; coarser is what collapses per-cell books).
+
+    Cost/scale: ONE bounded sample collect (<= sample_cells/dim rows,
+    seeded fraction sample like IVFFlatIndex's at-scale training path) +
+    driver BLAS k-means sweeps — never a corpus-sized driver structure.
+    Deterministic: seeded sample, id-ordered, stride-spread init prefix
+    (every (n//k)-th row — id-prefix init under-seeds separated modes).
+    Estimation-only surface (the result picks a CELL COUNT; no serving
+    artifact derives from these centroids), so plain BLAS is fine — the
+    fold-exact trainers are for oracle-compared surfaces."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    if n == 0:
+        return 2
+    dim = len(df.select(vec_col).first()[0])
+    frac = min(1.0, sample_cells / float(max(1, n * dim)))
+    src = df if frac >= 1.0 else df.sample(fraction=frac, seed=seed)
+    rows = (
+        src.orderBy(order_col)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    n_s = len(x)
+    if n_s < 16:
+        return 2
+
+    def inertia(k: int) -> float:
+        stride = max(1, n_s // k)
+        init = x[::stride][:k]
+        cents = np.asarray(
+            _lloyds_numpy(x.tolist(), init.tolist(), max_iter),
+            dtype=np.float64,
+        )
+        d = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cents.T)
+            + (cents * cents).sum(axis=1)
+        )
+        return float(np.maximum(d.min(axis=1), 0.0).mean())
+
+    # k past n_s//8 has <8 sample rows per mode — too thin to resolve
+    cap = max(2, min(int(max_modes), n_s // 8))
+    k = 2
+    prev = inertia(k)
+    best = 2  # last k whose incoming doubling was significant
+    flats_since = 0
+    while k * 2 <= cap:
+        nxt = inertia(k * 2)
+        k *= 2
+        if prev > 0.0 and nxt / prev <= flat_ratio:
+            best = k
+            flats_since = 0
+        else:
+            flats_since += 1
+            if best > 2 and flats_since >= 2:
+                break  # past the modes: within-mode splits stay flat
+        prev = nxt
+    return best
+
+
 def offline_centroids(
     parquet_path: str,
     vec_col: str,

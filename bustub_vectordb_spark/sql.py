@@ -367,6 +367,11 @@ class SqlEngine:
     # this target stamps params['rerank_mult_default'] scaled to the
     # excess (see the escalation block in _create_index).
     HNSW_SHARD_TARGET_ROWS_QUANTIZED = 5_000
+    # pql auto-cells (r12): the mode-structure floor (estimate_modes) may
+    # raise the cell count past the rows/cell target, but never below this
+    # many rows per cell — thinner in-cell graphs have no walkable
+    # structure left
+    PQL_MIN_CELL_ROWS = 500
 
     def _auto_shards(self, n_rows: int, quantized: bool = False) -> int:
         import math as _math
@@ -585,6 +590,17 @@ class SqlEngine:
 
                 names = self.catalog.tables[table].schema.names
                 id_col = next((c for c in names if c != col), names[0])
+                if opts.get("pq_cell_books") and not opts.get("pq"):
+                    # fail at DDL time: per-cell books are a PQ codebook
+                    # STRATEGY — without pq=1 the training gate below never
+                    # fires, so a typo'd DDL would silently build an
+                    # UNQUANTIZED index (while still getting the finer
+                    # quantized cell target from _auto_shards)
+                    raise ValueError(
+                        "pq_cell_books=1 requires pq=1 (per-cell books "
+                        "select WHERE the PQ codebooks train, not whether "
+                        "to quantize)"
+                    )
                 idx = VamanaIndex.build(
                     df, col, id_col,
                     shards=opts.get("shards", 4),
@@ -670,20 +686,56 @@ class SqlEngine:
                     # machinery (to_partitioned) — same build quality tier,
                     # no node ever materializes the whole graph. WITH
                     # (cells=N[, n_probe=P]) opts in at any size.
-                    idx = idx.to_partitioned(
-                        # per-cell books are mode-limited like every
-                        # quantized in-graph tier (granularity law): the
-                        # auto cell count uses the FINER quantized target
-                        # (1.2M drill: pql 0.918@16 at mode-granularity
-                        # cells vs 0.726 at 4-modes/cell)
-                        cells=opts.get(
-                            "cells",
-                            self._auto_shards(
-                                n_rows,
-                                quantized=bool(opts.get("pq_cell_books")),
+                    # per-cell books are mode-limited like every quantized
+                    # in-graph tier (granularity law): the auto cell count
+                    # uses the FINER quantized target (1.2M drill: pql
+                    # 0.918@16 at mode-granularity cells vs 0.726 at
+                    # 4-modes/cell)
+                    pql = bool(opts.get("pq") and opts.get("pq_cell_books"))
+                    auto_cells = self._auto_shards(n_rows, quantized=pql)
+                    cells = opts.get("cells", auto_cells)
+                    n_probe = opts.get("n_probe", 2)
+                    if pql and "cells" not in opts:
+                        # r12 (VERDICT r11 #4): the rows/cell target alone
+                        # can land the pql tier COARSER than the corpus's
+                        # mode structure — exactly where per-cell books
+                        # collapse (the 1.2M drill's 0.726@16 at
+                        # 4-modes/cell). Floor the auto cell count at the
+                        # measured granularity where k-means cells go
+                        # unimodal (estimate_modes: inertia-elbow sweep on
+                        # a bounded driver sample — the same statistic the
+                        # serving cut's own k-means obeys, so cells=est
+                        # means unimodal shells by construction). An
+                        # unclustered corpus estimates the grid floor (2)
+                        # and falls back to the row target untouched.
+                        from .index.ivfflat import estimate_modes
+
+                        est = estimate_modes(
+                            df, col, id_col,
+                            max_modes=self.HNSW_MAX_AUTO_SHARDS,
+                        )
+                        cells = max(
+                            auto_cells,
+                            # never below PQL_MIN_CELL_ROWS rows/cell —
+                            # past that the in-cell graphs are too thin
+                            # to walk
+                            min(
+                                est,
+                                max(2, n_rows // self.PQL_MIN_CELL_ROWS),
                             ),
-                        ),
-                        n_probe=opts.get("n_probe", 2),
+                        )
+                        if cells > auto_cells and "n_probe" not in opts:
+                            # a mode-floor raise shrinks every cell; scale
+                            # the unpinned probe width so the probed
+                            # FRACTION of the corpus holds
+                            import math as _math
+
+                            n_probe = max(
+                                2, _math.ceil(2 * cells / auto_cells)
+                            )
+                    idx = idx.to_partitioned(
+                        cells=cells,
+                        n_probe=n_probe,
                         # shells serve at the PARTITIONED_EF_SERVE beam
                         # floor unless pinned (the in-cell edge
                         # restriction needs deeper beams — 1.2M ef sweep)
@@ -791,11 +843,29 @@ class SqlEngine:
                             rotation_seed=opts.get("bq_rot_seed"),
                         )
                         idx.default_n_probe = n_probe
-                    if (opts.get("pq") or opts.get("bq")) and not opts.get("sq8"):
+                    if "rerank_mult" in opts:
+                        # EXPLICIT pin: honored on EVERY routed tier (sq8
+                        # and unquantized included — probe(rerank=src)
+                        # serves the ADC-shortlist + exact-rerank shape on
+                        # all of them, and _rerank_mult reads the stamp
+                        # tier-independently). Pre-r12 this sat inside the
+                        # quantizer gate below, so WITH (sq8=1,
+                        # rerank_mult=8) silently dropped the option.
+                        rm = int(opts["rerank_mult"])
+                        if rm < 1:
+                            # fail at DDL time: a 0/negative stamp would
+                            # either silently fall through to the tier
+                            # default (pre-r11 truthiness read) or walk
+                            # for zero candidates
+                            raise ValueError(
+                                f"rerank_mult must be >= 1 (got {rm})"
+                            )
+                        idx.params["rerank_mult_default"] = rm
+                    elif (opts.get("pq") or opts.get("bq")) and not opts.get("sq8"):
                         # NOTE the not-sq8 gate: the quantizer elif chain
                         # above picks sq8 first, so WITH (sq8=1, pq=1)
-                        # builds an SQ8 index — stamping a pq/bq rerank
-                        # default onto it would contradict the SQ8
+                        # builds an SQ8 index — auto-escalating a pq/bq
+                        # rerank default onto it would contradict the SQ8
                         # exemption documented below.
                         # past-clamp rerank escalation (r10): at the
                         # 1024-shard clamp, shards grow past the quantized
@@ -811,47 +881,54 @@ class SqlEngine:
                         # density measured).
                         import math as _math
 
-                        if "rerank_mult" in opts:
-                            rm = int(opts["rerank_mult"])
-                            if rm < 1:
-                                # fail at DDL time: a 0/negative stamp would
-                                # either silently fall through to the tier
-                                # default (pre-r11 truthiness read) or walk
-                                # for zero candidates
-                                raise ValueError(
-                                    f"rerank_mult must be >= 1 (got {rm})"
-                                )
-                            idx.params["rerank_mult_default"] = rm
-                        else:
-                            ratio = (n / max(1, shards)) / float(
-                                self.HNSW_SHARD_TARGET_ROWS_QUANTIZED
+                        ratio = (n / max(1, shards)) / float(
+                            self.HNSW_SHARD_TARGET_ROWS_QUANTIZED
+                        )
+                        if ratio > 1.0:
+                            base = 16 if opts.get("bq") else 4
+                            idx.params["rerank_mult_default"] = min(
+                                64, base * int(_math.ceil(ratio))
                             )
-                            if ratio > 1.0:
-                                base = 16 if opts.get("bq") else 4
-                                idx.params["rerank_mult_default"] = min(
-                                    64, base * int(_math.ceil(ratio))
-                                )
-                                # past-clamp escalation must deepen the
-                                # WALK too (r11): with the visited-set
-                                # harvest, a default-ef(48) walk on tiny
-                                # past-clamp shards cannot feed the
-                                # escalated shortlist — the 6M sweep
-                                # measured recall 0.666/0.732/0.762/0.762
-                                # at ef 48/96/160/320 (rerank 32), so the
-                                # stamp sits at the 160 saturation point:
-                                # 0.762 at 41s vs the r10 coupled walk's
-                                # 0.762 at 58s (drills/
-                                # clamp_rerank_6m_r11.json). WITH
-                                # (rerank_harvest_ef=N) pins it; an
-                                # explicit probe-time ef always wins.
-                                idx.params.setdefault(
-                                    "rerank_harvest_ef", 160
-                                )
-                        if "rerank_harvest_ef" in opts:
-                            idx.params["rerank_harvest_ef"] = int(
-                                opts["rerank_harvest_ef"]
+                            # past-clamp escalation must deepen the
+                            # WALK too (r11): with the visited-set
+                            # harvest, a default-ef(48) walk on tiny
+                            # past-clamp shards cannot feed the
+                            # escalated shortlist — the 6M sweep
+                            # measured recall 0.666/0.732/0.762/0.762
+                            # at ef 48/96/160/320 (rerank 32), so the
+                            # stamp sits at the 160 saturation point:
+                            # 0.762 at 41s vs the r10 coupled walk's
+                            # 0.762 at 58s (drills/
+                            # clamp_rerank_6m_r11.json). WITH
+                            # (rerank_harvest_ef=N) pins it; an
+                            # explicit probe-time ef always wins.
+                            idx.params.setdefault(
+                                "rerank_harvest_ef", 160
                             )
+                    if "rerank_harvest_ef" in opts:
+                        # honored on every routed tier like rerank_mult
+                        # (the harvest walk runs whenever rerank serving
+                        # is used; _serve_ef reads the stamp
+                        # tier-independently)
+                        hef = int(opts["rerank_harvest_ef"])
+                        if hef < 1:
+                            raise ValueError(
+                                f"rerank_harvest_ef must be >= 1 (got {hef})"
+                            )
+                        idx.params["rerank_harvest_ef"] = hef
                 else:
+                    for opt in ("rerank_mult", "rerank_harvest_ef"):
+                        if opt in opts:
+                            # a driver-mode hnsw build serves exact
+                            # full-precision walks — there is no rerank
+                            # stage for these to configure; silently
+                            # dropping them hid misconfigured DDL
+                            raise ValueError(
+                                f"{opt} configures routed/sharded rerank "
+                                "serving — add shards=N (or exceed the "
+                                "driver-build row cap) to opt into the "
+                                "routed tier"
+                            )
                     idx = HNSWIndex.build(df, col, id_col, **common)
             self.indexes.create(
                 name, table, col, method, idx,

@@ -1356,7 +1356,15 @@ def test_harvest_equals_coupled_when_shortlist_fits_beam():
     heap IS the top-ef of the visited set (pops only improve the worst,
     so a vertex rejected at admission can never crack the returned
     prefix). This is why SQ8 4x and the ef-192 partitioned shells
-    re-hashed unchanged when the harvest shipped."""
+    re-hashed unchanged when the harvest shipped.
+
+    TIE CAVEAT (ADVICE r11, documented at the harvest sort in
+    _Graph.search): the identity holds up to exact walk-distance ties at
+    the result-heap boundary — admission is strict '<', so an
+    equal-distance vertex with a lower index can be beam-rejected yet win
+    the harvested (dist, vertex) sort. The gaussian corpus here is
+    tie-free by construction; duplicate-heavy corpora (dedup inputs) can
+    flip boundary digits between the two modes."""
     import numpy as np
 
     from bustub_vectordb_spark.index.hnsw import _Graph
@@ -1431,3 +1439,123 @@ def test_serve_ef_stamp_drives_rerank_walks(spark):
         ).collect()
     )
     assert b_stamped == b_explicit
+
+
+def test_stamped_harvest_ef_offline_replay_parity(emb, sf_dir):
+    """ADVICE r11 (medium): a stamped index (params['rerank_harvest_ef'])
+    serves deepened walks via _serve_ef — the offline replay wrappers must
+    accept the same ef and reproduce the stamped serving BIT-EXACTLY, or
+    the replay contract silently breaks the first time a gated oracle
+    builds a stamped index. Probe and batch, 1-bit tier (the stamp's
+    natural habitat — the past-clamp escalation is BQ/PQ-only)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bustub_vectordb_spark.index.hnsw import (
+        offline_routed,
+        offline_routed_bq_batch,
+        offline_routed_bq_probe,
+    )
+    from bustub_vectordb_spark.similarity.quantize import dim_stats
+
+    build = dict(shards=2, m=8, ef_construction=48, ef_search=8)
+    routed = HNSWIndex.build_routed(emb, "embedding", "vec_id", **build)
+    stats = dim_stats(emb, "embedding").orderBy("dim").collect()
+    mins = [r["mn"] for r in stats]
+    maxs = [r["mx"] for r in stats]
+    bq = routed.quantize_bq(mins, maxs)
+    # the DDL escalation stamp: serve ef-64 walks + a 6x shortlist
+    bq.params["rerank_harvest_ef"] = 64
+    bq.params["rerank_mult_default"] = 6
+    assert bq._serve_ef(None) == 64
+
+    cents, graphs = offline_routed(
+        f"{sf_dir}/embeddings.parquet", "embedding", "vec_id", **build
+    )
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    by_id = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+
+    got = [
+        (r["vec_id"], r["distance"])
+        for r in bq.probe(QUERY, 5, n_probe=2, rerank=emb).collect()
+    ]
+    exp = [
+        (int(i), float(d))
+        for i, d in offline_routed_bq_probe(
+            cents, graphs, by_id, QUERY, 5, 2, mins, maxs,
+            rerank_mult=6, ef=64,
+        )
+    ]
+    assert got == exp
+
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    bgot = sorted(
+        (r["qid"], r["vec_id"], r["distance"])
+        for r in bq.search_batch(
+            queries, "embedding", "qid", 5, n_probe=2, rerank=emb
+        ).collect()
+    )
+    qs = [(r["qid"], list(r["embedding"])) for r in queries.collect()]
+    # the replayed graphs were quantized in place by the probe leg —
+    # rebuild fresh floats for the batch replay
+    cents, graphs = offline_routed(
+        f"{sf_dir}/embeddings.parquet", "embedding", "vec_id", **build
+    )
+    bexp = sorted(
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_bq_batch(
+            cents, graphs, by_id, qs, 5, 2, mins, maxs,
+            rerank_mult=6, ef=64,
+        )
+    )
+    assert bgot == bexp
+
+
+def test_harvest_aligned_guards_starving_geometry():
+    """VERDICT r11 #1 — the GENERAL starvation guard, unit-pinned at the
+    failure geometry the 6M drill measured (0.762 -> 0.666: a default-ef
+    walk's visited set cannot feed a shortlist much deeper than the beam
+    on small shards). With HARVEST_ALIGNED (r12) the layer-0 walk
+    terminates against the shortlist-th best SEEN, so exploration deepens
+    until the shortlist itself stabilizes — no (ef, rerank_mult, shard
+    size) combination can silently truncate it again. A/B via the class
+    flag: exact-rerank recall through the aligned harvest must beat the
+    r11 unaligned harvest by a clear margin and sit near-exact."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.hnsw import _Graph
+
+    rng = np.random.RandomState(7)
+    CL, n, dim = 64, 6000, 16
+    centers = rng.uniform(-10, 10, size=(CL, dim))
+    mat = np.vstack(
+        [centers[i % CL] + 0.3 * rng.standard_normal(dim) for i in range(n)]
+    )
+    g = _Graph(8, 32, 8, "l2", 42)  # ef_search 8 — the starving config
+    g.add_all(list(range(n)), mat)
+    k, mult = 10, 32  # shortlist 320 >> ef 8
+
+    def run(aligned: bool) -> float:
+        old = _Graph.HARVEST_ALIGNED
+        _Graph.HARVEST_ALIGNED = aligned
+        try:
+            hits = 0
+            for qi in range(20):
+                q = centers[qi % CL] + 0.3 * rng.standard_normal(dim)
+                d = ((mat - q) ** 2).sum(axis=1)
+                truth = set(np.argsort(d)[:k].tolist())
+                short = [h for h, _ in g.search(q, k, shortlist=k * mult)]
+                dd = ((mat[short] - q) ** 2).sum(axis=1)
+                top = {short[i] for i in np.argsort(dd)[:k]}
+                hits += len(top & truth)
+            return hits / (20 * k)
+        finally:
+            _Graph.HARVEST_ALIGNED = old
+
+    aligned, unaligned = run(True), run(False)
+    assert aligned >= unaligned + 0.05, (aligned, unaligned)
+    assert aligned >= 0.95, aligned

@@ -244,3 +244,33 @@ def test_route_overlap_broadcast_matches_literal(spark, tables):
     finally:
         ivf._LITERAL_ASSIGN_MAX_CELLS = old
     assert lit == bc and len(lit) > emb.count()  # overlap replicates rows
+
+
+def test_estimate_modes_elbow(spark):
+    """estimate_modes (r12, the pql auto-cells floor): on a separated-mode
+    corpus the inertia elbow lands AT or ABOVE the true mode count (the
+    clamp's requirement is cells >= modes — finer cells stay unimodal,
+    coarser is what collapses per-cell books) within two doublings; an
+    unclustered corpus returns the grid floor so the caller falls back to
+    the rows/cell target. Deterministic: seeded sample + stride init."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.ivfflat import estimate_modes
+
+    rng = np.random.RandomState(7)
+    M, dim = 8, 32
+    centers = rng.uniform(-10, 10, (M, dim))
+    rows = [
+        (i, (centers[i % M] + 0.3 * rng.standard_normal(dim)).tolist())
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    est = estimate_modes(df, "embedding", "vec_id")
+    assert M <= est <= 4 * M, est
+    assert est == estimate_modes(df, "embedding", "vec_id")  # deterministic
+
+    flat = spark.createDataFrame(
+        [(i, rng.standard_normal(dim).tolist()) for i in range(4000)],
+        "vec_id long, embedding array<double>",
+    )
+    assert estimate_modes(flat, "embedding", "vec_id") == 2

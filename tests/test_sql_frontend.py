@@ -758,3 +758,120 @@ def test_ddl_past_clamp_rerank_escalation(spark, monkeypatch):
     # broadcast-sized: n_probe x k x mult rows)
     hits = idx.probe([1.0, 1.0, 1.0, 1.0], 3, rerank=e.catalog.tables["rk"].df)
     assert len(hits.collect()) == 3
+
+
+def test_ddl_rerank_opts_validated_every_tier(spark):
+    """ADVICE r11 (low x3): misconfigured serving options must fail at
+    CREATE INDEX time instead of silently dropping — (a) pq_cell_books
+    without pq=1 built an UNQUANTIZED index at the quantized cell target,
+    (b) rerank_mult/rerank_harvest_ef inside the pq/bq-only gate were
+    dropped on sq8 and unquantized routed builds (both of which serve
+    probe(rerank=...) and honor the stamps tier-independently), (c) the
+    driver-mode build has no rerank stage at all."""
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE vr(v1 VECTOR(4), v2 integer)")
+    rows = ", ".join(
+        f"(ARRAY [{i}.0, {i % 3}.0, {i % 5}.0, {i % 7}.0], {i})"
+        for i in range(40)
+    )
+    e.execute(f"INSERT INTO vr VALUES {rows}")
+
+    # (a) pq_cell_books is a PQ codebook STRATEGY — requires pq=1
+    with pytest.raises(ValueError, match="pq_cell_books=1 requires pq=1"):
+        e.execute(
+            "CREATE INDEX bad1 ON vr USING vamana (v1 vector_l2_ops)"
+            " WITH (pq_cell_books = 1)"
+        )
+
+    # (b) explicit stamps are honored on sq8 AND unquantized routed builds
+    e.execute(
+        "CREATE INDEX vr1 ON vr USING hnsw (v1 vector_l2_ops)"
+        " WITH (m = 4, ef_construction = 8, ef_search = 8, shards = 2,"
+        " sq8 = 1, rerank_mult = 8, rerank_harvest_ef = 32)"
+    )
+    idx = next(i for i in e.indexes.lookup("vr", "v1") if i.name == "vr1").index
+    assert idx.params.get("rerank_mult_default") == 8
+    assert idx.params.get("rerank_harvest_ef") == 32
+    assert idx._rerank_mult(None) == 8 and idx._serve_ef(None) == 32
+    e.execute(
+        "CREATE INDEX vr2 ON vr USING hnsw (v1 vector_l2_ops)"
+        " WITH (m = 4, ef_construction = 8, ef_search = 8, shards = 2,"
+        " rerank_mult = 6)"
+    )
+    idx2 = next(i for i in e.indexes.lookup("vr", "v1") if i.name == "vr2").index
+    assert idx2.params.get("rerank_mult_default") == 6
+
+    # invalid values fail loud on every tier
+    with pytest.raises(ValueError, match="rerank_harvest_ef must be >= 1"):
+        e.execute(
+            "CREATE INDEX bad2 ON vr USING hnsw (v1 vector_l2_ops)"
+            " WITH (shards = 2, bq = 1, rerank_harvest_ef = 0)"
+        )
+
+    # (c) driver-mode build (no shards opt, under the row cap) has no
+    # rerank serving stage — reject rather than drop
+    with pytest.raises(ValueError, match="routed/sharded rerank"):
+        e.execute(
+            "CREATE INDEX bad3 ON vr USING hnsw (v1 vector_l2_ops)"
+            " WITH (m = 4, rerank_mult = 8)"
+        )
+
+    # a stale/hand-written 0 stamp fails loud at read time, not a silent
+    # k-deep rerank (ADVICE: pre-r11 saves carrying rerank_mult_default=0)
+    idx.params["rerank_mult_default"] = 0
+    with pytest.raises(ValueError, match="rerank_mult_default"):
+        idx._rerank_mult(None)
+
+
+def test_ddl_pql_auto_cells_mode_floor(spark, monkeypatch):
+    """r12 (VERDICT r11 #4): WITH (pq=1, pq_cell_books=1) and no explicit
+    cells must floor the auto cell count at the corpus's measured mode
+    structure (estimate_modes) — the rows/cell target alone can land the
+    pql tier coarser than the modes, exactly where per-cell books collapse
+    (1.2M drill: 0.726@16 at 4-modes/cell vs 0.918 at mode granularity).
+    The unpinned n_probe scales with the raise so the probed fraction
+    holds; explicit cells= still wins; flat corpora (estimate 2) keep the
+    row target."""
+    from bustub_vectordb_spark import sql as sqlmod
+    from bustub_vectordb_spark.index import ivfflat as ivfmod
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    monkeypatch.setattr(SqlEngine, "PQL_MIN_CELL_ROWS", 5)
+    calls = {}
+
+    def fake_estimate(df, vec_col, order_col, **kw):
+        calls["n"] = calls.get("n", 0) + 1
+        return 6
+
+    monkeypatch.setattr(ivfmod, "estimate_modes", fake_estimate)
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE pqlt(v1 VECTOR(4), v2 integer)")
+    rows = ", ".join(
+        f"(ARRAY [{i}.0, {(i * 7) % 11}.0, {(i * 3) % 5}.0, {i % 2}.0], {i})"
+        for i in range(60)
+    )
+    e.execute(f"INSERT INTO pqlt VALUES {rows}")
+
+    # auto cells for 60 rows = 2; mode floor raises to 6, n_probe scales
+    e.execute(
+        "CREATE INDEX pql1 ON pqlt USING vamana (v1 vector_l2_ops)"
+        " WITH (pq = 1, pq_cell_books = 1, pq_m = 2, pq_k = 4,"
+        " entry_points = 4)"
+    )
+    idx = next(i for i in e.indexes.lookup("pqlt", "v1") if i.name == "pql1").index
+    assert calls["n"] == 1
+    assert len(idx.centroids) == 6
+    assert idx.default_n_probe == 6  # ceil(2 * 6 / 2)
+
+    # explicit cells= pins — no estimation call
+    e.execute(
+        "CREATE INDEX pql2 ON pqlt USING vamana (v1 vector_l2_ops)"
+        " WITH (pq = 1, pq_cell_books = 1, pq_m = 2, pq_k = 4,"
+        " entry_points = 4, cells = 3, n_probe = 2)"
+    )
+    idx2 = next(i for i in e.indexes.lookup("pqlt", "v1") if i.name == "pql2").index
+    assert calls["n"] == 1
+    assert len(idx2.centroids) == 3
+    assert idx2.default_n_probe == 2
