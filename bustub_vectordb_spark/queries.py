@@ -7476,40 +7476,42 @@ def q_layout_zorder_skipping(spark, sf_dir):
 # check_oracle.py (full registry) in tests/CI — see COVERAGE.md.
 
 _GATE_WINDOW = [
-    # --- r11 rotation (VERDICT r10 task 5 + ADVICE r10 #3): touched
-    # paths re-gate. This round the quantized-rerank shortlist decoupled
-    # from the walk beam (visited-set harvest — _Graph.search(shortlist=),
-    # ShardedHNSW.RERANK_HARVEST, merged-vamana probe/search_batch), so
-    # every entry whose serving walks a quantized graph re-gates; plus
-    # the merged quantized-vamana entries whose r10 default bumps shipped
-    # without a driver row (ADVICE r10 #3), and the NEW per-cell-books
-    # tier ---
+    # --- r12 rotation (VERDICT r11 #7): touched paths re-gate, but ONLY
+    # where the round's change can move digits. The aligned harvest
+    # (_Graph._search_layer stop_n) is PROVABLY bit-identical whenever
+    # the shortlist fits the walk beam (see its docstring), so the
+    # quantized entries serving shortlist <= ef (sq8 4x at k=10 -> 40
+    # <= ef 48/64; routed pq/pqr/pql at the 4x default) rotate OUT; what
+    # re-gates is every entry whose shortlist OUTRUNS the beam — merged/
+    # partitioned vamana at rerank 32/48 (shortlist 320/480 vs ef 48/192)
+    # and the 16x routed-BQ family (160 vs ef 48). 9 heavy ANN rows, not
+    # r11's 16 — the window replays inside the ~100 s budget again ---
     "ann_vamana_pq_rerank",
     "ann_vamana_pqr_rerank",
     "ann_vamana_pq_batch",
-    "ann_vamana_batch",
     "ann_vamana_partitioned_pq_batch",
     "ann_vamana_partitioned_pqr_batch",
     "ann_vamana_partitioned_pql_batch",
-    "ann_hnsw_routed_sq8_batch",
-    "ann_hnsw_routed_sq8_rerank",
     "ann_hnsw_routed_bq_rerank",
     "ann_hnsw_routed_bq_batch",
     "ann_hnsw_routed_bqr_rerank",
-    "ann_hnsw_routed_pq_batch",
-    "ann_hnsw_routed_pq_rerank",
-    "ann_hnsw_routed_pqr_rerank",
-    "ann_hnsw_routed_pql_rerank",
-    # --- stale re-gates: the 8 stalest rows (r4-vintage, last-gated
-    # order then name) ---
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_quantiles",
-    "agg_rollup",
-    "agg_stddev_var",
-    "ann_hnsw_filtered_probe",
-    "ann_hnsw_routed_batch",
+    # --- stale re-gates: the 15 stalest rows (r4-vintage, last-gated
+    # round then name — computed from CORRECTNESS_r*.json history) ---
+    "ann_hnsw_routed_filtered_probe",
+    "ann_hnsw_routed_insert",
+    "ann_ivfflat_batch_exact",
+    "ann_ivfflat_exact_probe",
+    "ann_ivfflat_filtered_probe",
+    "ann_lsh_batch_probe",
+    "ann_sq8_adc_cosine",
+    "ann_sq8_adc_ip",
+    "correlated_subquery",
+    "dedup_components",
+    "dedup_exact_keep",
+    "doc_chunking",
+    "embedding_neardup_exact",
+    "events_dedup_first",
+    "events_json_extract",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

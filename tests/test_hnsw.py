@@ -1382,6 +1382,29 @@ def test_harvest_equals_coupled_when_shortlist_fits_beam():
             ]
             assert coupled == harvested, (qi, k_walk)
 
+    # SEED-FLOOR extension (r12): on a multi-entry graph the result heap
+    # is FLOORED at |entry_points| (every seed is pushed untrimmed, and
+    # each later admission push-then-pops, so the heap never shrinks) —
+    # the effective beam is max(ef, |seeds|), and the identity holds for
+    # every shortlist up to the SEED COUNT, not just up to ef. This is
+    # why the 1.2M merged-PQR rerank-16 point (shortlist 160 < 256
+    # seeds) is the SAME WALK in coupled, r11-harvest, and r12-aligned
+    # modes — the r11-reported 0.832-vs-0.864 'divergence' there was
+    # cross-BUILD noise (regenerated corpus parquet -> different sample
+    # -> different centroids), not a serving-mode loss; the r12 drill's
+    # uniform +0.8pt ladder shift on a fresh build confirms the noise
+    # scale (drills/drill_1200k_r12_aligned.json).
+    g.entry_points = list(range(0, 600, 5))  # 120 seeds, ef stays 48
+    for qi in range(5):
+        q = rng.standard_normal(16)
+        for k_walk in (64, 96, 120):  # ef < shortlist <= |seeds|
+            coupled = [h for h, _ in g.search(q, k_walk, ef=48)]
+            harvested = [
+                h for h, _ in g.search(q, 4, ef=48, shortlist=k_walk)
+            ]
+            assert coupled == harvested, (qi, k_walk)
+    g.entry_points = None
+
 
 def test_serve_ef_stamp_drives_rerank_walks(spark):
     """params['rerank_harvest_ef'] (the past-clamp escalation stamp) must

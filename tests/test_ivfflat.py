@@ -266,7 +266,10 @@ def test_estimate_modes_elbow(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     est = estimate_modes(df, "embedding", "vec_id")
-    assert M <= est <= 4 * M, est
+    # maximin seeding lands ON the count for separated mixtures (also
+    # measured exact at 64/256 modes and on the 1.2M drill corpus);
+    # one doubling of slack keeps the pin robust to sample noise
+    assert M <= est <= 2 * M, est
     assert est == estimate_modes(df, "embedding", "vec_id")  # deterministic
 
     flat = spark.createDataFrame(

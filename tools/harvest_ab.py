@@ -59,7 +59,14 @@ def main() -> None:
     # the cells=64 PQR shells, and the granularity-law test for per-cell
     # books (cells=256 == mode structure)
     ap.add_argument("--vamana-extra", dest="vamana_extra", action="store_true")
+    # r12: A/B the aligned harvest (stop_n termination) against the r11
+    # unaligned one — flip the class flag before any build/serve
+    ap.add_argument("--no-align", dest="no_align", action="store_true")
     args = ap.parse_args()
+    if args.no_align:
+        from bustub_vectordb_spark.index.hnsw import _Graph
+
+        _Graph.HARVEST_ALIGNED = False
 
     from bustub_vectordb_spark.session import get_spark
 
@@ -214,14 +221,17 @@ def main() -> None:
         _log(f"pqr train done {times['pqr_train']}s")
         nq = min(25, len(qids))  # the r10 grid used the first 25 too
         sub = {q: truth[q] for q in qids[:nq]}
-        for mult in (16, 48):
+        from bustub_vectordb_spark.index.hnsw import _Graph
+
+        mode = "harvest-aligned" if _Graph.HARVEST_ALIGNED else "harvest"
+        for mult in [int(m) for m in args.mults.split(",")]:
             t0 = time.time()
             hits = []
             for q, v in list(zip(qids, qmat))[:nq]:
                 h = vpq.probe(v.tolist(), K, rerank_mult=mult).collect()
                 hits.extend({"qid": q, "vec_id": r["vec_id"]} for r in h)
             leg = {
-                "tier": "vamana_pqr_merged_probe", "mode": "harvest",
+                "tier": "vamana_pqr_merged_probe", "mode": mode,
                 "rerank_mult": mult, "nq": nq,
                 "probe_sec_total": round(time.time() - t0, 1),
                 "recall": round(recall(sub, hits), 4),
