@@ -64,6 +64,22 @@ def _rotate_bounds(mins, maxs, rot: np.ndarray) -> tuple[list, list]:
     return (c - h).tolist(), (c + h).tolist()
 
 
+def _spread_queries(df):
+    """Spread an under-partitioned query DataFrame before a CPU-bound
+    per-query kernel (driver-graph batch walks parallelize over query
+    PARTITIONS — a small parquet query table arrives as ONE file split
+    and pins every walk to a single Python worker; measured 10.4 s → sub
+    -second on the sf0.1 vamana_pq_batch key at 286 queries/32 cores).
+    Same rationale as dedup.minhash._spread / IVFFlat.batch_probe; no-op
+    at scale where query inputs already carry many splits. Round-robin
+    repartition: per-query results are partition-independent, so output
+    content (and every oracle hash) is unchanged."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def _one_dist(dist: str, a, b) -> float:
     """Single-pair distance in index-internal orientation (smaller = nearer)."""
     if dist == "l2":
@@ -1102,7 +1118,7 @@ class HNSWIndex:
                 out[dist_col] = np.asarray(hit_dists, dtype=np.float64) * sign
                 yield out
 
-        return queries.mapInPandas(run, schema)
+        return _spread_queries(queries).mapInPandas(run, schema)
 
     @classmethod
     def build_partitioned(

