@@ -72,7 +72,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .hnsw import _Graph, _id_type, _l2_sq_fold
+from .hnsw import _Graph, _id_type, _l2_sq_fold, _spread_queries
 
 
 def _centroid_mean(centroids: list[list[float]]) -> list[float]:
@@ -1147,6 +1147,8 @@ class VamanaIndex:
         n_probe: int | None = 2,
         max_iter: int = 5,
         ef_serve: int | None = None,
+        replicate_eps: float = 0.0,
+        replicate_cap: int = 4,
     ) -> "object":
         """Cell-partitioned serving of the merged graph — the scale path
         PAST ``SERVE_MAX_ROWS``: nothing corpus-sized ever materializes on
@@ -1173,7 +1175,23 @@ class VamanaIndex:
         whole construction is deterministic, replayed bit-exactly by
         ``offline_vamana_partitioned``. A PQ-quantized index carries its
         frozen codebooks into every cell shell (serve with
-        ``probe(rerank=...)`` for exact distances)."""
+        ``probe(rerank=...)`` for exact distances).
+
+        ``replicate_eps`` > 0 enables SPANN-style closure assignment
+        (boundary replication, the build_routed recipe one tier over): a
+        vertex joins EVERY cell whose squared centroid distance is within
+        (1+eps)² of its minimum — capped at its ``replicate_cap`` nearest
+        cells (route_overlap's replica bound; SPANN uses ≤8) — so the
+        in-cell edge restriction keeps a boundary vertex's neighborhood
+        alive in all the cells that border it. An edge survives in a cell
+        iff BOTH endpoints are assigned there, so replicated copies carry
+        real local adjacency, not dangling stubs. Serving dedups ids
+        across cells (``params['replicated']`` → the probe/search_batch
+        windows already handle replicated builds). Motivation: the r10
+        ef sweep showed restricted shells under-explore because cross-cell
+        edges are DROPPED — replication converts the boundary edges the
+        degree budget was spent around back into in-cell edges instead of
+        paying for their loss with a deeper beam every query."""
         import pickle
 
         import pandas as pd
@@ -1205,12 +1223,27 @@ class VamanaIndex:
         srows = sorted(sample.collect(), key=lambda row: row["__id"])
         centroids = _lloyds_numpy([list(row["v"]) for row in srows], init, max_iter)
 
-        from .ivfflat import assign_nearest
+        if replicate_eps > 0:
+            # SPANN closure assignment: ball ∩ top-replicate_cap ∪ top-1,
+            # fold-exact threshold (route_overlap's numpy kernel — the
+            # same rule the offline replay re-derives per row)
+            from .ivfflat import route_overlap
 
-        cellmap = assign_nearest(
-            self.vertices, "vec", centroids, "__cell"
-        ).withColumn("__cell", F.col("__cell").cast("long"))
-        # merged adjacency restricted to in-cell edges, original rank order
+            cellmap = route_overlap(
+                self.vertices, id_col, "vec", centroids,
+                (1.0 + replicate_eps) ** 2, out_col="__cell",
+                max_lists=replicate_cap,
+            ).withColumn("__cell", F.col("__cell").cast("long"))
+        else:
+            from .ivfflat import assign_nearest
+
+            cellmap = assign_nearest(
+                self.vertices, "vec", centroids, "__cell"
+            ).withColumn("__cell", F.col("__cell").cast("long"))
+        # merged adjacency restricted to in-cell edges, original rank
+        # order; with replication a vertex has one neighbor list PER
+        # assigned cell (an edge lives in a cell iff both endpoints do),
+        # so the list is keyed (id, cell), not id
         src_cell = cellmap.select(F.col(id_col), "__cell")
         ex = self.edges.select(
             F.col(id_col), F.posexplode("neighbors").alias("__pos", "__dst")
@@ -1222,7 +1255,7 @@ class VamanaIndex:
             ex.join(src_cell, id_col)
             .join(dst_cell, "__dst")
             .filter(F.col("__cell") == F.col("__dcell"))
-            .groupBy(id_col)
+            .groupBy(id_col, "__cell")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("__pos", "__dst"))),
@@ -1230,7 +1263,7 @@ class VamanaIndex:
                 ).alias("__nbs")
             )
         )
-        grp = cellmap.join(kept, id_col, "left")
+        grp = cellmap.join(kept, [id_col, "__cell"], "left")
 
         p = self.params or {}
         r_deg = p.get("r", 16)
@@ -1291,7 +1324,7 @@ class VamanaIndex:
         )
         params = dict(
             m=r_deg, ef_construction=efc, ef_search=efs, seed=seed,
-            replicated=False, frozen="vamana-partitioned",
+            replicated=replicate_eps > 0, frozen="vamana-partitioned",
             ops_dist=self.dist, n_probe=n_probe,
         )
         if self.dist == "ip":
@@ -1558,6 +1591,9 @@ class VamanaIndex:
         else:
             qprep = qcast
         qsel = queries.select(F.col(qid_col), qprep.alias("__qv"))
+        # the per-query beam walks below parallelize over query partitions
+        # — spread a single-split query table first (see _spread_queries)
+        walk_src = _spread_queries(qsel)
 
         def run(batches):
             graph = bc.value
@@ -1589,7 +1625,7 @@ class VamanaIndex:
                 out["__wd"] = np.asarray(hit_dists, dtype=np.float64)
                 yield out
 
-        walked = qsel.mapInPandas(run, schema)
+        walked = walk_src.mapInPandas(run, schema)
         if not quantized:
             # cosine/ip: __wd already holds the exact similarities for the
             # walk's k hits (membership decided by the l2 walk — no extra
@@ -1847,6 +1883,8 @@ def offline_vamana_partitioned(
     graph: _Graph | None = None,
     pq_centers=None,
     ef_serve: int | None = None,
+    replicate_eps: float = 0.0,
+    replicate_cap: int = 4,
     **build_kw,
 ) -> tuple[list, dict]:
     """Replay ``VamanaIndex.build(...).to_partitioned(cells=...)`` without
@@ -1855,10 +1893,13 @@ def offline_vamana_partitioned(
     same first-min fold routing as the codegen argmin, same in-cell edge
     restriction in prune-rank order, same numpy entry selection
     ((distance, id) ties), optional same frozen-codebook PQ quantization.
-    Returns (cell_centroids, {cell: _Graph shell}) — probes replay with
-    ``offline_routed_probe`` / ``offline_routed_batch``, matching the
-    returned ShardedHNSW bit-exactly. Valid only on inputs small enough
-    for the full-table training path."""
+    ``replicate_eps``/``replicate_cap`` mirror the SPANN closure
+    assignment (ball ∩ top-cap ∪ top-1 over fold-exact squared
+    distances — route_overlap's exact rule, so replicated cuts replay
+    bit-exactly too). Returns (cell_centroids, {cell: _Graph shell}) —
+    probes replay with ``offline_routed_probe`` / ``offline_routed_batch``,
+    matching the returned ShardedHNSW bit-exactly. Valid only on inputs
+    small enough for the full-table training path."""
     from .hnsw import _read_sorted
     from .ivfflat import IVFFlatIndex, _lloyds_numpy
 
@@ -1884,7 +1925,18 @@ def offline_vamana_partitioned(
     members: dict[int, list] = {}
     for i, v in zip(ids, vecs):
         dists = [_l2_sq_fold(v, c) for c in centroids]
-        members.setdefault(dists.index(min(dists)), []).append(i)
+        if replicate_eps > 0:
+            # closure assignment: ball ∩ top-replicate_cap ∪ top-1, ties
+            # on (d, cell) — route_overlap's exact rule over the same
+            # fold-exact squared distances
+            order = sorted(range(len(dists)), key=lambda b: (dists[b], b))
+            thr = dists[order[0]] * (1.0 + replicate_eps) ** 2
+            capped = set(order[:replicate_cap])
+            for b in order:
+                if b == order[0] or (dists[b] <= thr and b in capped):
+                    members.setdefault(b, []).append(i)
+        else:
+            members.setdefault(dists.index(min(dists)), []).append(i)
 
     adj_ext = {
         g.ids[v]: [g.ids[d] for d in nbs] for v, nbs in g.edges[0].items()

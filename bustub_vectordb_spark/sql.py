@@ -679,7 +679,11 @@ class SqlEngine:
                 # what the node holds (PQ codes vs float64 vectors)
                 if n_rows > idx.serve_cap() or "cells" in opts or (
                     opts.get("pq") and opts.get("pq_cell_books")
-                ):
+                ) or "replicate_eps" in opts:
+                    # replicate_eps implies the partitioned serving shape
+                    # (replication is a property of the cell cut) — opting
+                    # in via WITH (replicate_eps=E) alone must not be
+                    # silently ignored on small tables
                     # EXPLICIT serving hand-off above the one-node ceiling:
                     # the merged artifact is cut into disjoint k-means cell
                     # shells served through the routed ShardedHNSW
@@ -743,6 +747,13 @@ class SqlEngine:
                             int(opts["ef_serve"])
                             if "ef_serve" in opts else None
                         ),
+                        # WITH (replicate_eps=E[, replicate_cap=C]):
+                        # SPANN closure assignment — boundary vertices
+                        # join every cell within (1+E)x of their nearest,
+                        # restoring the cross-cell neighborhoods the
+                        # in-cell edge restriction drops (r12 stretch)
+                        replicate_eps=float(opts.get("replicate_eps", 0.0)),
+                        replicate_cap=int(opts.get("replicate_cap", 4)),
                     )
                     if opts.get("pq") and opts.get("pq_cell_books"):
                         # per-cell local books train AFTER the cut (each

@@ -372,6 +372,47 @@ def test_create_index_vamana_cells_partitioned_serving(spark):
     assert len(plan.df.collect()) == 3
 
 
+def test_create_index_vamana_replicate_eps(spark):
+    """WITH (replicate_eps=E[, replicate_cap=C]): SPANN closure
+    assignment on the partitioned cut (r12) — implies the partitioned
+    serving shape even without cells= (an opted-in replication must not
+    be silently dropped on small tables), and stamps
+    params['replicated'] so serving dedups cross-cell copies."""
+    from bustub_vectordb_spark.index.hnsw import ShardedHNSW
+    from bustub_vectordb_spark.index.selection import plan_knn
+    from bustub_vectordb_spark.sql import SqlEngine
+
+    e = SqlEngine(spark)
+    e.execute("CREATE TABLE mtvr(v1 VECTOR(3), v2 integer)")
+    rows = ", ".join(
+        f"(ARRAY [{i}.0, {(i * 3) % 7}.0, {(i * 5) % 11}.0], {i})" for i in range(24)
+    )
+    e.execute(f"INSERT INTO mtvr VALUES {rows}")
+    e.execute(
+        "CREATE INDEX mvr1 ON mtvr USING vamana (v1 vector_l2_ops)"
+        " WITH (shards = 2, m = 4, ef_construction = 16, ef_search = 16,"
+        " r = 6, overlap_eps = 0.3, cells = 2, n_probe = 2,"
+        " replicate_eps = 0.25)"
+    )
+    idx = next(i for i in e.indexes.lookup("mtvr", "v1") if i.name == "mvr1").index
+    assert isinstance(idx, ShardedHNSW) and idx.params["replicated"] is True
+    df = e.catalog.tables["mtvr"].df
+    plan = plan_knn(e.indexes, "mtvr", df, "v1", [0.0, 0.0, 0.0], 3)
+    assert plan.strategy == "vector_index_scan(vamana)"
+    hits = plan.df.collect()
+    assert len(hits) == 3
+    assert len({r["v2"] for r in hits}) == 3  # replicas deduped
+
+    # replicate_eps ALONE (no cells=) still takes the partitioned shape
+    e.execute(
+        "CREATE INDEX mvr2 ON mtvr USING vamana (v1 vector_l2_ops)"
+        " WITH (shards = 2, m = 4, ef_construction = 16, ef_search = 16,"
+        " r = 6, overlap_eps = 0.3, replicate_eps = 0.25)"
+    )
+    idx2 = next(i for i in e.indexes.lookup("mtvr", "v1") if i.name == "mvr2").index
+    assert isinstance(idx2, ShardedHNSW) and idx2.params["replicated"] is True
+
+
 def test_create_index_vamana_cosine(spark):
     """CREATE INDEX ... USING vamana (col vector_cosine_ops): the merged
     graph builds over normalized copies and the registered index carries

@@ -258,6 +258,55 @@ def test_partitioned_serving_matches_offline_replay(emb, vamana, sf_dir):
     assert bt == ebt
 
 
+def test_partitioned_replicated_matches_offline_and_dedups(emb, vamana, sf_dir):
+    """SPANN boundary replication (r12 stretch): to_partitioned(
+    replicate_eps=E) runs closure assignment — a vertex joins every cell
+    within (1+E)x of its nearest (capped at replicate_cap) — so the
+    in-cell edge restriction keeps boundary neighborhoods alive. The cut
+    must (a) actually replicate, (b) serve deduped ids, and (c) replay
+    bit-exactly through the offline twin's mirrored closure rule."""
+    from bustub_vectordb_spark.index.hnsw import (
+        offline_routed_batch,
+        offline_routed_probe,
+    )
+    from bustub_vectordb_spark.index.vamana import offline_vamana_partitioned
+
+    part = vamana.to_partitioned(cells=4, n_probe=2, replicate_eps=0.25)
+    assert part.params["replicated"] is True
+    cents, graphs = offline_vamana_partitioned(
+        f"{sf_dir}/embeddings.parquet", "embedding", "vec_id",
+        cells=4, replicate_eps=0.25, shards=4, overlap_eps=0.2, r=16,
+    )
+    n = emb.count()
+    assert sum(len(g.ids) for g in graphs.values()) > n  # replicas exist
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    got = [
+        (r["vec_id"], r["distance"])
+        for r in part.probe(q, 10, n_probe=2).collect()
+    ]
+    exp = [
+        (int(i), float(d)) for i, d in offline_routed_probe(cents, graphs, q, 10, 2)
+    ]
+    assert got == exp
+    assert len({i for i, _ in got}) == 10  # replicas deduped in the top-k
+
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    bt = sorted(
+        (r["qid"], r["vec_id"], r["distance"])
+        for r in part.search_batch(
+            queries, "embedding", "qid", k=5, n_probe=2
+        ).collect()
+    )
+    qs = [(r["qid"], list(r["embedding"])) for r in queries.collect()]
+    ebt = sorted(
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_batch(cents, graphs, qs, 5, 2)
+    )
+    assert bt == ebt
+
+
 def test_partitioned_serving_past_cap_recall(emb, vamana, monkeypatch):
     """The single-graph tier now serves corpora PAST the one-node cap:
     with SERVE_MAX_ROWS forced below the corpus, driver serving refuses
