@@ -247,6 +247,12 @@ def bpe_token_count(df, text_col: str, id_col: str, merges=None):
     idt = {f.name: f.dataType.simpleString() for f in df.schema}[id_col]
     schema = f"{id_col} {idt}, n_tokens bigint"
     src = df.select(id_col, text_col)
+    # the greedy merge loop is CPU-bound per row; a single-split documents
+    # table would pin every encode to one worker (cf. dedup.minhash
+    # _spread — no-op at scale where inputs carry many splits)
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < want:
+        src = src.repartition(want, id_col)
 
     def run(batches):
         tok = BPETokenizer(bc.value)

@@ -688,6 +688,13 @@ def decode_and_featurize(
     """
     import pandas as pd
 
+    # per-item decode is CPU-bound; a single-split media table would pin
+    # every decode to one worker (cf. dedup.minhash._spread — no-op at
+    # scale where inputs carry many splits)
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
+
     out_fields = df.schema.fields + [
         T.StructField("features", T.ArrayType(T.DoubleType()))
     ]
