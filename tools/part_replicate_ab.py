@@ -22,6 +22,14 @@ Usage: python tools/part_replicate_ab.py [--rows 1200000] [--cells 64]
        [--n-probe 4] [--out /tmp/drill_r10]  (reuses corpus + any
        /tmp parquet from earlier drills at the same --out)
 Prints one JSON line (drills/ records it).
+
+RUN ONE LEG PER PROCESS at 1.2M (--legs "0.2:96"): replicated cuts carry
+~2.3x bigger cell blobs through driver task results, and the third
+same-process leg reproducibly dies on driver-heap GCLocker exhaustion at
+the default 16g (scale_drill's one-JSON-per-process note, same cause).
+The merged artifact persists to --out on first build, so per-leg
+processes pay index load + cut only. SPARK_GRAFT_DRIVER_MEM=32g gives
+headroom.
 """
 
 from __future__ import annotations
@@ -87,15 +95,25 @@ def main():
         "n_probe": args.n_probe, "replicate_cap": args.cap, "legs": [],
     }
 
-    t0 = time.time()
-    vam = VamanaIndex.build(
-        emb, "embedding", "vec_id", shards=64, overlap_eps=0.2,
-        r=16, ef_construction=48, ef_search=48, max_cell_rows=60_000,
-    )
-    vam.edges.cache().count()
-    report["merged_build_sec"] = round(time.time() - t0, 1)
-    print(f"[rep-ab] build done {report['merged_build_sec']}s",
-          file=sys.stderr, flush=True)
+    # the merged build is ~30 min at 1.2M and every leg shares it — persist
+    # the artifact so a crashed/extended sweep resumes at cut cost only
+    idx_path = f"{args.out}/rep_ab_vamana_{n}"
+    if os.path.exists(idx_path):
+        vam = VamanaIndex.load(spark, idx_path)
+        vam.edges.cache().count()
+        report["merged_build_sec"] = "loaded"
+        print("[rep-ab] merged index loaded", file=sys.stderr, flush=True)
+    else:
+        t0 = time.time()
+        vam = VamanaIndex.build(
+            emb, "embedding", "vec_id", shards=64, overlap_eps=0.2,
+            r=16, ef_construction=48, ef_search=48, max_cell_rows=60_000,
+        )
+        vam.edges.cache().count()
+        report["merged_build_sec"] = round(time.time() - t0, 1)
+        print(f"[rep-ab] build done {report['merged_build_sec']}s",
+              file=sys.stderr, flush=True)
+        vam.save(idx_path)
 
     for leg in args.legs.split(","):
         eps_s, ef_s = leg.split(":")
