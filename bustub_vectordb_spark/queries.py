@@ -3649,6 +3649,67 @@ def q_ann_vamana_partitioned_batch(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
 
 
+def _vamana_partitioned_replicated_batch_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .index.hnsw import offline_routed_batch
+    from .index.vamana import offline_vamana_partitioned
+
+    # replicated cut shares the memoized merged graph (read-only) — only
+    # the closure assignment differs from _offline_vamana_part_cached
+    cents, graphs = offline_vamana_partitioned(
+        f"{_oracle_sf()}/embeddings.parquet", "embedding", "vec_id",
+        cells=4, replicate_eps=0.25, shards=4, overlap_eps=0.2, r=16,
+        graph=_offline_vamana_l2_cached(),
+    )
+    t = pq.read_table(
+        f"{_oracle_sf()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    qs = [(qid, qv) for qid, qv in zip(ids, vecs) if qid % 97 == 0]
+    rows = [
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_batch(cents, graphs, qs, 5, 2)
+    ]
+    return (
+        "SELECT qid, vec_id, round(CAST(d AS DOUBLE), 8) AS distance FROM "
+        f"{_hits_values_sql(rows, 'qid, vec_id, d')}"
+    )
+
+
+@_register(
+    "ann_vamana_partitioned_replicated_batch",
+    _vamana_partitioned_replicated_batch_oracle,
+)
+def q_ann_vamana_partitioned_replicated_batch(spark, sf_dir):
+    # SPANN boundary-replicated cell serving (r12): closure assignment
+    # puts every vertex in each cell within (1+eps)x of its nearest
+    # (capped), so the in-cell edge restriction keeps boundary
+    # neighborhoods alive instead of paying a deeper per-query beam for
+    # their loss; serving dedups ids across cells. Exact offline replay
+    # (offline_vamana_partitioned(replicate_eps=...) mirrors the
+    # fold-exact route_overlap closure rule + offline_routed_batch).
+    from .index.vamana import VamanaIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "vamana_part_rep")
+    if key not in _INDEX_CACHE:
+        vkey = (sf_dir, "vamana")
+        if vkey not in _INDEX_CACHE:
+            _INDEX_CACHE[vkey] = VamanaIndex.build(
+                emb, "embedding", "vec_id", shards=4, overlap_eps=0.2, r=16
+            )
+        _INDEX_CACHE[key] = _INDEX_CACHE[vkey].to_partitioned(
+            cells=4, n_probe=2, replicate_eps=0.25
+        )
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = _INDEX_CACHE[key].search_batch(queries, "embedding", "qid", k=5, n_probe=2)
+    return out.select("qid", "vec_id", F.round("distance", 8).alias("distance"))
+
+
 def _vamana_partitioned_pq_batch_oracle() -> str:
     import pyarrow.parquet as pq
 
@@ -7495,8 +7556,11 @@ _GATE_WINDOW = [
     "ann_hnsw_routed_bq_rerank",
     "ann_hnsw_routed_bq_batch",
     "ann_hnsw_routed_bqr_rerank",
-    # --- stale re-gates: the 15 stalest rows (r4-vintage, last-gated
-    # round then name — computed from CORRECTNESS_r*.json history) ---
+    # new r12 entry debuts gated (every debut round does)
+    "ann_vamana_partitioned_replicated_batch",
+    # --- stale re-gates: the 14 stalest rows (r4-vintage, last-gated
+    # round then name — computed from CORRECTNESS_r*.json history;
+    # events_json_extract yielded its slot to the debut entry) ---
     "ann_hnsw_routed_filtered_probe",
     "ann_hnsw_routed_insert",
     "ann_ivfflat_batch_exact",
@@ -7511,7 +7575,6 @@ _GATE_WINDOW = [
     "doc_chunking",
     "embedding_neardup_exact",
     "events_dedup_first",
-    "events_json_extract",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",
