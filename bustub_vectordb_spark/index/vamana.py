@@ -704,6 +704,10 @@ class VamanaIndex:
     # 0.86 -> 0.974 recall from ef 48 -> 192 at flat serving wall-clock
     # (drills/drill_1200k_r10_part_ef_ab.json); ef_serve overrides
     PARTITIONED_EF_SERVE = 192
+    # SPANN closure-assignment replica bound (route_overlap max_lists;
+    # the paper uses <= 8). ONE constant for the Spark cut AND the
+    # offline twin — a drifting pair would silently break replay parity
+    REPLICATE_CAP_DEFAULT = 4
 
     def serve_cap(self) -> int:
         """Max rows this artifact may serve driver-materialized: the flat
@@ -1148,7 +1152,7 @@ class VamanaIndex:
         max_iter: int = 5,
         ef_serve: int | None = None,
         replicate_eps: float = 0.0,
-        replicate_cap: int = 4,
+        replicate_cap: int | None = None,
     ) -> "object":
         """Cell-partitioned serving of the merged graph — the scale path
         PAST ``SERVE_MAX_ROWS``: nothing corpus-sized ever materializes on
@@ -1201,6 +1205,18 @@ class VamanaIndex:
         from .hnsw import ShardedHNSW
         from .ivfflat import IVFFlatIndex, _lloyds_numpy
 
+        # fail fast, BEFORE the centroid-training pass
+        if replicate_eps < 0:
+            raise ValueError(
+                "replicate_eps must be >= 0 (0 = disjoint cells; a "
+                "negative ball would silently degrade to disjoint)"
+            )
+        replicate_cap = (
+            self.REPLICATE_CAP_DEFAULT if replicate_cap is None
+            else int(replicate_cap)
+        )
+        if replicate_cap < 1:
+            raise ValueError("replicate_cap must be >= 1")
         spark = self._spark
         ensure_package_on_workers(spark)
         id_col = self.id_col
@@ -1884,7 +1900,7 @@ def offline_vamana_partitioned(
     pq_centers=None,
     ef_serve: int | None = None,
     replicate_eps: float = 0.0,
-    replicate_cap: int = 4,
+    replicate_cap: int | None = None,
     **build_kw,
 ) -> tuple[list, dict]:
     """Replay ``VamanaIndex.build(...).to_partitioned(cells=...)`` without
@@ -1922,6 +1938,8 @@ def offline_vamana_partitioned(
         raise ValueError(f"index has fewer than cells={cells} vertices")
     centroids = _lloyds_numpy(vecs, [list(v) for v in vecs[:cells]], cells_max_iter)
 
+    if replicate_cap is None:
+        replicate_cap = VamanaIndex.REPLICATE_CAP_DEFAULT
     members: dict[int, list] = {}
     for i, v in zip(ids, vecs):
         dists = [_l2_sq_fold(v, c) for c in centroids]

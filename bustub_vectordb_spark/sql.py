@@ -753,7 +753,12 @@ class SqlEngine:
                         # restoring the cross-cell neighborhoods the
                         # in-cell edge restriction drops (r12 stretch)
                         replicate_eps=float(opts.get("replicate_eps", 0.0)),
-                        replicate_cap=int(opts.get("replicate_cap", 4)),
+                        # absent -> REPLICATE_CAP_DEFAULT (one constant
+                        # shared with the offline twin)
+                        replicate_cap=(
+                            int(opts["replicate_cap"])
+                            if "replicate_cap" in opts else None
+                        ),
                     )
                     if opts.get("pq") and opts.get("pq_cell_books"):
                         # per-cell local books train AFTER the cut (each

@@ -271,6 +271,10 @@ def test_partitioned_replicated_matches_offline_and_dedups(emb, vamana, sf_dir):
     )
     from bustub_vectordb_spark.index.vamana import offline_vamana_partitioned
 
+    with pytest.raises(ValueError, match="replicate_eps"):
+        vamana.to_partitioned(cells=4, replicate_eps=-0.1)
+    with pytest.raises(ValueError, match="replicate_cap"):
+        vamana.to_partitioned(cells=4, replicate_eps=0.1, replicate_cap=0)
     part = vamana.to_partitioned(cells=4, n_probe=2, replicate_eps=0.25)
     assert part.params["replicated"] is True
     cents, graphs = offline_vamana_partitioned(
