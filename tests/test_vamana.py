@@ -311,6 +311,45 @@ def test_partitioned_replicated_matches_offline_and_dedups(emb, vamana, sf_dir):
     assert bt == ebt
 
 
+def test_partitioned_replicated_composes_with_local_books(emb, vamana):
+    """Replication × per-cell books (r12 lead check): quantize_pq_local on
+    a REPLICATED cut trains each cell's books on its members INCLUDING
+    replicas, serves deduped ids, and the offline twin composes the two
+    features bit-exactly (replicated shells + local_mk replay)."""
+    from bustub_vectordb_spark.index.hnsw import offline_routed_pq_batch
+    from bustub_vectordb_spark.index.vamana import offline_vamana_partitioned
+
+    pql = vamana.to_partitioned(
+        cells=4, n_probe=2, replicate_eps=0.25
+    ).quantize_pq_local(m=16, k=32)
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    rows = pql.search_batch(
+        queries, "embedding", "qid", k=5, n_probe=2, rerank=emb
+    ).collect()
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r["vec_id"])
+    for qid, hits in per_q.items():
+        assert len(hits) == len(set(hits)), f"replica leaked into top-k for {qid}"
+    got = sorted((r["qid"], r["vec_id"], r["distance"]) for r in rows)
+    cents, graphs = offline_vamana_partitioned(
+        f"{SF_DIR}/embeddings.parquet", "embedding", "vec_id",
+        cells=4, replicate_eps=0.25, shards=4, overlap_eps=0.2, r=16,
+    )
+    by_id = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    qs = [(r["qid"], list(r["embedding"])) for r in queries.collect()]
+    want = sorted(
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_pq_batch(
+            cents, graphs, by_id, qs, 5, 2, local_mk=(16, 32, 5),
+            rerank_mult=48,
+        )
+    )
+    assert got == want
+
+
 def test_partitioned_serving_past_cap_recall(emb, vamana, monkeypatch):
     """The single-graph tier now serves corpora PAST the one-node cap:
     with SERVE_MAX_ROWS forced below the corpus, driver serving refuses
