@@ -350,6 +350,46 @@ def test_partitioned_replicated_composes_with_local_books(emb, vamana):
     assert got == want
 
 
+def test_partitioned_replicated_pqr_parity(emb, vamana):
+    """Replication × residual PQ (quantized BEFORE the cut): replicated
+    members carry residual codes by their own frozen entry-cell
+    assignment (independent of which serving cells hold them), and the
+    offline twin composes closure assignment + pq_centers bit-exactly."""
+    from bustub_vectordb_spark.index.hnsw import offline_routed_pq_batch
+    from bustub_vectordb_spark.index.vamana import offline_vamana_partitioned
+    from bustub_vectordb_spark.similarity.pq import PQModel
+
+    model = PQModel.train(
+        vamana.residual_source(), "__res", "vec_id", m=16, k=32
+    )
+    pqr = vamana.quantize_pq(model, residual=True)
+    assert pqr.params.get("pq_centers")
+    part = pqr.to_partitioned(cells=4, n_probe=2, replicate_eps=0.25)
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = sorted(
+        (r["qid"], r["vec_id"], r["distance"])
+        for r in part.search_batch(
+            queries, "embedding", "qid", k=5, n_probe=2, rerank=emb
+        ).collect()
+    )
+    cents, graphs = offline_vamana_partitioned(
+        f"{SF_DIR}/embeddings.parquet", "embedding", "vec_id",
+        cells=4, replicate_eps=0.25, shards=4, overlap_eps=0.2, r=16,
+    )
+    by_id = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    qs = [(r["qid"], list(r["embedding"])) for r in queries.collect()]
+    want = sorted(
+        (int(qid), int(hid), float(d))
+        for qid, hid, d in offline_routed_pq_batch(
+            cents, graphs, by_id, qs, 5, 2, model,
+            pq_centers=pqr.params["pq_centers"], rerank_mult=48,
+        )
+    )
+    assert got == want
+
+
 def test_partitioned_serving_past_cap_recall(emb, vamana, monkeypatch):
     """The single-graph tier now serves corpora PAST the one-node cap:
     with SERVE_MAX_ROWS forced below the corpus, driver serving refuses
