@@ -20,4 +20,24 @@ Layout:
   streaming   — event-time windowed aggregation (batch + Structured Streaming)
 """
 
+import os as _os
+
+# One BLAS thread per task, engine-wide (guide §4: size CPU work to the
+# task, Spark owns the parallelism). NumPy's OpenBLAS spawns a pool of
+# ncpu threads the first time an array crosses its internal threading
+# threshold; inside local[N] / executor Python workers that means N tasks
+# × ncpu BLAS threads of oversubscription, and OpenBLAS's post-work spin
+# -wait measurably steals CPU from the JVM stages that follow (observed
+# as 20-50% swings on untouched SQL bench keys after a kernel started
+# issuing table-sized gemvs). Single-threaded BLAS is also faster for
+# this engine's kernels (≤ a few hundred µs each — the pool handoff
+# costs more than the math: 2000×64 gemv measured 1.3 ms threaded vs
+# 30 µs single) and removes a run-to-run variance source. setdefault so
+# a deployment that wants threaded driver-side BLAS can override; set
+# here (package import, before any SparkSession exists) so local
+# workers, executors (env inherited through the JVM), and driver
+# replays all see the same value before numpy loads.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
+
 __version__ = "0.1.0"

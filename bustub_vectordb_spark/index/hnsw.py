@@ -80,6 +80,29 @@ def _spread_queries(df):
     return df
 
 
+def _pin_cpu_groups(df, *keys):
+    """Repartition by the group keys with an EXPLICIT partition count
+    before a CPU-bound ``groupBy().applyInPandas`` / grouped-agg →
+    ``mapInPandas`` stage. AQE's partition coalescing sizes post-shuffle
+    partitions by BYTES (advisoryPartitionSizeInBytes /
+    minPartitionSize) — the right economics for shuffle-bound SQL, the
+    wrong proxy for Python kernels whose cost is CPU per group: the
+    bench-scale vamana propose stage (~4 MB of routed rows, 8 sub-graph
+    builds of ~1.1 s each) coalesced into 1-2 tasks and ran the builds
+    serially — measured 4.5 s plain vs 1.8 s with coalescing disabled.
+    A user-specified ``repartition(n, keys)`` pins the partition count
+    (AQE never coalesces explicit repartitions) and the downstream
+    groupBy on the same keys reuses the exchange, so no shuffle is
+    added — the bytes move once either way. Scale-adaptive: n follows
+    the session's core count / shuffle setting, never a constant."""
+    spark = df.sparkSession
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return df.repartition(n, *keys)
+
+
 def _one_dist(dist: str, a, b) -> float:
     """Single-pair distance in index-internal orientation (smaller = nearer)."""
     if dist == "l2":
@@ -205,6 +228,20 @@ class _Graph:
     # drills can A/B the unaligned r11 harvest; every distributed kernel
     # and offline replay reads it through the same search() call.
     HARVEST_ALIGNED = True
+
+    # walk-table precompute gate (guide §1.2 "per-task work"): a graph
+    # walk evaluates distances in tiny frontier batches (~degree rows), so
+    # its cost is numpy DISPATCH, not flops — profiling the 2k-row driver
+    # build measured 147k _walk_dists calls = 2.4 s of a 5.9 s build. Below
+    # this per-row-cost × n budget, one vectorized pass over ALL vertices
+    # per query (gemv / PQ-LUT gathers) replaces every per-batch call with
+    # an O(1) table lookup. Above it (e.g. the 1.2M merged driver graph,
+    # where a walk touches <1% of vertices) the table would cost more than
+    # the batched evals it replaces, so walks fall back to _walk_dists.
+    # The gate is a pure perf dispatch: both branches run per-row kernels
+    # the consumers (online serving, offline oracle replays) share, and
+    # every consumer of one graph takes the same branch.
+    WALK_TABLE_MAX_ELEMS = 2**24
 
     # -- serialization / packed adjacency ---------------------------------
     def __getstate__(self):
@@ -514,6 +551,62 @@ class _Graph:
         qn = float(np.linalg.norm(q)) or 1e-300
         return -dots / (self._norms[idxs] * qn)
 
+    def _walk_table(self, q: np.ndarray, qq: float, upto: int | None = None):
+        """Per-query WALK-distance table over all (or the first ``upto``)
+        vertices, or None when the graph is too large / the storage form
+        has no vectorized pass (see WALK_TABLE_MAX_ELEMS). One gemv (float
+        / SQ8) or one set of PQ-LUT gathers (Jégou et al. 2011's ADC table
+        trick) per query turns every frontier-batch distance call inside
+        _search_layer into a fancy-index lookup — the walk's numpy-dispatch
+        overhead, the dominant cost of small-graph builds and sharded
+        serving, disappears. Values are the same per-row kernels as
+        _walk_dists up to BLAS summation order (walk distances only steer
+        the beam; RETURNED distances stay _dist_many's fold-exact values,
+        and online + offline consumers share this code path)."""
+        n = len(self.ids) if upto is None else upto
+        if not n:
+            return None
+        if self.vecs is not None:
+            if n * self.vecs.shape[1] > self.WALK_TABLE_MAX_ELEMS:
+                return None
+            v = self.vecs if upto is None else self.vecs[:n]
+            dots = v @ q
+        elif getattr(self, "pq_codes", None) is not None:
+            if n * len(self.pq_books) > self.WALK_TABLE_MAX_ELEMS:
+                return None
+            codes = self.pq_codes if upto is None else self.pq_codes[:n]
+            dots = np.zeros(n, dtype=np.float64)
+            for i, (s, e) in enumerate(self.pq_bounds):
+                lut = self.pq_books[i] @ q[s:e]
+                dots = dots + lut[codes[:, i]]
+            if getattr(self, "pq_centers", None) is not None:
+                cell = self.pq_cell if upto is None else self.pq_cell[:n]
+                dots = dots + (self.pq_centers @ q)[cell]
+        elif getattr(self, "codes", None) is not None:
+            if n * self.codes.shape[1] > self.WALK_TABLE_MAX_ELEMS:
+                return None
+            # SQ8: dot(q, mn + c·scale) = q·mn + c·(q·scale); chunked cast
+            # bounds the float temp regardless of n
+            w = self.qscale * q
+            base = float(self.qmn @ q)
+            dots = np.empty(n, dtype=np.float64)
+            step = 65536
+            for i in range(0, n, step):
+                dots[i : i + step] = self.codes[i : i + step].astype(np.float64) @ w + base
+        else:
+            return None  # BQ graphs: bit-unpack expansion; keep batched
+        if self.dist == "l2":
+            ns = getattr(self, "_norms_sq", None)
+            if ns is None:  # graphs unpickled from pre-upgrade saves
+                dec = self._mat_rows(slice(None))
+                ns = self._norms_sq = (dec * dec).sum(axis=1)
+            return (ns if upto is None else ns[:n]) - 2.0 * dots + qq
+        if self.dist == "ip":
+            return -dots
+        qn = float(np.linalg.norm(q)) or 1e-300
+        nrm = self._norms if upto is None else self._norms[:n]
+        return -dots / (nrm * qn)
+
     def _search_layer(
         self,
         q: np.ndarray,
@@ -522,8 +615,13 @@ class _Graph:
         level: int,
         seen: list | None = None,
         stop_n: int | None = None,
+        dtab: np.ndarray | None = None,
     ) -> list[int]:
-        """``seen`` (optional, the DiskANN serving trick): a caller-owned
+        """``dtab`` (optional): precomputed per-query walk-distance table
+        (_walk_table) — distance evaluation becomes a fancy-index lookup;
+        admissions/termination logic is unchanged.
+
+        ``seen`` (optional, the DiskANN serving trick): a caller-owned
         list collecting (walk_dist, vertex) for EVERY vertex whose distance
         this walk computes — each vertex exactly once (the visited-set
         check gates distance evaluation). search(shortlist=...) harvests a
@@ -555,7 +653,9 @@ class _Graph:
         stabilizes — no shard size or ef mis-configuration can silently
         starve the shortlist again."""
         edges = self.edges[level]
-        qq = float(q @ q) if self.dist == "l2" else 0.0
+        qq = 0.0
+        if dtab is None:
+            qq = float(q @ q) if self.dist == "l2" else 0.0
         visited = set(entries)
         cand: list[tuple[float, int]] = []
         result: list[tuple[float, int]] = []  # max-heap via negated dist
@@ -563,7 +663,8 @@ class _Graph:
         # values only — it exists to provide the alignment thresholds, the
         # harvest itself still comes from the caller's full `seen` sort
         short: list[float] | None = [] if stop_n is not None else None
-        for e, d in zip(entries, self._walk_dists(q, entries, qq)):
+        ed = dtab[entries] if dtab is not None else self._walk_dists(q, entries, qq)
+        for e, d in zip(entries, ed):
             heapq.heappush(cand, (d, e))
             heapq.heappush(result, (-d, e))
             if seen is not None:
@@ -582,7 +683,8 @@ class _Graph:
             if not nbs:
                 continue
             visited.update(nbs)
-            for nb, dn in zip(nbs, self._walk_dists(q, nbs, qq)):
+            nd = dtab[nbs] if dtab is not None else self._walk_dists(q, nbs, qq)
+            for nb, dn in zip(nbs, nd):
                 if seen is not None:
                     seen.append((float(dn), nb))
                 improves_short = False
@@ -617,6 +719,7 @@ class _Graph:
         allowed: set,
         seen: list | None = None,
         stop_n: int | None = None,
+        dtab: np.ndarray | None = None,
     ) -> list[int]:
         """SearchLayer with an allowed-set: traversal visits every vertex for
         NAVIGATION (disallowed vertices still route the walk, so recall does
@@ -631,12 +734,15 @@ class _Graph:
         filtered rerank feeds is allowed-only, so both the tracker and the
         admission clause must be too)."""
         edges = self.edges[level]
-        qq = float(q @ q) if self.dist == "l2" else 0.0
+        qq = 0.0
+        if dtab is None:
+            qq = float(q @ q) if self.dist == "l2" else 0.0
         visited = set(entries)
         cand: list[tuple[float, int]] = []
         result: list[tuple[float, int]] = []  # max-heap via negated dist
         short: list[float] | None = [] if stop_n is not None else None
-        for e, d in zip(entries, self._walk_dists(q, entries, qq)):
+        ed = dtab[entries] if dtab is not None else self._walk_dists(q, entries, qq)
+        for e, d in zip(entries, ed):
             heapq.heappush(cand, (d, e))
             if e in allowed:
                 heapq.heappush(result, (-d, e))
@@ -666,7 +772,8 @@ class _Graph:
             if not nbs:
                 continue
             visited.update(nbs)
-            for nb, dn in zip(nbs, self._walk_dists(q, nbs, qq)):
+            nd = dtab[nbs] if dtab is not None else self._walk_dists(q, nbs, qq)
+            for nb, dn in zip(nbs, nd):
                 improves_short = False
                 if nb in allowed:
                     if seen is not None:
@@ -690,11 +797,17 @@ class _Graph:
         out = sorted(((-nd, v) for nd, v in result))
         return [v for _, v in out]
 
-    def _select_neighbors(self, q: np.ndarray, cands: list[int], m: int) -> list[int]:
+    def _select_neighbors(
+        self, q: np.ndarray, cands: list[int], m: int,
+        dtab: np.ndarray | None = None,
+    ) -> list[int]:
         # simple m-nearest selection (the reference's SelectNeighbors);
         # walk metric — monotone ↔ true distance, identical selection
-        qq = float(q @ q) if self.dist == "l2" else 0.0
-        scored = sorted(zip(self._walk_dists(q, cands, qq), cands))
+        if dtab is not None:
+            scored = sorted(zip(dtab[cands], cands))
+        else:
+            qq = float(q @ q) if self.dist == "l2" else 0.0
+            scored = sorted(zip(self._walk_dists(q, cands, qq), cands))
         return [c for _, c in scored[:m]]
 
     def _insert(self, idx: int) -> None:
@@ -710,13 +823,17 @@ class _Graph:
             for lv in range(level + 1):
                 self.edges[lv][idx] = []
             return
+        # add_all inserts id-ordered, so every already-inserted vertex sits
+        # below idx — the walk table only needs the [0, idx) prefix
+        qq = float(q @ q) if self.dist == "l2" else 0.0
+        dtab = self._walk_table(q, qq, upto=idx)
         ep = [self.entry]
         for lv in range(top, level, -1):
-            ep = self._search_layer(q, ep, 1, lv)[:1]
+            ep = self._search_layer(q, ep, 1, lv, dtab=dtab)[:1]
         for lv in range(min(level, top), -1, -1):
-            cands = self._search_layer(q, ep, self.efc, lv)
+            cands = self._search_layer(q, ep, self.efc, lv, dtab=dtab)
             m_max = self.m_max_0 if lv == 0 else self.m_max
-            nbs = self._select_neighbors(q, cands, self.m)
+            nbs = self._select_neighbors(q, cands, self.m, dtab=dtab)
             self.edges[lv][idx] = list(nbs)
             for nb in nbs:
                 lst = self.edges[lv].setdefault(nb, [])
@@ -839,6 +956,8 @@ class _Graph:
         # multi-entry at the same ef). Multi-layer HNSW graphs never set
         # this; their upper layers already provide the coarse routing.
         ep = list(getattr(self, "entry_points", None) or [self.entry])
+        qq = float(q @ q) if self.dist == "l2" else 0.0
+        dtab = self._walk_table(q, qq)
         if allowed_ids is not None and len(ep) > self.FILTERED_SEED_CAP:
             # Filtered walks pay per-seed frontier cost with none of the
             # multi-basin recall benefit measured for them (r8 1.2M drill:
@@ -848,8 +967,8 @@ class _Graph:
             # Keep only the nearest few seeds; the unfiltered batch path
             # keeps the full set (free there, and it carries the merged
             # tier's 0.966 recall).
-            qq0 = float(q @ q) if self.dist == "l2" else 0.0
-            ranked = sorted(zip(self._walk_dists(q, ep, qq0), ep))
+            sd = dtab[ep] if dtab is not None else self._walk_dists(q, ep, qq)
+            ranked = sorted(zip(sd, ep))
             ep = [v for _, v in ranked[: self.FILTERED_SEED_CAP]]
         # Seeding cost honesty (ADVICE r8, re-measured r9): an untrimmed
         # seed set makes _search_layer's result heap start at |entries|
@@ -866,7 +985,7 @@ class _Graph:
         # FILTERED_SEED_CAP above (there the per-seed frontier cost buys
         # no recall — r8/r9 drills).
         for lv in range(len(self.edges) - 1, 0, -1):
-            ep = self._search_layer(q, ep, 1, lv)[:1]
+            ep = self._search_layer(q, ep, 1, lv, dtab=dtab)[:1]
         seen: list | None = None
         stop_n: int | None = None
         if shortlist is not None:
@@ -884,11 +1003,13 @@ class _Graph:
                 # truncate exploration at the ef-th best).
                 stop_n = max(int(shortlist), k)
         if allowed_ids is None:
-            found = self._search_layer(q, ep, ef, 0, seen=seen, stop_n=stop_n)[:k]
+            found = self._search_layer(
+                q, ep, ef, 0, seen=seen, stop_n=stop_n, dtab=dtab
+            )[:k]
         else:
             allowed = self._internal_allowed(allowed_ids)
             found = self._search_layer_filtered(
-                q, ep, ef, 0, allowed, seen=seen, stop_n=stop_n
+                q, ep, ef, 0, allowed, seen=seen, stop_n=stop_n, dtab=dtab
             )[:k]
         if seen is not None:
             # harvest: N nearest visited, (walk_dist, vertex) order — walk
@@ -1292,7 +1413,10 @@ class HNSWIndex:
             )
             return pd.DataFrame({"shard": [int(key[0])], "blob": [pickle.dumps(g)]})
 
-        blobs = routed.groupBy("__shard").applyInPandas(
+        # pin the build stage's parallelism: graph builds are CPU-bound
+        # Python work, and AQE's byte-sized coalescing would serialize
+        # them on small inputs (see _pin_cpu_groups)
+        blobs = _pin_cpu_groups(routed, "__shard").groupBy("__shard").applyInPandas(
             build_one, "shard long, blob binary"
         )
         return ShardedHNSW(

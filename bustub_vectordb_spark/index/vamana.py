@@ -72,7 +72,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .hnsw import _Graph, _id_type, _l2_sq_fold, _spread_queries
+from .hnsw import _Graph, _id_type, _l2_sq_fold, _pin_cpu_groups, _spread_queries
 
 
 def _centroid_mean(centroids: list[list[float]]) -> list[float]:
@@ -866,7 +866,11 @@ class VamanaIndex:
                     dst.append(g.ids[nb])
             return pd.DataFrame({"src": src, "dst": dst})
 
-        pairs = routed.groupBy("__shard").applyInPandas(
+        # pin the sub-graph build stage's parallelism: AQE's byte-sized
+        # coalescing packs the ~MB-scale routed rows into 1-2 tasks and the
+        # CPU-bound Python builds run serially (measured 4.5 s → 1.8 s on
+        # this stage at bench scale — see hnsw._pin_cpu_groups)
+        pairs = _pin_cpu_groups(routed, "__shard").groupBy("__shard").applyInPandas(
             propose, f"src {idt}, dst {idt}"
         )
         # materialize the proposals ONCE before the self-union: Spark does
@@ -897,6 +901,11 @@ class VamanaIndex:
         cand = (
             sym.join(vtx, sym["dst"] == vtx["__vid"])
             .select("src", "dst", F.col("__vv").alias("__dv"))
+            # pin the RobustPrune stage's parallelism (the agg reuses this
+            # exchange; the mapInPandas kernel below runs on its output
+            # partitioning — byte-sized AQE coalescing would serialize the
+            # per-vertex prune kernels; see hnsw._pin_cpu_groups)
+            .transform(lambda d: _pin_cpu_groups(d, "src"))
             .groupBy("src")
             # two collect_lists in ONE agg see the group's rows in the
             # same order — ids and vectors stay paired
@@ -931,14 +940,27 @@ class VamanaIndex:
         )
 
         # entry point: corpus pseudo-medoid — nearest row to the centroid
-        # mean, deterministic (dist, id) TopN with a literal query vector
+        # mean, (dist, id) ties. On the full-table training path srows IS
+        # the id-sorted corpus, so the medoid computes driver-side with the
+        # same sequential per-dim fold the codegen l2 expression (and
+        # offline_vamana's fold_l2) evaluates — identical doubles, identical
+        # tie order, one less Spark job (~0.5 s of TopN scheduling at bench
+        # scale). The sampled big-table path keeps the distributed TopN.
         pm = _centroid_mean(centroids)
-        entry_row = (
-            base.select(id_col, l2_dist(F.col("__v"), vec_lit(pm)).alias("__d"))
-            .orderBy(F.col("__d").asc(), F.col(id_col).asc())
-            .limit(1)
-            .collect()[0]
-        )
+        if frac >= 1.0:
+            pmv = np.asarray(pm, dtype=np.float64)
+            smat_pm = np.asarray([list(row["v"]) for row in srows], dtype=np.float64)
+            pd_d = _fold_l2_rows(smat_pm, pmv)
+            entry_id = min(
+                zip(pd_d.tolist(), (row["__id"] for row in srows))
+            )[1]
+        else:
+            entry_id = (
+                base.select(id_col, l2_dist(F.col("__v"), vec_lit(pm)).alias("__d"))
+                .orderBy(F.col("__d").asc(), F.col(id_col).asc())
+                .limit(1)
+                .collect()[0][id_col]
+            )
 
         # MULTI-ENTRY serving seeds (r8): one vertex per entry cell. A
         # single-medoid greedy walk must cross cluster basins through
@@ -1039,7 +1061,7 @@ class VamanaIndex:
                 for i in entry_ids
             ]
         return cls(
-            vec_col, id_col, dist, vertices, pruned, entry_row[id_col],
+            vec_col, id_col, dist, vertices, pruned, entry_id,
             df.sparkSession, id_type=idt, params=params,
         )
 
@@ -1335,7 +1357,9 @@ class VamanaIndex:
                 {"shard": [int(key[0])], "blob": [pickle.dumps(g)]}
             )
 
-        blobs = grp.groupBy("__cell").applyInPandas(
+        # pin the shell-build stage's parallelism (CPU-bound Python work;
+        # see hnsw._pin_cpu_groups for the AQE byte-coalescing rationale)
+        blobs = _pin_cpu_groups(grp, "__cell").groupBy("__cell").applyInPandas(
             build_shell, "shard long, blob binary"
         )
         params = dict(
