@@ -45,6 +45,16 @@ import os
 import sys
 import time
 
+# one BLAS thread per task BEFORE any numpy import in this process: the
+# driver runs graph-build kernels itself (hnsw_build), and OpenBLAS reads
+# its thread count at library load — set too late (e.g. only in the
+# package __init__ after pyspark pulled numpy in) the driver-side kernels
+# pay the threaded pool's ~ms handoff per table-sized matvec. Workers are
+# covered either way: the JVM inherits this env and Python workers read it
+# before their numpy loads. Same setdefault (overridable) as the package.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import Window

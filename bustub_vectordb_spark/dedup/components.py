@@ -69,23 +69,33 @@ def connected_components(
     # (verified pairs only); the second checkpoint below then pins the
     # symmetrized set every propagation round joins against.
     pairs = pairs.select(F.col(a).alias("__src"), F.col(b).alias("__dst"))
+    # EAGER here: the union below references the checkpoint from BOTH
+    # branches inside one job — a lazy checkpoint could compute the pairs
+    # pipeline twice in-flight before the cache exists. LAZY for `edges`:
+    # its first consumer (round 1 / the star rewrite) is a single
+    # reference, so that job materializes it for free.
     pairs = pairs.localCheckpoint(eager=True)
     edges = (
         pairs.union(
             pairs.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if algorithm == "star":
         return _star_components(nodes, edges, id_col)
     # localCheckpoint each round: iterative self-referencing plans otherwise
     # grow exponentially in the analyzer (persist caches data but NOT the
-    # logical plan) — the classic iterative-algorithm trap on Spark
+    # logical plan) — the classic iterative-algorithm trap on Spark.
+    # LAZY checkpoints (eager=False): the convergence-sum agg right below
+    # each one is the frame's first action, so one job both materializes
+    # the checkpoint and reads the sum — an eager checkpoint would spend a
+    # separate job per round for the same bytes (2 jobs/round → 1; the
+    # per-round cost of this iterative op is job scheduling, not data).
     labels = (
         nodes.select(F.col(id_col), F.col(id_col).alias("component"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def label_sum(df: DataFrame):
@@ -112,7 +122,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("__nb"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = label_sum(new_labels)
         labels = new_labels
@@ -202,6 +212,9 @@ def _star_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
+    # lazy checkpoints: the sig() agg right below is each frame's first
+    # action, so one job materializes the checkpoint AND reads the
+    # signature (same fuse as the propagation loop above)
     cur = (
         edges.select(
             F.greatest("__src", "__dst").alias("__src"),
@@ -209,13 +222,13 @@ def _star_components(
         )
         .filter(F.col("__src") != F.col("__dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig = sig(cur)
     for _ in range(max_rounds):
         # localCheckpoint per round — same iterative-plan-growth trap as the
         # propagation loop above
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         cur_sig = sig(cur)
         if cur_sig == prev_sig:
             break

@@ -570,7 +570,13 @@ class _Graph:
             if n * self.vecs.shape[1] > self.WALK_TABLE_MAX_ELEMS:
                 return None
             v = self.vecs if upto is None else self.vecs[:n]
-            dots = v @ q
+            # einsum, not gemv: a table-sized matvec crosses OpenBLAS's
+            # internal threading threshold and pays ~1.3 ms of pool handoff
+            # per call in any process whose numpy loaded before the
+            # one-thread env cap (einsum never threads; 2000×64 measured
+            # ~80 µs, and the per-row sum order is fixed by the kernel, not
+            # by pool geometry)
+            dots = np.einsum("ij,j->i", v, q)
         elif getattr(self, "pq_codes", None) is not None:
             if n * len(self.pq_books) > self.WALK_TABLE_MAX_ELEMS:
                 return None
@@ -592,7 +598,12 @@ class _Graph:
             dots = np.empty(n, dtype=np.float64)
             step = 65536
             for i in range(0, n, step):
-                dots[i : i + step] = self.codes[i : i + step].astype(np.float64) @ w + base
+                dots[i : i + step] = (
+                    np.einsum(
+                        "ij,j->i", self.codes[i : i + step].astype(np.float64), w
+                    )
+                    + base
+                )
         else:
             return None  # BQ graphs: bit-unpack expansion; keep batched
         if self.dist == "l2":

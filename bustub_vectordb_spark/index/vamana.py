@@ -918,25 +918,53 @@ class VamanaIndex:
         )
         alpha_v = float(alpha)
 
-        def prune_rows(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                srcs = pdf["src"].tolist()
-                nbs = [
-                    _robust_prune(
-                        np.asarray(sv, dtype=np.float64), list(cids),
-                        np.asarray(list(cvecs), dtype=np.float64),
-                        r, alpha_v,
-                    )
-                    for sv, cids, cvecs in zip(
-                        pdf["__sv"], pdf["__cids"], pdf["__cvecs"]
-                    )
-                ]
-                yield pd.DataFrame({id_col: srcs, "neighbors": nbs})
+        def prune_batches(batches):
+            # Arrow-native (guide §4.2): the candidate sets are E×dim
+            # doubles, and the pandas path materialized every vector as a
+            # Python list-of-floats before the kernel's own np.array copy.
+            # Reading the ListArray offsets + flat value buffers hands the
+            # kernel zero-copy numpy VIEWS of the same doubles —
+            # _robust_prune copies them into fresh aligned buffers
+            # internally (its first two statements), so the arithmetic (and
+            # the pruned edge sets) are bit-identical to the pandas path
+            # and to the offline replays that share the kernel.
+            import pyarrow as pa
 
-        pruned = cand.mapInPandas(
-            prune_rows, f"{id_col} {idt}, neighbors array<{idt}>"
+            for rb in batches:
+                if not rb.num_rows:
+                    continue
+                col = {n: i for i, n in enumerate(rb.schema.names)}
+                src_a = rb.column(col["src"])
+                sv_a = rb.column(col["__sv"])
+                cids_a = rb.column(col["__cids"])
+                cvecs_a = rb.column(col["__cvecs"])
+                sv_off = np.asarray(sv_a.offsets)
+                sv_flat = np.asarray(sv_a.values)
+                cid_off = np.asarray(cids_a.offsets)
+                cids_all = cids_a.values.to_pylist()
+                cv_off = np.asarray(cvecs_a.offsets)
+                inner = cvecs_a.values  # ListArray<double> of candidate rows
+                in_off = np.asarray(inner.offsets)
+                cv_flat = np.asarray(inner.values)
+                srcs = src_a.to_pylist()
+                nbs = []
+                for i in range(rb.num_rows):
+                    sv = sv_flat[sv_off[i] : sv_off[i + 1]]
+                    cids = cids_all[cid_off[i] : cid_off[i + 1]]
+                    o0, o1 = cv_off[i], cv_off[i + 1]
+                    dim = len(sv)
+                    cmat = cv_flat[in_off[o0] : in_off[o1]].reshape(-1, dim)
+                    nbs.append(_robust_prune(sv, cids, cmat, r, alpha_v))
+                yield pa.record_batch(
+                    [
+                        pa.array(srcs, type=src_a.type),
+                        pa.array(nbs, type=pa.list_(cids_a.type.value_type)),
+                    ],
+                    names=[id_col, "neighbors"],
+                )
+
+        pruned = cand.mapInArrow(
+            prune_batches, f"{id_col} {idt}, neighbors array<{idt}>"
         )
 
         # entry point: corpus pseudo-medoid — nearest row to the centroid
