@@ -595,13 +595,12 @@ class _Graph:
             # bounds the float temp regardless of n
             w = self.qscale * q
             base = float(self.qmn @ q)
+            codes = self.codes if upto is None else self.codes[:n]
             dots = np.empty(n, dtype=np.float64)
             step = 65536
             for i in range(0, n, step):
                 dots[i : i + step] = (
-                    np.einsum(
-                        "ij,j->i", self.codes[i : i + step].astype(np.float64), w
-                    )
+                    np.einsum("ij,j->i", codes[i : i + step].astype(np.float64), w)
                     + base
                 )
         else:

@@ -83,14 +83,14 @@ def test_serving_guard_refuses_big_graph(vamana, monkeypatch):
 def test_build_plan_stays_distributed(emb):
     """The edge prune runs distributed — no corpus-sized collect. The
     pruned-adjacency plan must show the per-vertex candidate gather
-    (Aggregate) feeding the Arrow-batched RobustPrune stage
-    (MapInPandas), and every vertex of the source appears in the vertex
-    set."""
+    (Aggregate) feeding the Arrow-native RobustPrune stage
+    (MapInArrow — zero-copy candidate buffers, r12 optimization), and
+    every vertex of the source appears in the vertex set."""
     idx = VamanaIndex.build(
         emb, "embedding", "vec_id", shards=3, overlap_eps=0.1, r=8
     )
     plan = idx.edges._jdf.queryExecution().optimizedPlan().toString()
-    assert "MapInPandas prune_rows" in plan
+    assert "MapInArrow prune_batches" in plan
     assert "Aggregate" in plan  # the groupBy(src) candidate gather
     assert idx.vertices.count() == emb.count()
 
