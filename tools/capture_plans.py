@@ -1,10 +1,11 @@
 """Capture .explain("formatted") plans for the bench workloads (guide §1.1).
 
-Writes plans/<tag>/<key>.txt for each bench query DataFrame that can be
+Writes plans/<round>/<key>_<suffix>.txt for each bench query DataFrame that can be
 captured as a plan (build thunks that only produce side effects are
 represented by their dominant internal DataFrame where exposed).
 
-Usage: python tools/capture_plans.py <tag>           # e.g. r12_before
+Usage: python tools/capture_plans.py <round> <suffix>   # e.g. r12 before
+-> writes plans/<round>/<key>_<suffix>.txt
 """
 from __future__ import annotations
 
@@ -22,8 +23,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
-    tag = sys.argv[1] if len(sys.argv) > 1 else "r12_before"
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", tag)
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "r12"
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
@@ -115,7 +117,7 @@ def main() -> None:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             txt = buf.getvalue()
-        with open(os.path.join(outdir, f"{name}.txt"), "w") as f:
+        with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as f:
             f.write(txt)
         print(f"wrote {name} ({len(txt)} bytes)")
     spark.stop()
