@@ -103,6 +103,34 @@ def _pin_cpu_groups(df, *keys):
     return df.repartition(n, *keys)
 
 
+# 256×8 bit table for the BQ byte-LUT walk pass: row b = the 8 bits of
+# byte value b, MSB-first (np.unpackbits order — the same order packbits
+# wrote the sign codes). Built once at import; 16 KB.
+_BITS256 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).astype(np.float64)
+
+
+class _LazyWalkTable:
+    """Frontier-time LUT walk distances for quantized graphs ABOVE the
+    full-table gate (VERDICT r12 #3: the 1.2M merged serving graphs fell
+    back to the decode-heavy per-batch ``_walk_dists``). Implements
+    exactly the read API the walks use — fancy indexing by a list of
+    vertex indexes — and computes each request through the same
+    per-query LUT gathers as the full-table branch, in the same
+    accumulation order, so a vertex's walk distance is bit-identical
+    whichever side of the gate a graph falls on; only the cost model
+    changes (O(|idxs|·m) per call, no n-sized pass or allocation)."""
+
+    __slots__ = ("_ev",)
+
+    def __init__(self, ev):
+        self._ev = ev
+
+    def __getitem__(self, idxs):
+        return self._ev(np.asarray(idxs, dtype=np.int64))
+
+
 def _one_dist(dist: str, a, b) -> float:
     """Single-pair distance in index-internal orientation (smaller = nearer)."""
     if dist == "l2":
@@ -551,21 +579,60 @@ class _Graph:
         qn = float(np.linalg.norm(q)) or 1e-300
         return -dots / (self._norms[idxs] * qn)
 
+    def _walk_from_dots(self, dots, qq: float, qn: float, sel=None):
+        """Turn q·row dot products into walk-ordering distances (the tail
+        shared by the full-table and lazy-LUT branches). ``sel`` picks the
+        matching norm rows: None = all, a slice for ``upto`` prefixes, an
+        index array for lazy frontier requests."""
+        if self.dist == "l2":
+            ns = getattr(self, "_norms_sq", None)
+            if ns is None:  # graphs unpickled from pre-upgrade saves
+                dec = self._mat_rows(slice(None))
+                ns = self._norms_sq = (dec * dec).sum(axis=1)
+            return (ns if sel is None else ns[sel]) - 2.0 * dots + qq
+        if self.dist == "ip":
+            return -dots
+        nrm = self._norms if sel is None else self._norms[sel]
+        return -dots / (nrm * qn)
+
+    def _bq_luts(self, q: np.ndarray):
+        """Per-query BQ byte-LUT tables (VERDICT r12 #2): dot(q, row) for a
+        1-bit graph is base + Σ_b lut[b][code_byte_b], where
+        lut[b][v] = Σ_{j<8} bit_j(v) · w[8b+j] with w = (hi − lo)·q and
+        base = lo·q — one 256-way table per stored byte (dim/8 of them,
+        ~16 KB at 64 dims), so a walk's distance evaluation needs NO
+        bit-unpack expansion, just byte gathers."""
+        nb = self.bq_codes.shape[1]
+        w = (self.bq_hi - self.bq_lo) * q
+        wp = np.zeros(nb * 8, dtype=np.float64)
+        wp[: self.bq_dim] = w
+        luts = wp.reshape(nb, 8) @ _BITS256.T  # (n_bytes, 256)
+        base = float(self.bq_lo @ q)
+        return luts, base
+
     def _walk_table(self, q: np.ndarray, qq: float, upto: int | None = None):
         """Per-query WALK-distance table over all (or the first ``upto``)
-        vertices, or None when the graph is too large / the storage form
-        has no vectorized pass (see WALK_TABLE_MAX_ELEMS). One gemv (float
-        / SQ8) or one set of PQ-LUT gathers (Jégou et al. 2011's ADC table
-        trick) per query turns every frontier-batch distance call inside
-        _search_layer into a fancy-index lookup — the walk's numpy-dispatch
-        overhead, the dominant cost of small-graph builds and sharded
-        serving, disappears. Values are the same per-row kernels as
-        _walk_dists up to BLAS summation order (walk distances only steer
-        the beam; RETURNED distances stay _dist_many's fold-exact values,
-        and online + offline consumers share this code path)."""
+        vertices; a :class:`_LazyWalkTable` for quantized graphs too large
+        for a full table (see WALK_TABLE_MAX_ELEMS); or None (float graphs
+        above the gate — their batched ``_walk_dists`` is already a single
+        gemv per frontier). One gemv (float / SQ8), one set of PQ-LUT
+        gathers (Jégou et al. 2011's ADC table trick), or one set of BQ
+        byte-LUT gathers per query turns every frontier-batch distance
+        call inside _search_layer into a fancy-index lookup — the walk's
+        numpy-dispatch overhead, the dominant cost of small-graph builds
+        and sharded serving, disappears. Values are the same per-row
+        kernels as _walk_dists up to BLAS summation order (walk distances
+        only steer the beam; RETURNED distances stay _dist_many's
+        fold-exact values, and online + offline consumers share this code
+        path). The full-table and lazy branches of one storage form
+        accumulate in the SAME order, so a graph's walk distances do not
+        depend on which side of the size gate it falls."""
         n = len(self.ids) if upto is None else upto
         if not n:
             return None
+        qn = 1.0
+        if self.dist == "cosine":
+            qn = float(np.linalg.norm(q)) or 1e-300
         if self.vecs is not None:
             if n * self.vecs.shape[1] > self.WALK_TABLE_MAX_ELEMS:
                 return None
@@ -578,44 +645,82 @@ class _Graph:
             # by pool geometry)
             dots = np.einsum("ij,j->i", v, q)
         elif getattr(self, "pq_codes", None) is not None:
+            codes = self.pq_codes
+            cell = getattr(self, "pq_cell", None)
+            luts = [
+                self.pq_books[i] @ q[s:e]
+                for i, (s, e) in enumerate(self.pq_bounds)
+            ]
+            cdots = (
+                self.pq_centers @ q
+                if getattr(self, "pq_centers", None) is not None
+                else None
+            )
             if n * len(self.pq_books) > self.WALK_TABLE_MAX_ELEMS:
-                return None
-            codes = self.pq_codes if upto is None else self.pq_codes[:n]
+                # lazy: same gathers, frontier rows only (the chunked-LUT
+                # answer to VERDICT r12 #3 — merged 1.2M serving graphs)
+                def ev(ii, luts=luts, codes=codes, cdots=cdots, cell=cell):
+                    d = np.zeros(len(ii), dtype=np.float64)
+                    for i, lut in enumerate(luts):
+                        d = d + lut[codes[ii, i]]
+                    if cdots is not None:
+                        d = d + cdots[cell[ii]]
+                    return self._walk_from_dots(d, qq, qn, sel=ii)
+
+                return _LazyWalkTable(ev)
+            codes = codes if upto is None else codes[:n]
             dots = np.zeros(n, dtype=np.float64)
-            for i, (s, e) in enumerate(self.pq_bounds):
-                lut = self.pq_books[i] @ q[s:e]
+            for i, lut in enumerate(luts):
                 dots = dots + lut[codes[:, i]]
-            if getattr(self, "pq_centers", None) is not None:
-                cell = self.pq_cell if upto is None else self.pq_cell[:n]
-                dots = dots + (self.pq_centers @ q)[cell]
+            if cdots is not None:
+                dots = dots + cdots[cell if upto is None else cell[:n]]
+        elif getattr(self, "bq_codes", None) is not None:
+            luts, base = self._bq_luts(q)
+            bcodes = self.bq_codes
+            if n * self.bq_dim > self.WALK_TABLE_MAX_ELEMS:
+
+                def ev(ii, luts=luts, base=base, bcodes=bcodes):
+                    d = np.zeros(len(ii), dtype=np.float64)
+                    for b in range(luts.shape[0]):
+                        d = d + luts[b][bcodes[ii, b]]
+                    d = d + base
+                    return self._walk_from_dots(d, qq, qn, sel=ii)
+
+                return _LazyWalkTable(ev)
+            bcodes = bcodes if upto is None else bcodes[:n]
+            dots = np.zeros(n, dtype=np.float64)
+            for b in range(luts.shape[0]):
+                dots = dots + luts[b][bcodes[:, b]]
+            dots = dots + base
         elif getattr(self, "codes", None) is not None:
-            if n * self.codes.shape[1] > self.WALK_TABLE_MAX_ELEMS:
-                return None
             # SQ8: dot(q, mn + c·scale) = q·mn + c·(q·scale); chunked cast
             # bounds the float temp regardless of n
             w = self.qscale * q
             base = float(self.qmn @ q)
-            codes = self.codes if upto is None else self.codes[:n]
+            scodes = self.codes
+            if n * self.codes.shape[1] > self.WALK_TABLE_MAX_ELEMS:
+
+                def ev(ii, w=w, base=base, scodes=scodes):
+                    d = (
+                        np.einsum("ij,j->i", scodes[ii].astype(np.float64), w)
+                        + base
+                    )
+                    return self._walk_from_dots(d, qq, qn, sel=ii)
+
+                return _LazyWalkTable(ev)
+            scodes = scodes if upto is None else scodes[:n]
             dots = np.empty(n, dtype=np.float64)
             step = 65536
             for i in range(0, n, step):
                 dots[i : i + step] = (
-                    np.einsum("ij,j->i", codes[i : i + step].astype(np.float64), w)
+                    np.einsum("ij,j->i", scodes[i : i + step].astype(np.float64), w)
                     + base
                 )
         else:
-            return None  # BQ graphs: bit-unpack expansion; keep batched
-        if self.dist == "l2":
-            ns = getattr(self, "_norms_sq", None)
-            if ns is None:  # graphs unpickled from pre-upgrade saves
-                dec = self._mat_rows(slice(None))
-                ns = self._norms_sq = (dec * dec).sum(axis=1)
-            return (ns if upto is None else ns[:n]) - 2.0 * dots + qq
-        if self.dist == "ip":
-            return -dots
-        qn = float(np.linalg.norm(q)) or 1e-300
-        nrm = self._norms if upto is None else self._norms[:n]
-        return -dots / (nrm * qn)
+            return None
+        return self._walk_from_dots(
+            dots, qq, qn, sel=None if upto is None else slice(0, n)
+        )
 
     def _search_layer(
         self,

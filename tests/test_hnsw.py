@@ -1611,3 +1611,59 @@ def test_harvest_aligned_guards_starving_geometry():
     aligned, unaligned = run(True), run(False)
     assert aligned >= unaligned + 0.05, (aligned, unaligned)
     assert aligned >= 0.95, aligned
+
+
+def test_walk_table_bq_and_lazy_gate_parity():
+    """r13: (a) BQ graphs get a byte-LUT walk table (they used to refuse
+    one and pay per-frontier bit-unpack expansion); (b) quantized graphs
+    ABOVE the size gate get a _LazyWalkTable whose values are
+    bit-identical to the full table's (same per-query LUTs, same
+    accumulation order), so a graph's walk distances cannot depend on
+    which side of WALK_TABLE_MAX_ELEMS it falls; (c) search results are
+    unchanged vs the batched _walk_dists fallback."""
+    import numpy as np
+
+    from bustub_vectordb_spark.index.hnsw import (
+        _Graph,
+        _LazyWalkTable,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim = 400, 32
+    mat = rng.standard_normal((n, dim)) * 3.0
+    qs = rng.standard_normal((12, dim))
+
+    def fresh(quant):
+        g = _Graph(8, 32, 32, "l2", 42)
+        if quant == "bq":
+            g.quantize_bq(mat.min(axis=0).tolist(), mat.max(axis=0).tolist())
+        elif quant == "sq8":
+            g.quantize_sq8(mat.min(axis=0).tolist(), mat.max(axis=0).tolist())
+        elif quant == "pq":
+            m_books, dsub = 8, dim // 8
+            g.quantize_pq(
+                [mat[:32, i * dsub : (i + 1) * dsub].copy() for i in range(m_books)],
+                [(i * dsub, (i + 1) * dsub) for i in range(m_books)],
+            )
+        g.add_all(list(range(n)), mat.copy())
+        return g
+
+    old_gate = _Graph.WALK_TABLE_MAX_ELEMS
+    try:
+        for quant in ("bq", "pq", "sq8"):
+            g = fresh(quant)
+            q = qs[0]
+            qq = float(q @ q)
+            full = g._walk_table(q, qq)
+            assert isinstance(full, np.ndarray), quant  # below gate: full table
+            _Graph.WALK_TABLE_MAX_ELEMS = 0
+            lazy = g._walk_table(q, qq)
+            assert isinstance(lazy, _LazyWalkTable), quant
+            # bit-identical values on both sides of the gate
+            assert np.array_equal(full, lazy[list(range(n))]), quant
+            res_lazy = [g.search(qv, 5) for qv in qs]
+            _Graph.WALK_TABLE_MAX_ELEMS = old_gate
+            res_full = [g.search(qv, 5) for qv in qs]
+            assert res_full == res_lazy, quant
+    finally:
+        _Graph.WALK_TABLE_MAX_ELEMS = old_gate
