@@ -2481,9 +2481,16 @@ class ShardedHNSW:
         # O(all blobs) rewrite; the union view compacts into one checkpoint
         # every COMPACT_EVERY inserts so plan depth stays bounded
         # (amortized O(corpus/C) per insert).
+        # pin the upsert stage's parallelism (r13, VERDICT r12 #5): the
+        # cogroup's per-shard graph work is CPU-bound Python, and AQE's
+        # byte-sized coalescing would pack the ~MB-scale routed rows into
+        # 1-2 tasks and serialize the shard rebuilds — the same mechanism
+        # measured 2.5x on the vamana propose stage (_pin_cpu_groups).
+        # Both cogroup inputs repartition on the key with an explicit
+        # count, which the grouped children reuse (no extra shuffle).
         delta = (
-            routed.groupBy("__shard")
-            .cogroup(touched.groupBy("__shard"))
+            _pin_cpu_groups(routed, "__shard").groupBy("__shard")
+            .cogroup(_pin_cpu_groups(touched, "__shard").groupBy("__shard"))
             .applyInPandas(upsert, "shard long, blob binary")
             .localCheckpoint(eager=True)
         )

@@ -514,36 +514,48 @@ class IVFFlatIndex:
         """
         vec = F.col(vec_col).cast("array<double>")
         order = init_order or df.columns[0]
-        seed_rows = df.orderBy(order).limit(lists).select(vec.alias("v")).collect()
-        centroids = [list(r["v"]) for r in seed_rows]
-        # tables smaller than `lists` (incl. empty) clamp — the reference
-        # builds on an empty heap without complaint (vector.03 creates
-        # indexes before any INSERT)
-        lists = len(centroids)
-        if lists == 0:
+        n = df.count()
+        if n == 0 or lists <= 0:
+            # tables smaller than `lists` (incl. empty) clamp — the
+            # reference builds on an empty heap without complaint
+            # (vector.03 creates indexes before any INSERT)
             empty = df.withColumn(BUCKET_COL, F.lit(0).cast("int")).limit(0)
             return cls(vec_col, 0, probe_lists, dist, [], empty)
-
-        n = df.count()
-        dim = len(centroids[0])
+        # dim probe: one row (a single row-group read at any scale) —
+        # r13: the seed rows no longer get their own TopN job; on the
+        # full-table path they are the first `lists` rows of the training
+        # collect, on the sampled path a bounded TopN below.
+        dim = len(df.select(vec.alias("v")).first()["v"])
         if n * dim <= cls.DRIVER_TRAIN_MAX_CELLS:
-            # Small training set: one collect + numpy Lloyd's on the driver.
-            # Identical semantics (argmin ties -> first index, empty buckets
-            # keep their centroid) without max_iter driver-roundtrip jobs —
-            # the distributed loop costs ~2 jobs/iteration in scheduling
-            # alone, which dwarfs the math below ~millions of cells.
-            # Collected in `order` so the fp summation order (and thus the
-            # trained centroids) is REPRODUCIBLE bit-for-bit regardless of
-            # how the scan splits — offline_centroids() replays it for the
-            # DuckDB oracle.
-            vecs = df.orderBy(order).select(vec.alias("v")).collect()
-            centroids = _lloyds_numpy(
-                [r["v"] for r in vecs], centroids, max_iter
-            )
+            # Small training set: ONE unordered collect + numpy Lloyd's on
+            # the driver. Identical semantics (argmin ties -> first index,
+            # empty buckets keep their centroid) without max_iter
+            # driver-roundtrip jobs — the distributed loop costs ~2
+            # jobs/iteration in scheduling alone, which dwarfs the math
+            # below ~millions of cells. Sorted by `order` DRIVER-SIDE so
+            # the fp summation order (and thus the trained centroids) is
+            # REPRODUCIBLE bit-for-bit regardless of how the scan splits —
+            # offline_centroids() replays exactly this stable sort for the
+            # DuckDB oracle. (r13: replaces the global-sort exchange the
+            # Spark orderBy paid before collecting; same total order for
+            # the unique init-order keys index builds use — ties were
+            # partition-dependent under the global sort too.)
+            rows = df.select(F.col(order).alias("__o"), vec.alias("v")).collect()
+            rows.sort(key=lambda r: (r["__o"] is None, r["__o"]))
+            vecs = [r["v"] for r in rows]
+            centroids = [list(v) for v in vecs[:lists]]
+            lists = len(centroids)
+            centroids = _lloyds_numpy(vecs, centroids, max_iter)
         else:
             # At scale: train on a deterministic sample on the driver (the
             # standard IVF recipe — FAISS trains centroids on a sample too),
-            # sized to the same cell budget.
+            # sized to the same cell budget. Seeds stay the reference's
+            # "first `lists` rows" (a bounded per-partition TopN).
+            seed_rows = (
+                df.orderBy(order).limit(lists).select(vec.alias("v")).collect()
+            )
+            centroids = [list(r["v"]) for r in seed_rows]
+            lists = len(centroids)
             frac = min(1.0, cls.DRIVER_TRAIN_MAX_CELLS / (n * dim))
             vecs = (
                 df.sample(fraction=frac, seed=42)

@@ -793,21 +793,30 @@ class VamanaIndex:
                 vec,
                 F.array(F.sqrt(F.greatest(F.lit(m2) - sq, F.lit(0.0)))),
             )
-        seeds = df.orderBy(id_col).limit(shards).select(vec.alias("v")).collect()
-        init = [list(row["v"]) for row in seeds]
-        if len(init) < shards:
-            raise ValueError(f"table has fewer than shards={shards} rows")
         n = df.count()
-        dim = len(init[0])
+        if n < shards:
+            raise ValueError(f"table has fewer than shards={shards} rows")
+        # dim probe: one row of the TRANSFORMED vec (post-augmentation for
+        # ip) — r13 fusion of the residual driver jobs (VERDICT r12 #6):
+        # the k-means seeds no longer get their own TopN job; on the
+        # full-table path they are the first `shards` rows of the id-sorted
+        # training collect (identical values — ids are unique index keys),
+        # the sampled big-table path keeps its bounded TopN.
+        dim = len(df.select(vec.alias("v")).first()["v"])
         frac = min(1.0, IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS / max(n * dim, 1))
-        sample = (
-            df.select(F.col(id_col).alias("__id"), vec.alias("v"))
-            if frac >= 1.0
-            else df.sample(fraction=frac, seed=seed).select(
+        if frac >= 1.0:
+            sample = df.select(F.col(id_col).alias("__id"), vec.alias("v"))
+            srows = sorted(sample.collect(), key=lambda row: row["__id"])
+            init = [list(row["v"]) for row in srows[:shards]]
+        else:
+            seeds = (
+                df.orderBy(id_col).limit(shards).select(vec.alias("v")).collect()
+            )
+            init = [list(row["v"]) for row in seeds]
+            sample = df.sample(fraction=frac, seed=seed).select(
                 F.col(id_col).alias("__id"), vec.alias("v")
             )
-        )
-        srows = sorted(sample.collect(), key=lambda row: row["__id"])
+            srows = sorted(sample.collect(), key=lambda row: row["__id"])
         centroids = _lloyds_numpy([list(row["v"]) for row in srows], init, max_iter)
 
         # overlapping-cluster routing: every centroid within (1+eps)x of
@@ -1270,23 +1279,29 @@ class VamanaIndex:
         spark = self._spark
         ensure_package_on_workers(spark)
         id_col = self.id_col
-        seeds = (
-            self.vertices.orderBy(id_col).limit(cells).select("vec").collect()
-        )
-        init = [list(r["vec"]) for r in seeds]
-        if len(init) < cells:
-            raise ValueError(f"index has fewer than cells={cells} vertices")
         n = self.vertices.count()
-        dim = len(init[0])
+        if n < cells:
+            raise ValueError(f"index has fewer than cells={cells} vertices")
+        # same r13 job fusion as VamanaIndex.build: dim from a one-row
+        # probe, seeds from the training collect on the full-table path
+        dim = len(self.vertices.select("vec").first()["vec"])
         frac = min(1.0, IVFFlatIndex.DRIVER_TRAIN_MAX_CELLS / max(n * dim, 1))
-        sample = (
-            self.vertices.select(F.col(id_col).alias("__id"), F.col("vec").alias("v"))
-            if frac >= 1.0
-            else self.vertices.sample(fraction=frac, seed=self.params.get("seed", 42) if self.params else 42).select(
+        if frac >= 1.0:
+            sample = self.vertices.select(
                 F.col(id_col).alias("__id"), F.col("vec").alias("v")
             )
-        )
-        srows = sorted(sample.collect(), key=lambda row: row["__id"])
+            srows = sorted(sample.collect(), key=lambda row: row["__id"])
+            init = [list(row["v"]) for row in srows[:cells]]
+        else:
+            seeds = (
+                self.vertices.orderBy(id_col).limit(cells).select("vec").collect()
+            )
+            init = [list(r["vec"]) for r in seeds]
+            sample = self.vertices.sample(
+                fraction=frac,
+                seed=self.params.get("seed", 42) if self.params else 42,
+            ).select(F.col(id_col).alias("__id"), F.col("vec").alias("v"))
+            srows = sorted(sample.collect(), key=lambda row: row["__id"])
         centroids = _lloyds_numpy([list(row["v"]) for row in srows], init, max_iter)
 
         if replicate_eps > 0:

@@ -7537,44 +7537,49 @@ def q_layout_zorder_skipping(spark, sf_dir):
 # check_oracle.py (full registry) in tests/CI — see COVERAGE.md.
 
 _GATE_WINDOW = [
-    # --- r12 rotation (VERDICT r11 #7): touched paths re-gate, but ONLY
-    # where the round's change can move digits. The aligned harvest
-    # (_Graph._search_layer stop_n) is PROVABLY bit-identical whenever
-    # the shortlist fits the walk beam (see its docstring), so the
-    # quantized entries serving shortlist <= ef (sq8 4x at k=10 -> 40
-    # <= ef 48/64; routed pq/pqr/pql at the 4x default) rotate OUT; what
-    # re-gates is every entry whose shortlist OUTRUNS the beam — merged/
-    # partitioned vamana at rerank 32/48 (shortlist 320/480 vs ef 48/192)
-    # and the 16x routed-BQ family (160 vs ef 48). 9 heavy ANN rows, not
-    # r11's 16 — the window replays inside the ~100 s budget again ---
-    "ann_vamana_pq_rerank",
-    "ann_vamana_pqr_rerank",
-    "ann_vamana_pq_batch",
-    "ann_vamana_partitioned_pq_batch",
-    "ann_vamana_partitioned_pqr_batch",
-    "ann_vamana_partitioned_pql_batch",
+    # --- r13 rotation (optimization round 2): every path this round's
+    # optimizations touch where digits CAN move re-gates hard.
+    # (a) BQ graphs now walk on a per-query byte-LUT table (hnsw.py
+    # _walk_table) — walk-steering values move in ulps vs the old batched
+    # unpack+matmul, so every BQ-graph serving entry re-gates;
     "ann_hnsw_routed_bq_rerank",
     "ann_hnsw_routed_bq_batch",
     "ann_hnsw_routed_bqr_rerank",
-    # new r12 entry debuts gated (every debut round does)
-    "ann_vamana_partitioned_replicated_batch",
-    # --- stale re-gates: the 14 stalest rows (r4-vintage, last-gated
-    # round then name — computed from CORRECTNESS_r*.json history;
-    # events_json_extract yielded its slot to the debut entry) ---
-    "ann_hnsw_routed_filtered_probe",
+    # (b) the build-job fusion (ivfflat/vamana: seeds derived from the
+    # training collect, driver-side sort replacing the global orderBy) is
+    # value-identical for unique index keys — re-gate the builds' direct
+    # consumers as the hard proof: merged/partitioned vamana plus the ip/
+    # cosine variants (their dim probe reads the TRANSFORMED vec), and
+    # the IVF-derived quantized tiers that consume trained centroids;
+    "ann_vamana_merged",
+    "ann_vamana_batch",
+    "ann_vamana_cosine",
+    "ann_vamana_ip",
+    "ann_vamana_partitioned_batch",
+    "ann_ivfpq_rerank",
+    "ann_ivf_sq8_rerank",
+    "ann_ivf_bq_rerank",
+    "ann_ivf_bq_local_rerank",
+    # (c) ShardedHNSW.insert's cogroup is now pinned (partitioning only,
+    # values untouched) and the hamming_join item side spreads (row order
+    # only — the compare sorts); both re-gate as cheap insurance;
     "ann_hnsw_routed_insert",
-    "ann_ivfflat_batch_exact",
-    "ann_ivfflat_exact_probe",
-    "ann_ivfflat_filtered_probe",
-    "ann_lsh_batch_probe",
-    "ann_sq8_adc_cosine",
-    "ann_sq8_adc_ip",
-    "correlated_subquery",
-    "dedup_components",
-    "dedup_exact_keep",
-    "doc_chunking",
-    "embedding_neardup_exact",
-    "events_dedup_first",
+    "ann_bq_batch",
+    # (d) the walk-table refactor rebuilt the PQ/SQ8 table branches
+    # around shared LUTs (same accumulation order — defense-in-depth);
+    "ann_hnsw_routed_pq_rerank",
+    "ann_hnsw_routed_sq8_batch",
+    # --- stale re-gates: the 8 stalest rows (r4-vintage, last-gated
+    # round then name — computed from CORRECTNESS_r*.json history;
+    # events_json_extract repays the slot it yielded to r12's debut) ---
+    "events_json_extract",
+    "events_view_purchase_join",
+    "events_view_purchase_join_guarded",
+    "fingerprint",
+    "join_anti_not_exists",
+    "join_salted",
+    "join_semi_exists",
+    "multimodal_frame_sample",
     # --- stable sentinels (one per core family, kept in every window) ---
     "seqscan_filter",
     "projection_arithmetic",

@@ -312,6 +312,18 @@ class BQModel:
                 F.col(q_id).alias("qid"), self.encode_words(q_vec).alias("_qw")
             )
         )
+        # spread an under-partitioned item side BEFORE the pair scoring
+        # (r13): a small parquet corpus arrives as ONE file split, and
+        # since the query side is broadcast the |Q|x|N| XOR+popcount pass
+        # and its partial per-query group-limit then run in a single task
+        # (measured: bq_batch flat across 8 vs 32 cores, r12 scaling 0.89).
+        # Round-robin repartition of the raw rows only — per-pair scores
+        # and the (dist, id)-ordered window are partition-independent, so
+        # the result set (and every oracle hash) is unchanged. No-op at
+        # scale, where the corpus already carries many splits.
+        want = items.sparkSession.sparkContext.defaultParallelism
+        if items.rdd.getNumPartitions() < want:
+            items = items.repartition(want)
         iw = items.select(F.col(i_id), self.encode_words(i_vec).alias("_iw"))
         ham = F.aggregate(
             F.zip_with(
