@@ -1734,7 +1734,17 @@ class ShardedHNSW:
         import json
 
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
-        blobs = spark.read.parquet(f"{path}/blobs")
+        from pyspark.sql import functions as F
+
+        # normalize the partition-directory column back to the in-memory
+        # schema ("shard long"): partition inference reads it as INT, and
+        # a LONG-vs-INT key mismatch between insert()'s routed rows and a
+        # loaded blob side makes the pinned cogroup exchanges hash the
+        # same shard to different partitions (murmur3 hashes int and long
+        # differently) — an upsert group with a blob but no new rows
+        blobs = spark.read.parquet(f"{path}/blobs").withColumn(
+            "shard", F.col("shard").cast("long")
+        )
         centroids = None
         try:
             crows = spark.read.parquet(f"{path}/centroids").orderBy("shard").collect()
@@ -2377,8 +2387,13 @@ class ShardedHNSW:
         if not tids:  # empty insert: nothing routes anywhere
             release_checkpoint(routed)
             return self
-        touched = self.blobs.filter(F.col("shard").isin(tids)).withColumnRenamed(
-            "shard", "__shard"
+        touched = self.blobs.filter(F.col("shard").isin(tids)).select(
+            # cast defensively: the cogroup sides must agree on the key
+            # TYPE, or their pinned hash exchanges split the same shard
+            # value across different partition indexes (load() normalizes
+            # to long already; this keeps insert safe for any blob source)
+            F.col("shard").cast("long").alias("__shard"),
+            "blob",
         )
         has_params = self.params is not None
         p = self.params or {}
@@ -2398,6 +2413,11 @@ class ShardedHNSW:
         def upsert(key, new_pdf, blob_pdf):
             shard = key[0]
             blob = blob_pdf["blob"].iloc[0] if len(blob_pdf) else None
+            if not len(new_pdf):
+                # a blob-only group (no new rows) must pass through, not
+                # crash add_all on a 0-row matrix; reachable only if the
+                # two cogroup sides ever disagree on key typing/hashing
+                return pd.DataFrame({"shard": [shard], "blob": [blob]})
             if blob is None and not has_params:
                 # pre-upgrade save without build params: refusing
                 # beats silently building the fresh shard graph with

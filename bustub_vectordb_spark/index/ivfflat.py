@@ -704,10 +704,18 @@ class IVFFlatIndex:
         # distance scoring below is CPU-bound; an under-partitioned query
         # side (one file split) would pin it to one core (cf. dedup.minhash
         # _spread — same rationale, no-op at scale where inputs have
-        # thousands of splits). (qid, bucket) spreads a skewed query too.
+        # thousands of splits). Partition by qid ALONE (r13): the item
+        # side broadcasts, so the join preserves this clustering and the
+        # per-query top-k window REUSES it — hashpartitioning(qid, bucket)
+        # cannot satisfy the window's qid distribution, which forced a
+        # partial/final WindowGroupLimit split around a second exchange
+        # (measured 0.58-0.72 -> 0.40-0.44 s warm at sf0.1; 2 fewer
+        # exchanges, identical rows). Granularity is one task per group
+        # of qids (a query's probe_lists buckets score in one task, same
+        # total pair count); queries >> cores keeps tasks balanced.
         want = queries.sparkSession.sparkContext.defaultParallelism
         if queries.rdd.getNumPartitions() < want:
-            q = q.repartition(want, "qid", BUCKET_COL)
+            q = q.repartition(want, "qid")
         items = self.assignments if where is None else self.assignments.filter(where)
         cand = q.join(items, BUCKET_COL)
         out = cand.withColumn(

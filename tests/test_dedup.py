@@ -99,6 +99,7 @@ def test_simhash_near_dups(docs):
     assert len(got & truth) / len(truth) >= 0.9
 
 
+@pytest.mark.slow
 def test_embedding_near_dup_exact_vs_lsh(tables):
     emb = tables["embeddings"]
     exact = {
@@ -207,6 +208,7 @@ def test_star_components_long_chain_vs_recursive_cte(spark):
     assert all(v == 0 for v in got.values())
 
 
+@pytest.mark.slow
 def test_components_auto_escalates_past_budget(spark):
     """algorithm='auto' (the default): when propagation's round budget runs
     out on a long chain, the star algorithm takes over instead of raising;
@@ -330,6 +332,7 @@ def test_semantic_dedup_keep_policies_and_cap(spark):
         semantic_dedup(df, "embedding", "vec_id", cents, 0.9, keep="best")
 
 
+@pytest.mark.slow
 def test_leakage_safe_split_never_straddles_near_dups(docs):
     """The whole point of splitting at component granularity: NO verified
     near-dup pair may have one side in train and the other in val (a

@@ -301,6 +301,7 @@ def test_sql_create_index_small_table_stays_exact(spark, tables):
     assert isinstance(info.index, HNSWIndex)
 
 
+@pytest.mark.slow
 def test_routed_recall_at_scale_sf01(spark):
     """Routed-shard recall at the bench scale factor (sf0.1, 2000 vectors):
     4 IVF-routed shards with SPANN boundary replication (eps=0.2), probing
@@ -917,6 +918,7 @@ def test_search_batch_chunked_rows_bounded_and_identical(emb, spark):
     assert chunked == baseline  # bit-identical serving
 
 
+@pytest.mark.slow
 def test_insert_compaction_releases_superseded_leaves(emb, spark):
     """r6 storage fix: after a COMPACT_EVERY fold the pre-compaction
     checkpoint leaves are unreachable from the new view and must be
@@ -1176,6 +1178,7 @@ def test_graph_pq_guard_runs_before_mutation():
     assert g.pq_books is None and g.pq_bounds is None
 
 
+@pytest.mark.slow
 def test_bq_local_thresholds_need_unimodal_shards(spark):
     """The 2.2M-drill lesson in miniature: 1-bit codes carry NO
     within-cluster signal when a shard holds several well-separated
@@ -1231,6 +1234,7 @@ def test_bq_local_thresholds_need_unimodal_shards(spark):
     assert bq_recall(2, rerank_mult=4) <= 0.5
 
 
+@pytest.mark.slow
 def test_bq_rotation_recovers_anisotropic_recall(spark):
     """What the seeded rotation actually fixes (measured, r8): BQ's 1 bit
     per dim mis-spends its budget on AXIS-ALIGNED ANISOTROPY — when the

@@ -246,6 +246,7 @@ def test_route_overlap_broadcast_matches_literal(spark, tables):
     assert lit == bc and len(lit) > emb.count()  # overlap replicates rows
 
 
+@pytest.mark.slow
 def test_estimate_modes_elbow(spark):
     """estimate_modes (r12, the pql auto-cells floor): on a separated-mode
     corpus the inertia elbow lands AT or ABOVE the true mode count (the

@@ -73,6 +73,7 @@ def test_results_subset_of_exact_ordering(emb):
         assert r["similarity"] == pytest.approx(truth[r["vec_id"]], abs=1e-8)
 
 
+@pytest.mark.slow
 def test_recall_grows_with_hamming_radius(emb):
     """Widening the multi-probe ball can only add candidates; at h =
     n_planes the ball is the whole space → results equal exact KNN."""

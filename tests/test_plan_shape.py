@@ -73,20 +73,35 @@ def test_knn_is_take_ordered(tables):
     assert "TakeOrderedAndProject" in plan_of(q)
 
 
-def test_relational_queries_stay_jvm_side(spark, sf_dir):
-    """No row-at-a-time Python evaluation in any relational/text/dedup plan —
-    everything must stay in codegen'd JVM expressions (Pandas UDFs are only
-    allowed in the explicitly-exempt multimodal decode path)."""
+def _assert_jvm_side(spark, sf_dir, pred):
     from bustub_vectordb_spark.queries import QUERIES
 
     exempt = {"multimodal_decode_features"}  # stubbed decode is a Pandas UDF
     for name, fn in QUERIES.items():
-        if name in exempt:
+        if name in exempt or not pred(name):
             continue
         df = fn(spark, sf_dir)
         p = plan_of(df, "extended")
         assert "BatchEvalPython" not in p, f"{name} fell off the JVM fast path"
         assert "pythonUDF" not in p, f"{name} fell off the JVM fast path"
+
+
+def test_relational_queries_stay_jvm_side(spark, sf_dir):
+    """No row-at-a-time Python evaluation in any relational/text/dedup plan —
+    everything must stay in codegen'd JVM expressions (Pandas UDFs are only
+    allowed in the explicitly-exempt multimodal decode path). The ann_*
+    entries sweep in the slow twin below: CONSTRUCTING their DataFrames
+    runs real index builds, which is what made the single combined sweep
+    ~200 s of the gate's pytest budget (VERDICT r12 #1)."""
+    _assert_jvm_side(spark, sf_dir, lambda n: not n.startswith("ann_"))
+
+
+@pytest.mark.slow
+def test_ann_queries_stay_jvm_side(spark, sf_dir):
+    """The ann_* half of the JVM-side sweep (index builds make it the
+    most expensive single test in the suite — slow-marked, builder loop
+    runs it with SPARK_GRAFT_RUN_SLOW=1)."""
+    _assert_jvm_side(spark, sf_dir, lambda n: n.startswith("ann_"))
 
 
 def test_index_selection_explain_shapes(spark, sf_dir, tables):

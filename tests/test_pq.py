@@ -263,6 +263,7 @@ def test_ivfpq_residual_save_load_roundtrip(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_routed_residual_pq_beats_global_on_clustered(spark):
     """The in-graph twin of IVFADC (r9): a k-means shard is one cluster,
     so GLOBAL codebooks re-separate the clusters the routing already
@@ -349,6 +350,7 @@ def test_routed_residual_pq_insert_uses_frozen_center(spark):
     assert got & {1000 + i for i in range(8)}, got
 
 
+@pytest.mark.slow
 def test_routed_local_pq_beats_centroid_residual_on_multimodal_shards(spark):
     """When shards are COARSER than the cluster structure (the DDL-default
     geometry at scale), even residual codes against the shard centroid

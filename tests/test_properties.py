@@ -33,6 +33,7 @@ def _eval(spark, texts, col):
 
 @given(st.lists(TEXT, min_size=1, max_size=8))
 @RELAXED
+@pytest.mark.slow
 def test_pii_scrub_idempotent_and_clean(spark, texts):
     """scrub(scrub(x)) == scrub(x), and scrubbed text never matches a PII
     pattern again (placeholders are fixpoints)."""
@@ -46,6 +47,7 @@ def test_pii_scrub_idempotent_and_clean(spark, texts):
 
 @given(st.lists(TEXT, min_size=1, max_size=8))
 @RELAXED
+@pytest.mark.slow
 def test_fingerprint_whitespace_invariant(spark, texts):
     """The dedup fingerprint is invariant under leading/trailing space and
     internal whitespace-run collapse — the exact equivalence class exact
@@ -60,6 +62,7 @@ def test_fingerprint_whitespace_invariant(spark, texts):
 
 @given(st.lists(TEXT, min_size=1, max_size=6))
 @RELAXED
+@pytest.mark.slow
 def test_shingles_distinct_and_bounded(spark, texts):
     """Shingle sets are duplicate-free and no larger than the token count;
     docs under n tokens yield the empty set (the guarded short-doc path)."""
@@ -88,6 +91,7 @@ def test_shingles_distinct_and_bounded(spark, texts):
     max_examples=10, deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_star_components_equal_union_find(spark, n, prs):
     """Large-star/small-star component labels ≡ union-find min-reachable
     labels for arbitrary graphs (self-loops, duplicate edges, isolated
@@ -129,6 +133,7 @@ def test_star_components_equal_union_find(spark, n, prs):
     st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30),
 )
 @RELAXED
+@pytest.mark.slow
 def test_band_join_equals_naive(spark, left_ts, right_ts):
     """Bucketized band join ≡ naive |Δt| ≤ tol filter over the cross
     product, for arbitrary integer timestamps."""
@@ -268,6 +273,7 @@ _DELTA = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_stream_cdc_equals_merge_fold(spark, tmp_path_factory, deltas):
     """Applying any sequence of delta batches through the versioned
     streaming sink equals left-folding operators.cdc.merge_upsert over the

@@ -68,7 +68,7 @@ FILES = [
     "p3.16-sort-limit.slt",
     "p3.17-topn.slt",
     "p3.18-integration-1.slt",
-    "p3.19-integration-2.slt",
+    pytest.param("p3.19-integration-2.slt", marks=pytest.mark.slow),
     "p3.20-window-function.slt",
     "p3.leaderboard-q1.slt",
     "p3.leaderboard-q1-window.slt",

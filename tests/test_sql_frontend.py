@@ -590,6 +590,7 @@ def test_merge_into_streaming_source(engine, tmp_path):
     assert got == {(1, 10), (2, 99), (3, 30), (4, 40)}
 
 
+@pytest.mark.slow
 def test_ddl_pq_residual_defaults(spark):
     """r9 default flip: WITH (pq=1) builds RESIDUAL codes on every tier
     (IVFADC for ivfflat, routing-centroid centers for routed hnsw,
@@ -730,6 +731,7 @@ def test_ddl_vamana_pq_cell_books(spark):
         )
 
 
+@pytest.mark.slow
 def test_ddl_past_clamp_rerank_escalation(spark, monkeypatch):
     """r10: past the 1024-shard clamp, quantized shards grow beyond mode
     granularity again and rerank depth is the remaining recall knob
@@ -866,6 +868,7 @@ def test_ddl_rerank_opts_validated_every_tier(spark):
         idx._rerank_mult(None)
 
 
+@pytest.mark.slow
 def test_ddl_pql_auto_cells_mode_floor(spark, monkeypatch):
     """r12 (VERDICT r11 #4): WITH (pq=1, pq_cell_books=1) and no explicit
     cells must floor the auto cell count at the corpus's measured mode

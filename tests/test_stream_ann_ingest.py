@@ -31,6 +31,7 @@ def _staged_files(spark, emb, tmpdir, n_files=3):
     return chunks
 
 
+@pytest.mark.slow
 def test_stream_ingest_parity_and_idempotence(spark, emb, tmp_path):
     from bustub_vectordb_spark.streaming.ann_ingest import IndexIngest, ingest_stream
 
@@ -84,6 +85,7 @@ def test_stream_ingest_parity_and_idempotence(spark, emb, tmp_path):
     assert ingest.batches == before  # nothing inserted
 
 
+@pytest.mark.slow
 def test_long_ingest_releases_superseded_state(spark, tables):
     """r6 storage fix: a long-running ingest stream must not accumulate
     one stale checkpoint generation per compaction fold — after

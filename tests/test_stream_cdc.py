@@ -238,6 +238,7 @@ def test_vacuum_floor_blocks_partial_snapshots(spark, tmp_path):
     assert got[1] == "a" and got[2] == "b" and got[3] == "s"
 
 
+@pytest.mark.slow
 def test_auto_compaction_bounds_files_and_versions(spark, tmp_path):
     """compact_every + auto_vacuum: over N batches the on-disk parquet
     file count and the resolver's version chain stay bounded (the Delta

@@ -30,6 +30,7 @@ ARRIVALS = [
 ]
 
 
+@pytest.mark.slow
 def test_stream_admission_matches_batch_and_is_idempotent(spark, tmp_path):
     seed = _docs(spark, BASE)
 
@@ -90,6 +91,7 @@ def test_within_batch_single_pass_policy(spark):
     assert admitted == {21, 23}
 
 
+@pytest.mark.slow
 def test_state_survives_restart(spark, tmp_path):
     """save() persists the admitted corpus; load() reseeds a fresh sink
     whose state relations rebuild distributed — post-restart admission
@@ -113,6 +115,7 @@ def test_state_survives_restart(spark, tmp_path):
     assert got == want == {1, 2, 3, 13, 14}
 
 
+@pytest.mark.slow
 def test_verify_rounds_jaccard_like_batch_twin(spark):
     """The cross-corpus verify must round jaccard to 6 decimals BEFORE the
     threshold compare, exactly like near_dup_pairs — a borderline doc
@@ -135,6 +138,7 @@ def test_verify_rounds_jaccard_like_batch_twin(spark):
     assert admitted == {1, 2}, admitted
 
 
+@pytest.mark.slow
 def test_long_ingest_releases_superseded_state(spark):
     """r6 storage fix: the dedup sink's per-fold state compaction must
     release the superseded checkpoint leaves; admissions stay identical to

@@ -95,6 +95,7 @@ def test_build_plan_stays_distributed(emb):
     assert idx.vertices.count() == emb.count()
 
 
+@pytest.mark.slow
 def test_vamana_recall_at_scale_sf01(spark):
     """Merged-graph recall at the bench scale factor (sf0.1, 2000
     vectors): one distributed DiskANN-merge build must hold recall@10 ≥
@@ -489,6 +490,7 @@ def test_partitioned_pq_local_books(emb, vamana, spark, sf_dir, tmp_path):
     assert (loaded.params or {}).get("pq_local") == 1
 
 
+@pytest.mark.slow
 def test_compressed_tier_recall_holds_at_sf01(spark):
     """VERDICT r5 task 8 — quantizer-saturation check at the bench scale
     factor: the PQ-compressed serving tiers must hold their recall@10 at
@@ -658,6 +660,7 @@ def test_quantize_pq_refuses_dim_mismatched_model(emb, spark):
     assert len(hits) == 5
 
 
+@pytest.mark.slow
 def test_partitioned_facade_save_load_roundtrip(emb, spark, tmp_path):
     """A saved cosine/ip partitioned artifact reloads WITH its ops-class
     facade (ops_dist + ip_m2 travel in params) and probes identically on
@@ -783,6 +786,7 @@ def test_to_routed_ingest_ip_recovers_raw_vectors(emb, spark):
     assert len({r["vec_id"] for r in hits} & set(best)) >= 4
 
 
+@pytest.mark.slow
 def test_to_routed_ingest_from_saved_facade(emb, spark, tmp_path):
     """A SAVED cosine partitioned facade migrates too (save persists the
     transformed vertices): the reloaded facade's to_routed_ingest yields
@@ -815,6 +819,7 @@ def test_to_routed_ingest_from_saved_facade(emb, spark, tmp_path):
     assert top[0]["vec_id"] == 777778
 
 
+@pytest.mark.slow
 def test_clustered_corpus_recall_needs_diverse_prune(spark):
     """Regression pin for the 2.2M scale-drill discovery: on a corpus of
     WELL-SEPARATED clusters, eps-ball-only routing + keep-R-nearest
@@ -845,6 +850,7 @@ def test_clustered_corpus_recall_needs_diverse_prune(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+@pytest.mark.slow
 def test_multi_entry_rescues_basin_trapped_walks(tmp_path):
     """Regression pin for the r8 1.2M drill finding: a SINGLE-medoid
     greedy walk over the merged graph can get trapped in the entry's
@@ -887,6 +893,7 @@ def test_multi_entry_rescues_basin_trapped_walks(tmp_path):
     assert sum(rm) / len(rm) >= 0.95, rm
 
 
+@pytest.mark.slow
 def test_vamana_residual_pq_save_load_and_partitioned_parity(spark, tmp_path):
     """Residual PQ on the merged graph (entry-cell centers): params carry
     the frozen centers, save/load round-trips them (JSON), probes are
@@ -1003,6 +1010,7 @@ def test_attach_unreached_repairs_linked_components():
     assert 3 not in layer0[0] and 5 not in layer0[0], layer0
 
 
+@pytest.mark.slow
 def test_r10_serving_default_floors_at_sf01(spark):
     """VERDICT r10 #6 — pinned sf0.1 floors for the r10/r11 serving
     DEFAULTS, exercised with NO explicit ef/rerank overrides so a default
@@ -1060,6 +1068,7 @@ def test_r10_serving_default_floors_at_sf01(spark):
     assert avg_batch >= 0.85, (avg_batch, r_batch)
 
 
+@pytest.mark.slow
 def test_r9_tier_recall_floors_at_sf01(spark):
     """VERDICT r9 #4 — pinned sf0.1 regression floors for the r9 tiers
     (routed local-books PQ, routed residual PQ, vamana residual PQ,

@@ -105,6 +105,23 @@ def main() -> None:
         emb, "embedding", "vec_id", 10,
     )
 
+    # ShardedHNSW.insert's cogroup upsert (r13): the eager localCheckpoint
+    # inside insert() truncates the returned plan, so capture with
+    # checkpointing stubbed to identity — the physical plan of the delta
+    # (REPARTITION pins feeding FlatMapCoGroupsInPandas) becomes visible
+    # in the returned blobs view. Capture-only; never affects real runs.
+    _DF = type(emb)  # the concrete (classic) DataFrame class on Spark 4
+
+    _orig_ckpt = _DF.localCheckpoint
+    try:
+        _DF.localCheckpoint = lambda self, eager=True: self  # type: ignore[assignment]
+        burst = emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+        plans["sharded_insert_upsert"] = routed.insert(burst).blobs
+    finally:
+        _DF.localCheckpoint = _orig_ckpt
+
     for name, df in plans.items():
         try:
             txt = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
